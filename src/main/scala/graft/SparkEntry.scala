@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates one entry per implemented operator from
+  * SURVEY.md §2 Part B; `oracleSql` carries the DuckDB-equivalent SQL
+  * for every hash-checked key (OMIT rows are unit-tested instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H-Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Aggs.queries("q_agg_q1")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Joins.queries ++ Aggs.queries ++ Windows.queries ++
+      SetOps.queries ++ Scalars.queries ++ EventsQ.queries ++ EthOps.queries ++
+      LlmOps.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Joins.oracle ++ Aggs.oracle ++ Windows.oracle ++
+      SetOps.oracle ++ Scalars.oracle ++ EventsQ.oracle ++ EthOps.oracle ++
+      LlmOps.oracle
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.expr.GeometricMean
+
+/** B.4 aggregations (SURVEY.md §2).
+  *
+  * All grouping aggregations run partial (map-side) + final — no
+  * collect, no driver-side loops — so they scale with executor count.
+  * Doubles are rounded to 4dp to absorb cross-engine summation-order
+  * differences (SURVEY.md §7.6.2); counts/mins/maxes stay exact.
+  */
+object Aggs {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape — the flagship aggregation.
+    "q_agg_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("cust_cnt"))
+        .orderBy("o_orderpriority")),
+
+    "q_agg_rollup" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("cnr_rollup")
+      // SQL form: rollup + grouping() + orderBy on the grouping columns
+      // trips the DataFrame-API ambiguous-self-join check in Spark 4.1.
+      s.sql(
+        """SELECT r_name, n_name, ROUND(SUM(c_acctbal), 4) AS acct_sum,
+          |  CAST(GROUPING(r_name) AS INT) AS g_r,
+          |  CAST(GROUPING(n_name) AS INT) AS g_n
+          |FROM cnr_rollup
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("dow", expr("weekday(ts)"))
+        .cube("event_type", "dow")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)),
+
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_having" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 4).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      val o = Tables.orders(s, d)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_pd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy("l_returnflag")),
+
+    // HLL sketch — no DuckDB oracle (sketch-specific); unit test bounds
+    // it to within 5% of the exact distinct count.
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type")),
+
+    "q_udaf_gmean" -> ((s, d) => {
+      val gm = udaf(GeometricMean)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(gm(col("l_extendedprice")), 4).as("gmean_price"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS cust_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, ROUND(SUM(c_acctbal), 4) AS acct_sum,
+        |  CAST(GROUPING(r_name) AS INT) AS g_r,
+        |  CAST(GROUPING(n_name) AS INT) AS g_n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT event_type, dow, COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS dow FROM events)
+        |GROUP BY CUBE (event_type, dow)
+        |ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+        |FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING ROUND(SUM(l_quantity), 4) > 250.0) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  ROUND(var_samp(l_discount), 6) AS var_disc,
+        |  ROUND(corr(l_extendedprice, l_discount), 6) AS corr_pd,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_udaf_gmean" ->
+      """SELECT l_returnflag,
+        |  ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS gmean_price
+        |FROM lineitem WHERE l_extendedprice > 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** B.3 joins (SURVEY.md §2).
+  *
+  * Scale posture: dimension tables (region/nation/supplier at these
+  * shapes) are explicitly `broadcast()` so the fact side never
+  * shuffles for them; fact⋈fact equi-joins shuffle on their keys and
+  * rely on AQE for skew. The event self-joins are equi-keyed on
+  * user_id with the time predicate evaluated post-join — at 100 TB the
+  * user_id hash partitioning bounds each task to one user's events.
+  */
+object Joins {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner_equi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 4).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_join_broadcast" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_join_5way" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+                             c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA" &&
+                o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                o("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q_join_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_full_outer" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      su.join(n, su("s_nationkey") === n("n_nationkey"), "full")
+        .select("n_nationkey", "n_name", "s_suppkey", "s_name")
+        .orderBy(col("n_nationkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_theta_range" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      v.join(p, col("v_user") === col("p_user") &&
+                col("p_ts") >= col("v_ts") &&
+                col("p_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("conv_pairs"))
+        .orderBy("user_id")
+    }),
+
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(max("v_ts").as("last_view_ts"))
+        .orderBy("event_id")
+    }),
+
+    "q_join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner_equi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_5way" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full_outer" ->
+      """SELECT n_nationkey, n_name, s_suppkey, s_name
+        |FROM supplier FULL OUTER JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta_range" ->
+      """SELECT v.user_id AS user_id, COUNT(*) AS conv_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '5 minutes'
+        |GROUP BY v.user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT MAX(v.ts) FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts)
+        |  AS last_view_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin
+  )
+}

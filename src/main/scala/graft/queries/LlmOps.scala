@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** B.10 LLM-data-pipeline operators: dedup, similarity search, text
+  * analysis (SURVEY.md §2; literature PAPERS.md).
+  *
+  * Scale design (100 TB posture, SURVEY.md §7.5):
+  *  - exact dedup = hash-groupBy (shuffle on digest; partial agg).
+  *  - near-dup = inverted-index (token, lang) self-join — candidates
+  *    only where a token is shared; at corpus scale this is replaced
+  *    by MinHash+LSH banding (q_minhash_lsh) which bounds candidate
+  *    pairs per band-bucket; the exact Jaccard here is the re-rank.
+  *  - cosine top-k = brute force against one broadcast query vector
+  *    (linear scan, no shuffle); per-label kNN confines the quadratic
+  *    self-join inside label partitions.
+  *  - all doubles rounded (4/6dp) before compare (SURVEY.md §7.6).
+  */
+object LlmOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Sum over an array<double> column (sequential fold — deterministic). */
+  private def arrSum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  private def dotD(a: Column, b: Column): Column =
+    arrSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Cosine similarity between two array<float> columns, computed in
+    * double precision (DuckDB's list_cosine_similarity is float32 —
+    * the oracle uses an explicit double formulation instead). */
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(md5(lower(trim(col("text")))).as("h"), col("doc_id"))
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy("keep_id")),
+
+    "q_dedup_near_jaccard" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(toks(col("text")))).as("tok"))
+      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = tok.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
+      val b = tok.select(col("lang").as("lang_b"), col("tok").as("tok_b"), col("doc_id").as("b_id"))
+      val inter = a.join(b,
+          col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+        .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("j") >= 0.8)
+        .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q_sim_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "q_knn_per_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val pairs = a.join(b, col("label") === col("label_b") && col("a_id") =!= col("b_id"))
+        .select(col("label"), col("a_id"), col("b_id"),
+          round(cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("label", "a_id", "b_id", "cos", "rn")
+        .orderBy("a_id", "rn")
+    }),
+
+    "q_vec_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < 4)
+        .groupBy("label", "dim")
+        .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+        .orderBy("label", "dim")),
+
+    "q_text_stats" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      val base = doc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          round(avg(size(toks(col("text"))).cast("double")), 4).as("avg_toks"))
+      val vocab = doc
+        .select(col("lang"), explode(array_distinct(toks(col("text")))).as("tok"))
+        .groupBy("lang")
+        .agg(countDistinct("tok").as("n_vocab"))
+      base.join(vocab, "lang").orderBy("lang")
+    }),
+
+    "q_tfidf_top" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      val nDocs = doc.count() // scalar; computed once on the driver
+      val tf = doc
+        .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("dlen"),
+          explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "lang", "dlen", "term")
+        .agg(count(lit(1)).as("tf_raw"))
+        .withColumn("tf", col("tf_raw") / col("dlen"))
+      val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+      val scored = tf.join(broadcast(df_), "term")
+        .withColumn("tfidf", col("tf") * col("idf"))
+        .groupBy("lang", "term")
+        .agg(round(avg("tfidf"), 6).as("score"))
+      val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("lang", "term", "score", "rn")
+        .orderBy("lang", "rn")
+    }),
+
+    // Text quality scoring: deterministic per-doc heuristics of the
+    // kind a pretraining pipeline filters on.
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).as("n_toks"),
+          length(col("text")).as("text_len"),
+          round(length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+            / length(col("text")), 6).as("space_ratio"),
+          round(length(col("text")).cast("double") / size(toks(col("text"))), 6)
+            .as("avg_tok_len"))
+        .orderBy("doc_id"))
+  )
+
+  // Double-precision cosine in DuckDB SQL (list_cosine_similarity is
+  // float32 — verified locally; SURVEY.md §7.6.10).
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+       |   p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_near_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(j, 4) AS jaccard FROM (
+        |  SELECT a_id, b_id,
+        |    i * 1.0 / (sa.n + sb.n - i) AS j
+        |  FROM inter
+        |  JOIN sz sa ON inter.a_id = sa.doc_id
+        |  JOIN sz sb ON inter.b_id = sb.doc_id)
+        |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(${duckCos("e.embedding", "q.q_emb")}, 6) AS cos
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_per_label" ->
+      s"""WITH pairs AS (
+         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT label, a_id, b_id, cos, rn FROM (
+         |  SELECT label, a_id, b_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS INT) AS rn
+         |  FROM pairs)
+         |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_vec_centroid" ->
+      """SELECT label, CAST(pos - 1 AS INT) AS dim,
+        |  ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |WHERE pos <= 4 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH base AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    ROUND(AVG(n_chars), 4) AS avg_chars,
+        |    ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_toks
+        |  FROM documents GROUP BY lang),
+        |vocab AS (
+        |  SELECT lang, COUNT(DISTINCT tok) AS n_vocab FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY lang)
+        |SELECT base.lang AS lang, n_docs, avg_chars, avg_toks, n_vocab
+        |FROM base JOIN vocab ON base.lang = vocab.lang
+        |ORDER BY lang""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang, dlen, term, COUNT(*) AS tf_raw,
+        |    COUNT(*) * 1.0 / dlen AS tf
+        |  FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS dlen,
+        |          unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, lang, dlen, term),
+        |idf AS (
+        |  SELECT term, ln((SELECT COUNT(*) * 1.0 FROM documents) / COUNT(DISTINCT doc_id)) AS idf
+        |  FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT lang, tf.term AS term, ROUND(AVG(tf * idf), 6) AS score
+        |  FROM tf JOIN idf ON tf.term = idf.term
+        |  GROUP BY lang, tf.term)
+        |SELECT lang, term, score, rn FROM (
+        |  SELECT lang, term, score,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |  CAST(length(text) AS INT) AS text_len,
+        |  ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+        |    / length(text), 6) AS space_ratio,
+        |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
+        |    AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** B.1 scans + B.2 projection/filter/predicates (SURVEY.md §2).
+  *
+  * Scale notes: every query here is a single scan with filters and
+  * projections that Catalyst pushes into the parquet reader — no
+  * shuffle except for the final total-order sort, which is bounded by
+  * the (small) post-filter/limit result. Determinism: every query ends
+  * in a total order over a unique key set (SURVEY.md §7.6).
+  */
+object Relational {
+
+  /** nullif(x, v) for doubles without relying on SQL literal typing. */
+  private def nullifD(c: org.apache.spark.sql.Column, v: Double) =
+    when(c === v, lit(null).cast("double")).otherwise(c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in this data —
+        // l_extendedprice completes the unique key (verified sf0.01).
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)),
+
+    "q_scan_pruned" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_filter_range" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))),
+
+    "q_proj_compute" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 4).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
+        .limit(100)),
+
+    "q_filter_in_like" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(
+          (col("p_type").like("PROMO%") ||
+           col("p_brand").isin("Brand#1", "Brand#13", "Brand#25")) &&
+          col("p_size").between(5, 40))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
+    "q_filter_null_safe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          nullifD(col("l_discount"), 0.0).as("disc_n"),
+          nullifD(col("l_tax"), 0.0).as("tax_n"))
+      li.groupBy("l_returnflag")
+        .agg(
+          count(when(col("disc_n").isNull, 1)).as("n_disc_null"),
+          count(when(col("disc_n") <=> col("tax_n"), 1)).as("n_nseq"),
+          count(when(col("disc_n") === col("tax_n"), 1)).as("n_eq"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
+
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_proj_compute" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+        |  ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4) AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 100""".stripMargin,
+
+    "q_filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE (p_type LIKE 'PROMO%' OR p_brand IN ('Brand#1', 'Brand#13', 'Brand#25'))
+        |  AND p_size BETWEEN 5 AND 40
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_null_safe" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         nullif(l_discount, 0.0) AS disc_n,
+        |         nullif(l_tax, 0.0) AS tax_n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  COUNT(CASE WHEN disc_n IS NULL THEN 1 END) AS n_disc_null,
+        |  COUNT(CASE WHEN disc_n IS NOT DISTINCT FROM tax_n THEN 1 END) AS n_nseq,
+        |  COUNT(CASE WHEN disc_n = tax_n THEN 1 END) AS n_eq
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** B.8 scalar functions: string / regex / date / math / conditional /
+  * cast / array / generator / json (SURVEY.md §2).
+  *
+  * All expressions are built-in Catalyst exprs (whole-stage-codegen
+  * friendly — no UDFs anywhere on this path). Cross-engine type gaps
+  * (DuckDB BIGINT vs Spark INT for length/rank/year etc., TINYINT
+  * sign, rounding double→int casts) are resolved by explicit casts on
+  * the ORACLE side so the Spark plan stays natural (SURVEY.md §7.6).
+  */
+object Scalars {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_brand")).as("low_brand"),
+          substring(col("p_name"), 1, 8).as("sub_name"),
+          lpad(col("p_brand"), 12, "*").as("pad_brand"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_name"), " ", "_").as("und_name"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
+        .orderBy("p_partkey")
+        .limit(500)),
+
+    "q_str_regex" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          regexp_extract(col("p_name"), "(\\w+)$", 1).as("last_word"),
+          col("p_name").rlike("^(red|blue)").as("is_colored"))
+        .orderBy("p_partkey")
+        .limit(500)),
+
+    "q_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          add_months(col("o_orderdate"), 3).as("plus3mo"),
+          last_day(col("o_orderdate")).as("month_end"),
+          expr("weekday(o_orderdate)").as("wd"))
+        .orderBy("o_orderkey")
+        .limit(500)),
+
+    "q_math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          signum(col("l_discount") - 0.05).as("sgn_d"),
+          ceil(col("l_extendedprice")).as("ceil_p"),
+          floor(col("l_extendedprice")).as("floor_p"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          round(log10(col("l_extendedprice")), 6).as("log10_p"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          greatest(col("l_quantity"), col("l_extendedprice") / 1000.0).as("gr"),
+          least(col("l_quantity"), col("l_extendedprice") / 1000.0).as("le"))
+        // sqrt_p is strictly monotone in l_extendedprice, which
+        // completes the unique lineitem key (l_orderkey, l_linenumber
+        // alone has duplicates in this data).
+        .orderBy("l_orderkey", "l_linenumber", "sqrt_p")
+        .limit(500)),
+
+    "q_cond_expr" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(col("c_acctbal") > 7500.0, "high")
+            .when(col("c_acctbal") > 2500.0, "mid")
+            .otherwise("low").as("tier"),
+          coalesce(
+            when(col("c_mktsegment") === "BUILDING", lit(null).cast("string"))
+              .otherwise(col("c_mktsegment")),
+            lit("(none)")).as("seg2"),
+          least(col("c_acctbal"), lit(5000.0)).as("capped"),
+          greatest(col("c_acctbal"), lit(0.0)).as("floored"))
+        .orderBy("c_custkey")),
+
+    "q_cast_types" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_linenumber").cast("double").as("ln_dbl"),
+          col("l_extendedprice").cast("decimal(18,6)").as("price_dec"),
+          col("l_extendedprice").cast("decimal(18,6)").cast("string").as("price_str"),
+          col("l_orderkey").cast("string").as("key_str"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_shipdate").cast("date").cast("string").as("ship_str"))
+        .orderBy("l_orderkey", "l_linenumber", "price_dec")
+        .limit(500)),
+
+    "q_array_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_toks"),
+          array_contains(split(col("text"), " "), "spark").as("has_spark"),
+          size(array_distinct(split(col("text"), " "))).as("n_vocab"),
+          sort_array(array_distinct(split(col("text"), " "))).as("vocab"),
+          slice(split(col("text"), " "), 1, 5).as("first5"))
+        .orderBy("doc_id")
+        .limit(500)),
+
+    "q_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)),
+
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("k"), 4).as("avg_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_brand) AS low_brand,
+        |  substring(p_name, 1, 8) AS sub_name,
+        |  lpad(p_brand, 12, '*') AS pad_brand,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  replace(p_name, ' ', '_') AS und_name,
+        |  trim('  ' || p_name || '  ') AS trimmed
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "q_str_regex" ->
+      """SELECT p_partkey, p_name,
+        |  regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+        |  regexp_matches(p_name, '^(red|blue)') AS is_colored
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS wd
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS abs_d,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn_d,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |  ROUND(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |  ROUND(ln(l_extendedprice), 6) AS ln_p,
+        |  ROUND(log10(l_extendedprice), 6) AS log10_p,
+        |  pow(l_quantity, 2) AS qty_sq,
+        |  l_orderkey % 7 AS key_mod,
+        |  greatest(l_quantity, l_extendedprice / 1000.0) AS gr,
+        |  least(l_quantity, l_extendedprice / 1000.0) AS le
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_p LIMIT 500""".stripMargin,
+
+    "q_cond_expr" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_acctbal > 7500.0 THEN 'high'
+        |       WHEN c_acctbal > 2500.0 THEN 'mid'
+        |       ELSE 'low' END AS tier,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg2,
+        |  least(c_acctbal, 5000.0) AS capped,
+        |  greatest(c_acctbal, 0.0) AS floored
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(trunc(l_quantity) AS INT) AS qty_int,
+        |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+        |  CAST(l_extendedprice AS DECIMAL(18,6)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) AS price_str,
+        |  CAST(l_orderkey AS VARCHAR) AS key_str,
+        |  CAST(l_shipdate AS DATE) AS ship_date,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_dec LIMIT 500""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_vocab,
+        |  list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+        |  list_slice(string_split(text, ' '), 1, 5) AS first5
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    "q_explode" ->
+      """SELECT word, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(AVG(k), 4) AS avg_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
