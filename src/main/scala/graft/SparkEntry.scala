@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Joins.queries ++ Aggs.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ EventsQ.queries ++ EthOps.queries ++
-      LlmOps.queries
+      LlmOps.queries ++ graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Aggs.oracle ++ Windows.oracle ++

@@ -96,7 +96,7 @@ object Joins {
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       v.join(p, col("v_user") === col("p_user") &&
                 col("p_ts") >= col("v_ts") &&
-                col("p_ts") <= col("v_ts") + expr("INTERVAL 5 MINUTES"))
+                col("p_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
         .groupBy(col("v_user").as("user_id"))
         .agg(count(lit(1)).as("conv_pairs"))
         .orderBy("user_id")
@@ -170,7 +170,7 @@ object Joins {
         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
         |  ON v.user_id = p.user_id
-        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '5 minutes'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '12 hours'
         |GROUP BY v.user_id ORDER BY user_id""".stripMargin,
 
     "q_join_asof" ->

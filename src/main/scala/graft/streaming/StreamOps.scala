@@ -1,0 +1,257 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+
+/** B.9 Structured Streaming parity layer (SURVEY.md §2 Part A ↦ B.9).
+  *
+  * Each `s_*` entry runs a real streaming query (file source →
+  * transforms → sink) under `Trigger.AvailableNow` and returns the
+  * sink read back as an ordered batch DataFrame, so the driver's
+  * rows-only check and the batch-equivalence ScalaTest suite both see
+  * the streamed result. DuckDB oracles are omitted by design — the
+  * honest oracle for streaming is equality with the batch twin
+  * (SURVEY.md §5.2.3).
+  *
+  * Reference semantics carried over (SURVEY.md §2 Part A):
+  *  - A1/A2/A4 ingest+decode → s_stream_ingest
+  *  - A10 replay dedup       → s_dedup_watermark
+  *  - A8 offset/resume       → checkpointLocation on every query
+  *  - A11 reorg/late events  → s_late_data
+  *  - A7 idempotent upsert   → s_foreach_upsert
+  *
+  * Scale posture: all stateful ops are bounded by watermarks (state
+  * eviction), sinks are keyed/idempotent so any micro-batch can
+  * replay, and nothing collects to the driver.
+  */
+object StreamOps {
+
+  /** events schema as the streaming file source must declare it:
+    * ts is TIMESTAMP(NANOS) in the parquet footer, readable only as
+    * LongType nanos (spark.sql.legacy.parquet.nanosAsLong). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft_$tag").toString
+
+  /** The file stream source requires a directory; testdata tables are
+    * single files — stage a copy into a temp dir. */
+  private def eventsDir(d: String, tag: String): String = {
+    val dir = tmp(tag)
+    Files.copy(Paths.get(s"$d/events.parquet"), Paths.get(dir, "events.parquet"))
+    dir
+  }
+
+  private def readEventsStream(s: SparkSession, path: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  private def runToParquet(df: DataFrame, out: String, ckpt: String): Unit =
+    df.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** Copy the events table into a fresh dir `copies` times (replay input). */
+  private def stageEventsInput(s: SparkSession, d: String, copies: Int, tag: String): String = {
+    val dir = tmp(tag)
+    (1 to copies).foreach { i =>
+      Tables.events(s, d)
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))  // back to raw nanos shape
+        .write.mode("append").parquet(dir)
+    }
+    dir
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1+A2+A4: ingest → decode/normalize → append parquet, checkpointed.
+    "s_stream_ingest" -> ((s, d) => {
+      val out = tmp("ingest_out")
+      val decoded = readEventsStream(s, eventsDir(d, "ingest_in"))
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .drop("props")
+      runToParquet(decoded, out, tmp("ingest_ckpt"))
+      s.read.parquet(out).orderBy("event_id")
+    }),
+
+    // A10: duplicate delivery across reconnects must not double-insert.
+    "s_dedup_watermark" -> ((s, d) => {
+      val in = stageEventsInput(s, d, copies = 2, "dedup_in")
+      val out = tmp("dedup_out")
+      val deduped = readEventsStream(s, in)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      runToParquet(deduped, out, tmp("dedup_ckpt"))
+      s.read.parquet(out).orderBy("event_id")
+    }),
+
+    // A8-style custom state: per-user sessionization (30-min gap) via
+    // flatMapGroupsWithState with event-time timeout. Sessions are
+    // emitted when closed by a later event or by watermark timeout;
+    // the open tail session at end-of-input stays in state (append-
+    // mode semantics — asserted against the batch twin in tests).
+    "s_stateful_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sess_out")
+      val gapUs = 30L * 60 * 1000 * 1000
+      // timestamps carried as unix µs longs end-to-end —
+      // java.sql.Timestamp.getTime is ms-precision and would corrupt
+      // the µs event times.
+      // the watermarked event-time column must remain in the Dataset
+      // for EventTimeTimeout to resolve; ts_us carries the µs value.
+      val ev = readEventsStream(s, eventsDir(d, "sess_in"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, java.sql.Timestamp, Long)]
+
+      val sessions = ev
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+            if (state.hasTimedOut) {
+              val (st, en, n) = state.get
+              state.remove()
+              Iterator((user, st, en, n))
+            } else {
+              val ts = rows.map(_._3).toArray.sorted
+              var acc = List.empty[(Long, Long, Long)]
+              var cur = state.getOption
+              ts.foreach { t =>
+                cur match {
+                  case Some((st, en, n)) if t - en < gapUs => cur = Some((st, t, n + 1))
+                  case Some(closed) => acc = closed :: acc; cur = Some((t, t, 1L))
+                  case None => cur = Some((t, t, 1L))
+                }
+              }
+              cur.foreach { c =>
+                state.update(c)
+                // timeout API is ms-precision; round up so the timeout
+                // never fires early
+                state.setTimeoutTimestamp((c._2 + gapUs) / 1000 + 1)
+              }
+              acc.reverseIterator.map { case (st, en, n) => (user, st, en, n) }
+            }
+        }
+        .toDF("user_id", "s_start_us", "s_end_us", "n_events")
+        .select(col("user_id"),
+          timestamp_micros(col("s_start_us")).as("s_start"),
+          timestamp_micros(col("s_end_us")).as("s_end"),
+          col("n_events"))
+      runToParquet(sessions, out, tmp("sess_ckpt"))
+      s.read.parquet(out).orderBy("user_id", "s_start")
+    }),
+
+    // Stream ⋈ static dimension (no state needed).
+    "s_stream_static_join" -> ((s, d) => {
+      val out = tmp("ssj_out")
+      val cohorts = Tables.events(s, d).select("user_id").distinct()
+        .withColumn("cohort", concat(lit("c"), col("user_id") % 3))
+      val joined = readEventsStream(s, eventsDir(d, "ssj_in"))
+        .join(broadcast(cohorts), "user_id")
+        .select("event_id", "user_id", "event_type", "cohort")
+      runToParquet(joined, out, tmp("ssj_ckpt"))
+      s.read.parquet(out).orderBy("event_id")
+    }),
+
+    // Stream-stream inner join with event-time bound (view→purchase
+    // conversion pairs within 12 h), both sides watermarked.
+    "s_stream_stream_join" -> ((s, d) => {
+      val out = tmp("ss2_out")
+      val ev = readEventsStream(s, eventsDir(d, "ss2_in"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
+        .select(col("v_user").as("user_id"), col("v_id"), col("p_id"), col("v_ts"), col("p_ts"))
+      runToParquet(joined, out, tmp("ss2_ckpt"))
+      s.read.parquet(out).orderBy("v_id", "p_id")
+    }),
+
+    // A11: events arriving behind the watermark are dropped. Two
+    // sequential AvailableNow runs against one checkpoint: run 1
+    // establishes the watermark at max(ts)-10min; run 2 delivers only
+    // stale events (ts shifted -40 days) which the persisted watermark
+    // discards. Output = tumbling-hour counts in append mode.
+    "s_late_data" -> ((s, d) => {
+      val in = tmp("late_in")
+      val out = tmp("late_out")
+      val ckpt = tmp("late_ckpt")
+      val raw = Tables.events(s, d).withColumn("ts", expr("unix_micros(ts) * 1000"))
+      raw.write.mode("append").parquet(in)
+      def agg(): DataFrame = readEventsStream(s, in)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("n"))
+      runToParquet(agg(), out, ckpt)
+      // second delivery: only late rows (well behind the watermark)
+      raw.withColumn("ts", col("ts") - expr("CAST(40 AS BIGINT) * 24 * 3600 * 1000000000"))
+        .write.mode("append").parquet(in)
+      runToParquet(agg(), out, ckpt)
+      s.read.parquet(out).orderBy("wstart")
+    }),
+
+    // A7: idempotent keyed upsert per micro-batch (the Backendless-
+    // save analog). The whole pipeline is run twice from a fresh
+    // checkpoint — the second full replay must leave the sink
+    // unchanged (merge-by-key), which the returned frame exposes.
+    "s_foreach_upsert" -> ((s, d) => {
+      val cur = tmp("upsert_sink") + "/cur"
+      def runOnce(): Unit = {
+        val q = readEventsStream(s, eventsDir(d, "upsert_in"))
+          .select("event_id", "user_id", "event_type", "value", "ts")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val merged =
+              if (Files.exists(Paths.get(cur))) {
+                val existing = sp.read.parquet(cur)
+                existing.unionByName(batch)
+                  .groupBy("event_id")
+                  .agg(first("user_id").as("user_id"), first("event_type").as("event_type"),
+                       first("value").as("value"), first("ts").as("ts"))
+              } else batch.dropDuplicates("event_id")
+            val staged = cur + "_staged"
+            merged.write.mode("overwrite").parquet(staged)
+            val fs = org.apache.hadoop.fs.FileSystem.get(sp.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+            fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(cur))
+            ()
+          }
+          .option("checkpointLocation", tmp("upsert_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      runOnce() // full replay — idempotence: sink must be unchanged
+      s.read.parquet(cur).orderBy("event_id")
+    })
+  )
+}

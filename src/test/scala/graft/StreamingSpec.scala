@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.tables.Tables
+
+/** Batch-equivalence harness for the B.9 streaming layer
+  * (SURVEY.md §5.2.3): every streamed result must equal its batch twin
+  * over the same input, modulo documented append-mode boundaries
+  * (open tail sessions / unemitted final windows).
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def run(name: String) = StreamOps.queries(name)(spark, sf)
+
+  test("s_stream_ingest equals batch decode") {
+    val streamed = run("s_stream_ingest")
+    val batch = Tables.events(spark, sf)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .drop("props")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("s_dedup_watermark collapses the 2x replay to the original stream") {
+    val streamed = run("s_dedup_watermark")
+    val n = Tables.events(spark, sf).count()
+    assert(streamed.count() === n)
+    assert(streamed.select("event_id").distinct().count() === n)
+  }
+
+  test("s_stateful_sessionize equals batch gaps-and-islands sessions (closed ones)") {
+    val streamed = run("s_stateful_sessionize")
+      .select("user_id", "s_start", "s_end", "n_events")
+
+    val ev = Tables.events(spark, sf)
+    ev.createOrReplaceTempView("ev_sess_test")
+    val batch = spark.sql(
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM ev_sess_test),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN pts IS NULL
+        |             OR unix_micros(ts) - unix_micros(pts) >= 1800000000
+        |             THEN 1 ELSE 0 END AS flag FROM o),
+        |g AS (SELECT user_id, ts,
+        |        SUM(flag) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end,
+        |       COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin)
+
+    // Append mode emits a session when it is closed by a later event or
+    // its event-time timeout fires (s_end + gap < final watermark =
+    // max ts). The open tail session per user may be unemitted.
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val gapUs = 30L * 60 * 1000 * 1000
+    val lastPerUser = batch.groupBy("user_id").agg(max("s_start").as("s_start"))
+      .withColumn("is_last", lit(true))
+    val expected = batch.join(lastPerUser, Seq("user_id", "s_start"), "left")
+      .filter(!(col("is_last") === true &&
+                unix_micros(col("s_end")) + gapUs >= maxTs))
+      .drop("is_last")
+
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} expected=${expected.count()}")
+  }
+
+  test("s_stream_static_join equals batch join") {
+    val streamed = run("s_stream_static_join")
+    val cohorts = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("cohort", concat(lit("c"), col("user_id") % 3))
+    val batch = Tables.events(spark, sf)
+      .join(cohorts, "user_id")
+      .select("event_id", "user_id", "event_type", "cohort")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("s_stream_stream_join equals batch theta join pairs") {
+    val streamed = run("s_stream_stream_join").select("v_id", "p_id")
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val batch = v.join(p, col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
+      .select("v_id", "p_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("s_late_data drops rows behind the watermark") {
+    val streamed = run("s_late_data")
+    // run 2 delivered only 40-day-stale rows: no window before the
+    // original data's start may appear in the sink.
+    val minTs = Tables.events(spark, sf).agg(min("ts")).head().getTimestamp(0)
+    assert(streamed.filter(col("wstart") < lit(minTs) - expr("INTERVAL 1 HOUR")).count() === 0)
+    // emitted windows match the batch counts over the original input
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val joined = streamed.join(batch, "wstart")
+    assert(joined.filter(streamed("n") =!= batch("n")).count() === 0)
+    assert(streamed.count() > 0 && streamed.count() <= batch.count())
+  }
+
+  test("s_foreach_upsert is an idempotent keyed sink") {
+    val sink = run("s_foreach_upsert")
+    val n = Tables.events(spark, sf).count()
+    assert(sink.count() === n)
+    assert(sink.select("event_id").distinct().count() === n)
+  }
+
+  test("q_agg_approx_distinct is within 5% of exact") {
+    val approx = queries.Aggs.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+}
