@@ -1,0 +1,33 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Runtime registration of the custom Catalyst expressions as SQL
+  * functions (SURVEY.md §7.4). The driver owns SparkSession creation,
+  * so `SparkSessionExtensions` injection isn't available — temp
+  * function registration is the equivalent per-session hook.
+  */
+object Registry {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (es: Seq[Expression]) => MinHashSignature(es(0), intLit(es(1), "numPerms")), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      (es: Seq[Expression]) => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("ngrams",
+      (es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("keccak256",
+      (es: Seq[Expression]) => Keccak256(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("eth_checksum_address",
+      (es: Seq[Expression]) => ChecksumAddress(es(0)), "built-in")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity over two array<float> columns as a native
+  * codegen'd Catalyst expression (SURVEY.md §4.2/§7.4).
+  *
+  * One fused pass computes dot product and both norms — versus the
+  * higher-order-function composition (zip_with + three aggregate
+  * folds) this stays inside whole-stage codegen with zero per-row
+  * allocations, which is what makes brute-force re-ranking viable at
+  * scale. Accumulation order is ascending-index, matching the HOF
+  * and DuckDB-list formulations, so results agree bit-for-bit.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = (double) $a.getFloat(i);
+         |  double yi = (double) $b.getFloat(i);
+         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature of a token set: array<long> of `numPerms`
+  * minimums over universal-hash permutations (SURVEY.md §2 B.10).
+  *
+  * Permutation i applies an affine mix (splitmix64-derived odd
+  * constants, fixed seeds → fully deterministic across runs/engines)
+  * to a 64-bit base hash of each token. One pass over the tokens per
+  * row, no shuffle — the LSH banding join downstream is what turns
+  * this into a sub-quadratic candidate generator at corpus scale.
+  */
+case class MinHashSignature(child: Expression, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val coefs: Array[(Long, Long)] =
+    Array.tabulate(numPerms) { i =>
+      (Mix.splitmix64(0x9E3779B97F4A7C15L + i) | 1L, Mix.splitmix64(0xD1B54A32D192ED03L + i))
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var t = 0
+    while (t < arr.numElements()) {
+      val tok = arr.getUTF8String(t)
+      val base = Mix.splitmix64(tok.hashCode.toLong ^ (tok.numBytes().toLong << 32))
+      var i = 0
+      while (i < numPerms) {
+        val (a, b) = coefs(i)
+        val h = a * base + b
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** 64-bit SimHash document fingerprint over a token array: per-token
+  * 64-bit hash votes ±1 on every bit; the sign vector is the
+  * fingerprint. Near-duplicate docs land within small Hamming
+  * distance — a constant-size sketch per document (OMIT oracle;
+  * property-tested). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < arr.numElements()) {
+      val tok = arr.getUTF8String(t)
+      val h = Mix.splitmix64(tok.hashCode.toLong ^ (tok.numBytes().toLong << 32))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+private[expr] object Mix {
+  /** splitmix64 finalizer — public-domain mixing constants. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+}

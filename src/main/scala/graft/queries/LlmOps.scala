@@ -65,22 +65,24 @@ object LlmOps {
     }),
 
     "q_sim_cosine_topk" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),
 
     "q_knn_per_label" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)
       val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       val pairs = a.join(b, col("label") === col("label_b") && col("a_id") =!= col("b_id"))
         .select(col("label"), col("a_id"), col("b_id"),
-          round(cosine(col("a_emb"), col("b_emb")), 6).as("cos"))
+          round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"))
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

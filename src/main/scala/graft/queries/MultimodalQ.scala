@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Oracle-checkable projections of the multimodal envelope (the
+  * binary payload round-trips through the struct; scalar facts about
+  * it are verified against DuckDB over the raw text). The decode stub
+  * itself is unit-tested (no oracle — media libs absent by design). */
+object MultimodalQ {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_envelope" -> ((s, d) =>
+      Multimodal.envelopes(s, d)
+        .select(col("doc_id"),
+          col("media.uri").as("uri"),
+          col("media.mime").as("mime"),
+          octet_length(col("media.bytes")).as("n_bytes"),
+          col("media.meta")("lang").as("meta_lang"))
+        .orderBy("doc_id")),
+
+    "q_mm_decode" -> ((s, d) =>
+      Multimodal.decodeStub(s, d).orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_mm_envelope" ->
+      """SELECT doc_id,
+        |  'doc://' || doc_id AS uri,
+        |  'text/plain' AS mime,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  lang AS meta_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // decode is a stub, but its metadata derivation is pure arithmetic
+    // on byte length — expressible in SQL, so oracle it anyway.
+    "q_mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(64 + strlen(text) % 64 AS INT) AS width,
+        |  CAST(64 + (strlen(text) // 64) % 64 AS INT) AS height,
+        |  3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.Registry
+import graft.tables.Tables
+
+/** B.10 continued: generator n-grams, MinHash+LSH candidates, SimHash,
+  * document fingerprinting, language-ID heuristic, token counting, and
+  * IVF-style ANN (SURVEY.md §2 B.10 + the training-data-pipeline ops).
+  *
+  * Scale notes: MinHash signatures are one pass per document (no
+  * shuffle); LSH banding turns near-dup candidate generation into a
+  * bucket-equi-join (shuffle keyed by (band, signature-slice)) —
+  * sub-quadratic versus the all-pairs Jaccard join, which is the 100TB
+  * path. IVF probes a bounded subset of partitions (2 of 10 lists)
+  * instead of the full corpus.
+  */
+object TextSim {
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** n-gram/stopword language-ID heuristic as a reusable Column:
+    * CJK codepoint → zh; else marker-token argmax with fixed tie
+    * order (en, de, es, fr); no signal → 'und'. */
+  def langId(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = array_distinct(split(text, " "))
+    def score(lang: String) =
+      size(array_intersect(toks, array(langMarkers(lang).map(lit): _*)))
+    val (sEn, sDe, sEs, sFr) = (score("en"), score("de"), score("es"), score("fr"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(sEn >= sDe && sEn >= sEs && sEn >= sFr && sEn > 0, "en")
+      .when(sDe >= sEs && sDe >= sFr && sDe > 0, "de")
+      .when(sEs >= sFr && sEs > 0, "es")
+      .when(sFr > 0, "fr")
+      .otherwise("und")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Generator surface: bigrams via the custom NGrams UDTF.
+    "q_text_ngrams" -> ((s, d) => {
+      Registry.ensure(s)
+      Tables.documents(s, d)
+        .select(expr("ngrams(split(text, ' '), 2)").as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(20)
+    }),
+
+    // MinHash(32 perms) + LSH banding (8 bands x 4 rows): candidate
+    // near-dup pairs. OMIT oracle — unit-tested for recall against
+    // exact Jaccard (SURVEY.md §2 B.10 q_minhash_lsh row).
+    "q_minhash_lsh" -> ((s, d) => {
+      Registry.ensure(s)
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("minhash_sig(array_distinct(split(text, ' ')), 32)").as("sig"))
+      val bands = sig.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(0, 7), b -> struct(b as band, slice(sig, b * 4 + 1, 4) as bsig))")).as("bs"))
+        .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      val a = bands.select(col("lang"), col("band"), col("bsig"), col("doc_id").as("a_id"))
+      val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
+        col("bsig").as("bsig_b"), col("doc_id").as("b_id"))
+      a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+                col("bsig") === col("bsig_b") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash fingerprints (constant-size near-dup sketch). OMIT
+    // oracle — property-tested (determinism + self-similarity).
+    "q_simhash" -> ((s, d) => {
+      Registry.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Order-insensitive exact-content fingerprint (rolling digest of
+    // the sorted distinct token stream) — SQL-expressible, oracled.
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))).as("fp"),
+          md5(col("text")).as("fp_exact"))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic: CJK codepoint check, else stopword-marker
+    // argmax with fixed tie order (en,de,es,fr), else 'und'. On this
+    // corpus (shared jargon vocab across langs) everything is 'und' —
+    // the operator semantics are still fully exercised and oracled;
+    // LangIdSpec proves the heuristic on real multilingual text.
+    "q_text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("pred"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens + a BPE-ish subword estimate
+    // (ceil(len/4) per word — integer arithmetic, exact both engines).
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          expr("aggregate(transform(split(text, ' '), w -> (length(w) + 3) div 4), 0L, (a, x) -> a + x)")
+            .as("n_subword"))
+        .orderBy("doc_id")),
+
+    // IVF-style ANN: coarse quantize by per-label centroids, probe the
+    // 2 nearest lists, exact re-rank inside them. OMIT oracle —
+    // unit-tested for recall against brute force.
+    "q_sim_ivf" -> ((s, d) => {
+      Registry.ensure(s)
+      val e = Tables.embeddings(s, d)
+      val centroids = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> CAST(p.m AS FLOAT))").as("centroid"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      // nprobe=4: this corpus' labels are weak cosine clusters, so a
+      // 2-list probe loses too much recall; 4 of 10 lists still reads
+      // less than half the corpus (the IVF scale tradeoff dial).
+      val probes = centroids.crossJoin(broadcast(q))
+        .select(col("label"), expr("cosine_sim(centroid, q_emb)").as("c"))
+        .orderBy(col("c").desc, col("label"))
+        .limit(4)
+        .select("label")
+      e.join(broadcast(probes), "label")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_ngrams" ->
+      """SELECT ngram, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |                i -> l[i] || ' ' || l[i + 1])) AS ngram
+        |  FROM (SELECT string_split(text, ' ') AS l FROM documents))
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |  md5(text) AS fp_exact
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      def sc(l: String) = {
+        val lst = langMarkers(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_intersect(list_distinct(string_split(text, ' ')), [$lst]))"
+      }
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN ${sc("en")} >= ${sc("de")} AND ${sc("en")} >= ${sc("es")}
+         |            AND ${sc("en")} >= ${sc("fr")} AND ${sc("en")} > 0 THEN 'en'
+         |       WHEN ${sc("de")} >= ${sc("es")} AND ${sc("de")} >= ${sc("fr")}
+         |            AND ${sc("de")} > 0 THEN 'de'
+         |       WHEN ${sc("es")} >= ${sc("fr")} AND ${sc("es")} > 0 THEN 'es'
+         |       WHEN ${sc("fr")} > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |       w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subword
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
