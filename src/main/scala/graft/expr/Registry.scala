@@ -29,5 +29,9 @@ object Registry {
       (es: Seq[Expression]) => Keccak256(es(0)), "built-in")
     reg.createOrReplaceTempFunction("eth_checksum_address",
       (es: Seq[Expression]) => ChecksumAddress(es(0)), "built-in")
+    // custom optimizer rule surface (idempotent add)
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.FoldSelfCosine))
+      spark.experimental.extraOptimizations = rules :+ graft.plans.FoldSelfCosine
   }
 }

@@ -124,7 +124,7 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
-private[expr] object Mix {
+private[graft] object Mix {
   /** splitmix64 finalizer — public-domain mixing constants. */
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L

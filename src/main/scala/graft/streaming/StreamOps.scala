@@ -82,6 +82,21 @@ object StreamOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 as a first-class connector: the DSv2 burn-event
+    // MicroBatchStream → wei-exact decode → parquet sink (sfDir only
+    // scales the synthetic block range).
+    "s_dsv2_burn_ingest" -> ((s, d) => {
+      val out = tmp("burn_out")
+      val endBlock = if (d.contains("0.1")) 999L else 99L
+      val stream = s.readStream.format("graft.sources.BurnEventSource")
+        .option("startBlock", "0").option("endBlock", endBlock.toString)
+        .option("blocksPerTrigger", "100")
+        .load()
+        .withColumn("tokenWhole", expr("valueWei div CAST(1000000000000000000 AS DECIMAL(19,0))"))
+      runToParquet(stream, out, tmp("burn_ckpt"))
+      s.read.parquet(out).orderBy("blockNumber", "logIndex")
+    }),
+
     // A1+A2+A4: ingest → decode/normalize → append parquet, checkpointed.
     "s_stream_ingest" -> ((s, d) => {
       val out = tmp("ingest_out")
