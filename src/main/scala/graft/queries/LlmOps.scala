@@ -123,6 +123,21 @@ object LlmOps {
         .orderBy("a_id", "rn")
     }),
 
+    // Embedding-cosine near-duplicate pairs (the semantic-dedup mode):
+    // label partitions bound the pair space (the IVF-list analog);
+    // at corpus scale the label key is the coarse quantizer bucket.
+    "q_dedup_embed" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+        .withColumn("c", expr("cosine_sim(a_emb, b_emb)"))
+        .filter(col("c") >= 0.3)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "q_vec_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -229,6 +244,14 @@ object LlmOps {
          |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS INT) AS rn
          |  FROM pairs)
          |WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_vec_centroid" ->
       """SELECT label, CAST(pos - 1 AS INT) AS dim,
