@@ -111,9 +111,20 @@ object LlmOps {
     "q_knn_per_label" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-      val pairs = a.join(b, col("label") === col("label_b") && col("a_id") =!= col("b_id"))
+      // SALTED self-join: only ~10 distinct labels exist, so a plain
+      // label-keyed shuffle puts whole labels on single tasks (skew —
+      // fatal at 1000 executors). Salt the probe side by a_id into 8
+      // buckets and replicate the build side across all salts: same
+      // pairs, 80 shuffle keys instead of 10.
+      val salts = 8
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        pmod(col("vec_id"), lit(salts)).as("salt"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt_b"))
+      val pairs = a.join(b,
+          col("label") === col("label_b") && col("salt") === col("salt_b") &&
+          col("a_id") =!= col("b_id"))
         .select(col("label"), col("a_id"), col("b_id"),
           round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"))
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
@@ -140,8 +151,9 @@ object LlmOps {
 
     "q_vec_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .filter(col("dim") < 4)
+        // slice BEFORE exploding: only the 4 requested dims leave the
+        // row (16x fewer exploded rows than explode-then-filter)
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 4)).as(Seq("dim", "v")))
         .groupBy("label", "dim")
         .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
         .orderBy("label", "dim")),
