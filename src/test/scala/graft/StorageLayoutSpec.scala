@@ -14,9 +14,15 @@ class StorageLayoutSpec extends AnyFunSuite with SparkFixture {
 
   test("bucketed join eliminates the shuffle Exchange") {
     // default warehouse (./spark-warehouse, gitignored) — warehouse.dir
-    // is a static conf and cannot be set on a live session
+    // is a static conf and cannot be set on a live session. A fresh
+    // derby metastore won't know tables left by a previous JVM, so the
+    // physical locations must be cleared too.
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq("orders_b", "customer_b").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"spark-warehouse/$t"), true)
+    }
     Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("orders_b")
