@@ -23,6 +23,13 @@ object LlmOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Salt factor for low-cardinality join keys: replication is pure
+    * overhead while parallelism <= natural bucket count, so scale the
+    * salt with the session's shuffle partitions (1 at local[4]; ~125
+    * at a 2000-partition cluster). */
+  private[queries] def saltFactor(s: SparkSession): Int =
+    math.max(1, s.sessionState.conf.numShufflePartitions / 16)
+
   /** Sum over an array<double> column (sequential fold — deterministic). */
   private def arrSum(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x)
@@ -75,12 +82,19 @@ object LlmOps {
       // candidate generation stays NARROW (ids + set sizes only — the
       // token arrays must not ride through the n^2-ish shuffle) and
       // applies the Jaccard length filter (J>=τ ⟹ τ·|A| <= |B| <= |A|/τ)
+      // salt the (lang, token) bucket key: a handful of languages x a
+      // small shared vocab means whole buckets land on single tasks
+      // once parallelism exceeds the bucket count (no-op locally)
+      val salts = saltFactor(s)
       val pa = withPrefix.select(col("lang"), col("doc_id").as("a_id"),
         col("n").as("na"), explode(col("prefix")).as("ptok"))
+        .withColumn("salt", pmod(col("a_id"), lit(salts)))
       val pb = withPrefix.select(col("lang").as("lang_b"), col("doc_id").as("b_id"),
         col("n").as("nb"), explode(col("prefix")).as("ptok_b"))
+        .withColumn("salt_b", explode(sequence(lit(0), lit(salts - 1))))
       val cands = pa.join(pb,
           col("lang") === col("lang_b") && col("ptok") === col("ptok_b") &&
+          col("salt") === col("salt_b") &&
           col("a_id") < col("b_id") &&
           col("nb") >= ceil(lit(tau) * col("na")) &&
           col("na") >= ceil(lit(tau) * col("nb")))
@@ -113,10 +127,10 @@ object LlmOps {
       val e = Tables.embeddings(s, d)
       // SALTED self-join: only ~10 distinct labels exist, so a plain
       // label-keyed shuffle puts whole labels on single tasks (skew —
-      // fatal at 1000 executors). Salt the probe side by a_id into 8
-      // buckets and replicate the build side across all salts: same
-      // pairs, 80 shuffle keys instead of 10.
-      val salts = 8
+      // fatal at 1000 executors). Salt the probe side by a_id and
+      // replicate the build side across all salts: same pairs,
+      // salts x more shuffle keys. Adaptive: 1 at local parallelism.
+      val salts = saltFactor(s)
       val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         pmod(col("vec_id"), lit(salts)).as("salt"))
       val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"),
