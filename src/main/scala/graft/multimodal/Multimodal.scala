@@ -65,4 +65,33 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "width", "height", "channels")
     decoded
   }
+
+  /** STUB resize: target-box geometry is real (aspect-preserving fit
+    * into maxW x maxH, computed from the stub-decoded dims); the pixel
+    * resample itself is `???` in this container. Demonstrates the
+    * batch shape: metadata math stays columnar, only the byte
+    * transform would enter the partition iterator. */
+  def resizeStub(s: SparkSession, d: String, maxW: Int, maxH: Int): DataFrame = {
+    val sc = decodeStub(s, d)
+    sc.withColumn("scale",
+        least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"),
+          lit(1.0)))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+      .select("doc_id", "width", "height", "out_w", "out_h")
+  }
+
+  /** STUB frame-sample: every-nth-frame selection for a video payload.
+    * Frame count is derived deterministically from the payload length
+    * (stub); the selection arithmetic (frame indices at a stride, cap
+    * at maxFrames) is the real pipeline logic and is fully columnar —
+    * one output row per sampled frame via explode, never a driver
+    * loop. */
+  def frameSampleStub(s: SparkSession, d: String, everyNth: Int, maxFrames: Int): DataFrame = {
+    val sc = decodeStub(s, d)
+    sc.withColumn("n_frames", (col("n_bytes") % 240 + 1).cast("int"))
+      .withColumn("frame_idx",
+        explode(slice(sequence(lit(0), col("n_frames") - 1, lit(everyNth)), 1, maxFrames)))
+      .select("doc_id", "n_frames", "frame_idx")
+  }
 }

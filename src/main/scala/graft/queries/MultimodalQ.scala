@@ -21,7 +21,14 @@ object MultimodalQ {
         .orderBy("doc_id")),
 
     "q_mm_decode" -> ((s, d) =>
-      Multimodal.decodeStub(s, d).orderBy("doc_id"))
+      Multimodal.decodeStub(s, d).orderBy("doc_id")),
+
+    "q_mm_resize" -> ((s, d) =>
+      Multimodal.resizeStub(s, d, maxW = 96, maxH = 96).orderBy("doc_id")),
+
+    "q_mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleStub(s, d, everyNth = 10, maxFrames = 8)
+        .orderBy("doc_id", "frame_idx"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -41,6 +48,28 @@ object MultimodalQ {
         |  CAST(64 + strlen(text) % 64 AS INT) AS width,
         |  CAST(64 + (strlen(text) // 64) % 64 AS INT) AS height,
         |  3 AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(64 + strlen(text) % 64 AS INT) AS width,
+        |    CAST(64 + (strlen(text) // 64) % 64 AS INT) AS height
+        |  FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |        least(96.0 / width, 96.0 / height, 1.0) AS scale FROM dims)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * scale) AS INT) AS out_w,
+        |  CAST(floor(height * scale) AS INT) AS out_h
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(strlen(text) % 240 + 1 AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames, CAST(unnest(
+        |    list_slice(generate_series(0, n_frames - 1, 10), 1, 8)) AS INT) AS frame_idx
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -42,14 +42,22 @@ object Relational {
           col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))),
 
-    "q_proj_compute" -> ((s, d) =>
+    "q_proj_compute" -> ((s, d) => {
+      // charge is a 6-decimal-digit product (2dp x 2dp x 2dp), so
+      // rounding to 4dp lands exactly on .5 boundaries where Spark
+      // (exact decimal expansion) and DuckDB (scaled multiply)
+      // disagree — round(x*1e4)/1e4 makes both engines round the same
+      // IEEE double (SURVEY.md §7.6.3).
+      val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val charge = revenue * (lit(1.0) + col("l_tax"))
       Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 4).as("charge"))
+          (round(revenue * 1e4, 0) / 1e4).as("revenue"),
+          (round(charge * 1e4, 0) / 1e4).as("charge"))
         .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
-        .limit(100)),
+        .limit(100)
+    }),
 
     "q_filter_in_like" -> ((s, d) =>
       Tables.part(s, d)
@@ -95,8 +103,8 @@ object Relational {
 
     "q_proj_compute" ->
       """SELECT l_orderkey, l_linenumber,
-        |  ROUND(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
-        |  ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4) AS charge
+        |  ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) / 10000.0 AS revenue,
+        |  ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0) / 10000.0 AS charge
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 100""".stripMargin,
 
     "q_filter_in_like" ->

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself. */
+class ContractSpec extends AnyFunSuite with SparkFixture {
+
+  test("every oracle key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("oracle SQL references only registered table names") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // every FROM/JOIN target must be a known table or a subquery/CTE
+    val fromRe = """(?i)(?<!distinct )(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val ctes = """(?i)([a-z_][a-z0-9_]*)\s+as\s*\(""".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val aliases = ctes ++ Set("unnest", "generate_series", "values")
+      fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        assert(tables.contains(t) || aliases.contains(t) || sql.contains(s"$t AS") ||
+          sql.toLowerCase.contains(s"$t as"),
+          s"$name references unknown table '$t'")
+      }
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
