@@ -39,6 +39,23 @@ object EthOps {
         .orderBy("event_type")
     }),
 
+    // A4 in full: ABI-style encode→decode round-trip. Each field is
+    // packed into a 64-hex-char word (uint256 ABI slot layout), then
+    // decoded back with substring + base-16 conversion — the exact
+    // shape of decoding an Ethereum log's data section.
+    "q_eth_abi_roundtrip" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          concat(
+            lpad(lower(hex(col("event_id"))), 64, "0"),
+            lpad(lower(hex(col("user_id"))), 64, "0"),
+            lpad(lower(hex((col("value") * 100).cast("long"))), 64, "0")).as("payload"))
+        .select(col("event_id"), col("user_id"), col("payload"),
+          conv(substring(col("payload"), 1, 64), 16, 10).cast("long").as("dec_event_id"),
+          conv(substring(col("payload"), 65, 64), 16, 10).cast("long").as("dec_user_id"),
+          conv(substring(col("payload"), 129, 64), 16, 10).cast("long").as("dec_value_c"))
+        .orderBy("event_id")),
+
     // A3 analog: server-side topic-hash prefix filter shape.
     "q_eth_topic_filter" -> ((s, d) =>
       Tables.events(s, d)
@@ -62,6 +79,19 @@ object EthOps {
         |      * CAST(1000000000000 AS DECIMAL(20,0)) AS wei
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_eth_abi_roundtrip" ->
+      """WITH enc AS (
+        |  SELECT event_id, user_id,
+        |    lpad(lower(to_hex(event_id)), 64, '0') ||
+        |    lpad(lower(to_hex(user_id)), 64, '0') ||
+        |    lpad(lower(to_hex(CAST(trunc(value * 100) AS BIGINT))), 64, '0') AS payload
+        |  FROM events)
+        |SELECT event_id, user_id, payload,
+        |  CAST(CAST('0x' || substring(payload, 1, 64) AS UBIGINT) AS BIGINT) AS dec_event_id,
+        |  CAST(CAST('0x' || substring(payload, 65, 64) AS UBIGINT) AS BIGINT) AS dec_user_id,
+        |  CAST(CAST('0x' || substring(payload, 129, 64) AS UBIGINT) AS BIGINT) AS dec_value_c
+        |FROM enc ORDER BY event_id""".stripMargin,
 
     "q_eth_topic_filter" ->
       """SELECT event_id, event_type, md5(event_type) AS topic FROM events
