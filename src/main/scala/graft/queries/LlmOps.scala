@@ -70,12 +70,16 @@ object LlmOps {
       val ranked = df_.select(col("tok"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("df"), col("tok"))).as("rank"))
+      // this subtree feeds four branches (both candidate sides + both
+      // verify joins) — persist so the explode+rank+collect pipeline
+      // runs once, not four times
       val withSorted = tokset
         .select(col("doc_id"), col("lang"), explode(col("ts")).as("tok"))
         .join(broadcast(ranked), "tok")
         .groupBy("doc_id", "lang")
         .agg(expr("transform(array_sort(collect_list(struct(rank, tok))), p -> p.tok)").as("stoks"),
              count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val withPrefix = withSorted
         .withColumn("prefix",
           slice(col("stoks"), lit(1), (floor((lit(1.0) - tau) * col("n")) + 1).cast("int")))

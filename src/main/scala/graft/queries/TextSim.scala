@@ -68,6 +68,9 @@ object TextSim {
             "transform(sequence(0, 7), b -> struct(b as band, " +
             "xxhash64(slice(sig, b * 4 + 1, 4)) as bsig))")).as("bs"))
         .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+        // both join sides read this — persist so the (interpreted)
+        // minhash signatures are computed once per document
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("lang"), col("band"), col("bsig"), col("doc_id").as("a_id"))
       val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
         col("bsig").as("bsig_b"), col("doc_id").as("b_id"))
