@@ -108,6 +108,20 @@ object TextSim {
         .select(col("doc_id"), col("lang"), langId(col("text")).as("pred"))
         .orderBy("doc_id")),
 
+    // Character-level Shannon entropy per document (natural log) — a
+    // standard corpus-quality feature (low entropy = repetitive junk).
+    "q_text_entropy" -> ((s, d) => {
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "len", "ch")
+        .agg(count(lit(1)).as("cnt"))
+      chars.groupBy("doc_id")
+        .agg(round(-sum((col("cnt") / col("len")) * log(col("cnt") / col("len"))), 6)
+          .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish subword estimate
     // (ceil(len/4) per word — integer arithmetic, exact both engines).
     "q_token_count" -> ((s, d) =>
@@ -177,6 +191,17 @@ object TextSim {
          |       ELSE 'und' END AS pred
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_entropy" ->
+      """WITH c0 AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |    unnest(generate_series(1, CAST(strlen(text) AS BIGINT))) AS i
+        |  FROM documents),
+        |c AS (SELECT doc_id, len, substring(text, CAST(i AS INT), 1) AS ch FROM c0),
+        |f AS (SELECT doc_id, len, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  ROUND(-SUM((cnt * 1.0 / len) * ln(cnt * 1.0 / len)), 6) AS entropy
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
