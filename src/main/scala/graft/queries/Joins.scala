@@ -102,6 +102,10 @@ object Joins {
         .orderBy("user_id")
     }),
 
+    // As-of (most recent prior view per purchase). At 100 TB the
+    // unbounded v_ts <= ts predicate would be bounded by a horizon
+    // (e.g. 30 days) exactly like q_join_range_bucket's bucket trick,
+    // turning the prior-event search into a bounded bucket probe.
     "q_join_asof" -> ((s, d) => {
       val e = Tables.events(s, d)
       val p = e.filter(col("event_type") === "purchase")

@@ -56,6 +56,14 @@ class BurnSourceSpec extends AnyFunSuite with SparkFixture {
     assert(n2 === n1)
   }
 
+  test("s_dsv2_burn_ingest query entry lands the decoded stream in the sink") {
+    val df = graft.streaming.StreamOps.queries("s_dsv2_burn_ingest")(spark, sf)
+    assert(df.count() === expectedRows(99))
+    // div-decode of wei into whole tokens is exact
+    assert(df.filter(col("tokenWhole") * lit(1000000000000000000L).cast("decimal(19,0)")
+      > col("valueWei")).count() === 0)
+  }
+
   test("generation is a pure function of block number") {
     val a = BurnEvents.eventsInBlock(42L).map(_.toString)
     val b = BurnEvents.eventsInBlock(42L).map(_.toString)
