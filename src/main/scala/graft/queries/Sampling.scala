@@ -41,6 +41,34 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split")),
 
+    // Capstone: the whole training-data pipeline as ONE declarative
+    // plan — quality gate → language gate → exact dedup → 50%
+    // deterministic sample → per-language stats. Each stage is an
+    // operator proven above; composed they stay a single Catalyst plan
+    // (filters fused into the scan, one aggregation at the end).
+    "q_pipeline_e2e" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val quality = Tables.documents(s, d)
+        .withColumn("n_toks", size(toks))
+        .filter(col("n_toks").between(30, 80) &&
+                length(col("text")).cast("double") / col("n_toks") < 8.0)
+      val langGated = quality
+        .withColumn("pred", TextSim.langId(col("text")))
+        .filter(col("pred") =!= "zh")
+      val deduped = langGated
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      deduped
+        .withColumn("bucket", bucket(col("doc_id")))
+        .filter(col("bucket") < 5000)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("n_toks"), 4).as("avg_toks"))
+        .orderBy("lang")
+    }),
+
     // Stratified deterministic sample: 20 docs per language, chosen by
     // hash order (not arrival order) so the stratum sample is stable.
     "q_stratified_sample" -> ((s, d) => {
@@ -70,6 +98,25 @@ object Sampling {
          |              ELSE 'test' END AS split
          |  FROM documents)
          |GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      s"""WITH quality AS (
+         |  SELECT doc_id, lang, text,
+         |    len(string_split(text, ' ')) AS n_toks
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) BETWEEN 30 AND 80
+         |    AND CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) < 8.0
+         |    AND NOT regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')),
+         |deduped AS (
+         |  SELECT doc_id, lang, n_toks FROM (
+         |    SELECT doc_id, lang, n_toks,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM quality)
+         |  WHERE rn = 1)
+         |SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_toks), 4) AS avg_toks
+         |FROM deduped
+         |WHERE $bucketSql < 5000
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT lang, doc_id, bucket, rn FROM (
