@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §4.3 plan audit, pinned as regression tests: these are
+  * the plan shapes that make the operators scale — losing any of them
+  * is a performance bug even while results stay correct.
+  */
+class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q_scan_pruned pushes the filter and prunes columns at the scan") {
+    val p = plan("q_scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_shipdate"), p)
+  }
+
+  test("q_agg_q1 pushes the date filter and reads only needed columns") {
+    val p = plan("q_agg_q1")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "q1 must not read unused key columns\n" + p)
+  }
+
+  test("q_join_5way broadcasts the dimension tables") {
+    val p = plan("q_join_5way")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("q_topk_global plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_sim_cosine_topk broadcasts the query vector (no shuffle join)") {
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("whole-stage codegen covers the cosine expression") {
+    // AQE materializes codegen per executed stage, so the pre-execution
+    // explain reports 0 subtrees — disable AQE just for this probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val code = try {
+      SparkEntry.queries("q_sim_cosine_topk")(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(code.contains("WholeStageCodegen"), code.take(500))
+    // and the fused cosine loop is inside the generated code, not a
+    // fallback eval
+    assert(code.contains("Math.sqrt"), code.take(500))
+  }
+}
