@@ -62,13 +62,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * this into a sub-quadratic candidate generator at corpus scale.
   */
 case class MinHashSignature(child: Expression, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val coefs: Array[(Long, Long)] =
-    Array.tabulate(numPerms) { i =>
-      (Mix.splitmix64(0x9E3779B97F4A7C15L + i) | 1L, Mix.splitmix64(0xD1B54A32D192ED03L + i))
-    }
+  @transient private lazy val coefA: Array[Long] =
+    Array.tabulate(numPerms)(i => Mix.splitmix64(0x9E3779B97F4A7C15L + i) | 1L)
+  @transient private lazy val coefB: Array[Long] =
+    Array.tabulate(numPerms)(i => Mix.splitmix64(0xD1B54A32D192ED03L + i))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -79,8 +79,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
       val base = Mix.splitmix64(tok.hashCode.toLong ^ (tok.numBytes().toLong << 32))
       var i = 0
       while (i < numPerms) {
-        val (a, b) = coefs(i)
-        val h = a * base + b
+        val h = coefA(i) * base + coefB(i)
         if (h < mins(i)) mins(i) = h
         i += 1
       }
@@ -88,6 +87,30 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
+
+  // generated code mirrors nullSafeEval exactly (same arithmetic, same
+  // iteration order) — the signature values are bit-identical whether
+  // this runs interpreted or fused into WholeStageCodegen.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val a = ctx.addReferenceObj("minhashCoefA", coefA, "long[]")
+      val b = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
+      s"""
+         |long[] mins = new long[$numPerms];
+         |java.util.Arrays.fill(mins, Long.MAX_VALUE);
+         |int nTok = $arr.numElements();
+         |for (int t = 0; t < nTok; t++) {
+         |  org.apache.spark.unsafe.types.UTF8String tok = $arr.getUTF8String(t);
+         |  long base = graft.expr.Mix.splitmix64(
+         |    (long) tok.hashCode() ^ ((long) tok.numBytes() << 32));
+         |  for (int i = 0; i < $numPerms; i++) {
+         |    long h = $a[i] * base + $b[i];
+         |    if (h < mins[i]) mins[i] = h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
@@ -124,7 +147,8 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
-private[graft] object Mix {
+/** Public: called from Janino-generated whole-stage code. */
+object Mix {
   /** splitmix64 finalizer — public-domain mixing constants. */
   def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
