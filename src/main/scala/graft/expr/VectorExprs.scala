@@ -121,7 +121,26 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   * distance — a constant-size sketch per document (OMIT oracle;
   * property-tested). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""
+         |int[] votes = new int[64];
+         |int nTok = $arr.numElements();
+         |for (int t = 0; t < nTok; t++) {
+         |  org.apache.spark.unsafe.types.UTF8String tok = $arr.getUTF8String(t);
+         |  long h = graft.expr.Mix.splitmix64(
+         |    (long) tok.hashCode() ^ ((long) tok.numBytes() << 32));
+         |  for (int b = 0; b < 64; b++) {
+         |    if (((h >>> b) & 1L) == 1L) votes[b]++; else votes[b]--;
+         |  }
+         |}
+         |long out = 0L;
+         |for (int b = 0; b < 64; b++) { if (votes[b] > 0) out |= (1L << b); }
+         |${ev.value} = out;
+       """.stripMargin)
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
