@@ -58,8 +58,9 @@ object EventsQ {
         |GROUP BY wstart ORDER BY wstart""".stripMargin,
 
     // Gaps-and-islands translation of session_window semantics: a new
-    // session starts when the gap is >= 30 min (Spark sessions are
-    // half-open [first, last+gap)).
+    // session starts only when the gap STRICTLY exceeds 30 min —
+    // Spark merges sessions whose windows touch (verified empirically:
+    // a gap of exactly the gap duration merges; SessionBoundarySpec).
     "q_session_gaps" ->
       """WITH o AS (
         |  SELECT user_id, ts,
@@ -67,7 +68,7 @@ object EventsQ {
         |  FROM events),
         |f AS (
         |  SELECT user_id, ts,
-        |    CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '30 minutes'
+        |    CASE WHEN pts IS NULL OR ts - pts > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS flag
         |  FROM o),
         |g AS (

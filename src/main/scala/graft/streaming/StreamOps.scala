@@ -153,7 +153,7 @@ object StreamOps {
               var cur = state.getOption
               ts.foreach { t =>
                 cur match {
-                  case Some((st, en, n)) if t - en < gapUs => cur = Some((st, t, n + 1))
+                  case Some((st, en, n)) if t - en <= gapUs => cur = Some((st, t, n + 1))
                   case Some(closed) => acc = closed :: acc; cur = Some((t, t, 1L))
                   case None => cur = Some((t, t, 1L))
                 }

@@ -45,7 +45,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         |  FROM ev_sess_test),
         |f AS (SELECT user_id, ts,
         |        CASE WHEN pts IS NULL
-        |             OR unix_micros(ts) - unix_micros(pts) >= 1800000000
+        |             OR unix_micros(ts) - unix_micros(pts) > 1800000000
         |             THEN 1 ELSE 0 END AS flag FROM o),
         |g AS (SELECT user_id, ts,
         |        SUM(flag) OVER (PARTITION BY user_id ORDER BY ts
