@@ -55,15 +55,19 @@ object Analytics {
     }),
 
     // one-pass full-width centroid via the typed VectorSum Aggregator
-    // (no posexplode row multiplication).
+    // (no posexplode row multiplication). The final column is the
+    // micro-unit (x1e6, rounded) component vector joined to a string:
+    // integers render identically on both engines, and the driver's
+    // comparator cannot hash array columns.
     "q_vec_centroid_full" -> ((s, d) => {
-      import s.implicits._
       val e = Tables.embeddings(s, d)
       val vecSum = udaf(new graft.expr.VectorSum(64))
       e.groupBy("label")
         .agg(vecSum(col("embedding")).as("sums"), count(lit(1)).as("n"))
         .select(col("label"),
-          expr("transform(sums, x -> round(x / n * 1000000, 0) / 1000000)").as("centroid"))
+          array_join(expr(
+            "transform(sums, x -> cast(cast(round(x / n * 1000000, 0) as bigint) as string))"),
+            ",").as("centroid"))
         .orderBy("label")
     })
   )
@@ -90,7 +94,9 @@ object Analytics {
 
     "q_vec_centroid_full" ->
       """SELECT label,
-        |  list(round(m * 1000000) / 1000000 ORDER BY pos) AS centroid
+        |  array_to_string(
+        |    list(CAST(CAST(round(m * 1000000) AS BIGINT) AS VARCHAR) ORDER BY pos),
+        |    ',') AS centroid
         |FROM (
         |  SELECT label, pos, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS m
         |  FROM (SELECT label, unnest(embedding) AS v,

@@ -34,8 +34,13 @@ object EthOps {
       Tables.events(s, d)
         .select(col("event_type"), wei.as("wei"))
         .groupBy("event_type")
-        .agg(sum("wei").cast(DecimalType(38, 0)).as("wei_total"))
-        .withColumn("token_total", round(col("wei_total").cast("double") / 1e18, 6))
+        .agg(sum("wei").cast(DecimalType(38, 0)).as("wei_dec"))
+        // exact wei stays DECIMAL(38,0) through the aggregate; the FINAL
+        // column is its canonical digit string (driver-hashable), the
+        // token display value is derived in double at the edge only
+        .select(col("event_type"),
+          col("wei_dec").cast("string").as("wei_total"),
+          round(col("wei_dec").cast("double") / 1e18, 6).as("token_total"))
         .orderBy("event_type")
     }),
 
@@ -71,7 +76,7 @@ object EthOps {
 
     "q_eth_wei_scale" ->
       """SELECT event_type,
-        |  CAST(SUM(wei) AS DECIMAL(38,0)) AS wei_total,
+        |  CAST(CAST(SUM(wei) AS DECIMAL(38,0)) AS VARCHAR) AS wei_total,
         |  ROUND(CAST(CAST(SUM(wei) AS DECIMAL(38,0)) AS DOUBLE) / 1e18, 6) AS token_total
         |FROM (
         |  SELECT event_type,

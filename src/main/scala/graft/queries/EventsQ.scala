@@ -22,14 +22,18 @@ object EventsQ {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_val"))
-        .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_val"))
+        // final projection: ntz timestamp (parquet timestamp[us], no tz
+        // annotation) — the driver's comparator treats Spark's
+        // tz-carrying timestamps as a schema mismatch vs DuckDB's naive
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"),
+          col("event_type"), col("n"), col("sum_val"))
         .orderBy("wstart", "event_type")),
 
     "q_win_sliding" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("wstart"), col("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("wstart"), col("n"))
         .orderBy("wstart")),
 
     "q_session_gaps" -> ((s, d) =>

@@ -115,6 +115,10 @@ object Joins {
       p.join(v, col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
         .groupBy("event_id", "user_id", "ts")
         .agg(max("v_ts").as("last_view_ts"))
+        // ntz final projection (naive timestamps for the driver compare)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("last_view_ts").cast("timestamp_ntz").as("last_view_ts"))
         .orderBy("event_id")
     }),
 

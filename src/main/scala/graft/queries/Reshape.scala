@@ -40,12 +40,14 @@ object Reshape {
         .orderBy("o_orderpriority", "o_orderstatus")
     }),
 
-    // ordered collection aggregates (sorted => deterministic arrays).
+    // ordered collection aggregates (sorted => deterministic arrays);
+    // the final projection serializes the list ('|'-joined) because
+    // array-typed output columns crash the driver's comparator.
     "q_agg_collect" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority")
         .agg(
-          sort_array(collect_set("o_orderstatus")).as("statuses"),
+          array_join(sort_array(collect_set("o_orderstatus")), "|").as("statuses"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
@@ -76,7 +78,7 @@ object Reshape {
 
     "q_agg_collect" ->
       """SELECT o_orderpriority,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -44,7 +44,9 @@ object Scalars {
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"),
-          date_trunc("month", col("o_orderdate")).cast("timestamp").as("month_start"),
+          // ntz: keep the parquet output free of a tz annotation (the
+          // driver compares against DuckDB's naive TIMESTAMP)
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
           add_months(col("o_orderdate"), 3).as("plus3mo"),
           last_day(col("o_orderdate")).as("month_end"),
@@ -91,7 +93,10 @@ object Scalars {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("int").as("qty_int"),
           col("l_linenumber").cast("double").as("ln_dbl"),
-          col("l_extendedprice").cast("decimal(18,6)").as("price_dec"),
+          // decimal arithmetic stays internal; the FINAL column is the
+          // canonical string rendering (the driver's hasher cannot
+          // digest Arrow decimals — values matched, hashes didn't)
+          col("l_extendedprice").cast("decimal(18,6)").cast("string").as("price_dec"),
           col("l_extendedprice").cast("decimal(18,6)").cast("string").as("price_str"),
           col("l_orderkey").cast("string").as("key_str"),
           col("l_shipdate").cast("date").as("ship_date"),
@@ -105,8 +110,11 @@ object Scalars {
           size(split(col("text"), " ")).as("n_toks"),
           array_contains(split(col("text"), " "), "spark").as("has_spark"),
           size(array_distinct(split(col("text"), " "))).as("n_vocab"),
-          sort_array(array_distinct(split(col("text"), " "))).as("vocab"),
-          slice(split(col("text"), " "), 1, 5).as("first5"))
+          // list results serialize to joined strings in the final
+          // projection — array-typed output columns crash the driver's
+          // comparator (pandas row-sort can't hash ndarrays)
+          array_join(sort_array(array_distinct(split(col("text"), " "))), ",").as("vocab"),
+          array_join(slice(split(col("text"), " "), 1, 5), ",").as("first5"))
         .orderBy("doc_id")
         .limit(500)),
 
@@ -190,7 +198,7 @@ object Scalars {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(trunc(l_quantity) AS INT) AS qty_int,
         |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
-        |  CAST(l_extendedprice AS DECIMAL(18,6)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) AS price_dec,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) AS price_str,
         |  CAST(l_orderkey AS VARCHAR) AS key_str,
         |  CAST(l_shipdate AS DATE) AS ship_date,
@@ -202,8 +210,8 @@ object Scalars {
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_vocab,
-        |  list_sort(list_distinct(string_split(text, ' '))) AS vocab,
-        |  list_slice(string_split(text, ' '), 1, 5) AS first5
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 5), ',') AS first5
         |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,
 
     "q_explode" ->
