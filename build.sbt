@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Measured on this 32-core/125g box: LARGER heaps are dramatically
+  // SLOWER and unstable at local[32] (24g: 2-4x worse, reproducing the
+  // r01 driver-bench blowup). 8g keeps G1 young collections short
+  // across 32 allocating task threads.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// experiment passthrough (GC flags etc.) — not used by the driver
+javaOptions ++= sys.env.get("SPARK_JVM_EXTRA").toSeq
+  .flatMap(s => s.split(" ").toSeq.filter(_.nonEmpty))

@@ -23,6 +23,12 @@ object Registry {
       (es: Seq[Expression]) => MinHashSignature(es(0), intLit(es(1), "numPerms")), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       (es: Seq[Expression]) => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("bigram_hashes",
+      (es: Seq[Expression]) => BigramHashes(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("token_hashes",
+      (es: Seq[Expression]) => TokenHashes(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("ngrams",
       (es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n")), "built-in")
     reg.createOrReplaceTempFunction("keccak256",

@@ -176,3 +176,126 @@ object Mix {
     x ^ (x >>> 31)
   }
 }
+
+/** Sorted distinct 64-bit bigram-shingle hashes of a token array — the
+  * document representation for count-based shingle dedup
+  * (graft.operators.SetSimJoin.pairsByCount). One codegen'd pass
+  * replaces the interpreted HOF chain transform(sequence)+concat+
+  * array_distinct+sort, whose per-element boxed allocations dominate
+  * at high parallelism. Hashing shingles to longs is the standard
+  * large-corpus dedup representation (8-byte primitives through
+  * explode/shuffle instead of strings); with a 64-bit space, corpus
+  * vocabularies collide with probability ~|V|^2/2^65 — negligible, and
+  * asserted zero on this corpus in ShingleSpec.
+  */
+case class BigramHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.bigramHashes(input.asInstanceOf[ArrayData])
+
+  // generated code calls the same static helper — one virtual call per
+  // row, primitive long[] inside; bit-identical to interpreted eval
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.expr.ShingleOps.bigramHashes($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Public: called from Janino-generated whole-stage code. */
+object ShingleOps {
+  private def base(t: org.apache.spark.unsafe.types.UTF8String): Long =
+    Mix.splitmix64(t.hashCode.toLong ^ (t.numBytes().toLong << 32))
+
+  private def sortDedup(hs: Array[Long]): ArrayData = {
+    java.util.Arrays.sort(hs)
+    var m = 1
+    var j = 1
+    while (j < hs.length) {
+      if (hs(j) != hs(j - 1)) { hs(m) = hs(j); m += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, m))
+  }
+
+  def bigramHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n - 1)
+    var prev = base(arr.getUTF8String(0))
+    var i = 0
+    while (i < n - 1) {
+      val next = base(arr.getUTF8String(i + 1))
+      hs(i) = Mix.splitmix64(prev ^ (next * 0xC2B2AE3D27D4EB4FL))
+      prev = next
+      i += 1
+    }
+    sortDedup(hs)
+  }
+
+  def tokenHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = base(arr.getUTF8String(i)); i += 1 }
+    sortDedup(hs)
+  }
+
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Sorted distinct 64-bit hashes of a token array (unigram sibling of
+  * [[BigramHashes]]) — the document representation for the hashed
+  * set-similarity joins in graft.operators.SetSimJoin. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.tokenHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.expr.ShingleOps.tokenHashes($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Intersection size of two ASCENDING-sorted long arrays via a linear
+  * merge — zero allocation, whole-stage-codegen. This is the exact
+  * verification step of the prefix-filtered set-similarity join: with
+  * documents as sorted hash arrays, verify costs |A|+|B| primitive
+  * comparisons instead of an interpreted string-set intersection.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.ShingleOps.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -51,68 +51,18 @@ object LlmOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
         .orderBy("keep_id")),
 
-    // Prefix-filtered set-similarity join (PPJoin-style): tokens are
-    // globally ordered by (document frequency, token); for J >= τ two
-    // sets MUST share a token within their first ⌊(1-τ)|A|⌋+1 tokens
-    // in that order, so the inverted index is built over prefixes only
-    // (~20% of tokens at τ=0.8) and candidates are verified exactly
-    // with array_intersect. Versus the all-pairs token join this cuts
-    // the candidate shuffle ~25x and is the 100TB-scale shape
-    // (prefix buckets bound the quadratic blowup to rare tokens).
+    // Prefix-filtered set-similarity join (PPJoin-style) over hashed
+    // token sets at τ=0.8 — see graft.operators.SetSimJoin for the
+    // full algorithm (df-packed global order + prefix/length/positional
+    // filters + narrow packed-pair shuffle + codegen'd merge verify +
+    // adaptive salt; no global window, no interpreted HOFs).
     "q_dedup_near_jaccard" -> ((s, d) => {
-      val tau = 0.8
-      val tokset = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), array_distinct(toks(col("text"))).as("ts"))
-      val df_ = tokset
-        .select(col("doc_id"), explode(col("ts")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      // global token order: ascending document frequency, then token
-      val ranked = df_.select(col("tok"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("df"), col("tok"))).as("rank"))
-      // this subtree feeds four branches (both candidate sides + both
-      // verify joins) — persist so the explode+rank+collect pipeline
-      // runs once, not four times
-      val withSorted = tokset
-        .select(col("doc_id"), col("lang"), explode(col("ts")).as("tok"))
-        .join(broadcast(ranked), "tok")
-        .groupBy("doc_id", "lang")
-        .agg(expr("transform(array_sort(collect_list(struct(rank, tok))), p -> p.tok)").as("stoks"),
-             count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val withPrefix = withSorted
-        .withColumn("prefix",
-          slice(col("stoks"), lit(1), (floor((lit(1.0) - tau) * col("n")) + 1).cast("int")))
-      // candidate generation stays NARROW (ids + set sizes only — the
-      // token arrays must not ride through the n^2-ish shuffle) and
-      // applies the Jaccard length filter (J>=τ ⟹ τ·|A| <= |B| <= |A|/τ)
-      // salt the (lang, token) bucket key: a handful of languages x a
-      // small shared vocab means whole buckets land on single tasks
-      // once parallelism exceeds the bucket count (no-op locally)
-      val salts = saltFactor(s)
-      val pa = withPrefix.select(col("lang"), col("doc_id").as("a_id"),
-        col("n").as("na"), explode(col("prefix")).as("ptok"))
-        .withColumn("salt", pmod(col("a_id"), lit(salts)))
-      val pb = withPrefix.select(col("lang").as("lang_b"), col("doc_id").as("b_id"),
-        col("n").as("nb"), explode(col("prefix")).as("ptok_b"))
-        .withColumn("salt_b", explode(sequence(lit(0), lit(salts - 1))))
-      val cands = pa.join(pb,
-          col("lang") === col("lang_b") && col("ptok") === col("ptok_b") &&
-          col("salt") === col("salt_b") &&
-          col("a_id") < col("b_id") &&
-          col("nb") >= ceil(lit(tau) * col("na")) &&
-          col("na") >= ceil(lit(tau) * col("nb")))
-        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
-      // exact verification: re-attach the two token arrays per
-      // surviving pair (two equi-joins against the 1-row-per-doc side)
-      val ta = withSorted.select(col("doc_id").as("a_id"), col("stoks").as("ta"), col("n").as("na"))
-      val tb = withSorted.select(col("doc_id").as("b_id"), col("stoks").as("tb"), col("n").as("nb"))
-      cands.join(ta, "a_id").join(tb, "b_id")
-        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
-        .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("j") >= tau)
-        .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
-        .orderBy("a_id", "b_id")
+      graft.expr.Registry.ensure(s)
+      graft.operators.SetSimJoin.pairs(s,
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr("token_hashes(split(text, ' '))").as("hs")),
+        tau = 0.8)
     }),
 
     "q_sim_cosine_topk" -> ((s, d) => {
@@ -191,7 +141,9 @@ object LlmOps {
 
     "q_tfidf_top" -> ((s, d) => {
       val doc = Tables.documents(s, d)
-      val nDocs = doc.count() // scalar; computed once on the driver
+      // corpus size as a broadcast single-row side — no eager driver
+      // count at plan-build time; the whole query stays one lazy plan
+      val nd = doc.agg(count(lit(1)).cast("double").as("n_corpus"))
       val tf = doc
         .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("dlen"),
           explode(toks(col("text"))).as("term"))
@@ -199,7 +151,9 @@ object LlmOps {
         .agg(count(lit(1)).as("tf_raw"))
         .withColumn("tf", col("tf_raw") / col("dlen"))
       val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
-        .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+        .crossJoin(broadcast(nd))
+        .withColumn("idf", log(col("n_corpus") / col("df")))
+        .drop("n_corpus")
       val scored = tf.join(broadcast(df_), "term")
         .withColumn("tfidf", col("tf") * col("idf"))
         .groupBy("lang", "term")

@@ -82,32 +82,23 @@ object TextSim {
 
     // True n-gram (bigram shingle) Jaccard near-dup pairs — sharper
     // than token-set Jaccard (on this corpus it isolates the ~6 real
-    // near-identical doc pairs at J≈0.99). Candidates come from an
-    // inverted index on shingles: bigrams are ~30x more selective than
-    // unigram tokens, so the bucket join stays sparse; the shared-
-    // shingle count IS the intersection (exact, no re-verification).
+    // near-identical doc pairs at J≈0.99). Uses SetSimJoin's COUNT
+    // strategy: this corpus has a dense shingle vocabulary (~931
+    // distinct bigrams, avg df ~285 at sf0.1), where prefix filtering
+    // prunes almost nothing (measured: 1.6M of 2.5M same-lang pairs
+    // survive candidates) and counting co-occurrences is cheaper than
+    // candidate verification. Documents are represented as sorted
+    // distinct 64-bit shingle hashes (codegen'd BigramHashes; zero
+    // collisions on this corpus, asserted in ShingleSpec).
+    // q_dedup_near_jaccard keeps the prefix strategy — the two cover
+    // both vocabulary regimes.
     "q_dedup_shingle" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          array_distinct(expr(
-            "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
-            .as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ex = sh.select(col("doc_id"), col("lang"), explode(col("shingles")).as("sg"))
-      val sz = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-      val a = ex.select(col("lang"), col("sg"), col("doc_id").as("a_id"))
-      val b = ex.select(col("lang").as("lang_b"), col("sg").as("sg_b"), col("doc_id").as("b_id"))
-      a.join(b, col("lang") === col("lang_b") && col("sg") === col("sg_b") &&
-                col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-        .join(sz.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-        .join(sz.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-        .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
-        .filter(col("j") >= 0.3)
-        .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
-        .orderBy("a_id", "b_id")
+      Registry.ensure(s)
+      graft.operators.SetSimJoin.pairsByCount(s,
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr("bigram_hashes(split(text, ' '))").as("hs")),
+        tau = 0.3)
     }),
 
     // SimHash fingerprints (constant-size near-dup sketch). OMIT

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.Registry
+import graft.operators.SetSimJoin
+import graft.tables.Tables
+
+/** Invariants of the hashed set-similarity representation
+  * (TokenHashes / BigramHashes / SortedIntersectCount) and equality of
+  * the two SetSimJoin strategies against a brute-force HOF oracle.
+  */
+class ShingleSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs = { Registry.ensure(spark); Tables.documents(spark, sf) }
+
+  test("token_hashes is collision-free on this corpus (|hashes| == |distinct tokens|)") {
+    val bad = docs.select(
+        size(expr("token_hashes(split(text, ' '))")).as("nh"),
+        size(array_distinct(split(col("text"), " "))).as("nt"))
+      .filter(col("nh") =!= col("nt")).count()
+    assert(bad === 0L)
+  }
+
+  test("bigram_hashes is collision-free on this corpus (|hashes| == |distinct bigrams|)") {
+    val bad = docs
+      .select(split(col("text"), " ").as("l"),
+        size(expr("bigram_hashes(split(text, ' '))")).as("nh"))
+      .filter(size(col("l")) >= 2)
+      .select(col("nh"), size(array_distinct(expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))")))
+        .as("ns"))
+      .filter(col("nh") =!= col("ns")).count()
+    assert(bad === 0L)
+  }
+
+  test("bigram_hashes of a short array is empty, of a constant array is a single hash") {
+    val r = spark.sql(
+      "SELECT size(bigram_hashes(array('a'))) AS s1, " +
+      "size(bigram_hashes(array('x','x','x','x'))) AS s2, " +
+      "size(bigram_hashes(cast(array() as array<string>))) AS s0").head()
+    assert(r.getInt(0) === 0) // no bigram from 1 token
+    assert(r.getInt(1) === 1) // 'x x' repeated dedupes to one
+    assert(r.getInt(2) === 0)
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on hashed token arrays") {
+    val a = docs.select(col("doc_id").as("a_id"),
+      expr("token_hashes(split(text, ' '))").as("ha"))
+    val b = docs.select(col("doc_id").as("b_id"),
+      expr("token_hashes(split(text, ' '))").as("hb"))
+    val bad = a.join(b, col("a_id") < col("b_id"))
+      .filter(expr("sorted_intersect_count(ha, hb)") =!=
+        size(array_intersect(col("ha"), col("hb"))))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("prefix-strategy pairs == brute-force token Jaccard at tau=0.8") {
+    val got = SetSimJoin.pairs(spark,
+      docs.select(col("doc_id"), col("lang"),
+        expr("token_hashes(split(text, ' '))").as("hs")), tau = 0.8)
+    val ts = docs.select(col("doc_id"), col("lang"),
+      array_distinct(split(col("text"), " ")).as("ts"))
+    val brute = ts.select(col("doc_id").as("a_id"), col("lang"), col("ts").as("ta"))
+      .join(ts.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("ts").as("tb")),
+        col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("j", col("i") / (size(col("ta")) + size(col("tb")) - col("i")))
+      .filter(col("j") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+    assert(got.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(got).count() === 0L)
+  }
+
+  test("count-strategy pairs == brute-force bigram Jaccard at tau=0.3") {
+    val got = SetSimJoin.pairsByCount(spark,
+      docs.select(col("doc_id"), col("lang"),
+        expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
+    val sh = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), col("lang"), array_distinct(expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+        .as("ts"))
+    val brute = sh.select(col("doc_id").as("a_id"), col("lang"), col("ts").as("ta"))
+      .join(sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("ts").as("tb")),
+        col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("j", col("i") / (size(col("ta")) + size(col("tb")) - col("i")))
+      .filter(col("j") >= 0.3)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+    assert(got.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(got).count() === 0L)
+  }
+}
