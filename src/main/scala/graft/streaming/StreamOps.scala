@@ -61,14 +61,30 @@ object StreamOps {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Stateful streaming creates one state store — and its per-batch
+    * checkpoint I/O — per shuffle partition. On bounded test inputs
+    * that I/O dominates compute, so cap stream-side partitions while a
+    * query runs (the cap is captured into the checkpoint at first
+    * start). At real scale the state-store count should track input
+    * throughput, not the session's batch-side parallelism — this cap
+    * is the knob for that. */
+  private def withBoundedStatePartitions[A](s: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   private def runToParquet(df: DataFrame, out: String, ckpt: String): Unit =
-    df.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    withBoundedStatePartitions(df.sparkSession) {
+      df.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
 
   /** Copy the events table into a fresh dir `copies` times (replay input). */
   private def stageEventsInput(s: SparkSession, d: String, copies: Int, tag: String): String = {
@@ -236,37 +252,66 @@ object StreamOps {
     // save analog). The whole pipeline is run twice from a fresh
     // checkpoint — the second full replay must leave the sink
     // unchanged (merge-by-key), which the returned frame exposes.
+    // The sink is hash-bucketed by key and each micro-batch rewrites
+    // ONLY the buckets it touches — see `upsertOnce`.
     "s_foreach_upsert" -> ((s, d) => {
-      val cur = tmp("upsert_sink") + "/cur"
-      def runOnce(): Unit = {
-        val q = readEventsStream(s, eventsDir(d, "upsert_in"))
-          .select("event_id", "user_id", "event_type", "value", "ts")
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val sp = batch.sparkSession
-            val merged =
-              if (Files.exists(Paths.get(cur))) {
-                val existing = sp.read.parquet(cur)
-                existing.unionByName(batch)
-                  .groupBy("event_id")
-                  .agg(first("user_id").as("user_id"), first("event_type").as("event_type"),
-                       first("value").as("value"), first("ts").as("ts"))
-              } else batch.dropDuplicates("event_id")
-            val staged = cur + "_staged"
-            merged.write.mode("overwrite").parquet(staged)
-            val fs = org.apache.hadoop.fs.FileSystem.get(sp.sparkContext.hadoopConfiguration)
-            fs.delete(new org.apache.hadoop.fs.Path(cur), true)
-            fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(cur))
-            ()
-          }
-          .option("checkpointLocation", tmp("upsert_ckpt"))
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      runOnce()
-      runOnce() // full replay — idempotence: sink must be unchanged
-      s.read.parquet(cur).orderBy("event_id")
+      val sink = tmp("upsert_sink") + "/cur"
+      val in = eventsDir(d, "upsert_in")
+      upsertOnce(s, in, sink, tmp("upsert_ckpt"))
+      upsertOnce(s, in, sink, tmp("upsert_ckpt2")) // full replay — idempotence
+      s.read.parquet(sink).drop("bucket").orderBy("event_id")
     })
   )
+
+  /** Key-bucket count of the upsert sink. 8 suffices for the test
+    * corpus; at scale this is sized so a bucket rewrite is a bounded
+    * unit of work (e.g. key-space / target-file-size). */
+  private[graft] val upsertBuckets = 8
+
+  /** One AvailableNow upsert run: per micro-batch, merge the batch into
+    * a sink laid out as `bucket=k/` key-hash partitions, rewriting ONLY
+    * the buckets the batch touches — O(touched buckets), not O(sink),
+    * per micro-batch (the 100 TB posture; the old full-sink rewrite
+    * reread and rewrote everything every batch). The merged buckets are
+    * staged and swapped in with per-bucket renames, so the
+    * inconsistency window is per-bucket, not sink-wide.
+    */
+  private[graft] def upsertOnce(s: SparkSession, in: String, sink: String, ckpt: String): Unit =
+    withBoundedStatePartitions(s) {
+      val q = readEventsStream(s, in)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val withB = batch.withColumn("bucket", pmod(col("event_id"), lit(upsertBuckets)))
+          // bounded by the bucket count, not by data volume
+          val touched = withB.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+          val merged =
+            if (Files.exists(Paths.get(sink))) {
+              val existing = sp.read.parquet(sink)
+                .filter(col("bucket").isin(touched: _*))
+                .withColumn("bucket", col("bucket").cast("long"))
+              existing.unionByName(withB)
+                .groupBy("event_id")
+                .agg(first("user_id").as("user_id"), first("event_type").as("event_type"),
+                     first("value").as("value"), first("ts").as("ts"),
+                     first("bucket").as("bucket"))
+            } else withB.dropDuplicates("event_id")
+          val staged = sink + "_staged"
+          merged.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+          val fs = org.apache.hadoop.fs.FileSystem.get(sp.sparkContext.hadoopConfiguration)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(sink))
+          touched.foreach { k =>
+            val dst = new org.apache.hadoop.fs.Path(s"$sink/bucket=$k")
+            fs.delete(dst, true)
+            fs.rename(new org.apache.hadoop.fs.Path(s"$staged/bucket=$k"), dst)
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }

@@ -118,6 +118,38 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sink.select("event_id").distinct().count() === n)
   }
 
+  test("upsert rewrites only the key-buckets a batch touches") {
+    import java.nio.file.{Files, Paths}
+    val B = StreamOps.upsertBuckets
+    val sink = Files.createTempDirectory("graft_ub_sink").toString + "/cur"
+    def stage(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = Files.createTempDirectory("graft_ub_in").toString
+      df.withColumn("ts", expr("unix_micros(ts) * 1000")).write.mode("append").parquet(dir)
+      dir
+    }
+    StreamOps.upsertOnce(spark, stage(Tables.events(spark, sf)), sink,
+      Files.createTempDirectory("graft_ub_ck1").toString)
+    def sig(k: Int): Set[String] = {
+      val files = Files.list(Paths.get(s"$sink/bucket=$k")).toArray
+      files.map { p0 =>
+        val p = p0.asInstanceOf[java.nio.file.Path]
+        s"${p.getFileName}:${Files.getLastModifiedTime(p)}:${Files.size(p)}"
+      }.toSet
+    }
+    (0 until B).foreach(k => assert(Files.exists(Paths.get(s"$sink/bucket=$k"))))
+    val before = (0 until B).map(sig)
+    // delta touches exactly one bucket (event_id ≡ 0 mod B)
+    StreamOps.upsertOnce(spark,
+      stage(Tables.events(spark, sf).filter(pmod(col("event_id"), lit(B)) === 0)),
+      sink, Files.createTempDirectory("graft_ub_ck2").toString)
+    val after = (0 until B).map(sig)
+    assert(after(0) !== before(0), "touched bucket 0 must be rewritten")
+    (1 until B).foreach(k =>
+      assert(after(k) === before(k), s"untouched bucket $k was rewritten"))
+    // merge-by-key: no new keys, so the sink row count is unchanged
+    assert(spark.read.parquet(sink).count() === Tables.events(spark, sf).count())
+  }
+
   test("q_agg_approx_distinct is within 5% of exact") {
     val approx = queries.Aggs.queries("q_agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
