@@ -299,3 +299,41 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** cosine_sim(x, x) reduced to its exact value: null for a null array,
+  * NaN for an empty/zero-norm vector (0/0, matching the unfolded
+  * expression), 1.0 otherwise — found by an early-exit scan for the
+  * first non-zero component, so the usual cost is O(1) instead of a
+  * full fused dot/norm pass. Installed by the FoldSelfCosine optimizer
+  * rule; never user-facing.
+  *
+  * (The unfolded cosine_sim(x, x) = na / (sqrt(na) * sqrt(na)) can be
+  * 1 ulp off 1.0 in floating point; this returns the mathematically
+  * exact 1.0 — pinned as the deliberate behavior in RuleSpec.)
+  */
+case class SelfCosine(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.getFloat(i) != 0.0f) return 1.0
+      i += 1
+    }
+    Double.NaN
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""
+         |${ev.value} = Double.NaN;
+         |int n = $arr.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  if ($arr.getFloat(i) != 0.0f) { ${ev.value} = 1.0; break; }
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}

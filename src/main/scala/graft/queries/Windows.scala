@@ -75,6 +75,15 @@ object Windows {
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
 
+    // DELIBERATE single-partition window (pinned in PlanAssertionsSpec):
+    // ntile/percent_rank/cume_dist are global-quantile semantics, and
+    // Spark executes an un-partitioned window as one task — correct,
+    // and acceptable only because the input is one bounded dimension
+    // table. The 100 TB formulations of the same semantics are
+    // q_percentiles (exact percentile agg) / q_agg_approx_distinct-style
+    // sketches, or a two-phase rank (range-repartition + per-range rank
+    // + broadcast prefix counts); a fact-table quantile query here
+    // would be a bug, not a style choice.
     "q_win_ntile_cume" -> ((s, d) => {
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       Tables.customer(s, d)

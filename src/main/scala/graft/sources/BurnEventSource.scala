@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -110,11 +110,31 @@ private case class BlockOffset(block: Long) extends Offset {
 
 private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
                                    blocksPerTrigger: Long, numPartitions: Int)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = BlockOffset(startBlock - 1)
 
-  override def latestOffset(): Offset = BlockOffset(endBlock)
+  // Admission control (reference A2 backfill batching): each trigger
+  // advances at most `blocksPerTrigger` blocks, so a long outage drains
+  // as many bounded micro-batches instead of one giant catch-up batch.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[BlockOffset].block
+    BlockOffset(math.min(endBlock, cur + blocksPerTrigger))
+  }
+
+  // with SupportsAdmissionControl the engine must use the bounded
+  // two-arg form; the unbounded form would silently bypass admission
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "use latestOffset(start, limit) — this source bounds micro-batches")
+
+  override def reportLatestOffset(): Offset = BlockOffset(endBlock)
+
+  // endBlock is fixed at stream construction, so AvailableNow needs no
+  // snapshotting here: the engine keeps triggering bounded batches
+  // until the committed offset reaches reportLatestOffset()
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
 
@@ -122,12 +142,6 @@ private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
 
   override def stop(): Unit = ()
 
-  // The (start, end] range handed to us by the engine is processed in
-  // full — capping here while reporting `end` committed would lose
-  // blocks on restart. Production admission control (bounding a
-  // micro-batch to blocksPerTrigger) belongs in
-  // SupportsAdmissionControl.latestOffset(start, limit); the option is
-  // used below for balanced partition sizing.
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[BlockOffset].block + 1
     val hi = end.asInstanceOf[BlockOffset].block

@@ -64,6 +64,30 @@ class BurnSourceSpec extends AnyFunSuite with SparkFixture {
       > col("valueWei")).count() === 0)
   }
 
+  test("admission control drains a 1000-block backlog in bounded micro-batches") {
+    val out = tmp("out3")
+    val ckpt = tmp("ckpt3")
+    def run(): Unit =
+      spark.readStream.format("graft.sources.BurnEventSource")
+        .option("startBlock", "0").option("endBlock", "999")
+        .option("blocksPerTrigger", "100")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run()
+    // one offset log entry per micro-batch: 1000 blocks / 100 per
+    // trigger => at least 10 bounded batches, not one catch-up batch
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 10, s"backlog drained in only $batches micro-batches")
+    val df = spark.read.parquet(out)
+    assert(df.count() === expectedRows(999))
+    assert(df.select("transactionHash", "logIndex").distinct().count() === df.count())
+    run() // restart after full drain: committed offset holds, no replay
+    assert(spark.read.parquet(out).count() === expectedRows(999))
+  }
+
   test("generation is a pure function of block number") {
     val a = BurnEvents.eventsInBlock(42L).map(_.toString)
     val b = BurnEvents.eventsInBlock(42L).map(_.toString)

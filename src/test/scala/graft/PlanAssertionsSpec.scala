@@ -39,6 +39,20 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q_win_ntile_cume is the ONLY deliberately-global window in the library") {
+    // global-quantile semantics on a bounded dimension table — pinned
+    // so any future un-partitioned window (a single-task scale-killer
+    // on unbounded input) fails this test and must justify itself here
+    val p = plan("q_win_ntile_cume")
+    assert(p.contains("Window"), p)
+    val offenders = SparkEntry.queries.keys.filter(_.startsWith("q_win")).filter { k =>
+      val s = plan(k)
+      // an un-partitioned window plans a SinglePartition exchange
+      s.contains("Window") && s.contains("SinglePartition")
+    }
+    assert(offenders.toSet === Set("q_win_ntile_cume"), offenders.toString)
+  }
+
   test("whole-stage codegen covers the cosine expression") {
     // AQE materializes codegen per executed stage, so the pre-execution
     // explain reports 0 subtrees — disable AQE just for this probe
