@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,7 +29,12 @@ import graft.expr.{KeccakCore, Mix}
   * Semantics carried from the reference:
   *  - offset = last processed block (A8); restart resumes from the
   *    committed offset, replays nothing (checkpointed by Spark)
-  *  - `blocksPerTrigger` bounds a micro-batch (A2 backfill batching)
+  *  - `blocksPerTrigger` bounds a micro-batch via admission control
+  *    (A2 backfill batching)
+  *  - A2 historical backfill is also a first-class BATCH read
+  *    (`spark.read.format(...)`) over the same partition planning
+  *  - blockNumber/address filters push into the scan (A3 server-side
+  *    filtering — see BurnScanBuilder)
   *  - rows carry (transactionHash, logIndex) identity and
   *    DECIMAL(38,0) wei (A5/A10 invariants)
   *
@@ -87,18 +93,77 @@ private class BurnEventTable(options: CaseInsensitiveStringMap)
   override def name(): String = "burn_events"
   override def schema(): StructType = BurnEvents.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = BurnEvents.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BurnMicroBatchStream(
-            startBlock = opts.getLong("startBlock", 0L),
-            endBlock = opts.getLong("endBlock", 999L),
-            blocksPerTrigger = opts.getLong("blocksPerTrigger", 100L),
-            numPartitions = opts.getInt("numPartitions", 4))
-      }
+    new BurnScanBuilder(opts)
+}
+
+/** Source-side filter pushdown (the reference's A3 server-side filter,
+  * SURVEY.md §4.1 — its ONLY optimization): `blockNumber` comparisons
+  * narrow the scanned block range (→ the JSON-RPC getLogs range in a
+  * real chain connector) and address equalities are applied inside the
+  * reader (→ the node-side address/topics filter). Pushed filters are
+  * fully absorbed — only unsupported residuals go back to Spark.
+  */
+private class BurnScanBuilder(opts: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var lo = opts.getLong("startBlock", 0L)
+  private var hi = opts.getLong("endBlock", 999L)
+  private var addrEq: List[(String, String)] = Nil
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("blockNumber", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v); true
+      case GreaterThan("blockNumber", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("blockNumber", v: Long) => lo = math.max(lo, v); true
+      case LessThan("blockNumber", v: Long) => hi = math.min(hi, v - 1); true
+      case LessThanOrEqual("blockNumber", v: Long) => hi = math.min(hi, v); true
+      case EqualTo(f @ ("fromAddress" | "aeAddress"), v: String) =>
+        addrEq = (f, v) :: addrEq; true
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new BurnScan(lo, hi,
+    opts.getLong("blocksPerTrigger", 100L), opts.getInt("numPartitions", 4), addrEq)
+}
+
+private class BurnScan(lo: Long, hi: Long, blocksPerTrigger: Long,
+                       numPartitions: Int, addrEq: List[(String, String)])
+    extends Scan {
+  override def readSchema(): StructType = BurnEvents.schema
+  override def description(): String =
+    s"BurnScan blocks=[$lo,$hi] addrFilters=${addrEq.mkString(",")}"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BurnMicroBatchStream(lo, hi, blocksPerTrigger, numPartitions, addrEq)
+
+  // A2 backfill as a first-class batch read: same balanced block-range
+  // partitions, no streaming machinery
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      BurnEventSourceUtil.slice(lo, hi, numPartitions, blocksPerTrigger)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new BurnReaderFactory(addrEq)
+  }
+}
+
+private object BurnEventSourceUtil {
+  /** Balanced block-range slices, each no larger than blocksPerTrigger. */
+  def slice(lo: Long, hi: Long, numPartitions: Int, blocksPerTrigger: Long): Array[InputPartition] =
+    if (hi < lo) Array.empty
+    else {
+      val total = hi - lo + 1
+      val per = math.max(1L,
+        math.min((total + numPartitions - 1) / numPartitions, blocksPerTrigger))
+      (lo to hi by per).map { s =>
+        BurnRangePartition(s, math.min(s + per - 1, hi)): InputPartition
+      }.toArray
     }
 }
 
@@ -109,7 +174,8 @@ private case class BlockOffset(block: Long) extends Offset {
 }
 
 private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
-                                   blocksPerTrigger: Long, numPartitions: Int)
+                                   blocksPerTrigger: Long, numPartitions: Int,
+                                   addrEq: List[(String, String)] = Nil)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -145,27 +211,27 @@ private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[BlockOffset].block + 1
     val hi = end.asInstanceOf[BlockOffset].block
-    if (hi < lo) Array.empty
-    else {
-      val total = hi - lo + 1
-      // balanced slices, each no larger than blocksPerTrigger
-      val per = math.max(1L,
-        math.min((total + numPartitions - 1) / numPartitions, blocksPerTrigger))
-      (lo to hi by per).map { s =>
-        BurnRangePartition(s, math.min(s + per - 1, hi)): InputPartition
-      }.toArray
-    }
+    BurnEventSourceUtil.slice(lo, hi, numPartitions, blocksPerTrigger)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new BurnReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new BurnReaderFactory(addrEq)
 }
 
-private class BurnReaderFactory extends PartitionReaderFactory {
+/** Applies pushed address-equality filters at generation — the analog
+  * of the node evaluating the getLogs address/topics filter before
+  * anything crosses the wire. */
+private class BurnReaderFactory(addrEq: List[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BurnRangePartition]
     new PartitionReader[InternalRow] {
       private val it = (p.fromBlock to p.toBlock).iterator
         .flatMap(BurnEvents.eventsInBlock)
+        .filter(row => addrEq.forall {
+          case ("fromAddress", v) => row.getUTF8String(3).toString == v
+          case ("aeAddress", v) => row.getUTF8String(4).toString == v
+          case _ => true
+        })
       private var current: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow = current

@@ -113,6 +113,20 @@ object StreamOps {
       s.read.parquet(out).orderBy("blockNumber", "logIndex")
     }),
 
+    // A2 historical backfill as a BATCH DSv2 read with source-side
+    // pushdown: the blockNumber filter narrows the scanned block range
+    // INSIDE the source (BurnScanBuilder — the getLogs-range analog),
+    // so filtered-out blocks are never generated, let alone scanned.
+    "q_dsv2_burn_backfill" -> ((s, d) => {
+      val endBlock = if (d.contains("0.1")) 999L else 99L
+      s.read.format("graft.sources.BurnEventSource")
+        .option("startBlock", "0").option("endBlock", endBlock.toString)
+        .load()
+        .filter(col("blockNumber") >= endBlock / 2 + 1)
+        .withColumn("tokenWhole", expr("valueWei div CAST(1000000000000000000 AS DECIMAL(19,0))"))
+        .orderBy("blockNumber", "logIndex")
+    }),
+
     // A1+A2+A4: ingest → decode/normalize → append parquet, checkpointed.
     "s_stream_ingest" -> ((s, d) => {
       val out = tmp("ingest_out")

@@ -88,6 +88,30 @@ class BurnSourceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(out).count() === expectedRows(999))
   }
 
+  test("batch read equals the streamed contents over the same range") {
+    val batch = spark.read.format("graft.sources.BurnEventSource")
+      .option("startBlock", "0").option("endBlock", "99").load()
+    assert(batch.count() === expectedRows(99))
+    assert(batch.select("transactionHash", "logIndex").distinct().count() === batch.count())
+  }
+
+  test("blockNumber and address filters push into the source scan") {
+    val addr = BurnEvents.eventsInBlock(5L).head.getUTF8String(3).toString
+    val df = spark.read.format("graft.sources.BurnEventSource")
+      .option("startBlock", "0").option("endBlock", "99").load()
+      .filter(col("blockNumber") < 10 && col("fromAddress") === addr)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    // the range narrowed at the SCAN (blocks 10..99 never generated)
+    // and the address filter travels with it
+    assert(scan.description().contains("blocks=[0,9]"), scan.description())
+    assert(scan.description().contains(addr), scan.description())
+    val expected = (0L to 9L).flatMap(BurnEvents.eventsInBlock)
+      .count(_.getUTF8String(3).toString == addr)
+    assert(df.count() === expected && expected >= 1)
+  }
+
   test("generation is a pure function of block number") {
     val a = BurnEvents.eventsInBlock(42L).map(_.toString)
     val b = BurnEvents.eventsInBlock(42L).map(_.toString)
