@@ -15,26 +15,25 @@ object Registry {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** The full custom-function surface, shared by the per-session hook
+    * (`ensure`) and the `SparkSessionExtensions` path
+    * (graft.GraftExtensions). */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    "minhash_sig" -> ((es: Seq[Expression]) => MinHashSignature(es(0), intLit(es(1), "numPerms"))),
+    "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+    "bigram_hashes" -> ((es: Seq[Expression]) => BigramHashes(es(0))),
+    "token_hashes" -> ((es: Seq[Expression]) => TokenHashes(es(0))),
+    "sorted_intersect_count" -> ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    "ngrams" -> ((es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n"))),
+    "keccak256" -> ((es: Seq[Expression]) => Keccak256(es(0))),
+    "eth_checksum_address" -> ((es: Seq[Expression]) => ChecksumAddress(es(0))))
+
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      (es: Seq[Expression]) => MinHashSignature(es(0), intLit(es(1), "numPerms")), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      (es: Seq[Expression]) => SimHash64(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("bigram_hashes",
-      (es: Seq[Expression]) => BigramHashes(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("token_hashes",
-      (es: Seq[Expression]) => TokenHashes(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("ngrams",
-      (es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n")), "built-in")
-    reg.createOrReplaceTempFunction("keccak256",
-      (es: Seq[Expression]) => Keccak256(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("eth_checksum_address",
-      (es: Seq[Expression]) => ChecksumAddress(es(0)), "built-in")
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     // custom optimizer rule surface (idempotent add)
     val rules = spark.experimental.extraOptimizations
     if (!rules.contains(graft.plans.FoldSelfCosine))
