@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected pair graph — the dedup
+  * RESOLUTION step: near-dup pair generation (SetSimJoin) says which
+  * documents overlap; this says which CLUSTER each document belongs to
+  * (cluster id = smallest member id), so a pipeline can keep one
+  * canonical document per cluster.
+  *
+  * Algorithm: min-label propagation — label(v) <- min(label(v),
+  * min over neighbors' labels) until fixpoint, which takes at most
+  * graph-diameter rounds. Near-dup graphs are dense and low-diameter
+  * (clusters are near-cliques), so 1-3 rounds converge; `maxIter`
+  * bounds pathological chains. (The pointer-jumping shortcut that
+  * makes long chains O(log n) rounds costs an extra self-join per
+  * round — wrong trade here, worth adding for general graphs.)
+  *
+  * Iterative graph algorithms are inherently multi-job: each round
+  * materializes the label table and runs a convergence count — that is
+  * the algorithm, not an accidental eager action (contrast the
+  * plan-build-time count removed from q_tfidf_top). Every round is a
+  * pair of equi-joins on the label key — shuffle-partitioned, no
+  * driver-side data.
+  */
+object ConnectedComponents {
+
+  /** @param nodes (doc_id) — every vertex, including isolated ones
+    * @param edges (a_id, b_id) — undirected pairs
+    * @return (doc_id, label) with label = min doc_id of the component
+    */
+  def components(s: SparkSession, nodes: DataFrame, edges: DataFrame,
+                 maxIter: Int = 15): DataFrame = {
+    // materialize the edge input FIRST: the symmetrization union reads
+    // it twice and every round re-reads it, and edge generation (a
+    // set-similarity join) is far more expensive than the label joins.
+    // localCheckpoint, NOT persist: persist would pin the edge
+    // pipeline to its non-adaptive plan (cached subtrees bypass AQE —
+    // measured 1.5x slower here); the eager checkpoint runs it once
+    // under AQE and truncates the lineage to the materialized rows.
+    val e = edges.localCheckpoint(true)
+    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // smallest label among each vertex's neighbors (vertices with no
+      // neighbors drop out of nbr and keep their label via left join)
+      val nbr = sym
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("dlabel").as("nmin"))
+      // ONE action per round: the convergence signal rides as a column
+      // of the materialized next-label table instead of a second job
+      val next = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).cast("long").as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+      labels.unpersist()
+      labels = next.select("doc_id", "label")
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -101,6 +101,24 @@ object TextSim {
         tau = 0.3)
     }),
 
+    // Dedup RESOLUTION: cluster the bigram-shingle near-dup graph into
+    // connected components (cluster_id = min member id; keep marks the
+    // canonical representative) — the step a pipeline runs after pair
+    // generation to actually drop duplicates. Iterative min-label
+    // propagation with pointer jumping (operators/ConnectedComponents).
+    "q_dedup_components" -> ((s, d) => {
+      Registry.ensure(s)
+      val docs = Tables.documents(s, d)
+      val edges = graft.operators.SetSimJoin.pairsByCount(s,
+        docs.select(col("doc_id"), col("lang"),
+          expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
+        .select("a_id", "b_id")
+      graft.operators.ConnectedComponents.components(s, docs.select("doc_id"), edges)
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("label") === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprints (constant-size near-dup sketch). OMIT
     // oracle — property-tested (determinism + self-similarity).
     "q_simhash" -> ((s, d) => {
@@ -204,6 +222,34 @@ object TextSim {
         |     - len(list_intersect(a.shingles, b.shingles))) AS j
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE j >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+
+    // transitive closure of the (small) near-dup graph via a recursive
+    // CTE — exact component minima, engine-independent
+    "q_dedup_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+        |  WHERE len(l) >= 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))) AS j
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.3),
+        |sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id, MIN(dst) = src AS keep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -16,7 +16,8 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     // every FROM/JOIN target must be a known table or a subquery/CTE
     val fromRe = """(?i)(?<!distinct )(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val ctes = """(?i)([a-z_][a-z0-9_]*)\s+as\s*\(""".r
+      // CTE names, with or without a column list: `x AS (`, `x(a, b) AS (`
+      val ctes = """(?i)([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+as\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val aliases = ctes ++ Set("unnest", "generate_series", "values")
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>

@@ -74,6 +74,32 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(brute.exceptAll(got).count() === 0L)
   }
 
+  test("connected components equal driver-side union-find on the same edges") {
+    import graft.operators.ConnectedComponents
+    val nodes = docs.select("doc_id")
+    val edges = SetSimJoin.pairsByCount(spark,
+      docs.select(col("doc_id"), col("lang"),
+        expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
+      .select("a_id", "b_id")
+    val got = ConnectedComponents.components(spark, nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: union-find over the collected edge list (test-only)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    nodes.collect().foreach(r => parent(r.getLong(0)) = r.getLong(0))
+    edges.collect().foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    assert(got === want)
+    // at least one real near-dup cluster exists in this corpus
+    assert(want.exists { case (v, l) => v != l })
+  }
+
   test("count-strategy pairs == brute-force bigram Jaccard at tau=0.3") {
     val got = SetSimJoin.pairsByCount(spark,
       docs.select(col("doc_id"), col("lang"),
