@@ -117,6 +117,24 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // int8 scalar quantization per embedding (the standard ANN
+    // compression: 4x smaller vectors, codes reconstruct within
+    // scale/2) — min/max calibration per vector, codes emitted as a
+    // joined string (array outputs crash the driver comparator).
+    "q_vec_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("dd", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("mn", array_min(col("dd")))
+        .withColumn("mx", array_max(col("dd")))
+        .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+        .select(col("vec_id"),
+          round(col("mn"), 6).as("mn"),
+          round(col("mx"), 6).as("mx"),
+          array_join(expr(
+            "transform(dd, x -> cast(cast(round((x - mn) / scale, 0) as int) as string))"),
+            ",").as("codes"))
+        .orderBy("vec_id")),
+
     "q_vec_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         // slice BEFORE exploding: only the 4 requested dims leave the
@@ -236,6 +254,17 @@ object LlmOps {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dd
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, dd, list_min(dd) AS mn, list_max(dd) AS mx FROM d),
+        |s AS (SELECT vec_id, dd, mn, mx, (mx - mn) / 255.0 AS scale FROM m)
+        |SELECT vec_id, ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx,
+        |  array_to_string(list_transform(dd,
+        |    x -> CAST(CAST(round((x - mn) / scale) AS INT) AS VARCHAR)), ',') AS codes
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_vec_centroid" ->
       """SELECT label, CAST(pos - 1 AS INT) AS dim,
