@@ -68,8 +68,10 @@ object TextSim {
             "transform(sequence(0, 7), b -> struct(b as band, " +
             "xxhash64(slice(sig, b * 4 + 1, 4)) as bsig))")).as("bs"))
         .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-        // both join sides read this — persist so the (interpreted)
-        // minhash signatures are computed once per document
+        // both join sides read this — persist so the minhash signatures
+        // are computed once per document (persist over localCheckpoint:
+        // the subtree is cheap, and the checkpoint's extra eager job
+        // costs more than the AQE it would preserve — measured)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("lang"), col("band"), col("bsig"), col("doc_id").as("a_id"))
       val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
