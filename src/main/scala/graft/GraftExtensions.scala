@@ -28,5 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -34,9 +34,14 @@ object Registry {
     functions.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    // custom optimizer rule surface (idempotent add)
+    // custom optimizer rule + physical strategy surface (idempotent)
     val rules = spark.experimental.extraOptimizations
-    if (!rules.contains(graft.plans.FoldSelfCosine))
-      spark.experimental.extraOptimizations = rules :+ graft.plans.FoldSelfCosine
+    val missing = Seq(graft.plans.FoldSelfCosine, graft.plans.RewriteWindowTopK)
+      .filterNot(rules.contains(_))
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = rules ++ missing
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies = strategies :+ graft.plans.TopKStrategy
   }
 }

@@ -158,6 +158,7 @@ object LlmOps {
     }),
 
     "q_tfidf_top" -> ((s, d) => {
+      graft.expr.Registry.ensure(s) // RewriteWindowTopK for the top-5 window
       val doc = Tables.documents(s, d)
       // corpus size as a broadcast single-row side — no eager driver
       // count at plan-build time; the whole query stays one lazy plan

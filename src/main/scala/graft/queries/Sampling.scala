@@ -47,6 +47,7 @@ object Sampling {
     // operator proven above; composed they stay a single Catalyst plan
     // (filters fused into the scan, one aggregation at the end).
     "q_pipeline_e2e" -> ((s, d) => {
+      graft.expr.Registry.ensure(s) // RewriteWindowTopK for the rn=1 dedup
       val toks = split(col("text"), " ")
       val quality = Tables.documents(s, d)
         .withColumn("n_toks", size(toks))
@@ -72,6 +73,7 @@ object Sampling {
     // Stratified deterministic sample: 20 docs per language, chosen by
     // hash order (not arrival order) so the stratum sample is stable.
     "q_stratified_sample" -> ((s, d) => {
+      graft.expr.Registry.ensure(s) // RewriteWindowTopK for the 20-per-stratum window
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("bucket"), col("doc_id"))
       Tables.documents(s, d)

@@ -29,7 +29,10 @@ object Windows {
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     }),
 
+    // planned as the sort-free TopKPerGroupExec via RewriteWindowTopK
+    // (plans/TopK.scala; pinned in TopKSpec)
     "q_win_rownum_topk" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)

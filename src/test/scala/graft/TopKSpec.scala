@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.Registry
+import graft.tables.Tables
+
+/** RewriteWindowTopK + TopKPerGroupExec: the row_number()<=k window
+  * pattern is planned as the sort-free bounded-heap physical operator
+  * with bit-identical output. */
+class TopKSpec extends AnyFunSuite with SparkFixture {
+
+  private def topk(k: Int) = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+  }
+
+  test("the window top-k pattern plans as TopKPerGroupExec, not Window+Sort") {
+    Registry.ensure(spark)
+    val p = topk(3).queryExecution.executedPlan.toString()
+    assert(p.contains("TopKPerGroup"), p)
+    // neither WindowExec nor the built-in sort-based WindowGroupLimit
+    assert(!p.contains("Window ") && !p.contains("WindowGroupLimit"), p)
+    // the whole point: no sort anywhere in the rewritten plan
+    assert(!p.toLowerCase.contains("sort"), p)
+  }
+
+  test("rewritten output is identical to the unrewritten window") {
+    Registry.ensure(spark)
+    val got = topk(3)
+    // reference: same computation forced through WindowExec by keeping
+    // the filter bound non-literal (the rule only accepts literals)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= lit(3) + lit(0) * col("o_custkey"))
+    assert(ref.queryExecution.executedPlan.toString().contains("Window"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    assert(got.count() === ref.count())
+  }
+
+  test("rank column keeps working downstream (projection + order)") {
+    Registry.ensure(spark)
+    val df = topk(2).select(col("o_custkey"), col("rn")).orderBy("o_custkey", "rn")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every group's ranks are exactly 1..k' with k' <= 2
+    val byCust = rows.groupBy(_.getLong(0)).values
+    assert(byCust.forall(g => g.map(_.getInt(1)).sorted.sameElements(1 to g.length)))
+  }
+
+  test("non-matching shapes are left alone (rank(), no filter, non-literal bound)") {
+    Registry.ensure(spark)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val ranked = Tables.orders(spark, sf)
+      .select(col("o_custkey"), rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+    assert(ranked.queryExecution.executedPlan.toString().contains("Window"))
+    val unfiltered = Tables.orders(spark, sf)
+      .select(col("o_custkey"), row_number().over(w.orderBy(col("o_orderkey"))).as("rn"))
+    assert(unfiltered.queryExecution.executedPlan.toString().contains("Window"))
+  }
+}
