@@ -33,7 +33,12 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // never silent: a failed query must be visible in the log
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop per-query persists: 99 queries in one session would
       // otherwise accumulate leaked cached plans and degrade the tail

@@ -118,6 +118,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sink.select("event_id").distinct().count() === n)
   }
 
+  test("stateful ops run unchanged on the RocksDB state store provider") {
+    // the production state backend for large state (off-heap,
+    // incremental checkpoints) — results must match the default
+    // HDFS-backed provider exactly
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = run("s_dedup_watermark")
+      val n = Tables.events(spark, sf).count()
+      assert(streamed.count() === n)
+      assert(streamed.select("event_id").distinct().count() === n)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("upsert rewrites only the key-buckets a batch touches") {
     import java.nio.file.{Files, Paths}
     val B = StreamOps.upsertBuckets
