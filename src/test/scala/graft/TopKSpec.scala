@@ -57,6 +57,27 @@ class TopKSpec extends AnyFunSuite with SparkFixture {
     assert(byCust.forall(g => g.map(_.getInt(1)).sorted.sameElements(1 to g.length)))
   }
 
+  test("randomized: rewritten top-k equals the window for arbitrary data and k") {
+    Registry.ensure(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 200 + rnd.nextInt(300)
+      // few keys + duplicate order values exercise group boundaries
+      val data = Seq.fill(n)((rnd.nextInt(7), rnd.nextInt(20), rnd.nextInt(1000000)))
+      val df = data.toDF("key", "v", "tie")
+      val k = 1 + rnd.nextInt(5)
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("tie"))
+      val base = df.select(col("key"), col("v"), col("tie"), row_number().over(w).as("rn"))
+      val got = base.filter(col("rn") <= k)
+      assert(got.queryExecution.executedPlan.toString().contains("TopKPerGroup"),
+        s"trial $trial: rewrite did not fire")
+      val ref = base.filter(col("rn") <= lit(k) + lit(0) * col("key"))
+      assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+        s"trial $trial (k=$k) mismatch")
+    }
+  }
+
   test("non-matching shapes are left alone (rank(), no filter, non-literal bound)") {
     Registry.ensure(spark)
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
