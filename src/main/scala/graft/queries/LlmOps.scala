@@ -184,6 +184,25 @@ object LlmOps {
         .orderBy("lang", "rn")
     }),
 
+    // Sequence packing (concat-and-chunk): assign documents to fixed
+    // token-budget training bins (512 tokens) in deterministic
+    // (lang, doc_id) order — the step that turns a filtered corpus
+    // into packed training sequences. A window cumsum keys the bin, so
+    // packing is one pass, partitioned by lang; at 100 TB the order
+    // key becomes (shard, position) and bins stay shard-local.
+    "q_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("n_toks"))
+        .withColumn("bin",
+          (coalesce(sum("n_toks").over(w), lit(0L)) / 512).cast("int"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "bin")
+    }),
+
     // Text quality scoring: deterministic per-doc heuristics of the
     // kind a pretraining pipeline filters on.
     "q_text_quality" -> ((s, d) =>
@@ -309,6 +328,21 @@ object LlmOps {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS INT) AS bin
+        |  FROM t)
+        |SELECT lang, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id, lang,

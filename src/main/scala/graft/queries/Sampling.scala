@@ -16,7 +16,7 @@ import graft.tables.Tables
 object Sampling {
 
   /** md5-derived bucket in [0, 10000) for a long key column. */
-  private def bucket(key: Column): Column =
+  private[queries] def bucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 10000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,6 +70,33 @@ object Sampling {
         .orderBy("lang")
     }),
 
+    // Train/test CONTAMINATION check: test-split documents that are
+    // near-duplicates (token Jaccard >= 0.8) of any train-split
+    // document — the leakage audit every eval pipeline needs. Pair
+    // generation is the prefix-filtered set-similarity join; the
+    // train/test sides come from the same deterministic hash split as
+    // q_train_test_split, attached by two broadcast joins.
+    "q_contamination" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val docs = Tables.documents(s, d)
+      val pairs = graft.operators.SetSimJoin.pairs(s,
+        docs.select(col("doc_id"), col("lang"),
+          expr("token_hashes(split(text, ' '))").as("hs")), tau = 0.8)
+      val side = docs.select(col("doc_id"), (bucket(col("doc_id")) < 8000).as("is_train"))
+      pairs
+        .join(broadcast(side.select(col("doc_id").as("a_id"), col("is_train").as("a_train"))), "a_id")
+        .join(broadcast(side.select(col("doc_id").as("b_id"), col("is_train").as("b_train"))), "b_id")
+        .filter(col("a_train") =!= col("b_train"))
+        .select(
+          when(col("a_train"), col("b_id")).otherwise(col("a_id")).as("test_id"),
+          when(col("a_train"), col("a_id")).otherwise(col("b_id")).as("train_id"),
+          col("jaccard"))
+        .groupBy("test_id")
+        .agg(count(lit(1)).as("n_matches"), max("jaccard").as("max_j"),
+          min("train_id").as("example_train_id"))
+        .orderBy("test_id")
+    }),
+
     // Stratified deterministic sample: 20 docs per language, chosen by
     // hash order (not arrival order) so the stratum sample is stable.
     "q_stratified_sample" -> ((s, d) => {
@@ -92,6 +119,35 @@ object Sampling {
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, $bucketSql AS bucket
          |FROM documents WHERE $bucketSql < 1000 ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+         |  FROM tok a JOIN tok b
+         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id, ROUND(j, 4) AS jaccard FROM (
+         |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+         |    FROM inter
+         |    JOIN sz sa ON inter.a_id = sa.doc_id
+         |    JOIN sz sb ON inter.b_id = sb.doc_id)
+         |  WHERE j >= 0.8),
+         |side AS (SELECT doc_id, $bucketSql < 8000 AS is_train FROM documents),
+         |x AS (
+         |  SELECT p.a_id, p.b_id, p.jaccard, sa.is_train AS a_train
+         |  FROM pairs p
+         |  JOIN side sa ON p.a_id = sa.doc_id
+         |  JOIN side sb ON p.b_id = sb.doc_id
+         |  WHERE sa.is_train <> sb.is_train)
+         |SELECT CASE WHEN a_train THEN b_id ELSE a_id END AS test_id,
+         |  COUNT(*) AS n_matches, MAX(jaccard) AS max_j,
+         |  MIN(CASE WHEN a_train THEN a_id ELSE b_id END) AS example_train_id
+         |FROM x GROUP BY 1 ORDER BY test_id""".stripMargin,
 
     "q_train_test_split" ->
       s"""SELECT split, COUNT(*) AS n_docs FROM (
