@@ -27,6 +27,27 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
         .limit(100)),
 
+    // CSV + JSON source/sink surface as an ORACLED operator: lineitem
+    // rides parquet → csv → json → aggregate, and the result must equal
+    // the oracle's aggregate over the original table — i.e. both text
+    // round-trips are lossless for longs/doubles/strings (Spark writes
+    // shortest-round-trip doubles). Timestamps are excluded by design:
+    // text timestamp formats are a config surface, not a data one.
+    "q_io_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      li.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      val fromCsv = s.read.option("header", "true").schema(li.schema).csv(s"$tmp/csv")
+      fromCsv.write.mode("overwrite").json(s"$tmp/json")
+      s.read.schema(li.schema).json(s"$tmp/json")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_scan_pruned" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
@@ -84,6 +105,14 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle aggregates the ORIGINAL table: equality proves the
+    // csv+json round-trips were lossless
+    "q_io_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
