@@ -27,12 +27,13 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
         .limit(100)),
 
-    // CSV + JSON source/sink surface as an ORACLED operator: lineitem
-    // rides parquet → csv → json → aggregate, and the result must equal
-    // the oracle's aggregate over the original table — i.e. both text
-    // round-trips are lossless for longs/doubles/strings (Spark writes
-    // shortest-round-trip doubles). Timestamps are excluded by design:
-    // text timestamp formats are a config surface, not a data one.
+    // CSV + JSON + ORC source/sink surface as an ORACLED operator:
+    // lineitem rides parquet → csv → json → orc → aggregate, and the
+    // result must equal the oracle's aggregate over the original table
+    // — i.e. every round-trip is lossless for longs/doubles/strings
+    // (Spark writes shortest-round-trip doubles). Timestamps are
+    // excluded by design: text timestamp formats are a config surface,
+    // not a data one.
     "q_io_roundtrip" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
       val li = Tables.lineitem(s, d)
@@ -41,6 +42,8 @@ object Relational {
       val fromCsv = s.read.option("header", "true").schema(li.schema).csv(s"$tmp/csv")
       fromCsv.write.mode("overwrite").json(s"$tmp/json")
       s.read.schema(li.schema).json(s"$tmp/json")
+        .write.mode("overwrite").orc(s"$tmp/orc")
+      s.read.orc(s"$tmp/orc")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum("l_quantity"), 4).as("sum_qty"),
