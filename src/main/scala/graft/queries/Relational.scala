@@ -47,7 +47,12 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_price"))
+          // 2dp, not 4: at sf0.1 the sum is ~1e10 over 600k addends and
+          // double accumulation ORDER drifts ~1e-4 between engines —
+          // more than 4dp rounding can absorb. The exact total of 2dp
+          // prices is itself 2dp (never a half-boundary), so 2dp
+          // rounding is drift-proof.
+          round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag")
     }),
 
@@ -113,7 +118,7 @@ object Relational {
     "q_io_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_scan_project" ->
