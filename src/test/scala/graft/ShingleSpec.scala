@@ -74,6 +74,38 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(brute.exceptAll(got).count() === 0L)
   }
 
+  test("set-sim joins handle degenerate inputs: empty corpus, single doc, exact duplicates") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), expr("token_hashes(split(text, ' '))").as("hs"))
+    assert(SetSimJoin.pairs(spark, empty, 0.8).count() === 0)
+    assert(SetSimJoin.pairsByCount(spark, empty, 0.3).count() === 0)
+
+    val single = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), expr("token_hashes(split(text, ' '))").as("hs"))
+    assert(SetSimJoin.pairs(spark, single, 0.8).count() === 0)
+
+    // three byte-identical docs: all 3 pairs at J = 1.0 on both paths
+    val dup = Seq((1L, "en", "x y z w"), (2L, "en", "x y z w"), (3L, "en", "x y z w"))
+      .toDF("doc_id", "lang", "text")
+    val dupTok = dup.select(col("doc_id"), col("lang"),
+      expr("token_hashes(split(text, ' '))").as("hs"))
+    val p1 = SetSimJoin.pairs(spark, dupTok, 0.8).collect()
+    assert(p1.length === 3 && p1.forall(_.getDouble(2) === 1.0))
+    val dupSh = dup.select(col("doc_id"), col("lang"),
+      expr("bigram_hashes(split(text, ' '))").as("hs"))
+    val p2 = SetSimJoin.pairsByCount(spark, dupSh, 0.3).collect()
+    assert(p2.length === 3 && p2.forall(_.getDouble(2) === 1.0))
+  }
+
+  test("hash expressions null-propagate") {
+    val r = spark.sql(
+      "SELECT token_hashes(CAST(NULL AS ARRAY<STRING>)) AS t, " +
+      "bigram_hashes(CAST(NULL AS ARRAY<STRING>)) AS b, " +
+      "sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS c").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("connected components equal driver-side union-find on the same edges") {
     import graft.operators.ConnectedComponents
     val nodes = docs.select("doc_id")
