@@ -149,6 +149,25 @@ object TextSim {
         .select(col("doc_id"), col("lang"), langId(col("text")).as("pred"))
         .orderBy("doc_id")),
 
+    // Intra-document repetition ratio (Gopher/RefinedWeb-style quality
+    // rule): share of bigram occurrences that are repeats of an
+    // earlier bigram in the same doc. 0 = no repeated word pair;
+    // high = boilerplate/junk. distinct-bigram count comes from the
+    // codegen'd BigramHashes (collision-freedom pinned in ShingleSpec).
+    "q_text_repetition" -> ((s, d) => {
+      Registry.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"),
+          expr("size(bigram_hashes(split(text, ' ')))").as("n_distinct"))
+        .filter(size(col("l")) >= 2)
+        .select(col("doc_id"),
+          (size(col("l")) - 1).as("n_bigrams"),
+          col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / (size(col("l")) - lit(1)).cast("double"), 6)
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Character-level Shannon entropy per document (natural log) — a
     // standard corpus-quality feature (low entropy = repetitive junk).
     "q_text_entropy" -> ((s, d) => {
@@ -275,6 +294,16 @@ object TextSim {
          |       ELSE 'und' END AS pred
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(l) - 1 AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |       i -> l[i] || ' ' || l[i + 1]))) AS INT) AS n_distinct,
+        |  ROUND(1.0 - len(list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |       i -> l[i] || ' ' || l[i + 1]))) * 1.0 / (len(l) - 1), 6) AS rep_ratio
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |WHERE len(l) >= 2 ORDER BY doc_id""".stripMargin,
 
     "q_text_entropy" ->
       """WITH c0 AS (
