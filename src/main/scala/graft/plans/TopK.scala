@@ -37,6 +37,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerGroup(partitionSpec: Seq[Expression], orderSpec: Seq[SortOrder],
                         k: Int, rn: Attribute, child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rn
+  // rn is produced HERE, not consumed — without this the node is
+  // flagged "!missing input" in plan strings
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rn)
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
 }
@@ -85,6 +89,9 @@ object TopKStrategy extends SparkStrategy {
 case class TopKPerGroupExec(partitionSpec: Seq[Expression], orderSpec: Seq[SortOrder],
                             k: Int, rn: Attribute, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rn
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rn)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(partitionSpec) :: Nil
