@@ -53,6 +53,20 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.toSet === Set("q_win_ntile_cume"), offenders.toString)
   }
 
+  test("dedup plans keep their r2 shapes (the r1 local[32] blowup guards)") {
+    // near-jaccard: no single-partition exchange anywhere (the r1
+    // global token-rank window funneled the vocabulary through one
+    // task), and verification is the codegen'd sorted merge
+    val nj = plan("q_dedup_near_jaccard")
+    assert(!nj.contains("SinglePartition"), nj)
+    assert(nj.toLowerCase.contains("sortedintersectcount"), nj)
+    // shingle: count strategy — no window, no cartesian, no
+    // verification join on arrays
+    val sh = plan("q_dedup_shingle")
+    assert(!sh.contains("Window") && !sh.contains("CartesianProduct"), sh)
+    assert(sh.toLowerCase.contains("bigramhashes") || sh.toLowerCase.contains("bigram_hashes"), sh)
+  }
+
   test("whole-stage codegen covers the cosine expression") {
     // AQE materializes codegen per executed stage, so the pre-execution
     // explain reports 0 subtrees — disable AQE just for this probe
