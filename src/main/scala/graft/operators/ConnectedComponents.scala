@@ -32,7 +32,7 @@ object ConnectedComponents {
     * @return (doc_id, label) with label = min doc_id of the component
     */
   def components(s: SparkSession, nodes: DataFrame, edges: DataFrame,
-                 maxIter: Int = 15): DataFrame = {
+                 maxIter: Int = 30): DataFrame = {
     // materialize the edge input FIRST: the symmetrization union reads
     // it twice and every round re-reads it, and edge generation (a
     // set-similarity join) is far more expensive than the label joins.
@@ -67,6 +67,15 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
+    // exiting via the iteration cap with changes still flowing means
+    // the labels are NOT component ids — silently returning them would
+    // hand wrong clusters downstream (and diverge from any exact
+    // transitive-closure oracle). Convergence is already computed every
+    // round, so fail loudly instead.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter — the graph has a longer chain than expected")
     labels
   }
 }

@@ -15,8 +15,11 @@ import org.apache.spark.storage.StorageLevel
   *     Realized by PACKING (df, 40-bit hash) into one long per
   *     element — natural long order IS (df, hash) order — so the
   *     per-document df-sorted array is a plain sort_array over longs;
-  *     no global rank window, no struct sort. (Invariant: df < 2^23
-  *     per shard; wider corpora re-split the pack.)
+  *     no global rank window, no struct sort. df saturates at 2^23-1
+  *     in the pack (enforced, not assumed): beyond that, elements tie
+  *     on the df component and order degrades to hash order — still a
+  *     consistent global order, so the prefix/positional filters stay
+  *     CORRECT (just less selective); exactness never depends on it.
   *  2. prefix filter: for J >= tau, two sets must share an element
   *     within their first floor((1-tau)*|A|)+1 in that order, so the
   *     inverted index holds prefixes only, and the rarest elements
@@ -31,7 +34,12 @@ import org.apache.spark.storage.StorageLevel
   *       sharing only common elements (they sort LAST, so their
   *       positional bound is tiny).
   *  4. exact verification via the codegen'd zero-allocation
-  *     SortedIntersectCount merge over the packed sorted arrays.
+  *     SortedIntersectCount merge over the ORIGINAL sorted 64-bit
+  *     hash arrays — NOT the packed ones: the pack truncates hashes
+  *     to 40 bits, so two distinct elements with equal df and equal
+  *     low-40 bits would merge and inflate the intersection. Packed
+  *     arrays drive filtering only; the exact count runs on full
+  *     hashes.
   *
   * Skew guard: the (lang, element) bucket key is salted adaptively
   * (`partitions/16`, min 1 — a no-op at low parallelism, where
@@ -57,11 +65,14 @@ object SetSimJoin {
     // realizes the global (df, hash) element order with no struct sort
     val keyed = occ.join(broadcast(df_), "h")
       .select(col("doc_id"), col("lang"), col("n"),
-        shiftleft(col("df"), 40).bitwiseOR(col("h").bitwiseAND(lit(0xFFFFFFFFFFL))).as("k"))
+        shiftleft(least(col("df"), lit((1L << 23) - 1)), 40)
+          .bitwiseOR(col("h").bitwiseAND(lit(0xFFFFFFFFFFL))).as("k"))
     // feeds three branches (both candidate sides + verify) — persist
-    // so the explode+join+collect pipeline runs once
+    // so the explode+join+collect pipeline runs once. h64 keeps the
+    // untruncated element hashes for the exact verify merge.
     val sorted = keyed.groupBy("doc_id", "lang", "n")
       .agg(sort_array(collect_list(col("k"))).as("sk"))
+      .join(sets.select(col("doc_id"), sort_array(col("hs")).as("h64")), "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val withPrefix = sorted.withColumn("prefix",
       slice(col("sk"), lit(1), (floor((lit(1.0) - tau) * col("n")) + 1).cast("int")))
@@ -85,10 +96,11 @@ object SetSimJoin {
       .dropDuplicates("pk")
       .select(shiftright(col("pk"), 32).as("a_id"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
-    // exact verification: re-attach the two sorted arrays (tiny
-    // 1-row-per-doc sides; Spark picks BHJ from the persisted stats)
-    val ta = sorted.select(col("doc_id").as("a_id"), col("sk").as("ka"), col("n").as("na"))
-    val tb = sorted.select(col("doc_id").as("b_id"), col("sk").as("kb"), col("n").as("nb"))
+    // exact verification: re-attach the two sorted FULL-WIDTH hash
+    // arrays (tiny 1-row-per-doc sides; Spark picks BHJ from the
+    // persisted stats)
+    val ta = sorted.select(col("doc_id").as("a_id"), col("h64").as("ka"), col("n").as("na"))
+    val tb = sorted.select(col("doc_id").as("b_id"), col("h64").as("kb"), col("n").as("nb"))
     cands.join(ta, "a_id").join(tb, "b_id")
       .withColumn("inter", expr("sorted_intersect_count(ka, kb)"))
       .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))

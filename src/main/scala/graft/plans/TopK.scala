@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, GenericInternalRow, IntegerLiteral, JoinedRow, LessThan, LessThanOrEqual, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, EqualTo, Expression, GenericInternalRow, IntegerLiteral, JoinedRow, LessThan, LessThanOrEqual, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
@@ -21,17 +21,30 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * partition, but both phases still FULLY SORT their input first.
   * `RewriteWindowTopK` recognizes that logical shape (absorbing the
   * inferred WindowGroupLimit) and swaps in [[TopKPerGroup]], planned
-  * by [[TopKStrategy]] as a two-phase [[TopKPerGroupExec]] pair
-  * (partial before the exchange, final after — same pruned shuffle
-  * volume): one pass with a k-bounded heap per group, O(n log k)
-  * comparisons and NO sort buffers anywhere.
+  * by [[TopKStrategy]] as a two-phase [[TopKPerGroupExec]] pair:
+  *
+  *  - PARTIAL (before the exchange, where the full input volume is):
+  *    one pass with a k-bounded heap per group — O(n log k)
+  *    comparisons, no sort of the input. Tracked groups are CAPPED
+  *    (`maxTrackedGroups`); once the cap is hit, rows of unseen groups
+  *    pass through unpruned (partial pruning is best-effort, so this
+  *    is always correct) — working memory is bounded by cap x k
+  *    regardless of group cardinality.
+  *  - FINAL (after the exchange): requires the input sorted by
+  *    (partition keys, order keys) and emits ranks in one streaming
+  *    pass with O(1) group state. The sort this requests from Spark
+  *    runs over the already-pruned stream (at most
+  *    input-partitions x k rows per group) and SortExec spills under
+  *    pressure — no unbounded operator-private memory anywhere
+  *    (round-2 review flagged the previous final-phase heap map,
+  *    which held every group's heap on-heap with no spill path).
   *
   * Measured at 50M rows / 100k groups / k=3 (local[32]): two-phase
   * heap ~5.0s vs sort-based window ~2.9-6.4s — comparable wall-clock
-  * when the sort fits memory. The heap operator's structural win is
-  * MEMORY: O(groups x k) working set per task versus full-partition
-  * sort buffers, i.e. no spill under memory pressure — the regime
-  * that matters on wide rows at 100 TB.
+  * when the sort fits memory. The structural win is MEMORY: the
+  * full-volume (pre-shuffle) side never sorts and never holds more
+  * than cap x k rows, and the post-shuffle side sorts only pruned
+  * data — the regime that matters on wide rows at 100 TB.
   *
   * The rewrite is transparent: user queries keep the standard window
   * formulation and the optimized operator produces bit-identical
@@ -96,12 +109,19 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** One pass, one k-bounded heap per group. Partial mode runs on
-  * arbitrary input partitions and emits unranked local top-k; final
-  * mode requires clustering on the group keys (EnsureRequirements
-  * inserts the exchange between the two) and appends the rank. No sort
-  * of the input anywhere, and memory is bounded by
-  * groups-per-partition x k (hash-aggregate-like). */
+object TopKPerGroupExec {
+  /** Partial-phase group cap: at k=3 and ~100-byte rows this is ~40 MB
+    * of retained heap per task — hash-aggregate-scale working memory.
+    * Beyond it, new groups stream through unpruned (still correct). */
+  val maxTrackedGroups = 1 << 17
+}
+
+/** Partial mode: one k-bounded heap per group (capped map, overflow
+  * passes through) on arbitrary input partitions, emitting unranked
+  * local top-k. Final mode: requires clustering on the group keys AND
+  * (group, order) sorted input — EnsureRequirements inserts the
+  * exchange and a spillable sort over the pruned stream — and emits
+  * the rank in a single streaming pass with O(1) state. */
 case class TopKPerGroupExec(partitionSpec: Seq[Expression], orderSpec: Seq[SortOrder],
                             k: Int, rn: Attribute, partial: Boolean,
                             child: SparkPlan) extends UnaryExecNode {
@@ -116,49 +136,68 @@ case class TopKPerGroupExec(partitionSpec: Seq[Expression], orderSpec: Seq[SortO
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(partitionSpec) :: Nil
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(partitionSpec.map(SortOrder(_, Ascending)) ++ orderSpec)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else partitionSpec.map(SortOrder(_, Ascending)) ++ orderSpec
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val pSpec = partitionSpec
     val oSpec = orderSpec
     val kk = k
-    val isPartial = partial
-    child.execute().mapPartitions ({ iter =>
-      val grouping = UnsafeProjection.create(pSpec, childOutput)
-      val ordering = RowOrdering.create(oSpec, childOutput)
-      // max-heap under `ordering` so the WORST retained row is on top
-      // and evicted first once the heap exceeds k
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
-        val key = grouping(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, ordering.reversed())
-          heaps.put(key.copy(), heap)
+    if (partial) {
+      child.execute().mapPartitions ({ iter =>
+        val grouping = UnsafeProjection.create(pSpec, childOutput)
+        val ordering = RowOrdering.create(oSpec, childOutput)
+        // max-heap under `ordering` so the WORST retained row is on top
+        // and evicted first once the heap exceeds k
+        val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        val overflow = iter.flatMap { row =>
+          val key = grouping(row)
+          var heap = heaps.get(key)
+          if (heap == null && heaps.size() < TopKPerGroupExec.maxTrackedGroups) {
+            heap = new java.util.PriorityQueue[InternalRow](kk + 1, ordering.reversed())
+            heaps.put(key.copy(), heap)
+          }
+          if (heap == null) {
+            // group cap hit: stop pruning NEW groups, emit as-is —
+            // the final phase computes exact ranks either way
+            Iterator.single(row)
+          } else {
+            if (heap.size() < kk) heap.add(row.copy())
+            else if (ordering.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+            Iterator.empty
+          }
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
-      }
-      if (isPartial) {
-        // unranked local top-k; heap order is irrelevant (already
-        // UnsafeRow copies, safe to hand downstream)
-        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-      } else {
+        // `++` is by-name: the heap contents are drained only after the
+        // input (and thus all heap updates) is exhausted
+        overflow ++ heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions ({ iter =>
+        val grouping = UnsafeProjection.create(pSpec, childOutput)
         // downstream operators (exchanges, codegen consumers) require
         // UnsafeRow — run the joined (row, rank) through an identity
         // unsafe projection; buffers are reused per the operator contract
         val outProj = UnsafeProjection.create(output, output)
         val rankRow = new GenericInternalRow(1)
         val joined = new JoinedRow
-        heaps.values().iterator().asScala.flatMap { heap =>
-          val rows = heap.toArray(new Array[InternalRow](heap.size()))
-          java.util.Arrays.sort(rows, ordering)
-          rows.iterator.zipWithIndex.map { case (r, i) =>
-            rankRow.update(0, i + 1)
-            outProj(joined.withLeft(r).withRight(rankRow)): InternalRow
-          }
+        var curKey: UnsafeRow = null
+        var rank = 0
+        iter.flatMap { row =>
+          val key = grouping(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); rank = 0 }
+          rank += 1
+          if (rank <= kk) {
+            rankRow.update(0, rank)
+            Iterator.single(outProj(joined.withLeft(row).withRight(rankRow)): InternalRow)
+          } else Iterator.empty
         }
-      }
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

@@ -130,8 +130,12 @@ object LlmOps {
         .select(col("vec_id"),
           round(col("mn"), 6).as("mn"),
           round(col("mx"), 6).as("mx"),
+          // scale = 0 (constant vector) would make every code 0/0 =
+          // NaN — and the engines disagree on CAST(NaN AS INT), so the
+          // degenerate case must be guarded identically on both sides
           array_join(expr(
-            "transform(dd, x -> cast(cast(round((x - mn) / scale, 0) as int) as string))"),
+            "transform(dd, x -> cast((case when scale = 0D then 0 " +
+            "else cast(round((x - mn) / scale, 0) as int) end) as string))"),
             ",").as("codes"))
         .orderBy("vec_id")),
 
@@ -283,7 +287,8 @@ object LlmOps {
         |s AS (SELECT vec_id, dd, mn, mx, (mx - mn) / 255.0 AS scale FROM m)
         |SELECT vec_id, ROUND(mn, 6) AS mn, ROUND(mx, 6) AS mx,
         |  array_to_string(list_transform(dd,
-        |    x -> CAST(CAST(round((x - mn) / scale) AS INT) AS VARCHAR)), ',') AS codes
+        |    x -> CAST((CASE WHEN scale = 0 THEN 0
+        |               ELSE CAST(round((x - mn) / scale) AS INT) END) AS VARCHAR)), ',') AS codes
         |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_vec_centroid" ->

@@ -107,7 +107,9 @@ object TextSim {
     // connected components (cluster_id = min member id; keep marks the
     // canonical representative) — the step a pipeline runs after pair
     // generation to actually drop duplicates. Iterative min-label
-    // propagation with pointer jumping (operators/ConnectedComponents).
+    // propagation to fixpoint, failing loudly if unconverged
+    // (operators/ConnectedComponents; no pointer jumping — wrong trade
+    // on low-diameter near-dup graphs).
     "q_dedup_components" -> ((s, d) => {
       Registry.ensure(s)
       val docs = Tables.documents(s, d)

@@ -302,14 +302,23 @@ object StreamOps {
           val touched = withB.select("bucket").distinct().collect().map(_.getLong(0)).sorted
           val merged =
             if (Files.exists(Paths.get(sink))) {
+              // UPSERT means the incoming batch wins over the sink row
+              // for the same key — tag each side with a priority and
+              // pick deterministically (first() with no ordering would
+              // keep whichever row a partition happened to see first,
+              // i.e. sometimes the stale sink row). ts breaks ties
+              // between duplicate keys within one side.
               val existing = sp.read.parquet(sink)
                 .filter(col("bucket").isin(touched: _*))
                 .withColumn("bucket", col("bucket").cast("long"))
-              existing.unionByName(withB)
+                .withColumn("pri", lit(0))
+              existing.unionByName(withB.withColumn("pri", lit(1)))
                 .groupBy("event_id")
-                .agg(first("user_id").as("user_id"), first("event_type").as("event_type"),
-                     first("value").as("value"), first("ts").as("ts"),
-                     first("bucket").as("bucket"))
+                .agg(max_by(
+                  struct("user_id", "event_type", "value", "ts", "bucket"),
+                  struct("pri", "ts")).as("r"))
+                .select(col("event_id"), col("r.user_id"), col("r.event_type"),
+                  col("r.value"), col("r.ts"), col("r.bucket"))
             } else withB.dropDuplicates("event_id")
           val staged = sink + "_staged"
           merged.write.mode("overwrite").partitionBy("bucket").parquet(staged)

@@ -98,6 +98,21 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(p2.length === 3 && p2.forall(_.getDouble(2) === 1.0))
   }
 
+  test("packed-prefix 40-bit collisions do not inflate the verified intersection") {
+    import spark.implicits._
+    // hB and hC are distinct 64-bit elements with equal low-40 bits and
+    // equal df (1) — they pack to the SAME prefix key. Verification
+    // over the packed arrays would count them as shared (J = 1.0);
+    // verification over the full 64-bit arrays sees J = 1/3 < 0.8.
+    val x = 0x123456789AL
+    val hA = x               // bridge element, df = 2
+    val hB = (1L << 40) | x
+    val hC = (2L << 40) | x
+    val sets = Seq((1L, "en", Seq(hA, hB)), (2L, "en", Seq(hA, hC)))
+      .toDF("doc_id", "lang", "hs")
+    assert(SetSimJoin.pairs(spark, sets, 0.8).count() === 0L)
+  }
+
   test("hash expressions null-propagate") {
     val r = spark.sql(
       "SELECT token_hashes(CAST(NULL AS ARRAY<STRING>)) AS t, " +
