@@ -19,10 +19,11 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Subqueries.queries ++ Aggs.queries ++ Reshape.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ EventsQ.queries ++ EthOps.queries ++
       LlmOps.queries ++ TextSim.queries ++ MultimodalQ.queries ++ Sampling.queries ++ Analytics.queries ++
-      graft.streaming.StreamOps.queries
+      Training.queries ++ graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Joins.oracle ++ Subqueries.oracle ++ Aggs.oracle ++ Reshape.oracle ++ Windows.oracle ++
       SetOps.oracle ++ Scalars.oracle ++ EventsQ.oracle ++ EthOps.oracle ++
-      LlmOps.oracle ++ TextSim.oracle ++ MultimodalQ.oracle ++ Sampling.oracle ++ Analytics.oracle
+      LlmOps.oracle ++ TextSim.oracle ++ MultimodalQ.oracle ++ Sampling.oracle ++ Analytics.oracle ++
+      Training.oracle
 }

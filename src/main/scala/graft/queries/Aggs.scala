@@ -93,6 +93,20 @@ object Aggs {
           round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
         .orderBy("l_returnflag")),
 
+    // Linear-regression aggregates (regr_* family, Spark 3.4+): price
+    // as a linear function of quantity per returnflag. Ranking /
+    // grading signals for corpus curation come out of exactly this
+    // shape (quality score vs length, loss vs doc size).
+    "q_agg_regr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy("l_returnflag")),
+
     // HLL sketch — no DuckDB oracle (sketch-specific); unit test bounds
     // it to within 5% of the exact distinct count.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -159,6 +173,14 @@ object Aggs {
         |      HAVING ROUND(SUM(l_quantity), 4) > 250.0) big
         |JOIN orders ON big.l_orderkey = o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_stats" ->
       """SELECT l_returnflag,

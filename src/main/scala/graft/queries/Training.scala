@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Training-data curation operators (B.10 extension, round 3): the
+  * corpus-hygiene passes a large-scale LLM data pipeline runs between
+  * raw crawl and tokenizer — n-gram decontamination, PII redaction,
+  * sub-document dedup, domain mixture sampling, co-occurrence stats.
+  *
+  * Scale posture: everything here is explode → shuffled aggregate or
+  * hash-split join — partial aggregation applies, no driver-side data,
+  * no rand() (all sampling is md5-bucket deterministic, reproducible
+  * across engines and cluster sizes). N-gram join keys are kept as
+  * strings so the DuckDB oracle is exact; a 100 TB deployment would
+  * xxhash64 them (same plan shape, 8-byte shuffle keys).
+  */
+object Training {
+
+  /** md5-derived bucket in [0, 10000) — same selector as Sampling. */
+  private def bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 10000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 13-gram exact-overlap decontamination (the GPT-3/Gopher eval
+    // protocol): for every TEST-split document, how many of its
+    // distinct 13-grams also occur anywhere in the TRAIN split. The
+    // train side collapses to a distinct-gram set (one shuffle), so
+    // the probe join is test-grams x matching-grams, never test x
+    // train documents.
+    "q_contamination_ngram" -> ((s, d) => {
+      val w = 13
+      val docs = Tables.documents(s, d).withColumn("l", split(col("text"), " "))
+      val grams = docs.filter(size(col("l")) >= w)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size(l) - ${w - 1}), " +
+            s"i -> concat_ws(' ', slice(l, i, $w)))")).as("g"))
+      val side = docs.select(col("doc_id"), bucket(col("doc_id")).as("b"))
+      val trainG = grams.join(side.filter(col("b") < 8000), "doc_id")
+        .select("g").distinct()
+      val testG = grams.join(side.filter(col("b") >= 9000), "doc_id")
+        .dropDuplicates("doc_id", "g")
+      testG.join(trainG.withColumn("hit", lit(1)), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("ratio", round(col("n_hit") / col("n_grams"), 4))
+        .withColumn("contaminated", col("n_hit") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: regex scrub of emails and phone numbers. The
+    // corpus has none, so deterministic PII is synthesized from
+    // doc_id first — the redaction (and its count) is then exactly
+    // checkable. Output carries the md5 of the redacted text, not the
+    // text (the redacted artifact is what ships; the hash proves it).
+    "q_pii_redact" -> ((s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).as("n_phone"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Sub-document (paragraph-grain) exact dedup, CCNet-style: chunk
+    // each document into consecutive 8-token spans, hash each span,
+    // report spans shared by >= 2 documents with the canonical keeper.
+    // This catches boilerplate repeated across otherwise-distinct
+    // documents, which whole-document dedup misses by construction.
+    "q_dedup_paragraph" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, (size(l) - 1) div 8), " +
+            "i -> concat_ws(' ', slice(l, i * 8 + 1, 8)))")).as("chunk"))
+        .groupBy(md5(col("chunk")).as("h"))
+        .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("h")),
+
+    // Domain mixture sampling: per-source target rates applied via the
+    // deterministic hash bucket — the "20% web, 50% curated" knob of a
+    // training mix, reproducible at any scale because membership is a
+    // pure function of the row key.
+    "q_domain_mix" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("b", bucket(col("doc_id")))
+        .withColumn("rate",
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 0.8)
+            .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 0.5)
+            .otherwise(0.2))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("b") < col("rate") * 10000, 1L).otherwise(0L)).as("n_kept"),
+          max("rate").as("rate"))
+        .orderBy("source")),
+
+    // Token co-occurrence PMI per language: top-5 token pairs by
+    // pointwise mutual information (documents as contexts). The pair
+    // space is per-document distinct-token pairs — bounded by the
+    // per-doc vocabulary, not the corpus — and the ranking runs on the
+    // ROUNDED score so the cross-engine order is identical even where
+    // raw doubles differ in the last ulp.
+    "q_cooccur_pmi" -> ((s, d) => {
+      graft.expr.Registry.ensure(s) // RewriteWindowTopK for the top-5 window
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      val nl = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val tc = tok.groupBy("lang", "t").agg(count(lit(1)).as("n_t"))
+      val pr = tok.select(col("doc_id"), col("lang"), col("t").as("ta"))
+        .join(tok.select(col("doc_id"), col("t").as("tb")), "doc_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("lang", "ta", "tb").agg(count(lit(1)).as("n_ab"))
+      val scored = pr
+        .join(broadcast(nl), "lang")
+        .join(broadcast(tc.select(col("lang"), col("t").as("ta"), col("n_t").as("na"))),
+          Seq("lang", "ta"))
+        .join(broadcast(tc.select(col("lang"), col("t").as("tb"), col("n_t").as("nb"))),
+          Seq("lang", "tb"))
+        .withColumn("pmi", round(log(col("n_ab") * col("nl") / (col("na") * col("nb"))), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("pmi").desc, col("ta"), col("tb"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("lang", "ta", "tb", "n_ab", "pmi", "rn")
+        .orderBy("lang", "rn")
+    })
+  )
+
+  private val bucketSql =
+    "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_contamination_ngram" ->
+      s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 12),
+         |    i -> array_to_string(l[i:i+12], ' '))) AS g
+         |  FROM l WHERE len(l) >= 13),
+         |side AS (SELECT doc_id, $bucketSql AS b FROM documents),
+         |train_g AS (
+         |  SELECT DISTINCT g FROM g JOIN side USING (doc_id) WHERE b < 8000),
+         |test_g AS (
+         |  SELECT DISTINCT g.doc_id, g.g FROM g JOIN side USING (doc_id) WHERE b >= 9000),
+         |agg AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
+         |  FROM test_g t LEFT JOIN train_g tr ON t.g = tr.g
+         |  GROUP BY 1)
+         |SELECT doc_id, n_grams, n_hit, ROUND(n_hit / n_grams, 4) AS ratio,
+         |  n_hit > 0 AS contaminated
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_paragraph" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(0, (len(l) - 1) // 8),
+        |    i -> array_to_string(l[i*8+1:i*8+8], ' '))) AS chunk
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        |SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS n_docs,
+        |  MIN(doc_id) AS keep_doc
+        |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY h""".stripMargin,
+
+    "q_domain_mix" ->
+      s"""SELECT source, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN $bucketSql < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  MAX(rate) AS rate
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.8
+         |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+         |              ELSE 0.2 END AS DOUBLE) AS rate
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_cooccur_pmi" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |nl AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY 1),
+        |tc AS (SELECT lang, t, COUNT(*) AS n_t FROM tok GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.lang, a.t AS ta, b.t AS tb, COUNT(*) AS n_ab
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT pr.lang, ta, tb, n_ab,
+        |    ROUND(ln(n_ab * nl.nl / (ca.n_t * cb.n_t)), 6) AS pmi
+        |  FROM pr
+        |  JOIN nl ON pr.lang = nl.lang
+        |  JOIN tc ca ON pr.lang = ca.lang AND pr.ta = ca.t
+        |  JOIN tc cb ON pr.lang = cb.lang AND pr.tb = cb.t)
+        |SELECT lang, ta, tb, n_ab, pmi, rn FROM (
+        |  SELECT lang, ta, tb, n_ab, pmi,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY pmi DESC, ta, tb) AS INT) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+  )
+}
