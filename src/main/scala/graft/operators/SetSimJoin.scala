@@ -109,6 +109,112 @@ object SetSimJoin {
       .orderBy("a_id", "b_id")
   }
 
+  /** Bipartite (two-sided) variant of [[pairs]]: all (left, right)
+    * pairs with Jaccard >= tau BETWEEN two document sets, never within
+    * a side — the asymmetric-audit shape (contamination: test x
+    * train). Same packing/prefix/length/positional machinery, but the
+    * candidate join crosses sides only, so the pair space is |L| x |R|
+    * instead of all-pairs over the union — when one side is a small
+    * split (test ~10%), that is ~5x fewer candidates than running the
+    * self-join and discarding within-side pairs.
+    *
+    * df is computed over the UNION of the two sides: the pack only
+    * needs a consistent global element order, not any particular one.
+    * The salt replicates the LEFT side (pass the smaller split there).
+    *
+    * @param left  (doc_id, lang, hs) — doc_ids must not collide with
+    *              right's (both sides of one corpus satisfy this)
+    * @param right (doc_id, lang, hs)
+    * @return (l_id, r_id, jaccard) rounded 4dp, ordered
+    */
+  def pairsBetween(s: SparkSession, left: DataFrame, right: DataFrame,
+                   tau: Double): DataFrame = {
+    graft.expr.Registry.ensure(s)
+    val sets = left.withColumn("side", lit(0))
+      .unionByName(right.withColumn("side", lit(1)))
+    val occ = sets.select(col("doc_id"), col("side"), col("lang"),
+      size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    val df_ = occ.groupBy("h").agg(count(lit(1)).as("df"))
+    val keyed = occ.join(broadcast(df_), "h")
+      .select(col("doc_id"), col("side"), col("lang"), col("n"),
+        shiftleft(least(col("df"), lit((1L << 23) - 1)), 40)
+          .bitwiseOR(col("h").bitwiseAND(lit(0xFFFFFFFFFFL))).as("k"))
+    val sorted = keyed.groupBy("doc_id", "side", "lang", "n")
+      .agg(sort_array(collect_list(col("k"))).as("sk"))
+      .join(sets.select(col("doc_id"), sort_array(col("hs")).as("h64")), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withPrefix = sorted.withColumn("prefix",
+      slice(col("sk"), lit(1), (floor((lit(1.0) - tau) * col("n")) + 1).cast("int")))
+    val salts = saltFactor(s)
+    val pa = withPrefix.filter(col("side") === 0)
+      .select(col("lang"), col("doc_id").as("l_id"),
+        col("n").as("na"), posexplode(col("prefix")).as(Seq("pa0", "pk_a")))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val pb = withPrefix.filter(col("side") === 1)
+      .select(col("lang").as("lang_b"), col("doc_id").as("r_id"),
+        col("n").as("nb"), posexplode(col("prefix")).as(Seq("pb0", "pk_b")))
+      .withColumn("salt_b", pmod(col("r_id"), lit(salts)))
+    val minInter = ceil(lit(tau / (1.0 + tau)) * (col("na") + col("nb")))
+    val cands = pa.join(pb,
+        col("lang") === col("lang_b") && col("pk_a") === col("pk_b") &&
+        col("salt") === col("salt_b") &&
+        col("nb") >= ceil(lit(tau) * col("na")) &&
+        col("na") >= ceil(lit(tau) * col("nb")) &&
+        least(col("na") - col("pa0"), col("nb") - col("pb0")) >= minInter)
+      .select(shiftleft(col("l_id"), 32).bitwiseOR(col("r_id")).as("pk"))
+      .dropDuplicates("pk")
+      .select(shiftright(col("pk"), 32).as("l_id"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("r_id"))
+    val ta = sorted.select(col("doc_id").as("l_id"), col("h64").as("ka"), col("n").as("na"))
+    val tb = sorted.select(col("doc_id").as("r_id"), col("h64").as("kb"), col("n").as("nb"))
+    cands.join(ta, "l_id").join(tb, "r_id")
+      .withColumn("inter", expr("sorted_intersect_count(ka, kb)"))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("l_id"), col("r_id"), round(col("j"), 4).as("jaccard"))
+      .orderBy("l_id", "r_id")
+  }
+
+  /** Broadcast nested-loop exact set-similarity self-join — the
+    * SMALL-PARTITION dense-vocabulary strategy. When the partition
+    * column (lang) bounds each block to a size whose pair space is
+    * tractable AND the vocabulary is so dense that candidate filters
+    * prune nothing (this corpus: 64% of same-lang pairs survive
+    * prefix+length filters; every co-occurrence row of pairsByCount is
+    * almost surely a candidate anyway), the cheapest exact plan is the
+    * direct one: broadcast the (tiny) sorted-array table, probe it
+    * per-lang with the length filter inline, and intersect each
+    * surviving pair ONCE with the codegen'd zero-allocation sorted
+    * merge. No explode, no co-occurrence shuffle, no pair-key
+    * aggregation — the only shuffle in the whole plan is the final
+    * orderBy.
+    *
+    * Scale boundary (100 TB posture): the broadcast bounds this to
+    * blocks that fit an executor (~10 MB of packed arrays per lang
+    * here). Beyond that, pairsByCount (co-occurrence counting) or
+    * pairs (prefix filtering) take over — the three strategies cover
+    * the (block size x vocabulary density) plane, and all three emit
+    * identical exact results (ShingleSpec proves pairwise equality).
+    */
+  def pairsByIntersect(s: SparkSession, sets: DataFrame, tau: Double): DataFrame = {
+    graft.expr.Registry.ensure(s)
+    val sorted = sets.select(col("doc_id"), col("lang"),
+      sort_array(col("hs")).as("sk"), size(col("hs")).as("n"))
+    val a = sorted.select(col("lang"), col("doc_id").as("a_id"),
+      col("sk").as("ka"), col("n").as("na"))
+    val b = sorted.select(col("lang").as("lang_b"), col("doc_id").as("b_id"),
+      col("sk").as("kb"), col("n").as("nb"))
+    a.join(broadcast(b),
+        col("lang") === col("lang_b") && col("a_id") < col("b_id") &&
+        col("nb") >= ceil(lit(tau) * col("na")) &&
+        col("na") >= ceil(lit(tau) * col("nb")))
+      .withColumn("inter", expr("sorted_intersect_count(ka, kb)"))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Count-based exact set-similarity self-join — the DENSE-vocabulary
     * strategy. When the token universe is small relative to the corpus
     * (every token common), prefix/positional filters prune almost

@@ -98,6 +98,22 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(p2.length === 3 && p2.forall(_.getDouble(2) === 1.0))
   }
 
+  test("bipartite pairsBetween == self-join pairs restricted to cross-side pairs") {
+    val hs = docs.select(col("doc_id"), col("lang"),
+      expr("token_hashes(split(text, ' '))").as("hs"))
+    val left = hs.filter(col("doc_id") % 3 === 0)
+    val right = hs.filter(col("doc_id") % 3 =!= 0)
+    val got = SetSimJoin.pairsBetween(spark, left, right, 0.8)
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"), col("jaccard"))
+    val want = SetSimJoin.pairs(spark, hs, 0.8)
+      .filter((col("a_id") % 3 === 0) =!= (col("b_id") % 3 === 0))
+      .select("a_id", "b_id", "jaccard")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    assert(got.count() > 0L) // the corpus does have cross-side near-dups
+  }
+
   test("packed-prefix 40-bit collisions do not inflate the verified intersection") {
     import spark.implicits._
     // hB and hC are distinct 64-bit elements with equal low-40 bits and
