@@ -35,18 +35,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // every local is ctx.freshName'd: two cosine_sim calls fused into one
+  // generated projection must not collide (Janino "Redefinition of local
+  // variable" → silent interpreter fallback); pinned in ExprSpec.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = (double) $a.getFloat(i);
-         |  double yi = (double) $b.getFloat(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
-       """.stripMargin)
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -95,20 +106,27 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     nullSafeCodeGen(ctx, ev, arr => {
       val a = ctx.addReferenceObj("minhashCoefA", coefA, "long[]")
       val b = ctx.addReferenceObj("minhashCoefB", coefB, "long[]")
+      val mins = ctx.freshName("mins")
+      val nTok = ctx.freshName("nTok")
+      val t = ctx.freshName("t")
+      val tok = ctx.freshName("tok")
+      val base = ctx.freshName("base")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
       s"""
-         |long[] mins = new long[$numPerms];
-         |java.util.Arrays.fill(mins, Long.MAX_VALUE);
-         |int nTok = $arr.numElements();
-         |for (int t = 0; t < nTok; t++) {
-         |  org.apache.spark.unsafe.types.UTF8String tok = $arr.getUTF8String(t);
-         |  long base = graft.expr.Mix.splitmix64(
-         |    (long) tok.hashCode() ^ ((long) tok.numBytes() << 32));
-         |  for (int i = 0; i < $numPerms; i++) {
-         |    long h = $a[i] * base + $b[i];
-         |    if (h < mins[i]) mins[i] = h;
+         |long[] $mins = new long[$numPerms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $nTok = $arr.numElements();
+         |for (int $t = 0; $t < $nTok; $t++) {
+         |  org.apache.spark.unsafe.types.UTF8String $tok = $arr.getUTF8String($t);
+         |  long $base = graft.expr.Mix.splitmix64(
+         |    (long) $tok.hashCode() ^ ((long) $tok.numBytes() << 32));
+         |  for (int $i = 0; $i < $numPerms; $i++) {
+         |    long $h = $a[$i] * $base + $b[$i];
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
 
@@ -124,22 +142,31 @@ case class SimHash64(child: Expression)
     extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr =>
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val nTok = ctx.freshName("nTok")
+      val t = ctx.freshName("t")
+      val tok = ctx.freshName("tok")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val out = ctx.freshName("out")
       s"""
-         |int[] votes = new int[64];
-         |int nTok = $arr.numElements();
-         |for (int t = 0; t < nTok; t++) {
-         |  org.apache.spark.unsafe.types.UTF8String tok = $arr.getUTF8String(t);
-         |  long h = graft.expr.Mix.splitmix64(
-         |    (long) tok.hashCode() ^ ((long) tok.numBytes() << 32));
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) votes[b]++; else votes[b]--;
+         |int[] $votes = new int[64];
+         |int $nTok = $arr.numElements();
+         |for (int $t = 0; $t < $nTok; $t++) {
+         |  org.apache.spark.unsafe.types.UTF8String $tok = $arr.getUTF8String($t);
+         |  long $h = graft.expr.Mix.splitmix64(
+         |    (long) $tok.hashCode() ^ ((long) $tok.numBytes() << 32));
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
          |  }
          |}
-         |long out = 0L;
-         |for (int b = 0; b < 64; b++) { if (votes[b] > 0) out |= (1L << b); }
-         |${ev.value} = out;
-       """.stripMargin)
+         |long $out = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) { if ($votes[$b2] > 0) $out |= (1L << $b2); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override def dataType: DataType = LongType
 
@@ -326,14 +353,17 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, arr =>
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
       s"""
          |${ev.value} = Double.NaN;
-         |int n = $arr.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  if ($arr.getFloat(i) != 0.0f) { ${ev.value} = 1.0; break; }
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.getFloat($i) != 0.0f) { ${ev.value} = 1.0; break; }
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

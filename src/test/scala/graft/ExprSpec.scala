@@ -77,6 +77,47 @@ class ExprSpec extends AnyFunSuite with SparkFixture {
     assert(diffs === 0.0, s"max |expr-hof| = $diffs")
   }
 
+  test("fused projection of repeated/mixed custom exprs compiles (no interpreter fallback)") {
+    // Two cosine_sim calls (plus minhash+simhash on the same row) fused
+    // into ONE generated projection: every Java local in doGenCode must be
+    // ctx.freshName'd or Janino dies with "Redefinition of local variable"
+    // and Spark silently de-optimizes to interpreted eval. CODEGEN_ONLY +
+    // fallback=false turn that silent fallback into a test failure.
+    Registry.ensure(spark)
+    val conf = spark.conf
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // range()-derived input so the projection can't constant-fold away
+      val df = spark.range(1, 17).selectExpr(
+        "transform(sequence(0, 7), j -> cast(id * (j + 1) as float)) AS v",
+        "transform(sequence(0, 7), j -> cast((id + 1) * (j + 2) as float)) AS w",
+        "split(concat('tok', id, ' tok', id + 1, ' tok', id + 2), ' ') AS toks")
+      val out = df.selectExpr(
+        "cosine_sim(v, w) AS c1",
+        "cosine_sim(w, v) AS c2",
+        "minhash_sig(toks, 16) AS mh",
+        "simhash64(toks) AS sh",
+        "simhash64(toks) AS sh2").collect()
+      assert(out.length === 16)
+      out.foreach { r =>
+        if (!r.isNullAt(0)) {
+          assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+          assert(r.getDouble(0) <= 1.0 + 1e-12)
+        }
+        assert(r.getSeq[Long](2).length === 16)
+        assert(r.getLong(3) === r.getLong(4))
+      }
+    } finally {
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        conf.set("spark.sql.codegen.factoryMode", v))
+      oldFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+        conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
   test("cosine_sim is 1 on itself and within [-1, 1]") {
     Registry.ensure(spark)
     val e = Tables.embeddings(spark, sf)
