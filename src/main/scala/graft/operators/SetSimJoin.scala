@@ -50,6 +50,116 @@ object SetSimJoin {
   private[graft] def saltFactor(s: SparkSession): Int =
     math.max(1, s.sessionState.conf.numShufflePartitions / 16)
 
+  // Caches persisted by pairs/pairsBetween live until the result has
+  // been materialized, which the operator cannot observe from inside a
+  // lazy plan — so they are tracked here and released on the NEXT
+  // SetSimJoin entry (bounding the leak to one call's caches) plus via
+  // the explicit release() hook. Unpersisting a cache a still-running
+  // plan reads is safe (Spark recomputes), just slower.
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist intermediate caches from prior pairs/pairsBetween calls.
+    * Idempotent; called automatically at every SetSimJoin entry point.
+    * Long-lived sessions that interleave other cached work should call
+    * this once the join result has been materialized. */
+  def release(): Unit = {
+    var d = tracked.poll()
+    while (d != null) { d.unpersist(blocking = false); d = tracked.poll() }
+  }
+
+  private def track(d: DataFrame): DataFrame = { tracked.add(d); d }
+
+  // ---------------------------------------------------------------
+  // Stats-driven strategy selection (auto / autoBetween)
+  // ---------------------------------------------------------------
+
+  /** Cheap pre-stats for strategy choice: one tiny per-block agg (the
+    * partition column is low-cardinality by the operator's contract)
+    * plus one narrow scan for the approximate vocabulary size. Both are
+    * partial-agg jobs — at 100 TB they cost one pass, versus the df
+    * table both shuffle strategies build anyway. */
+  private[graft] case class CorpusStats(
+      nDocs: Long, sumN: Long, pairSpace: Double, vocab: Long) {
+    def avgN: Double = if (nDocs == 0) 0.0 else sumN.toDouble / nDocs
+    /** average element document-frequency = vocabulary density */
+    def density: Double = if (vocab == 0) 0.0 else sumN.toDouble / vocab
+    /** bytes of sorted hash arrays a broadcast side would carry */
+    def broadcastBytes: Double = sumN.toDouble * 8 + nDocs.toDouble * 48
+    /** comparisons for the broadcast nested probe: pair space bounded
+      * by the block structure, times one sorted merge per pair */
+    def intersectCost: Double = pairSpace * 2.0 * avgN
+  }
+
+  private[graft] def corpusStats(sets: DataFrame): CorpusStats = {
+    val blocks = sets.groupBy("lang")
+      .agg(count(lit(1)).as("c"), sum(size(col("hs"))).as("sn"))
+      .collect() // one row per block — bounded by the partition column
+    val nDocs = blocks.map(_.getAs[Long]("c")).sum
+    val sumN = blocks.map(r => if (r.isNullAt(r.fieldIndex("sn"))) 0L else r.getAs[Long]("sn")).sum
+    val pairSpace = blocks.map(r => { val c = r.getAs[Long]("c").toDouble; c * c / 2.0 }).sum
+    val vocab = sets.select(explode(col("hs")).as("h"))
+      .agg(approx_count_distinct(col("h")).as("v"))
+      .head().getLong(0)
+    CorpusStats(nDocs, sumN, pairSpace, vocab)
+  }
+
+  /** Strategy-selection thresholds. Broadcast cap is deliberately far
+    * below executor memory; the intersect budget is ~seconds of one
+    * core's primitive comparisons. */
+  private[graft] val BroadcastMaxBytes: Double = 32.0 * (1 << 20)
+  private[graft] val IntersectCostBudget: Double = 4e9
+  private[graft] val DenseDf: Double = 32.0
+
+  /** Pick the exact self-join strategy from [[CorpusStats]]:
+    *  - "intersect" when the whole sorted-array table fits a broadcast
+    *    AND the block-bounded pair space is a tractable direct probe —
+    *    the small-corpus / dense-vocab regime where candidate
+    *    generation machinery costs more than it saves;
+    *  - "count" when the vocabulary is dense (avg df >= DenseDf) or
+    *    tau is low: prefix/positional filters prune little, and the
+    *    co-occurrence count IS the intersection (no verify join);
+    *  - "prefix" otherwise — the sparse-vocab / high-tau regime where
+    *    PPJoin filters bound candidates sub-quadratically (the default
+    *    100 TB shape).
+    * All three emit identical exact results (ShingleSpec); this picks
+    * cost only, so a misestimate can never change answers. */
+  private[graft] def chooseStrategy(st: CorpusStats, tau: Double): String =
+    if (st.broadcastBytes <= BroadcastMaxBytes && st.intersectCost <= IntersectCostBudget)
+      "intersect"
+    else if (st.density >= DenseDf || tau < 0.5) "count"
+    else "prefix"
+
+  /** Stats-driven exact set-similarity self-join: computes cheap corpus
+    * stats, then routes to [[pairsByIntersect]], [[pairsByCount]] or
+    * [[pairs]] — same signature and identical results as each. */
+  def auto(s: SparkSession, sets: DataFrame, tau: Double): DataFrame = {
+    release()
+    chooseStrategy(corpusStats(sets), tau) match {
+      case "intersect" => pairsByIntersect(s, sets, tau)
+      case "count"     => pairsByCount(s, sets, tau)
+      case _           => pairs(s, sets, tau)
+    }
+  }
+
+  /** Stats-driven bipartite variant: broadcast-intersect when the
+    * smaller side fits and the cross pair space is tractable, else the
+    * prefix-filtered [[pairsBetween]]. Identical results either way. */
+  def autoBetween(s: SparkSession, left: DataFrame, right: DataFrame,
+                  tau: Double): DataFrame = {
+    release()
+    val ls = corpusStats(left)
+    val rs = corpusStats(right)
+    // upper bound of the per-block cross pair space (|L| x |R| total)
+    val crossSpace = ls.nDocs.toDouble * rs.nDocs.toDouble
+    val avgN = ((ls.avgN * ls.nDocs) + (rs.avgN * rs.nDocs)) /
+      math.max(1L, ls.nDocs + rs.nDocs)
+    val smallBytes = math.min(ls.broadcastBytes, rs.broadcastBytes)
+    if (smallBytes <= BroadcastMaxBytes && crossSpace * 2.0 * avgN <= IntersectCostBudget)
+      pairsBetweenByIntersect(s, left, right, tau)
+    else
+      pairsBetween(s, left, right, tau)
+  }
+
   /** @param sets (doc_id, lang, hs: array<long>) — per-document
     *             DISTINCT element hashes (order irrelevant); doc_id
     *             must fit in 32 bits (packed-pair invariant)
@@ -70,10 +180,10 @@ object SetSimJoin {
     // feeds three branches (both candidate sides + verify) — persist
     // so the explode+join+collect pipeline runs once. h64 keeps the
     // untruncated element hashes for the exact verify merge.
-    val sorted = keyed.groupBy("doc_id", "lang", "n")
+    val sorted = track(keyed.groupBy("doc_id", "lang", "n")
       .agg(sort_array(collect_list(col("k"))).as("sk"))
       .join(sets.select(col("doc_id"), sort_array(col("hs")).as("h64")), "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val withPrefix = sorted.withColumn("prefix",
       slice(col("sk"), lit(1), (floor((lit(1.0) - tau) * col("n")) + 1).cast("int")))
     val salts = saltFactor(s)
@@ -139,10 +249,10 @@ object SetSimJoin {
       .select(col("doc_id"), col("side"), col("lang"), col("n"),
         shiftleft(least(col("df"), lit((1L << 23) - 1)), 40)
           .bitwiseOR(col("h").bitwiseAND(lit(0xFFFFFFFFFFL))).as("k"))
-    val sorted = keyed.groupBy("doc_id", "side", "lang", "n")
+    val sorted = track(keyed.groupBy("doc_id", "side", "lang", "n")
       .agg(sort_array(collect_list(col("k"))).as("sk"))
       .join(sets.select(col("doc_id"), sort_array(col("hs")).as("h64")), "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val withPrefix = sorted.withColumn("prefix",
       slice(col("sk"), lit(1), (floor((lit(1.0) - tau) * col("n")) + 1).cast("int")))
     val salts = saltFactor(s)
@@ -200,8 +310,14 @@ object SetSimJoin {
     graft.expr.Registry.ensure(s)
     val sorted = sets.select(col("doc_id"), col("lang"),
       sort_array(col("hs")).as("sk"), size(col("hs")).as("n"))
+    // the probe is the whole cost of this plan (|block|^2 merges) and a
+    // broadcast join adds no exchange of its own — without an explicit
+    // redistribution a single-split input (one parquet row group) would
+    // run the entire probe in ONE task. The probe side is small by this
+    // strategy's admission rule, so the round-robin shuffle is noise.
     val a = sorted.select(col("lang"), col("doc_id").as("a_id"),
-      col("sk").as("ka"), col("n").as("na"))
+        col("sk").as("ka"), col("n").as("na"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
     val b = sorted.select(col("lang").as("lang_b"), col("doc_id").as("b_id"),
       col("sk").as("kb"), col("n").as("nb"))
     a.join(broadcast(b),
@@ -213,6 +329,36 @@ object SetSimJoin {
       .filter(col("j") >= tau)
       .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Bipartite sibling of [[pairsByIntersect]]: (left, right) pairs
+    * with Jaccard >= tau across sides only, via a broadcast of the
+    * SMALLER side's sorted-array table and a per-lang probe with the
+    * length filter inline. No explode, no candidate shuffle — chosen by
+    * [[autoBetween]] when the small side fits an executor and the
+    * cross pair space is a tractable direct probe. */
+  def pairsBetweenByIntersect(s: SparkSession, left: DataFrame, right: DataFrame,
+                              tau: Double): DataFrame = {
+    graft.expr.Registry.ensure(s)
+    val a = left.select(col("lang"), col("doc_id").as("l_id"),
+      sort_array(col("hs")).as("ka"), size(col("hs")).as("na"))
+    // probe parallelism: see pairsByIntersect — a single-split stream
+    // side would otherwise probe in one task (its size is bounded by
+    // autoBetween's admission rule, so the shuffle is noise)
+    val b = right.select(col("lang").as("lang_b"), col("doc_id").as("r_id"),
+        sort_array(col("hs")).as("kb"), size(col("hs")).as("nb"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    // contamination-style audits pass the small held-out split as left;
+    // broadcast it and stream the large train side past it
+    b.join(broadcast(a),
+        col("lang") === col("lang_b") &&
+        col("nb") >= ceil(lit(tau) * col("na")) &&
+        col("na") >= ceil(lit(tau) * col("nb")))
+      .withColumn("inter", expr("sorted_intersect_count(ka, kb)"))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("j") >= tau)
+      .select(col("l_id"), col("r_id"), round(col("j"), 4).as("jaccard"))
+      .orderBy("l_id", "r_id")
   }
 
   /** Count-based exact set-similarity self-join — the DENSE-vocabulary

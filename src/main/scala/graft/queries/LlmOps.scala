@@ -51,14 +51,18 @@ object LlmOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
         .orderBy("keep_id")),
 
-    // Prefix-filtered set-similarity join (PPJoin-style) over hashed
-    // token sets at τ=0.8 — see graft.operators.SetSimJoin for the
-    // full algorithm (df-packed global order + prefix/length/positional
-    // filters + narrow packed-pair shuffle + codegen'd merge verify +
-    // adaptive salt; no global window, no interpreted HOFs).
+    // Exact set-similarity self-join over hashed token sets at τ=0.8,
+    // routed through SetSimJoin.auto: cheap corpus stats pick among the
+    // PPJoin prefix strategy (sparse vocab — the default 100 TB shape:
+    // df-packed global order + prefix/length/positional filters +
+    // narrow packed-pair shuffle + codegen'd merge verify + adaptive
+    // salt), co-occurrence counting (dense vocab), and the direct
+    // broadcast-intersect probe (corpus fits an executor — this
+    // corpus' 31-word vocabulary lands here). Identical exact results
+    // whichever is picked (ShingleSpec).
     "q_dedup_near_jaccard" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      graft.operators.SetSimJoin.pairs(s,
+      graft.operators.SetSimJoin.auto(s,
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             expr("token_hashes(split(text, ' '))").as("hs")),

@@ -86,7 +86,7 @@ object Sampling {
           bucket(col("doc_id")).as("b"))
       val heldOut = hs.filter(col("b") >= 8000).drop("b")
       val train = hs.filter(col("b") < 8000).drop("b")
-      graft.operators.SetSimJoin.pairsBetween(s, heldOut, train, tau = 0.8)
+      graft.operators.SetSimJoin.autoBetween(s, heldOut, train, tau = 0.8)
         .groupBy(col("l_id").as("test_id"))
         .agg(count(lit(1)).as("n_matches"), max("jaccard").as("max_j"),
           min("r_id").as("example_train_id"))

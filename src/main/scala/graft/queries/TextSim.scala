@@ -84,19 +84,20 @@ object TextSim {
 
     // True n-gram (bigram shingle) Jaccard near-dup pairs — sharper
     // than token-set Jaccard (on this corpus it isolates the ~6 real
-    // near-identical doc pairs at J≈0.99). Uses SetSimJoin's COUNT
-    // strategy: this corpus has a dense shingle vocabulary (~931
-    // distinct bigrams, avg df ~285 at sf0.1), where prefix filtering
-    // prunes almost nothing (measured: 1.6M of 2.5M same-lang pairs
-    // survive candidates) and counting co-occurrences is cheaper than
-    // candidate verification. Documents are represented as sorted
-    // distinct 64-bit shingle hashes (codegen'd BigramHashes; zero
-    // collisions on this corpus, asserted in ShingleSpec).
-    // q_dedup_near_jaccard keeps the prefix strategy — the two cover
-    // both vocabulary regimes.
+    // near-identical doc pairs at J≈0.99). Routed through
+    // SetSimJoin.auto: cheap corpus stats pick among the prefix, count
+    // and broadcast-intersect strategies (which emit identical exact
+    // results — ShingleSpec). This corpus' dense shingle vocabulary
+    // (~931 distinct bigrams, avg df ~285 at sf0.1) defeats prefix
+    // filtering, and the whole sorted-array table fits a broadcast, so
+    // auto lands on the direct intersect probe here; at corpus sizes
+    // where that pair space stops being tractable it degrades to the
+    // count then prefix strategies. Documents are sorted distinct
+    // 64-bit shingle hashes (codegen'd BigramHashes; zero collisions
+    // on this corpus, asserted in ShingleSpec).
     "q_dedup_shingle" -> ((s, d) => {
       Registry.ensure(s)
-      graft.operators.SetSimJoin.pairsByCount(s,
+      graft.operators.SetSimJoin.auto(s,
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             expr("bigram_hashes(split(text, ' '))").as("hs")),
@@ -113,7 +114,7 @@ object TextSim {
     "q_dedup_components" -> ((s, d) => {
       Registry.ensure(s)
       val docs = Tables.documents(s, d)
-      val edges = graft.operators.SetSimJoin.pairsByCount(s,
+      val edges = graft.operators.SetSimJoin.auto(s,
         docs.select(col("doc_id"), col("lang"),
           expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
         .select("a_id", "b_id")

@@ -163,6 +163,58 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(want.exists { case (v, l) => v != l })
   }
 
+  test("intersect-strategy pairs == prefix and count strategies (three-way equality)") {
+    val sets = docs.select(col("doc_id"), col("lang"),
+      expr("bigram_hashes(split(text, ' '))").as("hs"))
+    val byIntersect = SetSimJoin.pairsByIntersect(spark, sets, 0.3)
+    val byCount = SetSimJoin.pairsByCount(spark, sets, 0.3)
+    val byPrefix = SetSimJoin.pairs(spark, sets, 0.3)
+    assert(byIntersect.exceptAll(byCount).count() === 0L)
+    assert(byCount.exceptAll(byIntersect).count() === 0L)
+    assert(byIntersect.exceptAll(byPrefix).count() === 0L)
+    assert(byPrefix.exceptAll(byIntersect).count() === 0L)
+    assert(byIntersect.count() > 0L)
+  }
+
+  test("auto picks a strategy from corpus stats and agrees with every manual strategy") {
+    import graft.operators.SetSimJoin.{chooseStrategy, corpusStats, CorpusStats}
+    val sets = docs.select(col("doc_id"), col("lang"),
+      expr("token_hashes(split(text, ' '))").as("hs"))
+    // this corpus: tiny broadcast + tractable pair space → intersect
+    val st = corpusStats(sets)
+    assert(chooseStrategy(st, 0.8) === "intersect")
+    val got = SetSimJoin.auto(spark, sets, 0.8)
+    val want = SetSimJoin.pairs(spark, sets, 0.8)
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+
+    // synthetic stats hit the other two branches: too big to broadcast,
+    // dense vocabulary → count; sparse vocabulary at high tau → prefix
+    val big = CorpusStats(nDocs = 1000000000L, sumN = 100000000000L,
+      pairSpace = 5e17, vocab = 1000000L) // density 1e5
+    assert(chooseStrategy(big, 0.8) === "count")
+    val sparse = CorpusStats(nDocs = 1000000000L, sumN = 100000000000L,
+      pairSpace = 5e17, vocab = 50000000000L) // density 2
+    assert(chooseStrategy(sparse, 0.8) === "prefix")
+    // low tau defeats prefix filtering even on a sparse vocabulary
+    assert(chooseStrategy(sparse, 0.3) === "count")
+  }
+
+  test("autoBetween and pairsBetweenByIntersect agree with pairsBetween") {
+    val hs = docs.select(col("doc_id"), col("lang"),
+      expr("token_hashes(split(text, ' '))").as("hs"))
+    val left = hs.filter(col("doc_id") % 5 === 0)
+    val right = hs.filter(col("doc_id") % 5 =!= 0)
+    val want = SetSimJoin.pairsBetween(spark, left, right, 0.8)
+    val direct = SetSimJoin.pairsBetweenByIntersect(spark, left, right, 0.8)
+    val auto = SetSimJoin.autoBetween(spark, left, right, 0.8)
+    assert(direct.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(direct).count() === 0L)
+    assert(auto.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(auto).count() === 0L)
+    assert(want.count() > 0L)
+  }
+
   test("count-strategy pairs == brute-force bigram Jaccard at tau=0.3") {
     val got = SetSimJoin.pairsByCount(spark,
       docs.select(col("doc_id"), col("lang"),
