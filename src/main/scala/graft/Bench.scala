@@ -17,6 +17,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Bench numbers are load-sensitive (BASELINE.md: concurrent work
+    // skews every query +10-20%+ uniformly). Stamp the capture with the
+    // 1/5/15-min load averages at start and end plus a wall-clock
+    // timestamp, so a skewed capture is diagnosable as such instead of
+    // misreading as a code regression (this cost round 3 its headline:
+    // a 207s loaded capture vs 145s idle).
+    def loadavg(): String =
+      try new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+    val startedAt = java.time.Instant.now().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,7 +61,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val meta = s""""started":"$startedAt","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}""""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
     // The driver captures only the TAIL of the log (~3 KB): a full
@@ -58,10 +71,13 @@ object Bench {
     // So the sole final stdout line is COMPACT — headline total plus
     // only the timings big enough to matter (>= 0.25 s, 2dp), capped
     // at the 40 slowest. The full-precision map lives in `outFile`.
-    def r2(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: a comma-decimal default locale would otherwise turn
+    // "value":207.79 into invalid JSON and break the driver's parse.
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val big = results.toSeq.filter(_._2 >= 0.25).sortBy(-_._2).take(40)
     val bigQs = big.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},"queries":$bigQs,"queries_full":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$bigQs,"queries_full":"$outFile","sf":"$sfDir"}""")
   }
 }
