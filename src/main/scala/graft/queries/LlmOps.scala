@@ -181,7 +181,11 @@ object LlmOps {
         .crossJoin(broadcast(nd))
         .withColumn("idf", log(col("n_corpus") / col("df")))
         .drop("n_corpus")
-      val scored = tf.join(broadcast(df_), "term")
+      // NO broadcast hint on df_: its cardinality is the corpus
+      // VOCABULARY, which does not fit an executor at corpus scale —
+      // let AQE pick from runtime stats (it still broadcasts at test
+      // sf, so the local plan is unchanged). See SURVEY §7.5.
+      val scored = tf.join(df_, "term")
         .withColumn("tfidf", col("tf") * col("idf"))
         .groupBy("lang", "term")
         .agg(round(avg("tfidf"), 6).as("score"))

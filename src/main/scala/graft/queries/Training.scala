@@ -122,11 +122,16 @@ object Training {
         .join(tok.select(col("doc_id"), col("t").as("tb")), "doc_id")
         .filter(col("ta") < col("tb"))
         .groupBy("lang", "ta", "tb").agg(count(lit(1)).as("n_ab"))
+      // nl is one row per language — broadcast. The tc sides are
+      // VOCABULARY-sized (per-lang term counts): no broadcast hint, or
+      // a real corpus' vocabulary table would have to fit an executor;
+      // AQE still broadcasts them at test sf from runtime stats.
+      // See SURVEY §7.5.
       val scored = pr
         .join(broadcast(nl), "lang")
-        .join(broadcast(tc.select(col("lang"), col("t").as("ta"), col("n_t").as("na"))),
+        .join(tc.select(col("lang"), col("t").as("ta"), col("n_t").as("na")),
           Seq("lang", "ta"))
-        .join(broadcast(tc.select(col("lang"), col("t").as("tb"), col("n_t").as("nb"))),
+        .join(tc.select(col("lang"), col("t").as("tb"), col("n_t").as("nb")),
           Seq("lang", "tb"))
         .withColumn("pmi", round(log(col("n_ab") * col("nl") / (col("na") * col("nb"))), 6))
       val w = org.apache.spark.sql.expressions.Window
