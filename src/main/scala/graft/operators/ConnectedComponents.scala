@@ -14,9 +14,15 @@ import org.apache.spark.storage.StorageLevel
   * min over neighbors' labels) until fixpoint, which takes at most
   * graph-diameter rounds. Near-dup graphs are dense and low-diameter
   * (clusters are near-cliques), so 1-3 rounds converge; `maxIter`
-  * bounds pathological chains. (The pointer-jumping shortcut that
-  * makes long chains O(log n) rounds costs an extra self-join per
-  * round — wrong trade here, worth adding for general graphs.)
+  * bounds pathological chains.
+  *
+  * `jump = true` adds pointer jumping: after each propagation step,
+  * label(v) <- label(label(v)) (one extra equi-join per round on the
+  * label key). Label chains then halve every round, so long-diameter
+  * graphs (paths, meshes) converge in O(log n) rounds instead of
+  * O(diameter) — the remedy when the loud maxIter failure fires.
+  * Off by default: on low-diameter near-dup graphs the extra join per
+  * round costs more than the rounds it saves.
   *
   * Iterative graph algorithms are inherently multi-job: each round
   * materializes the label table and runs a convergence count — that is
@@ -32,7 +38,7 @@ object ConnectedComponents {
     * @return (doc_id, label) with label = min doc_id of the component
     */
   def components(s: SparkSession, nodes: DataFrame, edges: DataFrame,
-                 maxIter: Int = 30): DataFrame = {
+                 maxIter: Int = 30, jump: Boolean = false): DataFrame = {
     // materialize the edge input FIRST: the symmetrization union reads
     // it twice and every round re-reads it, and edge generation (a
     // set-similarity join) is far more expensive than the label joins.
@@ -45,7 +51,7 @@ object ConnectedComponents {
       .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -54,15 +60,36 @@ object ConnectedComponents {
       val nbr = sym
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min("dlabel").as("nmin"))
-      // ONE action per round: the convergence signal rides as a column
-      // of the materialized next-label table instead of a second job
-      val next = labels.join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("nmin") < col("label")).cast("long").as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val prop = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("lab1"))
+      // materialize each round via EAGER localCheckpoint, which also
+      // TRUNCATES the lineage: the round's table is referenced twice by
+      // the next round (nbr join + prop join, plus the jump self-join),
+      // so without truncation the logical plan DOUBLES per round and
+      // analysis goes exponential in the round count — invisible on
+      // 2-3-round near-dup graphs, a hang on a 15-round chain. The
+      // convergence agg then reads the materialized blocks (cheap
+      // second job; checkpoint + agg are the round's two actions).
+      val next = (if (!jump) {
+        prop.select(col("doc_id"), col("lab1").as("label"),
+          (col("lab1") < col("old")).cast("long").as("chg"))
+      } else {
+        // pointer jumping: label(v) <- label(label(v)). Labels are
+        // vertex ids with lab1(v) <= v, so the lookup side is the same
+        // propagated table; chains halve every round. Checkpoint it —
+        // it feeds both join sides.
+        val p = prop.localCheckpoint(true)
+        val look = p.select(col("doc_id").as("j_id"), col("lab1").as("j_lab"))
+        p.join(look, p("lab1") === look("j_id"), "left")
+          .select(p("doc_id"), p("old"),
+            least(p("lab1"), coalesce(col("j_lab"), p("lab1"))).as("label"))
+          .select(col("doc_id"), col("label"),
+            (col("label") < col("old")).cast("long").as("chg"))
+      }).localCheckpoint(true)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
-      labels.unpersist()
+      // previous rounds' checkpoint blocks become unreachable here and
+      // are released by the ContextCleaner; the tables are label-sized
       labels = next.select("doc_id", "label")
       i += 1
     }

@@ -215,6 +215,38 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(want.count() > 0L)
   }
 
+  test("pointer jumping converges a 100-node path graph in O(log n) rounds") {
+    import graft.operators.ConnectedComponents
+    import spark.implicits._
+    // path 0-1-2-...-99: diameter 99, one component with min label 0.
+    // Plain min-label propagation moves the 0 label one hop per round,
+    // so 15 rounds CANNOT converge it — the loud failure must fire.
+    val nodes = spark.range(100).toDF("doc_id")
+    val edges = spark.range(99).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.components(spark, nodes, edges, maxIter = 15).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // with jumping, label chains halve every round: well under 15
+    val got = ConnectedComponents.components(spark, nodes, edges, maxIter = 15, jump = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 100 && got.values.forall(_ === 0L))
+  }
+
+  test("jump=true equals jump=false on the near-dup corpus graph") {
+    import graft.operators.ConnectedComponents
+    val nodes = docs.select("doc_id")
+    val edges = SetSimJoin.auto(spark,
+      docs.select(col("doc_id"), col("lang"),
+        expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
+      .select("a_id", "b_id")
+    val plain = ConnectedComponents.components(spark, nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jumped = ConnectedComponents.components(spark, nodes, edges, jump = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain === jumped)
+  }
+
   test("count-strategy pairs == brute-force bigram Jaccard at tau=0.3") {
     val got = SetSimJoin.pairsByCount(spark,
       docs.select(col("doc_id"), col("lang"),
