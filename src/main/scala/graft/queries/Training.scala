@@ -101,7 +101,13 @@ object Training {
             .otherwise(0.2))
         .groupBy("source")
         .agg(count(lit(1)).as("n_total"),
-          sum(when(col("b") < col("rate") * 10000, 1L).otherwise(0L)).as("n_kept"),
+          // integer threshold, not `b < rate * 10000`: 0.8 * 10000 is
+          // 8000.0000000000004 in doubles, which silently kept bucket
+          // 8000 and made the effective rate 8001/10000. ROUND to the
+          // intended bucket count (spelled identically in the oracle)
+          // so the boundary bucket is excluded as intended.
+          sum(when(col("b") < round(col("rate") * 10000, 0).cast("long"), 1L)
+            .otherwise(0L)).as("n_kept"),
           max("rate").as("rate"))
         .orderBy("source")),
 
@@ -192,7 +198,7 @@ object Training {
 
     "q_domain_mix" ->
       s"""SELECT source, COUNT(*) AS n_total,
-         |  CAST(SUM(CASE WHEN $bucketSql < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN $bucketSql < CAST(ROUND(rate * 10000, 0) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  MAX(rate) AS rate
          |FROM (
          |  SELECT doc_id, source,
