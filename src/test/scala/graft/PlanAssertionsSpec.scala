@@ -67,6 +67,30 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(sh.toLowerCase.contains("bigramhashes") || sh.toLowerCase.contains("bigram_hashes"), sh)
   }
 
+  test("auto-intersect dedup probes via broadcast with a redistributed probe side") {
+    // SetSimJoin.auto lands on the broadcast-intersect strategy for
+    // this corpus: the probe must be a broadcast join (no shuffle of
+    // the pair space, no cartesian) and the probe side must carry an
+    // explicit redistribution — without it a single-split input runs
+    // the entire |block|^2 probe in ONE task (pinned after measuring
+    // exactly that: 12 s single-task vs 1.6 s redistributed).
+    val p = plan("q_dedup_near_jaccard")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tfidf_top: AQE still broadcasts the vocab side at test scale without the hint") {
+    // the explicit broadcast() hint was removed (vocabulary-sized side
+    // cannot be assumed executor-fitting at corpus scale); this pins
+    // that the LOCAL plan did not regress to a shuffle join — AQE must
+    // still pick a broadcast from runtime stats at test sf
+    val df = SparkEntry.queries("q_tfidf_top")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("whole-stage codegen covers the cosine expression") {
     // AQE materializes codegen per executed stage, so the pre-execution
     // explain reports 0 subtrees — disable AQE just for this probe
