@@ -308,8 +308,13 @@ object SetSimJoin {
     */
   def pairsByIntersect(s: SparkSession, sets: DataFrame, tau: Double): DataFrame = {
     graft.expr.Registry.ensure(s)
-    val sorted = sets.select(col("doc_id"), col("lang"),
-      sort_array(col("hs")).as("sk"), size(col("hs")).as("n"))
+    // empty sets never pair (Jaccard undefined, 0/0 under ANSI): the
+    // prefix and count strategies exclude them structurally (no prefix
+    // element / no occurrence row); the direct probe must filter them
+    // or the length filter admits (0, 0) pairs and divides by zero
+    val sorted = sets.filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("lang"),
+        sort_array(col("hs")).as("sk"), size(col("hs")).as("n"))
     // the probe is the whole cost of this plan (|block|^2 merges) and a
     // broadcast join adds no exchange of its own — without an explicit
     // redistribution a single-split input (one parquet row group) would
@@ -340,12 +345,15 @@ object SetSimJoin {
   def pairsBetweenByIntersect(s: SparkSession, left: DataFrame, right: DataFrame,
                               tau: Double): DataFrame = {
     graft.expr.Registry.ensure(s)
-    val a = left.select(col("lang"), col("doc_id").as("l_id"),
-      sort_array(col("hs")).as("ka"), size(col("hs")).as("na"))
+    // empty-set exclusion: see pairsByIntersect
+    val a = left.filter(size(col("hs")) > 0)
+      .select(col("lang"), col("doc_id").as("l_id"),
+        sort_array(col("hs")).as("ka"), size(col("hs")).as("na"))
     // probe parallelism: see pairsByIntersect — a single-split stream
     // side would otherwise probe in one task (its size is bounded by
     // autoBetween's admission rule, so the shuffle is noise)
-    val b = right.select(col("lang").as("lang_b"), col("doc_id").as("r_id"),
+    val b = right.filter(size(col("hs")) > 0)
+      .select(col("lang").as("lang_b"), col("doc_id").as("r_id"),
         sort_array(col("hs")).as("kb"), size(col("hs")).as("nb"))
       .repartition(s.sessionState.conf.numShufflePartitions)
     // contamination-style audits pass the small held-out split as left;

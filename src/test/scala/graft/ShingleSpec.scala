@@ -247,6 +247,42 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(plain === jumped)
   }
 
+  test("random corpora: all three strategies equal brute force (property)") {
+    import spark.implicits._
+    // deterministically-seeded random corpora across both vocabulary
+    // regimes (dense: 24-element universe, sparse: 4096-element) plus
+    // degenerate rows (empty and single-element sets) — the fixed test
+    // corpus can't cover the space the strategy choice spans
+    val rnd = new scala.util.Random(42)
+    for ((vocabSize, tau) <- Seq((24, 0.3), (24, 0.8), (4096, 0.5))) {
+      val docs = (1L to 48L).map { id =>
+        val n = rnd.nextInt(12) // 0..11 elements; 0 = degenerate empty set
+        val hs = Seq.fill(n)(rnd.nextInt(vocabSize).toLong * 0x9E3779B97F4A7C15L)
+          .distinct
+        (id, if (id % 2 == 0) "en" else "de", hs)
+      }
+      val sets = docs.toDF("doc_id", "lang", "hs")
+      val brute = {
+        val a = sets.select(col("lang"), col("doc_id").as("a_id"), col("hs").as("ha"))
+        val b = sets.select(col("lang").as("lang_b"), col("doc_id").as("b_id"), col("hs").as("hb"))
+        a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+          .withColumn("i", size(array_intersect(col("ha"), col("hb"))))
+          // try_divide: empty-vs-empty is 0/0 — the operators define
+          // empty sets as never pairing, so a null j filters out
+          .withColumn("j", expr("try_divide(i, size(ha) + size(hb) - i)"))
+          .filter(col("j") >= tau)
+          .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+      }
+      for ((tag, got) <- Seq(
+          "prefix" -> SetSimJoin.pairs(spark, sets, tau),
+          "count" -> SetSimJoin.pairsByCount(spark, sets, tau),
+          "intersect" -> SetSimJoin.pairsByIntersect(spark, sets, tau))) {
+        assert(got.exceptAll(brute).count() === 0L, s"$tag vocab=$vocabSize tau=$tau extra")
+        assert(brute.exceptAll(got).count() === 0L, s"$tag vocab=$vocabSize tau=$tau missing")
+      }
+    }
+  }
+
   test("count-strategy pairs == brute-force bigram Jaccard at tau=0.3") {
     val got = SetSimJoin.pairsByCount(spark,
       docs.select(col("doc_id"), col("lang"),
