@@ -146,6 +146,54 @@ object Training {
         .filter(col("rn") <= 5)
         .select("lang", "ta", "tb", "n_ab", "pmi", "rn")
         .orderBy("lang", "rn")
+    }),
+
+    // Per-language length z-score outlier flag — the distributional
+    // quality filter (drop truncated fragments and boilerplate
+    // mega-docs) every curation pipeline runs. Per-lang moments are a
+    // bounded table (one row per language — structurally broadcastable
+    // per §7.5); the flag compares against the UNrounded stats.
+    "q_quality_zscore" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("len"))
+      val st = docs.groupBy("lang")
+        .agg(avg(col("len").cast("double")).as("mu"),
+          stddev_samp(col("len").cast("double")).as("sd"))
+      docs.join(broadcast(st), "lang")
+        .withColumn("z", round((col("len") - col("mu")) / col("sd"), 4))
+        .withColumn("outlier", abs(col("len") - col("mu")) > lit(2.0) * col("sd"))
+        .select("doc_id", "lang", "len", "z", "outlier")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus bigram-LM fluency score (CCNet-style LM filtering,
+    // simplified): per-doc average conditional log-probability
+    // avg(ln(count(w1 w2) / count(w1 _))) under the per-language
+    // corpus bigram model. Junk/boilerplate scores low; the counts are
+    // vocabulary-sized tables joined WITHOUT broadcast hints (§7.5 —
+    // AQE broadcasts them at test sf, a real corpus shuffles).
+    "q_bigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .filter(size(col("l")) >= 2)
+      val big = docs.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(l) - 1), " +
+            "i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))")).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bc = big.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n12"))
+      // unigram-prefix counts roll up from the bigram counts (no third
+      // pass over the exploded grams), and the model joins its two
+      // count tables FIRST so the big fact side is probed exactly once
+      val uc = bc.groupBy("lang", "w1").agg(sum("n12").as("n1"))
+      val lm = bc.join(uc, Seq("lang", "w1"))
+        .withColumn("lp", log(col("n12") / col("n1")))
+        .select("lang", "w1", "w2", "lp")
+      big.join(lm, Seq("lang", "w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("lp"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -230,6 +278,40 @@ object Training {
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY pmi DESC, ta, tb) AS INT) AS rn
         |  FROM scored)
-        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_quality_zscore" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS len
+        |  FROM documents),
+        |st AS (
+        |  SELECT lang, AVG(len * 1.0) AS mu, stddev_samp(len * 1.0) AS sd
+        |  FROM d GROUP BY lang)
+        |SELECT doc_id, lang, len,
+        |  ROUND((len - mu) / sd, 4) AS z,
+        |  ABS(len - mu) > 2.0 * sd AS outlier
+        |FROM d JOIN st USING (lang) ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b0 AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS g
+        |  FROM d),
+        |bb AS (
+        |  SELECT doc_id, lang,
+        |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+        |  FROM b0),
+        |bc AS (SELECT lang, w1, w2, COUNT(*) AS n12 FROM bb GROUP BY 1, 2, 3),
+        |uc AS (SELECT lang, w1, COUNT(*) AS n1 FROM bb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(ln(n12 * 1.0 / n1)), 6) AS avg_logprob
+        |FROM bb
+        |JOIN bc USING (lang, w1, w2)
+        |JOIN uc USING (lang, w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
