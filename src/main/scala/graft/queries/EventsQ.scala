@@ -95,10 +95,83 @@ object EventsQ {
           round(coalesce(last(col("sv"), ignoreNulls = true).over(w), lit(0.0)), 4)
             .as("filled"))
         .orderBy("event_type", "wstart")
+    }),
+
+    // Ordered conversion funnel view -> click -> purchase: first view,
+    // first click strictly after it, first purchase strictly after
+    // that, per user. Three filtered min-aggregations chained by
+    // time-bound joins — each stage shuffles on user_id only (no
+    // window over the raw stream, no per-user event sort). Timestamps
+    // leave as unix micros (ntz-safe for the comparator).
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy("user_id", "t1").agg(min("us").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      v.join(c.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+            + when(col("t3").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // Weekly cohort retention: cohort = week of a user's first event;
+    // n_active = distinct cohort users active k weeks later. The
+    // classic growth-analytics matrix — two shuffles (per-user min,
+    // then per-(cohort, offset) distinct count), cohort keys leave as
+    // date strings (tz-free).
+    "q_retention_cohort" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val first = wk.groupBy("user_id").agg(min("wk").as("cohort"))
+      wk.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, v.t1, MIN(us) AS t2 FROM ev
+        |      JOIN v ON ev.user_id = v.user_id AND ev.us > v.t1
+        |      WHERE event_type = 'click' GROUP BY ev.user_id, v.t1),
+        |p AS (SELECT ev.user_id, MIN(us) AS t3 FROM ev
+        |      JOIN c ON ev.user_id = c.user_id AND ev.us > c.t2
+        |      WHERE event_type = 'purchase' GROUP BY ev.user_id)
+        |SELECT v.user_id, v.t1, c.t2, p.t3,
+        |  1 + CASE WHEN c.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN p.t3 IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |first AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort, wk.wk) / 7 AS INT) AS week_offset,
+        |  COUNT(DISTINCT wk.user_id) AS n_active
+        |FROM wk JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "q_win_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_val
