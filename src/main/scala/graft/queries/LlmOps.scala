@@ -226,7 +226,53 @@ object LlmOps {
             / length(col("text")), 6).as("space_ratio"),
           round(length(col("text")).cast("double") / size(toks(col("text"))), 6)
             .as("avg_tok_len"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Spherical k-means (Lloyd's) over the embedding corpus: k=4
+    // centroids seeded deterministically from vec_id 1..4, two fixed
+    // iterations, cosine assignment. The semantic-clustering primitive
+    // a pretraining pipeline uses for topic balancing / cluster-level
+    // dedup. Scale shape (the MLlib shape in DataFrame form): the k
+    // centroids are packed into ONE broadcast row, the per-vector
+    // argmax is k unrolled codegen'd cosine columns + `greatest` over
+    // (cos, -cid) structs — the vectors are NEVER shuffled; the only
+    // exchange per iteration is the centroid update's k×dim partial
+    // sums. Cosines round to 6dp BEFORE the argmax so near-ties
+    // resolve by the cid tiebreak identically in both engines; updated
+    // centroids re-cast to float32 (IEEE, identical cross-engine) to
+    // stay in cosine_sim's input domain.
+    "q_kmeans" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val k = 4
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // assignment is a pure projection: no shuffle, stays in one
+      // whole-stage-codegen span (freshName'd cosine locals — k fused
+      // instances must not collide)
+      def assign(cents: DataFrame): DataFrame = {
+        val packed = cents
+          .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+        val cand = (0 until k).map { i =>
+          struct(
+            when(lit(i) < size(col("cents")),
+              round(expr(s"cosine_sim(embedding, cents[$i].c)"), 6)).as("cos"),
+            (-col("cents")(i)("cid")).as("negcid"))
+        }
+        e.crossJoin(broadcast(packed))
+          .withColumn("best", greatest(cand: _*))
+          .select(col("vec_id"), (-col("best.negcid")).as("cid"),
+            col("best.cos").as("cos"), col("embedding"))
+      }
+      var cents = e.filter(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+      for (_ <- 1 to 2)
+        cents = assign(cents)
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy("cid", "dim").agg(avg(col("v").cast("double")).as("m"))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> CAST(p.m AS FLOAT))")
+            .as("c"))
+      assign(cents).select(col("vec_id"), col("cid"), col("cos")).orderBy("vec_id")
+    })
   )
 
   // Double-precision cosine in DuckDB SQL (list_cosine_similarity is
@@ -365,6 +411,35 @@ object LlmOps {
         |    / length(text), 6) AS space_ratio,
         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
         |    AS avg_tok_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Two unrolled Lloyd's iterations as CTE pairs (assign sN/aN,
+    // update mN/cN); argmax = row_number over (rounded cos DESC, cid)
+    // — the same deterministic tiebreak as the engine's max_by struct.
+    "q_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id BETWEEN 1 AND 4),
+         |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |       FROM (SELECT e.vec_id, c0.cid, e.embedding,
+         |               ROUND(${duckCos("e.embedding", "c0.c")}, 6) AS cos
+         |             FROM e CROSS JOIN c0)),
+         |a1 AS (SELECT vec_id, cid, embedding FROM s1 WHERE rn = 1),
+         |m1 AS (SELECT cid, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+         |       FROM a1 CROSS JOIN dims GROUP BY cid, i),
+         |c1 AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY i) AS c FROM m1 GROUP BY cid),
+         |s2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |       FROM (SELECT e.vec_id, c1.cid, e.embedding,
+         |               ROUND(${duckCos("e.embedding", "c1.c")}, 6) AS cos
+         |             FROM e CROSS JOIN c1)),
+         |a2 AS (SELECT vec_id, cid, embedding FROM s2 WHERE rn = 1),
+         |m2 AS (SELECT cid, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+         |       FROM a2 CROSS JOIN dims GROUP BY cid, i),
+         |c2 AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY i) AS c FROM m2 GROUP BY cid),
+         |s3 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |       FROM (SELECT e.vec_id, c2.cid,
+         |               ROUND(${duckCos("e.embedding", "c2.c")}, 6) AS cos
+         |             FROM e CROSS JOIN c2))
+         |SELECT vec_id, cid, cos FROM s3 WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }
