@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -97,6 +97,70 @@ object EventsQ {
         .orderBy("event_type", "wstart")
     }),
 
+    // Robust anomaly detection: per-type median + MAD (median absolute
+    // deviation), flag |value − med| > 3·MAD. Classic ops-analytics
+    // outlier rule that, unlike z-scores, survives the outliers it
+    // hunts. Med/MAD are snapped via round(x·1e4)/1e4 — the identical-
+    // scaling form — before the threshold compare, so the two engines'
+    // percentile-interpolation ulp differences can't flip a boundary
+    // row. Exact percentile shuffles once per level; the 5-row stats
+    // table broadcasts back onto the stream.
+    "q_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def r4(c: Column): Column = round(c * lit(10000)) / lit(10000)
+      val med = ev.groupBy("event_type")
+        .agg(r4(expr("percentile(value, 0.5)")).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(max("med").as("med"),
+          r4(expr("percentile(abs(value - med), 0.5)")).as("mad"))
+      val out = ev.join(broadcast(mad), "event_type")
+        .filter(abs(col("value") - col("med")) > lit(3) * col("mad"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_out"), sum("event_id").as("s"))
+      mad.join(out, Seq("event_type"), "left")
+        .select(col("event_type"), col("med"), col("mad"),
+          coalesce(col("n_out"), lit(0L)).as("n_out"),
+          coalesce(col("s"), lit(0L)).as("sum_out_id"))
+        .orderBy("event_type")
+    }),
+
+    // EWMA smoothing (α=0.2) of hourly event counts over the 2-day
+    // grid (empty buckets = 0, as in q_resample_interp). The recurrence
+    // y_i = α·x_i + (1−α)·y_{i−1} is closed-form over a running window
+    // sum of terms scaled by (1−α)^{−i} — one window pass, no self-join
+    // or iterative loop; the 48-point grid bounds the scale factor so
+    // the rescaling stays well inside double range. Both engines
+    // accumulate the identical terms in identical ts order.
+    "q_ewma" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      val agg = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("wstart"), col("n"))
+      val grid = ev.select("event_type").distinct()
+        .select(col("event_type"), explode(expr(
+          "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-02 23:00:00', interval 1 hour)"))
+          .as("wstart"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("i")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.join(agg, Seq("event_type", "wstart"), "left")
+        .select(col("event_type"), col("wstart"),
+          ((unix_micros(col("wstart")) - lit(1704067200000000L)) / lit(3600000000L))
+            .cast("int").as("i"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("u",
+          when(col("i") === 0, col("n").cast("double"))
+            .otherwise(lit(0.2) * col("n") * pow(lit(0.8), -col("i"))))
+        .select(col("event_type"),
+          col("wstart").cast("timestamp_ntz").as("wstart"), col("n"),
+          (round(pow(lit(0.8), col("i")) * sum("u").over(w) * lit(10000)) / lit(10000))
+            .as("ewma"))
+        .orderBy("event_type", "wstart")
+    }),
+
     // Ordered conversion funnel view -> click -> purchase: first view,
     // first click strictly after it, first purchase strictly after
     // that, per user. Three filtered min-aggregations chained by
@@ -144,6 +208,45 @@ object EventsQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, ROUND(quantile_cont(value, 0.5) * 10000) / 10000 AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, MAX(m.med) AS med,
+        |    ROUND(quantile_cont(abs(e.value - m.med), 0.5) * 10000) / 10000 AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type),
+        |outl AS (
+        |  SELECT e.event_type, COUNT(*) AS n_out, SUM(e.event_id) AS s
+        |  FROM events e JOIN mad USING (event_type)
+        |  WHERE abs(e.value - med) > 3 * mad GROUP BY 1)
+        |SELECT event_type, med, mad, COALESCE(n_out, 0) AS n_out,
+        |  CAST(COALESCE(s, 0) AS BIGINT) AS sum_out_id
+        |FROM mad LEFT JOIN outl USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q_ewma" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |agg AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS wstart, COUNT(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-02 23:00:00', INTERVAL '1 hour')) AS wstart
+        |  FROM (SELECT DISTINCT event_type FROM ev)),
+        |j AS (
+        |  SELECT g.event_type, g.wstart,
+        |    CAST((epoch_us(g.wstart) - 1704067200000000) / 3600000000 AS INT) AS i,
+        |    COALESCE(a.n, 0) AS n
+        |  FROM grid g LEFT JOIN agg a USING (event_type, wstart))
+        |SELECT event_type, wstart, n,
+        |  ROUND(power(0.8, i) * SUM(CASE WHEN i = 0 THEN CAST(n AS DOUBLE)
+        |      ELSE 0.2 * n * power(0.8, -i) END)
+        |    OVER (PARTITION BY event_type ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) / 10000
+        |    AS ewma
+        |FROM j ORDER BY event_type, wstart""".stripMargin,
+
     "q_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
