@@ -69,6 +69,56 @@ object Analytics {
             "transform(sums, x -> cast(cast(round(x / n * 1000000, 0) as bigint) as string))"),
             ",").as("centroid"))
         .orderBy("label")
+    }),
+
+    // Entity-resolution fuzzy match over part names: dedupe to the
+    // DISTINCT name table first (the duplicate-pair explosion killer —
+    // 20k part rows share 64 names, and at corpus scale an entity
+    // table is always low-distinct relative to facts), then block by
+    // length band (edit distance ≤ 3 ⇒ |len(a)−len(b)| ≤ 3, so a
+    // band width of 4 with one-neighbor probing covers every true
+    // pair), and score candidates with the THRESHOLD form of
+    // levenshtein — O(k·n) banded DP instead of O(n²) per pair.
+    "q_fuzzy_match" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .select(col("p_name"), length(col("p_name")).as("len"),
+          (length(col("p_name")) / 4).cast("int").as("home"))
+      val probe = names.select(col("p_name").as("b_name"), col("len").as("b_len"),
+        explode(array(col("home") - 1, col("home"), col("home") + 1)).as("bkt"))
+      names.select(col("p_name").as("a_name"), col("len").as("a_len"),
+          col("home").as("bkt"))
+        .join(probe, "bkt")
+        .filter(col("a_name") < col("b_name") &&
+          abs(col("a_len") - col("b_len")) <= 3)
+        .select(col("a_name"), col("b_name"),
+          expr("levenshtein(a_name, b_name, 3)").as("dist"))
+        .filter(col("dist") =!= -1)
+        .distinct()
+        .orderBy("a_name", "b_name")
+    }),
+
+    // One-pass data profiling of the lineitem measures: count, nulls,
+    // distinct, min/max/avg per column — the validation table every
+    // ingest pipeline materializes. ONE scan computes all 4 columns'
+    // stats (multi-distinct expands the rows 4×, still a single
+    // shuffle); the 1-row result unpivots via stack into the
+    // (column_name, stats…) shape.
+    "q_profile_stats" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.lineitem(s, d)
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"),
+          (round(avg(col(c)) * lit(10000)) / lit(10000)).as(s"${c}_avg"))
+      }
+      val stackArgs = cols.map { c =>
+        s"'$c', ${c}_n, ${c}_nd, ${c}_min, ${c}_max, ${c}_avg"
+      }.mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_distinct, min_v, max_v, avg_v)"))
+        .orderBy("column_name")
     })
   )
 
@@ -103,6 +153,39 @@ object Analytics {
         |          generate_subscripts(embedding, 1) AS pos
         |        FROM embeddings)
         |  GROUP BY label, pos)
-        |GROUP BY label ORDER BY label""".stripMargin
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.p_name < b.p_name
+        | AND abs(len(a.p_name) - len(b.p_name)) <= 3
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY a_name, b_name""".stripMargin,
+
+    "q_profile_stats" ->
+      """SELECT column_name, n, n_distinct, min_v, max_v, avg_v FROM (
+        |  SELECT 'l_quantity' AS column_name, COUNT(l_quantity) AS n,
+        |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+        |    ROUND(AVG(l_quantity) * 10000) / 10000 AS avg_v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+        |    CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+        |    CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+        |    ROUND(AVG(l_extendedprice) * 10000) / 10000 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', COUNT(l_discount),
+        |    CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+        |    CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+        |    ROUND(AVG(l_discount) * 10000) / 10000 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', COUNT(l_tax),
+        |    CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+        |    CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+        |    ROUND(AVG(l_tax) * 10000) / 10000 FROM lineitem)
+        |ORDER BY column_name""".stripMargin
   )
 }
