@@ -251,11 +251,15 @@ object LlmOps {
       def assign(cents: DataFrame): DataFrame = {
         val packed = cents
           .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+        // try_element_at: a cluster can empty out mid-iteration, which
+        // shrinks the packed array — ANSI cents[i] would THROW, while a
+        // null entry yields a (null, null) struct that sorts below every
+        // real candidate and is never picked by greatest
         val cand = (0 until k).map { i =>
           struct(
-            when(lit(i) < size(col("cents")),
-              round(expr(s"cosine_sim(embedding, cents[$i].c)"), 6)).as("cos"),
-            (-col("cents")(i)("cid")).as("negcid"))
+            round(expr(s"cosine_sim(embedding, try_element_at(cents, ${i + 1}).c)"), 6)
+              .as("cos"),
+            (-expr(s"try_element_at(cents, ${i + 1}).cid")).as("negcid"))
         }
         e.crossJoin(broadcast(packed))
           .withColumn("best", greatest(cand: _*))
