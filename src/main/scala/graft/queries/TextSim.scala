@@ -124,6 +124,51 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // Centrality over the near-dup graph: damped PageRank (d=0.85,
+    // three fixed iterations, uniform init) on the τ=0.8 token-set
+    // similarity graph — ranks the "template" documents whose text
+    // recurs across the corpus (boilerplate hubs score high; the
+    // curation signal complementing q_dedup_components' cluster ids).
+    // Scale shape: the edge list is generated once via SetSimJoin.auto
+    // and localCheckpoint'd (AQE kept, lineage cut — re-running the
+    // set-sim join per iteration would triple the dominant cost);
+    // out-degrees join the edges once OUTSIDE the loop; each iteration
+    // is then one join (ranks are doc-count-sized — no broadcast hint,
+    // AQE decides; at cluster scale both sides co-partition on doc id)
+    // plus one groupBy(dst) sum. Ranks round at 1e-8 only on output —
+    // double accumulation drift (~1e-18) cannot reach the grain.
+    "q_pagerank" -> ((s, d) => {
+      Registry.ensure(s)
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count() // bounded driver scalar (as in ConnectedComponents)
+      val pairs = graft.operators.SetSimJoin.auto(s,
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr("token_hashes(split(text, ' '))").as("hs")),
+        tau = 0.8).select("a_id", "b_id")
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
+      var ranks = docs.select(col("doc_id"), (lit(1.0) / lit(n.toDouble)).as("r"))
+      for (_ <- 1 to 3) {
+        val inflow = edgesDeg
+          .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum(col("r") / col("deg")).as("inflow"))
+        ranks = docs.join(inflow, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(0.15 / n.toDouble) +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      }
+      ranks.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (round(col("r") * lit(100000000L)) / lit(100000000L)).as("pr"),
+          coalesce(col("deg"), lit(0L)).as("deg"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprints (constant-size near-dup sketch). OMIT
     // oracle — property-tested (determinism + self-similarity).
     "q_simhash" -> ((s, d) => {
@@ -225,6 +270,58 @@ object TextSim {
   )
 
   val oracle: Map[String, String] = Map(
+    // three unrolled PageRank iterations over the τ=0.8 token-set
+    // similarity graph (tok/sz/inter reproduce q_dedup_near_jaccard's
+    // pair semantics exactly)
+    "q_pagerank" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.8),
+        |edges AS MATERIALIZED (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |dg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS r FROM documents),
+        |r1 AS (
+        |  SELECT d.doc_id, 0.15 / (SELECT n FROM nn)
+        |      + 0.85 * COALESCE(f.inflow, 0) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.dst AS doc_id, SUM(p.r / dg.deg) AS inflow
+        |    FROM edges e JOIN r0 p ON e.src = p.doc_id
+        |    JOIN dg ON dg.src = e.src GROUP BY e.dst) f USING (doc_id)),
+        |r2 AS (
+        |  SELECT d.doc_id, 0.15 / (SELECT n FROM nn)
+        |      + 0.85 * COALESCE(f.inflow, 0) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.dst AS doc_id, SUM(p.r / dg.deg) AS inflow
+        |    FROM edges e JOIN r1 p ON e.src = p.doc_id
+        |    JOIN dg ON dg.src = e.src GROUP BY e.dst) f USING (doc_id)),
+        |r3 AS (
+        |  SELECT d.doc_id, 0.15 / (SELECT n FROM nn)
+        |      + 0.85 * COALESCE(f.inflow, 0) AS r
+        |  FROM documents d LEFT JOIN (
+        |    SELECT e.dst AS doc_id, SUM(p.r / dg.deg) AS inflow
+        |    FROM edges e JOIN r2 p ON e.src = p.doc_id
+        |    JOIN dg ON dg.src = e.src GROUP BY e.dst) f USING (doc_id))
+        |SELECT r3.doc_id, ROUND(r3.r * 100000000) / 100000000 AS pr,
+        |  CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg
+        |FROM r3 LEFT JOIN dg ON dg.src = r3.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_text_ngrams" ->
       """SELECT ngram, COUNT(*) AS cnt FROM (
         |  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
