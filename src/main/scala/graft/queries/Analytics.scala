@@ -97,6 +97,28 @@ object Analytics {
         .orderBy("a_name", "b_name")
     }),
 
+    // Prefix-weighted fuzzy scoring via the custom codegen'd
+    // jaro_winkler expression (expr/JaroWinkler.scala — byte-level,
+    // DuckDB-compatible semantics): all distinct-name pairs scoring
+    // ≥ 0.75. The quadratic is confined to the DEDUPED entity table
+    // (64 names behind 20k part rows; entity vocabularies stay small
+    // relative to facts) — JW has no levenshtein-style length bound to
+    // block on, so dedupe-first IS the scale lever here. The threshold
+    // compares the 6dp-ROUNDED score on both engines, so a final-ulp
+    // disagreement in the double arithmetic cannot flip a boundary
+    // pair in or out.
+    "q_fuzzy_jw" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      names.select(col("p_name").as("a_name"))
+        .crossJoin(names.select(col("p_name").as("b_name")))
+        .filter(col("a_name") < col("b_name"))
+        .select(col("a_name"), col("b_name"),
+          round(expr("jaro_winkler(a_name, b_name)"), 6).as("jw"))
+        .filter(col("jw") >= 0.75)
+        .orderBy("a_name", "b_name")
+    }),
+
     // One-pass data profiling of the lineitem measures: count, nulls,
     // distinct, min/max/avg per column — the validation table every
     // ingest pipeline materializes. ONE scan computes all 4 columns'
@@ -163,6 +185,14 @@ object Analytics {
         |  ON a.p_name < b.p_name
         | AND abs(len(a.p_name) - len(b.p_name)) <= 3
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY a_name, b_name""".stripMargin,
+
+    "q_fuzzy_jw" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75
         |ORDER BY a_name, b_name""".stripMargin,
 
     "q_profile_stats" ->

@@ -158,6 +158,25 @@ class R4OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(4) === 999L)                             // and it is event 999
   }
 
+  // ---- jaro_winkler: classic vectors + DuckDB-pinned semantics ----
+
+  test("jaro_winkler matches the classic vectors and DuckDB edge semantics") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.expr.JaroCore.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-12)
+    assert(math.abs(jw("small ring", "small wing") - 0.96) < 1e-12)
+    assert(jw("", "") === 0.0)          // DuckDB: empties score 0, not 1
+    assert(jw("a", "") === 0.0)
+    assert(jw("ab", "ba") === 0.0)      // window 0: no cross-position match
+    assert(jw("aaa", "aaa") === 1.0)
+    // no Winkler boost at jaro <= 0.7 despite the shared prefix
+    assert(math.abs(jw("aquickbrown", "azzzzzzzz") - 0.4006734006734007) < 1e-12)
+    assert(math.abs(jw("crate", "trace") - 0.7333333333333334) < 1e-12)
+  }
+
   // ---- q_retention_cohort: internal consistency at sf0.001 ----
 
   test("q_retention_cohort offset-0 counts equal cohort sizes, retention never exceeds them") {
