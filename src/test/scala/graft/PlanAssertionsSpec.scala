@@ -53,6 +53,31 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.toSet === Set("q_win_ntile_cume"), offenders.toString)
   }
 
+  test("q_kmeans assignment never shuffles the vectors") {
+    // the MLlib shape: packed broadcast centroids + per-row argmax.
+    // A groupBy(vec_id) argmax would hashpartition the corpus WITH its
+    // embedding column — the shape this pin forbids.
+    val p = plan("q_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("hashpartitioning(vec_id"),
+      "per-vector argmax must be map-side, not a shuffle\n" + p)
+  }
+
+  test("q_pagerank iterations read the checkpointed edges, never the set-sim join") {
+    val p = plan("q_pagerank")
+    assert(p.contains("Scan ExistingRDD"),
+      "edges must come from the localCheckpoint\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("sortedintersectcount"),
+      "re-running the set-sim verify inside the loop means the checkpoint was lost\n" + p)
+  }
+
+  test("q_fuzzy_match candidates come from the band equi-join, not a cartesian") {
+    val p = plan("q_fuzzy_match")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup plans keep their r2 shapes (the r1 local[32] blowup guards)") {
     // near-jaccard: no single-partition exchange anywhere (the r1
     // global token-rank window funneled the vocabulary through one
