@@ -56,6 +56,50 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Partitioned-write + partition-pruning surface: orders land as
+    // hive-style o_orderpriority=… parquet directories; the read-back
+    // filter must prune to ONE partition directory (PartitionFilters
+    // at the scan — pinned in PlanAssertionsSpec). At 100 TB this is
+    // the layout knob: a pruned scan reads 1/5th of the files before
+    // any row is decoded.
+    "q_io_partitioned" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_iop").toString
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$tmp/po")
+      s.read.parquet(s"$tmp/po")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("o_custkey").as("n_cust"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ANSI-mode error-safe function surface: try_divide (null at zero
+    // divisor), try_cast (null on malformed), try_element_at (null out
+    // of bounds) — the graceful-degradation API a pipeline needs when
+    // ANSI strictness (on by default in Spark 4) would otherwise fail
+    // a whole job on one bad row. min/max of the division are single
+    // operations on identical doubles (no accumulation), snapped via
+    // round(x·1e4)/1e4; counts are exact.
+    "q_try_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("try_divide(l_extendedprice, l_quantity - 25)").as("dv"),
+          expr("try_cast(CASE WHEN l_returnflag = 'A' THEN 'x' " +
+            "ELSE CAST(l_linenumber AS STRING) END AS INT)").as("cv"),
+          expr("try_element_at(sequence(1, CAST(l_quantity AS INT)), 30)").as("ev"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          count(col("dv")).as("n_div"),
+          (round(min("dv") * lit(10000)) / lit(10000)).as("min_div"),
+          (round(max("dv") * lit(10000)) / lit(10000)).as("max_div"),
+          count(col("cv")).as("n_cast"),
+          count(col("ev")).as("n_elem"))
+        .orderBy("l_returnflag")),
+
     "q_scan_pruned" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
@@ -113,6 +157,30 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_io_partitioned" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(dv) AS n_div,
+        |  ROUND(MIN(dv) * 10000) / 10000 AS min_div,
+        |  ROUND(MAX(dv) * 10000) / 10000 AS max_div,
+        |  COUNT(cv) AS n_cast,
+        |  COUNT(ev) AS n_elem
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_quantity = 25 THEN NULL
+        |         ELSE l_extendedprice / (l_quantity - 25) END AS dv,
+        |    TRY_CAST(CASE WHEN l_returnflag = 'A' THEN 'x'
+        |             ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER) AS cv,
+        |    list_extract(generate_series(1, CAST(l_quantity AS BIGINT)), 30) AS ev
+        |  FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // the oracle aggregates the ORIGINAL table: equality proves the
     // csv+json round-trips were lossless
     "q_io_roundtrip" ->

@@ -53,6 +53,12 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(offenders.toSet === Set("q_win_ntile_cume"), offenders.toString)
   }
 
+  test("q_io_partitioned prunes to one partition directory at the scan") {
+    val p = plan("q_io_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
+    assert(p.contains("(o_orderpriority") && p.contains("= 1-URGENT"), p)
+  }
+
   test("q_kmeans assignment never shuffles the vectors") {
     // the MLlib shape: packed broadcast centroids + per-row argmax.
     // A groupBy(vec_id) argmax would hashpartition the corpus WITH its
