@@ -122,6 +122,24 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: FIRST view strictly after each purchase (the
+    // response-lag direction; q_join_asof is the attribution
+    // direction). Same bounded-horizon note applies at scale.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("user_id") === col("v_user") && col("v_ts") > col("ts"), "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(min("v_ts").as("next_view_ts"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("next_view_ts").cast("timestamp_ntz").as("next_view_ts"))
+        .orderBy("event_id")
+    }),
+
     "q_join_cross" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_name", "n_name")
@@ -186,6 +204,14 @@ object Joins {
         |  (SELECT MAX(v.ts) FROM events v
         |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts)
         |  AS last_view_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT MIN(v.ts) FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts > p.ts)
+        |  AS next_view_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
 

@@ -28,6 +28,22 @@ object Sampling {
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")),
 
+    // Importance sampling: per-row keep probability proportional to a
+    // quality proxy (longer docs keep more often, capped at 1) — the
+    // curation knob between uniform sampling and hard filtering. The
+    // threshold lives ENTIRELY in integer space (least(10000,
+    // n_chars·25) vs the md5 bucket): a double threshold would round
+    // differently across engines at the bucket boundary (the
+    // q_domain_mix lesson — Spark CAST truncates, DuckDB rounds).
+    "q_weighted_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("thresh", least(lit(10000), col("n_chars") * lit(25)))
+        .withColumn("bucket", bucket(col("doc_id")))
+        .filter(col("bucket") < col("thresh"))
+        .select(col("doc_id"), col("bucket"),
+          (col("thresh") / lit(10000.0)).as("w"))
+        .orderBy("doc_id")),
+
     // 80/10/10 train/val/test split — every row labeled, stable under
     // reshuffling/re-partitioning/scale-out.
     "q_train_test_split" -> ((s, d) =>
@@ -112,6 +128,13 @@ object Sampling {
     "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, $bucketSql AS bucket,
+         |  LEAST(10000, n_chars * 25) / 10000.0 AS w
+         |FROM documents
+         |WHERE $bucketSql < LEAST(10000, n_chars * 25)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, $bucketSql AS bucket
          |FROM documents WHERE $bucketSql < 1000 ORDER BY doc_id""".stripMargin,
