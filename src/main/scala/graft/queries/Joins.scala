@@ -122,6 +122,74 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // TPC-H Q3 (shipping priority): the canonical fact⋈fact⋈dim
+    // 3-way with date range predicates on both fact sides. Revenue is
+    // computed in EXACT integer 1e-4-dollar units (cents × residual
+    // discount percent, both DECIMAL) so the per-order totals, their
+    // DESC ordering, and the top-10 cut are drift-free — a double
+    // SUM(p·(1−d)) straddles rounding boundaries between engines.
+    // customer/supplier carry NO broadcast hint (they scale with the
+    // corpus — §7.5 posture; AQE still broadcasts them at test sf);
+    // only region/nation are structurally bounded.
+    "q_tpch_q3" -> ((s, d) => {
+      val rev4 = (round(col("l_extendedprice") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        * round(lit(100) - col("l_discount") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), rev4.as("rev4"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum("rev4").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("r4"))
+        .orderBy(col("r4").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"),
+          col("r4").cast("string").as("revenue_e4"),
+          round(col("r4").cast("double") / 1e4, 2).as("revenue"))
+    }),
+
+    // TPC-H Q5 (local supplier volume): the 6-way region→nation→
+    // customer/supplier→orders→lineitem join with the c_nationkey =
+    // s_nationkey locality constraint. Same exact-decimal revenue.
+    "q_tpch_q5" -> ((s, d) => {
+      val rev4 = (round(col("l_extendedprice") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        * round(lit(100) - col("l_discount") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val n = Tables.nation(s, d).join(
+        Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), rev4.as("rev4"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("rev4").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("r4"))
+        .orderBy(col("r4").desc, col("n_name"))
+        .select(col("n_name"),
+          col("r4").cast("string").as("revenue_e4"),
+          round(col("r4").cast("double") / 1e4, 2).as("revenue"))
+    }),
+
     // Forward as-of: FIRST view strictly after each purchase (the
     // response-lag direction; q_join_asof is the attribution
     // direction). Same bounded-horizon note applies at scale.
@@ -206,6 +274,41 @@ object Joins {
         |  AS last_view_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, CAST(r4 AS VARCHAR) AS revenue_e4,
+        |  ROUND(CAST(r4 AS DOUBLE) / 10000, 2) AS revenue
+        |FROM (
+        |  SELECT l.l_orderkey, o.o_orderdate, CAST(SUM(
+        |      CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(20,0)) *
+        |      CAST(ROUND(100 - l.l_discount * 100, 0) AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS r4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |    AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |ORDER BY r4 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name, CAST(r4 AS VARCHAR) AS revenue_e4,
+        |  ROUND(CAST(r4 AS DOUBLE) / 10000, 2) AS revenue
+        |FROM (
+        |  SELECT n.n_name, CAST(SUM(
+        |      CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(20,0)) *
+        |      CAST(ROUND(100 - l.l_discount * 100, 0) AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS r4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA'
+        |    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |ORDER BY r4 DESC, n_name""".stripMargin,
 
     "q_join_asof_fwd" ->
       """SELECT p.event_id, p.user_id, p.ts,

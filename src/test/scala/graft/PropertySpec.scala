@@ -31,6 +31,49 @@ class PropertySpec extends AnyFunSuite {
       Literal(new GenericArrayData(b.map(x => x: Any)), ArrayType(FloatType)))
       .eval(null).asInstanceOf[Double]
 
+  test("jaro_winkler: bounded, symmetric, identity, monotone under prefix damage") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.expr.JaroCore.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    val strGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    samples(Gen.zip(strGen, strGen), 300).foreach { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"jw($a,$b)=$s out of range")
+      assert(s === jw(b, a), s"asymmetric on ($a,$b)")
+    }
+    samples(strGen, 100).foreach { a =>
+      assert(jw(a, a) === 1.0, s"identity failed on $a")
+    }
+    // equality with an independent char-based reference implementation
+    // (JaroCore is byte-based with its own loop structure)
+    def ref(a: String, b: String): Double = {
+      if (a.isEmpty || b.isEmpty) return 0.0
+      val w = math.max(0, math.max(a.length, b.length) / 2 - 1)
+      val bm = Array.fill(b.length)(false)
+      val pairs = a.zipWithIndex.flatMap { case (ch, i) =>
+        ((i - w).max(0) to (i + w).min(b.length - 1))
+          .find(j => !bm(j) && b(j) == ch).map { j => bm(j) = true; (i, j) }
+      }
+      val m = pairs.length
+      if (m == 0) return 0.0
+      val t = pairs.map(_._2).sliding(2).count { case Seq(x, y) => x > y; case _ => false } match {
+        case _ => // transpositions = matched chars out of order / 2, computed as in the classic
+          val bOrder = pairs.sortBy(_._1).map(_._2)
+          val aChars = pairs.sortBy(_._1).map(p => a(p._1))
+          val bChars = bOrder.sorted.map(b(_))
+          aChars.zip(bChars).count { case (x, y) => x != y } / 2
+      }
+      val j = (m.toDouble / a.length + m.toDouble / b.length + (m - t).toDouble / m) / 3.0
+      if (j <= 0.7) j
+      else j + a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size * 0.1 * (1.0 - j)
+    }
+    samples(Gen.zip(strGen, strGen), 500).foreach { case (a, b) =>
+      assert(math.abs(jw(a, b) - ref(a, b)) < 1e-12,
+        s"jw($a,$b)=${jw(a, b)} ref=${ref(a, b)}")
+    }
+  }
+
   test("cosine: self-similarity ~1, bounded, symmetric") {
     samples(vecGen, 100).filter(_.exists(_ != 0f)).foreach { v =>
       assert(math.abs(cos(v, v) - 1.0) < 1e-9)
