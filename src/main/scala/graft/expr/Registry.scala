@@ -27,6 +27,7 @@ object Registry {
     "sorted_intersect_count" -> ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
     "ngrams" -> ((es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n"))),
     "jaro_winkler" -> ((es: Seq[Expression]) => JaroWinklerSim(es(0), es(1))),
+    "zorder2" -> ((es: Seq[Expression]) => ZOrderKey.withCasts(es(0), es(1))),
     "keccak256" -> ((es: Seq[Expression]) => Keccak256(es(0))),
     "eth_checksum_address" -> ((es: Seq[Expression]) => ChecksumAddress(es(0))))
 

@@ -187,6 +187,49 @@ object EventsQ {
         .orderBy("user_id")
     }),
 
+    // Inter-arrival gap statistics per event type: lag over each
+    // (user, type) sequence, then one aggregation. Everything stays in
+    // exact integer microseconds until the final projection, where
+    // both engines perform the identical BIGINT/BIGINT/1e6 double
+    // division — no accumulation-order drift anywhere. At scale the
+    // window shuffles once on (user_id, event_type) and each task
+    // sorts only one user's slice; the output is 5 rows.
+    "q_gap_stats" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("us", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap").as("sum_gap_us"),
+          min("gap").as("min_gap_us"),
+          max("gap").as("max_gap_us"))
+        .select(col("event_type"), col("n_gaps"), col("sum_gap_us"),
+          col("min_gap_us"), col("max_gap_us"),
+          round(col("sum_gap_us") / col("n_gaps") / lit(1e6), 6).as("avg_gap_sec"))
+        .orderBy("event_type")
+    }),
+
+    // Rolling exact median of value over the 10 preceding events per
+    // type (ordered by (ts, event_id) — unique, so both engines see
+    // identical frame contents). Med snapped round(x·1e4)/1e4 like
+    // q_anomaly_mad: the two engines' even-count interpolation is the
+    // same (a+b)/2 formula but ulp-guarding the compare costs nothing.
+    // One shuffle on event_type; frame is O(11) per row.
+    "q_rolling_median" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          (round(expr("percentile(value, 0.5)").over(w) * lit(10000)) / lit(10000))
+            .as("med"))
+        .orderBy("event_id")
+    }),
+
     // Weekly cohort retention: cohort = week of a user's first event;
     // n_active = distinct cohort users active k weeks later. The
     // classic growth-analytics matrix — two shuffles (per-user min,
@@ -265,6 +308,27 @@ object EventsQ {
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "q_gap_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+        |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+        |  ROUND(CAST(SUM(gap) AS BIGINT) / COUNT(*) / 1000000.0, 6) AS avg_gap_sec
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rolling_median" ->
+      """SELECT event_id, event_type, value,
+        |  ROUND(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) * 10000) / 10000 AS med
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_retention_cohort" ->
       """WITH wk AS (

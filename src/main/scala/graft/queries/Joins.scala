@@ -190,6 +190,42 @@ object Joins {
           round(col("r4").cast("double") / 1e4, 2).as("revenue"))
     }),
 
+    // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    // lost to returns in one quarter. lineitem filters on returnflag
+    // before the join (scan-level pushdown cuts ~2/3 of the fact side);
+    // customer is the grouping side and carries NO broadcast hint
+    // (scales with the corpus — §7.5); nation is structurally bounded
+    // and broadcast. Same exact integer 1e-4-dollar revenue units as
+    // Q3/Q5 so the DESC order and the top-20 cut are drift-free;
+    // c_acctbal rides through untouched (no arithmetic → exact).
+    "q_tpch_q10" -> ((s, d) => {
+      val rev4 = (round(col("l_extendedprice") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        * round(lit(100) - col("l_discount") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), rev4.as("rev4"))
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum("rev4").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("r4"))
+        .orderBy(col("r4").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"),
+          col("r4").cast("string").as("revenue_e4"),
+          round(col("r4").cast("double") / 1e4, 2).as("revenue"))
+    }),
+
     // Forward as-of: FIRST view strictly after each purchase (the
     // response-lag direction; q_join_asof is the attribution
     // direction). Same bounded-horizon note applies at scale.
@@ -309,6 +345,24 @@ object Joins {
         |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  GROUP BY 1)
         |ORDER BY r4 DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(r4 AS VARCHAR) AS revenue_e4,
+        |  ROUND(CAST(r4 AS DOUBLE) / 10000, 2) AS revenue
+        |FROM (
+        |  SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, CAST(SUM(
+        |      CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(20,0)) *
+        |      CAST(ROUND(100 - l.l_discount * 100, 0) AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS r4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1, 2, 3, 4)
+        |ORDER BY r4 DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_join_asof_fwd" ->
       """SELECT p.event_id, p.user_id, p.ts,

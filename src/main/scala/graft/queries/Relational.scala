@@ -100,6 +100,33 @@ object Relational {
           count(col("ev")).as("n_elem"))
         .orderBy("l_returnflag")),
 
+    // Z-order layout audit: interleave (customer-key, order-day) into
+    // the Morton key (expr/ZOrder.scala), lay the table out in zkey
+    // order, and report per-file-bucket min/max of BOTH dimensions —
+    // the clustering-quality stats a reader's pruning would use. The
+    // production write path is `repartitionByRange($"zkey", ...)` +
+    // parquet (range exchange, fully parallel); the ntile here is the
+    // deterministic stand-in for "file number" so the bucket stats are
+    // oracle-checkable. Tight per-bucket ranges on both dims = a
+    // predicate on EITHER column skips most files at 100 TB.
+    "q_zorder_layout" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val z = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("xk"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("yk"))
+        .withColumn("zkey", expr("zorder2(xk, yk)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("zkey"), col("o_orderkey"))
+      z.withColumn("bucket", ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("xk").as("x_min"), max("xk").as("x_max"),
+          min("yk").as("y_min"), max("yk").as("y_max"))
+        .orderBy("bucket")
+    }),
+
     "q_scan_pruned" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
@@ -192,6 +219,27 @@ object Relational {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
+
+    // identical bit-interleave arithmetic via list_transform; ntile
+    // over the same (zkey, o_orderkey) total order assigns identical
+    // buckets in both engines
+    "q_zorder_layout" ->
+      """WITH z AS (
+        |  SELECT o_orderkey,
+        |    o_custkey % 65536 AS xk,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS yk
+        |  FROM orders),
+        |zz AS (
+        |  SELECT *, CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |      ((xk >> i) & 1) * (1::BIGINT << (2*i)) +
+        |      ((yk >> i) & 1) * (1::BIGINT << (2*i + 1)))) AS BIGINT) AS zkey
+        |  FROM z),
+        |b AS (
+        |  SELECT *, ntile(16) OVER (ORDER BY zkey, o_orderkey) AS bucket FROM zz)
+        |SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+        |  MIN(xk) AS x_min, MAX(xk) AS x_max,
+        |  MIN(yk) AS y_min, MAX(yk) AS y_max
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.{Registry, ZOrderKey}
+import graft.tables.Tables
+
+/** Semantic tests for the late-r4 operators beyond the oracle compare:
+  * z-order interleave properties (roundtrip, containment-box bound,
+  * codegen-only compilation), rolling-median and gap-stats full
+  * driver-side recomputes, TPC-H Q10 exact-decimal recompute.
+  */
+class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
+
+  // ---- zorder2 expression ----
+
+  test("zorder2 roundtrips and bounds: deinterleave inverts, quad-tree containment") {
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      val x = rnd.nextInt(65536).toLong
+      val y = rnd.nextInt(65536).toLong
+      val z = ZOrderKey.interleave16(x, y)
+      assert(z >= 0L && z < (1L << 32))
+      assert(ZOrderKey.deinterleave16(z) === ((x, y)))
+      // quad-tree containment: z < 4^k  <=>  x < 2^k && y < 2^k — the
+      // property that makes a zkey range scan a 2-D box scan
+      (1 to 16).foreach { k =>
+        assert((z < (1L << (2 * k))) === (x < (1L << k) && y < (1L << k)))
+      }
+    }
+  }
+
+  test("zorder2 DataFrame path matches the reference implementation; ints widen") {
+    Registry.ensure(spark)
+    val rows = spark.range(0, 1000).selectExpr(
+      "cast(pmod(id * 2654435761, 65536) as long) AS x",
+      "cast(pmod(id * 40503, 65536) as long) AS y",
+      "cast(pmod(id * 40503, 65536) as int) AS y_int")
+    val got = rows.selectExpr("x", "y", "zorder2(x, y) AS z", "zorder2(x, y_int) AS z2")
+      .collect()
+    got.foreach { r =>
+      val expect = ZOrderKey.interleave16(r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === expect)
+      assert(r.getLong(3) === expect, "int input must widen, not fail")
+    }
+  }
+
+  test("fused zorder2 projection compiles under CODEGEN_ONLY (freshName'd locals)") {
+    Registry.ensure(spark)
+    val conf = spark.conf
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = spark.range(1, 100).selectExpr(
+        "zorder2(id, id + 1) AS z1",
+        "zorder2(id + 1, id) AS z2").collect()
+      out.zipWithIndex.foreach { case (r, i) =>
+        val id = i + 1L
+        assert(r.getLong(0) === ZOrderKey.interleave16(id, id + 1))
+        assert(r.getLong(1) === ZOrderKey.interleave16(id + 1, id))
+      }
+    } finally {
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        conf.set("spark.sql.codegen.factoryMode", v))
+      oldFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+        conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
+  test("q_zorder_layout buckets are ntile-balanced with sane dim ranges") {
+    val got = SparkEntry.queries("q_zorder_layout")(spark, sf).collect()
+    assert(got.length === 16)
+    val total = got.map(_.getLong(1)).sum
+    assert(total === Tables.orders(spark, sf).count())
+    val sizes = got.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile must balance bucket sizes")
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // x_min <= x_max
+      assert(r.getLong(4) <= r.getLong(5)) // y_min <= y_max
+      assert(r.getLong(2) >= 0 && r.getLong(3) < 65536)
+    }
+  }
+
+  // ---- q_gap_stats: full driver-side recompute ----
+
+  test("q_gap_stats matches a driver-side recompute at sf0.001") {
+    import spark.implicits._
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val gaps = raw.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._4)).map(_._3)
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (evs.head._2, b - a) }
+    }
+    val expected = gaps.groupBy(_._1).map { case (tpe, gs) =>
+      val v = gs.map(_._2)
+      tpe -> ((v.size.toLong, v.sum, v.min, v.max,
+        BigDecimal(v.sum.toDouble / v.size / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = SparkEntry.queries("q_gap_stats")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, sum, mn, mx, avg) = expected(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === sum)
+      assert(r.getLong(3) === mn)
+      assert(r.getLong(4) === mx)
+      assert(math.abs(r.getDouble(5) - avg) < 1e-9)
+    }
+  }
+
+  // ---- q_rolling_median: full driver-side recompute ----
+
+  test("q_rolling_median matches a driver-side recompute at sf0.001") {
+    import spark.implicits._
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)].collect()
+    // interpolated median over the trailing <=11-row frame, identical
+    // ordering (ts, event_id)
+    val expected = raw.groupBy(_._1).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 10), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med =
+          if (n % 2 == 1) frame(n / 2)
+          else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        sorted(i)._3 -> math.round(med * 10000).toDouble / 10000
+      }
+    }
+    val got = SparkEntry.queries("q_rolling_median")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      assert(r.getDouble(3) === expected(r.getLong(0)),
+        s"event_id=${r.getLong(0)}")
+    }
+  }
+
+  // ---- q_tpch_q10: exact-decimal recompute ----
+
+  test("q_tpch_q10 matches a driver-side exact-decimal recompute at sf0.001") {
+    import spark.implicits._
+    val lo = lit("1997-01-01").cast("timestamp_ntz")
+    val hi = lit("1997-04-01").cast("timestamp_ntz")
+    val orders = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .as[(Long, Long)].collect().toMap
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .as[(Long, String, Int)].collect().map(c => c._1 -> c).toMap
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double)].collect()
+    val byCust = li.flatMap { case (ok, price, disc) =>
+      orders.get(ok).map { ck =>
+        ck -> (BigInt(math.round(price * 100)) * BigInt(math.round(100 - disc * 100)))
+      }
+    }.groupBy(_._1).map { case (ck, xs) => ck -> xs.map(_._2).sum }
+    val expectTop = byCust.toSeq.sortBy { case (ck, r4) => (-r4, ck) }.take(20)
+    val got = SparkEntry.queries("q_tpch_q10")(spark, sf).collect()
+    assert(got.length === expectTop.length)
+    got.zip(expectTop).foreach { case (r, (ck, r4)) =>
+      assert(r.getLong(0) === ck)
+      assert(r.getString(1) === cust(ck)._2)
+      assert(BigInt(r.getString(4)) === r4)
+    }
+  }
+}
