@@ -125,6 +125,34 @@ object Analytics {
     // stats (multi-distinct expands the rows 4×, still a single
     // shuffle); the 1-row result unpivots via stack into the
     // (column_name, stats…) shape.
+    // Skyline (Pareto frontier) of parts: cheapest-for-their-size parts
+    // under dominance (q.price <= p.price, q.size >= p.size, strict in
+    // one). NOT the quadratic NOT EXISTS self-join: survival reduces to
+    // two exact conditions — p is the max size AT its price, and
+    // strictly larger than the max size over all STRICTLY cheaper
+    // prices (a running max over the per-price aggregate). The window
+    // runs over the distinct-price table, which is what bounds the
+    // single-partition sort; at 100 TB the running max becomes the
+    // standard two-pass range-partitioned prefix aggregate. Every
+    // comparison is on raw stored doubles/ints — no arithmetic, no
+    // drift. The oracle deliberately uses the quadratic NOT EXISTS
+    // formulation: same semantics, independent derivation.
+    "q_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("p_retailprice")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val perPrice = p.groupBy("p_retailprice")
+        .agg(max("p_size").as("mx_here"))
+        .withColumn("mx_cheaper", max("mx_here").over(w))
+      p.join(perPrice, "p_retailprice")
+        .filter(col("p_size") === col("mx_here") &&
+          (col("mx_cheaper").isNull || col("p_size") > col("mx_cheaper")))
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    }),
+
     "q_profile_stats" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = Tables.lineitem(s, d)
@@ -194,6 +222,16 @@ object Analytics {
         |FROM names a JOIN names b ON a.p_name < b.p_name
         |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75
         |ORDER BY a_name, b_name""".stripMargin,
+
+    // independent quadratic formulation — semantics oracle
+    "q_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE (q.p_retailprice <  p.p_retailprice AND q.p_size >= p.p_size)
+        |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size >  p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT column_name, n, n_distinct, min_v, max_v, avg_v FROM (

@@ -226,6 +226,31 @@ object Joins {
           round(col("r4").cast("double") / 1e4, 2).as("revenue"))
     }),
 
+    // TPC-H Q18 (large-volume customers): orders whose total quantity
+    // exceeds 250, with their customer. The HAVING-filtered per-order
+    // aggregate computes FIRST (partial agg on l_orderkey, then the
+    // filter cuts it to a tiny table), so the orders/customer joins see
+    // only qualifying keys — AQE broadcasts the filtered side without a
+    // hint (it scales with the corpus, §7.5). l_quantity is integral in
+    // this data, so SUM is exact; o_totalprice rides through with no
+    // arithmetic — the DESC order and top-100 cut compare exact doubles.
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Forward as-of: FIRST view strictly after each purchase (the
     // response-lag direction; q_join_asof is the attribution
     // direction). Same bounded-horizon note applies at scale.
@@ -363,6 +388,16 @@ object Joins {
         |    AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
         |  GROUP BY 1, 2, 3, 4)
         |ORDER BY r4 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, b.sum_qty
+        |FROM (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
 
     "q_join_asof_fwd" ->
       """SELECT p.event_id, p.user_id, p.ts,

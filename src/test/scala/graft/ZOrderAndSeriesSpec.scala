@@ -142,6 +142,64 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- q_skyline: brute-force dominance recompute + tie semantics ----
+
+  test("q_skyline matches the quadratic dominance definition at sf0.001") {
+    import spark.implicits._
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .as[(Long, Double, Int)].collect()
+    val expected = parts.filter { p =>
+      !parts.exists(q =>
+        (q._2 < p._2 && q._3 >= p._3) || (q._2 <= p._2 && q._3 > p._3))
+    }.map(_._1).sorted
+    val got = SparkEntry.queries("q_skyline")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("q_skyline keeps BOTH members of an exact (price, size) tie") {
+    // two parts at the identical Pareto point: neither strictly
+    // dominates the other, so the frontier must contain both
+    val dir = java.nio.file.Files.createTempDirectory("graft_skyline").toString
+    import spark.implicits._
+    Seq(
+      (1L, "a", 10.0, 5), // frontier (tied with 2)
+      (2L, "b", 10.0, 5), // frontier (tied with 1)
+      (3L, "c", 12.0, 5), // dominated by 1/2 (pricier, same size)
+      (4L, "d", 9.0, 3),  // frontier (cheapest overall ceiling below)
+      (5L, "e", 9.5, 3)   // dominated by 4 (pricier, same size)
+    ).toDF("p_partkey", "p_name", "p_retailprice", "p_size")
+      .write.parquet(s"$dir/part.parquet")
+    val got = SparkEntry.queries("q_skyline")(spark, dir)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L, 4L))
+  }
+
+  // ---- q_tpch_q18: driver-side recompute ----
+
+  test("q_tpch_q18 matches a driver-side recompute at sf0.001") {
+    import spark.implicits._
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > 250).toMap
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)].collect()
+      .filter(o => qty.contains(o._1))
+    val expected = orders.sortBy(o => (-o._3, o._1)).take(100)
+    val got = SparkEntry.queries("q_tpch_q18")(spark, sf).collect()
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (r, (ok, ck, price)) =>
+      assert(r.getLong(2) === ok)
+      assert(r.getLong(0) === ck)
+      assert(r.getDouble(4) === price)
+      assert(r.getDouble(5) === qty(ok))
+    }
+  }
+
   // ---- q_tpch_q10: exact-decimal recompute ----
 
   test("q_tpch_q10 matches a driver-side exact-decimal recompute at sf0.001") {
