@@ -39,10 +39,15 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("q_win_ntile_cume is the ONLY deliberately-global window in the library") {
+  test("q_win_ntile_cume is the ONLY deliberately-global q_win* window") {
     // global-quantile semantics on a bounded dimension table — pinned
     // so any future un-partitioned window (a single-task scale-killer
-    // on unbounded input) fails this test and must justify itself here
+    // on unbounded input) fails this test and must justify itself here.
+    // Sanctioned global windows OUTSIDE the q_win* family: q_skyline
+    // (runs over the distinct-price aggregate, bounded) and
+    // q_zorder_layout (ntile file-number stand-in; the production
+    // write path is repartitionByRange, not this window) — both
+    // document their bound at the query site.
     val p = plan("q_win_ntile_cume")
     assert(p.contains("Window"), p)
     val offenders = SparkEntry.queries.keys.filter(_.startsWith("q_win")).filter { k =>
@@ -51,6 +56,36 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
       s.contains("Window") && s.contains("SinglePartition")
     }
     assert(offenders.toSet === Set("q_win_ntile_cume"), offenders.toString)
+  }
+
+  test("q_tpch_q10 pushes the returnflag filter to the scan; no cartesian") {
+    val p = plan("q_tpch_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag must reach the parquet scan\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q18 aggregates lineitem (2 columns only) below the joins") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("partial_sum"), "map-side partial agg expected\n" + p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      "lineitem scan must read exactly the agg columns\n" + p)
+  }
+
+  test("q_skyline joins back via equi-join, never the quadratic self-join") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_zorder_layout computes the Morton key inside codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val code = try {
+      SparkEntry.queries("q_zorder_layout")(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(code.contains("WholeStageCodegen"), code.take(500))
+    assert(!code.toLowerCase.contains("fallback eval"), code.take(1500))
   }
 
   test("q_io_partitioned prunes to one partition directory at the scan") {
