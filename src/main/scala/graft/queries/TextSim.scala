@@ -124,6 +124,28 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // Dedup-resolution REPORT: the cluster-size distribution of the
+    // near-dup graph — how much of the corpus is duplicated, and in
+    // what clump sizes (the number a curation run actually reviews:
+    // "N docs in M clusters of size k"). Same edge generation as
+    // q_dedup_components (a real pipeline materializes the component
+    // labels once and derives this from the saved table); the report
+    // itself is two tiny aggregations over the label column.
+    "q_dup_cluster_sizes" -> ((s, d) => {
+      Registry.ensure(s)
+      val docs = Tables.documents(s, d)
+      val edges = graft.operators.SetSimJoin.auto(s,
+        docs.select(col("doc_id"), col("lang"),
+          expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
+        .select("a_id", "b_id")
+      graft.operators.ConnectedComponents.components(s, docs.select("doc_id"), edges)
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     // Centrality over the near-dup graph: damped PageRank (d=0.85,
     // three fixed iterations, uniform init) on the τ=0.8 token-set
     // similarity graph — ranks the "template" documents whose text
@@ -371,6 +393,39 @@ object TextSim {
         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         |SELECT src AS doc_id, MIN(dst) AS cluster_id, MIN(dst) = src AS keep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // same recursive closure as q_dedup_components, rolled up to the
+    // size distribution
+    "q_dup_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+        |  WHERE len(l) >= 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))) AS j
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.3),
+        |sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS doc_id, MIN(dst) AS label FROM reach GROUP BY src),
+        |sizes AS (
+        |  SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  cluster_size * COUNT(*) AS n_docs
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -176,6 +176,22 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === Seq(1L, 2L, 4L))
   }
 
+  // ---- q_dup_cluster_sizes: consistency with the component labels ----
+
+  test("q_dup_cluster_sizes partitions the corpus and matches q_dedup_components") {
+    val sizes = SparkEntry.queries("q_dup_cluster_sizes")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(sizes.map(_.getLong(2)).sum === nDocs, "every doc in exactly one cluster")
+    sizes.foreach(r => assert(r.getLong(0) * r.getLong(1) === r.getLong(2)))
+    // the distribution must agree with the raw component labels
+    val labels = SparkEntry.queries("q_dedup_components")(spark, sf)
+      .collect().map(_.getLong(1))
+    val expected = labels.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = sizes.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   // ---- q_tpch_q18: driver-side recompute ----
 
   test("q_tpch_q18 matches a driver-side recompute at sf0.001") {
