@@ -41,7 +41,13 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)", "avg(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val selected = SparkEntry.queries.filter { case (name, _) =>
+    // Sorted, not Map (hash) order: hash order reshuffles every time a
+    // key is added, so "which key runs first and absorbs the first-use
+    // codegen of a shared operator stack" changed per round and made
+    // per-key timings non-diffable (q_dedup_components swung 3.4↔6.5 s
+    // across captures purely by position). Alphabetical order is stable
+    // across rounds and pays each family's warmup in the same place.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.contains(name))
     }
     val results = selected.map { case (name, fn) =>
@@ -60,7 +66,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val meta = s""""started":"$startedAt","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}""""
     val json = s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
