@@ -100,6 +100,42 @@ object Relational {
           count(col("ev")).as("n_elem"))
         .orderBy("l_returnflag")),
 
+    // Bucketed co-located join: both fact tables land as 8-bucket
+    // tables hashed AND sorted on the join key, so the per-order
+    // aggregate and the orders⋈lineitem join both run WITHOUT a
+    // shuffle — the plan contains zero hash-partition exchanges
+    // (pinned in PlanAssertionsSpec). This is THE layout knob for a
+    // repeated fact⋈fact join at 100 TB: the shuffle is paid once at
+    // write time and amortized over every subsequent join/aggregate on
+    // that key. Tables are session-catalog parquet (DROP + overwrite →
+    // re-runs are idempotent).
+    "q_join_bucketed" -> ((s, d) => {
+      // the in-memory catalog is per-session but the warehouse DIR
+      // persists on disk — drop both, or a fresh session hits
+      // LOCATION_ALREADY_EXISTS on the stale directory
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          java.net.URI.create(s.conf.get("spark.sql.warehouse.dir") + "/" + t))
+        fs.delete(loc, true)
+      }
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_bkt_orders")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_bkt_lineitem")
+      val agg = s.table("graft_bkt_lineitem")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+      s.table("graft_bkt_orders")
+        .join(agg, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_totalprice", "n_lines", "sum_qty")
+        .orderBy("o_orderkey")
+        .limit(200)
+    }),
+
     // Z-order layout audit: interleave (customer-key, order-day) into
     // the Morton key (expr/ZOrder.scala), lay the table out in zkey
     // order, and report per-file-bucket min/max of BOTH dimensions —
@@ -219,6 +255,17 @@ object Relational {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
+
+    // the oracle sees the original tables — equality proves the
+    // bucketed write/read round-trip is lossless
+    "q_join_bucketed" ->
+      """SELECT o.o_orderkey, o.o_totalprice, l.n_lines, l.sum_qty
+        |FROM orders o
+        |JOIN (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey LIMIT 200""".stripMargin,
 
     // identical bit-interleave arithmetic via list_transform; ntile
     // over the same (zkey, o_orderkey) total order assigns identical

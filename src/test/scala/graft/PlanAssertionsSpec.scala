@@ -88,6 +88,19 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(!code.toLowerCase.contains("fallback eval"), code.take(1500))
   }
 
+  test("q_join_bucketed: agg and join run with ZERO hash-partition exchanges") {
+    // both tables are bucketed+sorted on the join key, so the per-order
+    // aggregate and the orders⋈lineitem join must reuse the bucket
+    // layout — any "Exchange hashpartitioning" means the write-time
+    // shuffle amortization was lost
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
+    df.collect() // AQE finalizes the executed plan
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "orderBy+limit must plan as TakeOrderedAndProject\n" + p)
+  }
+
   test("q_io_partitioned prunes to one partition directory at the scan") {
     val p = plan("q_io_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
