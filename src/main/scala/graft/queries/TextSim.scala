@@ -146,6 +146,37 @@ object TextSim {
         .orderBy("cluster_size")
     }),
 
+    // Recursive-CTE SQL surface (Spark 4's WITH RECURSIVE): depth-
+    // limited BFS over the near-dup graph from the smallest doc that
+    // participates in any edge — min hop count per reached doc. The
+    // edge list is a custom-operator DataFrame (SetSimJoin) registered
+    // as a temp view and traversed in pure SQL: the recursion the
+    // engine itself executes, not an iterative driver loop (contrast
+    // q_dedup_components). Depth cap 3 bounds the UNION ALL path
+    // blow-up on cliques; near-dup clusters are small, and at corpus
+    // scale each recursion step is one equi-join on the hop frontier.
+    "q_cte_recursive" -> ((s, d) => {
+      Registry.ensure(s)
+      val docs = Tables.documents(s, d)
+      val edges = graft.operators.SetSimJoin.auto(s,
+        docs.select(col("doc_id"), col("lang"),
+          expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
+        .select("a_id", "b_id")
+      edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .createOrReplaceTempView("graft_dup_edges")
+      s.sql("""
+        |WITH RECURSIVE reach(doc_id, depth) AS (
+        |  SELECT MIN(src), 0 FROM graft_dup_edges
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN graft_dup_edges e ON r.doc_id = e.src
+        |  WHERE r.depth < 3)
+        |SELECT doc_id, MIN(depth) AS min_depth
+        |FROM reach WHERE doc_id IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
     // Centrality over the near-dup graph: damped PageRank (d=0.85,
     // three fixed iterations, uniform init) on the τ=0.8 token-set
     // similarity graph — ranks the "template" documents whose text
@@ -393,6 +424,36 @@ object TextSim {
         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         |SELECT src AS doc_id, MIN(dst) AS cluster_id, MIN(dst) = src AS keep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // identical BFS recursion over the SQL-derived pair list
+    "q_cte_recursive" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+        |  WHERE len(l) >= 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))) AS j
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.3),
+        |sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(doc_id, depth) AS (
+        |  SELECT MIN(src), 0 FROM sym
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN sym e ON r.doc_id = e.src
+        |  WHERE r.depth < 3)
+        |SELECT doc_id, MIN(depth) AS min_depth
+        |FROM reach WHERE doc_id IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same recursive closure as q_dedup_components, rolled up to the
     // size distribution

@@ -192,6 +192,26 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  // ---- q_cte_recursive: driver-side BFS recompute ----
+
+  test("q_cte_recursive matches a driver-side BFS over the shingle pairs") {
+    val pairs = SparkEntry.queries("q_dedup_shingle")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seed = pairs.map(_._1).min
+    var depths = Map(seed -> 0)
+    var frontier = Set(seed)
+    (1 to 3).foreach { d =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(depths.contains)
+      depths ++= frontier.map(_ -> d)
+    }
+    val got = SparkEntry.queries("q_cte_recursive")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === depths)
+  }
+
   // ---- q_tpch_q18: driver-side recompute ----
 
   test("q_tpch_q18 matches a driver-side recompute at sf0.001") {
