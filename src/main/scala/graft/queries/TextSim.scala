@@ -146,6 +146,32 @@ object TextSim {
         .orderBy("cluster_size")
     }),
 
+    // Triangle participation count per doc over the τ=0.8 token-set
+    // near-dup graph — the clique-density curation signal completing
+    // the graph trio (components = clusters, PageRank = hubs,
+    // triangles = how clique-like each doc's neighborhood is; boiler-
+    // plate families show up as dense triangle clusters). The edge
+    // list is already canonically ORIENTED (a_id < b_id), so each
+    // triangle is enumerated exactly once by two equi-joins on the
+    // oriented list — the standard sub-quadratic shape (at corpus
+    // scale, orient by degree instead of id to bound the wedge join
+    // on skewed graphs; id order suffices on this near-regular one).
+    "q_graph_triangles" -> ((s, d) => {
+      Registry.ensure(s)
+      val e = graft.operators.SetSimJoin.auto(s,
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr("token_hashes(split(text, ' '))").as("hs")),
+        tau = 0.8).select("a_id", "b_id")
+      val tri = e.select(col("a_id").as("x"), col("b_id").as("y"))
+        .join(e.select(col("a_id").as("y"), col("b_id").as("z")), "y")
+        .join(e.select(col("a_id").as("x"), col("b_id").as("z")), Seq("x", "z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    }),
+
     // Recursive-CTE SQL surface (Spark 4's WITH RECURSIVE): depth-
     // limited BFS over the near-dup graph from the smallest doc that
     // participates in any edge — min hop count per reached doc. The
@@ -424,6 +450,34 @@ object TextSim {
         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         |SELECT src AS doc_id, MIN(dst) AS cluster_id, MIN(dst) = src AS keep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // same inverted-index pair derivation as q_dedup_near_jaccard,
+    // then the identical oriented 3-way join
+    "q_graph_triangles" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.8),
+        |tri AS (
+        |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b_id = e2.a_id
+        |  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+        |u AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+        |SELECT doc_id, COUNT(*) AS n_triangles
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical BFS recursion over the SQL-derived pair list
     "q_cte_recursive" ->

@@ -192,6 +192,26 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  // ---- q_graph_triangles: brute-force recompute ----
+
+  test("q_graph_triangles matches a brute-force triangle count at sf0.001") {
+    val edges = SparkEntry.queries("q_dedup_near_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if edges((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if edges((nodes(j), nodes(k))) && edges((nodes(i), nodes(k)))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach { n =>
+      expected(n) = expected.getOrElse(n, 0L) + 1
+    }
+    val got = SparkEntry.queries("q_graph_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected.toMap)
+  }
+
   // ---- q_cte_recursive: driver-side BFS recompute ----
 
   test("q_cte_recursive matches a driver-side BFS over the shingle pairs") {
