@@ -146,23 +146,26 @@ object TextSim {
         .orderBy("cluster_size")
     }),
 
-    // Triangle participation count per doc over the τ=0.8 token-set
-    // near-dup graph — the clique-density curation signal completing
-    // the graph trio (components = clusters, PageRank = hubs,
-    // triangles = how clique-like each doc's neighborhood is; boiler-
-    // plate families show up as dense triangle clusters). The edge
-    // list is already canonically ORIENTED (a_id < b_id), so each
-    // triangle is enumerated exactly once by two equi-joins on the
-    // oriented list — the standard sub-quadratic shape (at corpus
-    // scale, orient by degree instead of id to bound the wedge join
-    // on skewed graphs; id order suffices on this near-regular one).
+    // Triangle participation count per doc over the τ=0.95 token-set
+    // near-IDENTICAL graph — the clique-density curation signal
+    // completing the graph trio (components = clusters, PageRank =
+    // hubs, triangles = how clique-like each doc's neighborhood is).
+    // τ matters here more than on any other graph key: triangle COUNT
+    // is cubic in clique size, so a loose threshold makes the OUTPUT
+    // itself explode (measured: τ=0.8 at sf0.1 → 759k edges, 154M
+    // triangles, 78 s of pure enumeration; τ=0.95 → 47k edges, 1.5M).
+    // The edge list is localCheckpoint'd — it feeds THREE join legs,
+    // and without materialization each leg re-runs the whole set-sim
+    // join. Canonical a<b orientation enumerates each triangle once
+    // via two equi-joins (at corpus scale, orient by degree instead
+    // of id to bound the wedge join on skewed graphs).
     "q_graph_triangles" -> ((s, d) => {
       Registry.ensure(s)
       val e = graft.operators.SetSimJoin.auto(s,
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             expr("token_hashes(split(text, ' '))").as("hs")),
-        tau = 0.8).select("a_id", "b_id")
+        tau = 0.95).select("a_id", "b_id").localCheckpoint(true)
       val tri = e.select(col("a_id").as("x"), col("b_id").as("y"))
         .join(e.select(col("a_id").as("y"), col("b_id").as("z")), "y")
         .join(e.select(col("a_id").as("x"), col("b_id").as("z")), Seq("x", "z"))
@@ -188,8 +191,13 @@ object TextSim {
         docs.select(col("doc_id"), col("lang"),
           expr("bigram_hashes(split(text, ' '))").as("hs")), tau = 0.3)
         .select("a_id", "b_id")
+      // localCheckpoint BEFORE the view: every recursion STEP scans
+      // the view, and an unmaterialized view re-executes the whole
+      // set-sim join per step (measured 42 s for a 79-edge graph at
+      // sf0.1 — ~8 re-executions). Materialized: the steps scan an RDD.
       edges.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
         .createOrReplaceTempView("graft_dup_edges")
       s.sql("""
         |WITH RECURSIVE reach(doc_id, depth) AS (
@@ -463,13 +471,13 @@ object TextSim {
         |  FROM tok a JOIN tok b
         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT a_id, b_id FROM (
         |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
         |    FROM inter
         |    JOIN sz sa ON inter.a_id = sa.doc_id
         |    JOIN sz sb ON inter.b_id = sb.doc_id)
-        |  WHERE j >= 0.8),
+        |  WHERE j >= 0.95),
         |tri AS (
         |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
         |  FROM e e1

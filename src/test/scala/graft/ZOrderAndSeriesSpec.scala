@@ -195,8 +195,20 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
   // ---- q_graph_triangles: brute-force recompute ----
 
   test("q_graph_triangles matches a brute-force triangle count at sf0.001") {
-    val edges = SparkEntry.queries("q_dedup_near_jaccard")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import spark.implicits._
+    // independent edge derivation at the query's τ=0.95: distinct-token
+    // Jaccard per same-lang doc pair, brute force over the 500 docs
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+      .map(d => (d._1, d._2, d._3.split(" ").toSet))
+    val edges = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._2 == b._2
+      inter = (a._3 & b._3).size
+      j = inter.toDouble / (a._3.size + b._3.size - inter)
+      if j >= 0.95
+    } yield (a._1, b._1)).toSet
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
     val expected = scala.collection.mutable.Map.empty[Long, Long]
     for {
