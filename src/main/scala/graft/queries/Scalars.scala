@@ -126,6 +126,23 @@ object Scalars {
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)),
 
+    // Structured JSON surface (schema-projected from_json → typed
+    // struct → canonical to_json), complementing q_json_extract's
+    // path extraction: this is the shape that scales — one JacksonParser
+    // pass with a fixed schema instead of a path walk per field, fully
+    // columnar output. The canonical re-serialization is oracle-checked
+    // character-exact (DuckDB rebuilds the same '{"k":N}' string).
+    "q_json_struct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).as("p"))
+        .select(col("event_id"), col("event_type"), col("p.k").as("k"),
+          to_json(struct(col("p.k").as("k"))).as("canon"))
+        .filter(col("k") >= 50)
+        .orderBy("event_id")),
+
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
@@ -218,6 +235,12 @@ object Scalars {
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q_json_struct" ->
+      """SELECT event_id, event_type, k, '{"k":' || k || '}' AS canon
+        |FROM (SELECT event_id, event_type,
+        |        CAST(props->>'$.k' AS INT) AS k FROM events)
+        |WHERE k >= 50 ORDER BY event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
