@@ -269,6 +269,47 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // The as-of join in its 100 TB shape: q_join_asof's join+group-max
+    // costs O(views × purchases) per user; this one is O(n log n) —
+    // tag both sides, hash-repartition by user, sort each partition by
+    // (user, ts, kind), and one mapPartitions merge scan carries the
+    // last seen view forward into each purchase row. `kind` sorts
+    // views (0) before purchases (1) at equal ts, giving the same
+    // inclusive v_ts <= ts semantics; the oracle is IDENTICAL to
+    // q_join_asof's correlated subquery, so the two plans are proven
+    // equivalent cross-engine. This is the sanctioned mapPartitions
+    // case (§2 preference (d)): genuinely per-partition imperative
+    // logic no built-in operator expresses without a quadratic blowup.
+    "q_join_asof_merge" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .select(lit(-1L).as("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), lit(0).as("kind"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), lit(1).as("kind"))
+      val merged = v.unionByName(p)
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "kind")
+        .as[(Long, Long, Long, Int)]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var lastView = Option.empty[Long]
+          it.flatMap { case (eid, uid, us, kind) =>
+            if (uid != curUser) { curUser = uid; lastView = None }
+            if (kind == 0) { lastView = Some(us); None }
+            else Some((eid, uid, us, lastView))
+          }
+        }
+        .toDF("event_id", "user_id", "us", "last_view_us")
+      merged.select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"),
+          expr("timestamp_micros(last_view_us)").cast("timestamp_ntz")
+            .as("last_view_ts"))
+        .orderBy("event_id")
+    }),
+
     "q_join_cross" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_name", "n_name")
@@ -329,6 +370,16 @@ object Joins {
         |GROUP BY v.user_id ORDER BY user_id""".stripMargin,
 
     "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  (SELECT MAX(v.ts) FROM events v
+        |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts)
+        |  AS last_view_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    // IDENTICAL to q_join_asof's oracle: the merge-scan plan must
+    // produce exactly what the join+group-max plan produces
+    "q_join_asof_merge" ->
       """SELECT p.event_id, p.user_id, p.ts,
         |  (SELECT MAX(v.ts) FROM events v
         |   WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts)

@@ -192,6 +192,14 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  // ---- q_join_asof_merge ≡ q_join_asof ----
+
+  test("q_join_asof_merge produces exactly q_join_asof's rows") {
+    val a = SparkEntry.queries("q_join_asof")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_join_asof_merge")(spark, sf).collect().toSeq
+    assert(b === a)
+  }
+
   // ---- q_graph_triangles: brute-force recompute ----
 
   test("q_graph_triangles matches a brute-force triangle count at sf0.001") {
