@@ -100,6 +100,28 @@ object Relational {
           count(col("ev")).as("n_elem"))
         .orderBy("l_returnflag")),
 
+    // XML source/sink (native in Spark 4 — the merged spark-xml):
+    // same lossless-round-trip contract as q_io_roundtrip, over the
+    // remaining text format. Read-back uses the explicit schema (XML
+    // carries no types); equality with the oracle's aggregate over the
+    // ORIGINAL table proves write+parse lossless for longs/doubles/
+    // strings (Java Double.toString is round-trip exact).
+    "q_io_xml" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      o.write.mode("overwrite").format("xml")
+        .option("rootTag", "orders").option("rowTag", "o")
+        .save(s"$tmp/xml")
+      s.read.format("xml").option("rowTag", "o").schema(o.schema)
+        .load(s"$tmp/xml")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("o_custkey").as("n_cust"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Bucketed co-located join: both fact tables land as 8-bucket
     // tables hashed AND sorted on the join key, so the per-order
     // aggregate and the orders⋈lineitem join both run WITHOUT a
@@ -255,6 +277,14 @@ object Relational {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
+
+    // aggregates the ORIGINAL table: equality proves the XML
+    // round-trip was lossless
+    "q_io_xml" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the oracle sees the original tables — equality proves the
     // bucketed write/read round-trip is lossless
