@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
+import graft.tables.Tables
 
 /** Oracle-checkable projections of the multimodal envelope (the
   * binary payload round-trips through the struct; scalar facts about
@@ -20,6 +21,31 @@ object MultimodalQ {
           col("media.meta")("lang").as("meta_lang"))
         .orderBy("doc_id")),
 
+    // Real file-based media ingest via the binaryFile source — the
+    // path an image/audio corpus actually enters Spark through (one
+    // row per file: path, length, raw bytes). The fixture files are
+    // written driver-side (bounded: 100 docs, the test stand-in for
+    // an object store); the engine-side read, projection, and hashing
+    // are the real distributed plumbing. The oracle recomputes length
+    // and md5 from the same text in DuckDB (strlen = BYTES there), so
+    // equality proves the file write + binary read are byte-exact.
+    "q_mm_binary_ingest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text").filter(col("doc_id") < 100)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bin").toString
+      docs.collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$tmp/doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.format("binaryFile").load(tmp)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_mm_decode" -> ((s, d) =>
       Multimodal.decodeStub(s, d).orderBy("doc_id")),
 
@@ -32,6 +58,13 @@ object MultimodalQ {
   )
 
   val oracle: Map[String, String] = Map(
+    // strlen = BYTE length in DuckDB; md5 hashes the UTF-8 bytes —
+    // both must equal what the binaryFile source read back
+    "q_mm_binary_ingest" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
     "q_mm_envelope" ->
       """SELECT doc_id,
         |  'doc://' || doc_id AS uri,
