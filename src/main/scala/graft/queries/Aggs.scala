@@ -83,6 +83,20 @@ object Aggs {
         .orderBy("o_orderkey")
     }),
 
+    // Boolean/conditional aggregate family: count_if, bool_and/bool_or,
+    // and the SQL FILTER clause — all exact (integral quantity sums,
+    // boolean outcomes), no rounding surface at all.
+    "q_agg_bool" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_quantity > 25)").as("n_big"),
+          expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep"),
+          expr("sum(l_quantity) FILTER (WHERE l_discount > 0.05)").as("qty_deep"),
+          expr("count(*) FILTER (WHERE l_tax = 0)").as("n_taxfree"))
+        .orderBy("l_returnflag")),
+
     "q_agg_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -180,6 +194,15 @@ object Aggs {
         |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
         |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_deep,
+        |  SUM(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_deep,
+        |  COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_stats" ->

@@ -54,6 +54,22 @@ object Scalars {
         .orderBy("o_orderkey")
         .limit(500)),
 
+    // Bitwise function family over exact integers — the last scalar
+    // family the surface was missing (masking, packing, popcount: the
+    // ops feature-hashing and bitmap-index code lean on).
+    "q_bitwise" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          bitwise_not(col("event_id")).as("bnot"),
+          (col("event_id") bitwiseAND lit(255L)).as("band"),
+          (col("event_id") bitwiseOR lit(4096L)).as("bor"),
+          (col("event_id") bitwiseXOR col("user_id")).as("bxor"),
+          expr("shiftleft(event_id, 3)").as("shl"),
+          expr("shiftright(event_id, 2)").as("shr"),
+          expr("bit_count(event_id)").as("pop"),
+          expr("bit_get(event_id, 4)").as("bit4"))
+        .orderBy("event_id")),
+
     "q_math_funcs" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -185,6 +201,18 @@ object Scalars {
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
         |  CAST(isodow(o_orderdate) - 1 AS INT) AS wd
         |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
+    "q_bitwise" ->
+      """SELECT event_id,
+        |  ~event_id AS bnot,
+        |  event_id & 255 AS band,
+        |  event_id | 4096 AS bor,
+        |  xor(event_id, user_id) AS bxor,
+        |  event_id << 3 AS shl,
+        |  event_id >> 2 AS shr,
+        |  CAST(bit_count(event_id) AS INT) AS pop,
+        |  CAST((event_id >> 4) & 1 AS TINYINT) AS bit4
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
