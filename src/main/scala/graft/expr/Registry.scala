@@ -28,6 +28,15 @@ object Registry {
     "ngrams" -> ((es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n"))),
     "jaro_winkler" -> ((es: Seq[Expression]) => JaroWinklerSim(es(0), es(1))),
     "zorder2" -> ((es: Seq[Expression]) => ZOrderKey.withCasts(es(0), es(1))),
+    // Spark's internal runtime-filter bloom expressions, surfaced as
+    // SQL functions (4.x registers neither publicly): the explicit
+    // sketch-then-verify join pre-filter (q_join_bloom_prefilter).
+    // bloom_might_contain requires the filter side to be a literal or
+    // scalar subquery — exactly how InjectRuntimeFilter uses it.
+    "bloom_agg" -> ((es: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0))),
+    "bloom_might_contain" -> ((es: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
     "keccak256" -> ((es: Seq[Expression]) => Keccak256(es(0))),
     "eth_checksum_address" -> ((es: Seq[Expression]) => ChecksumAddress(es(0))))
 

@@ -269,6 +269,34 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // Explicit bloom-filter semi-join pre-filter — the sketch-then-
+    // verify JOIN shape: the build side aggregates into one bloom blob
+    // (Spark's internal BloomFilterAggregate, surfaced via Registry),
+    // the scalar subquery broadcasts it, and the probe side drops
+    // non-members BEFORE the shuffle; the IN semi-join then removes the
+    // false positives. No false negatives, so result ≡ the plain
+    // semi-join — which is exactly what the oracle runs. At 100 TB this
+    // is the row-level runtime filter made explicit: the big fact side
+    // is pruned at the scan side of the exchange instead of shuffling
+    // every row to the join.
+    "q_join_bloom_prefilter" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey").createOrReplaceTempView("graft_bloom_build")
+      Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_quantity")
+        .createOrReplaceTempView("graft_bloom_probe")
+      s.sql("""
+        |SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM graft_bloom_probe l
+        |WHERE bloom_might_contain(
+        |        (SELECT bloom_agg(xxhash64(o_orderkey)) FROM graft_bloom_build),
+        |        xxhash64(l.l_orderkey))
+        |  AND l.l_orderkey IN (SELECT o_orderkey FROM graft_bloom_build)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // The as-of join in its 100 TB shape: q_join_asof's join+group-max
     // costs O(views × purchases) per user; this one is O(n log n) —
     // tag both sides, hash-repartition by user, sort each partition by
@@ -376,6 +404,17 @@ object Joins {
         |  AS last_view_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    // the bloom pre-filter admits no false negatives, so the exact
+    // semi-join alone defines the result
+    "q_join_bloom_prefilter" ->
+      """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem l
+        |WHERE l.l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // IDENTICAL to q_join_asof's oracle: the merge-scan plan must
     // produce exactly what the join+group-max plan produces

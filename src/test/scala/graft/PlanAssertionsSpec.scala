@@ -101,6 +101,18 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
       "orderBy+limit must plan as TakeOrderedAndProject\n" + p)
   }
 
+  test("q_join_bloom_prefilter probes the bloom BEFORE the semi join") {
+    val df = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    val probe = p.indexOf("Filter might_contain")
+    val join = p.indexOf("LeftSemi")
+    assert(probe >= 0, "bloom probe missing from the plan\n" + p)
+    assert(join >= 0, "exact semi-join verify missing\n" + p)
+    // tree prints top-down: the filter must sit BELOW (after) the join
+    assert(probe > join, "bloom filter must prune the probe side below the join\n" + p)
+  }
+
   test("q_io_partitioned prunes to one partition directory at the scan") {
     val p = plan("q_io_partitioned")
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"), p)
