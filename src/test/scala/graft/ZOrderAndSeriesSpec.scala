@@ -192,6 +192,28 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  // ---- bloom_agg / bloom_might_contain: no false negatives ----
+
+  test("bloom filter admits every inserted key and rejects most others") {
+    Registry.ensure(spark)
+    spark.range(0, 5000).createOrReplaceTempView("bloom_in")
+    // every inserted key must probe true (the property the semi-join
+    // pre-filter's correctness rests on)
+    val misses = spark.sql(
+      """SELECT COUNT(*) FROM bloom_in
+        |WHERE NOT bloom_might_contain(
+        |  (SELECT bloom_agg(xxhash64(id)) FROM bloom_in), xxhash64(id))""".stripMargin)
+      .head().getLong(0)
+    assert(misses === 0L, "bloom filters must have no false negatives")
+    // and the false-positive rate on disjoint keys stays far below 1
+    val fp = spark.sql(
+      """SELECT COUNT(*) FROM (SELECT id + 1000000 AS id FROM bloom_in)
+        |WHERE bloom_might_contain(
+        |  (SELECT bloom_agg(xxhash64(id)) FROM bloom_in), xxhash64(id))""".stripMargin)
+      .head().getLong(0)
+    assert(fp < 500, s"false-positive rate implausibly high: $fp/5000")
+  }
+
   // ---- q_join_asof_merge ≡ q_join_asof ----
 
   test("q_join_asof_merge produces exactly q_join_asof's rows") {
