@@ -125,6 +125,26 @@ object Analytics {
     // stats (multi-distinct expands the rows 4×, still a single
     // shuffle); the 1-row result unpivots via stack into the
     // (column_name, stats…) shape.
+    // Equi-depth binning (the quantile-bucket profile): ntile(10) over
+    // value per event type, then per-bin count/min/max — the boundary
+    // table a feature-binning or drift-monitoring step consumes. All
+    // compares on raw stored doubles; ntile over the unique
+    // (value, event_id) order is engine-identical. The per-type window
+    // shuffles once on event_type; at corpus scale this is
+    // approx_percentile boundaries + a broadcast bucket join instead,
+    // but the exact ntile is the oracle-checkable reference semantics.
+    "q_equidepth_bins" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"),
+          min("value").as("lo"), max("value").as("hi"))
+        .orderBy("event_type", "bin")
+    }),
+
     // Skyline (Pareto frontier) of parts: cheapest-for-their-size parts
     // under dominance (q.price <= p.price, q.size >= p.size, strict in
     // one). NOT the quadratic NOT EXISTS self-join: survival reduces to
@@ -222,6 +242,15 @@ object Analytics {
         |FROM names a JOIN names b ON a.p_name < b.p_name
         |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.75
         |ORDER BY a_name, b_name""".stripMargin,
+
+    "q_equidepth_bins" ->
+      """SELECT event_type, CAST(bin AS INT) AS bin, COUNT(*) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+        |  FROM events)
+        |GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin,
 
     // independent quadratic formulation — semantics oracle
     "q_skyline" ->
