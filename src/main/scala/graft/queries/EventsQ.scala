@@ -218,7 +218,11 @@ object EventsQ {
     // identical frame contents). Med snapped round(x·1e4)/1e4 like
     // q_anomaly_mad: the two engines' even-count interpolation is the
     // same (a+b)/2 formula but ulp-guarding the compare costs nothing.
-    // One shuffle on event_type; frame is O(11) per row.
+    // One shuffle on event_type; frame is O(11) per row. Scale note:
+    // partitioning by type alone caps parallelism at the type count —
+    // at 100 TB, range-partition (type, time-chunk) and prepend each
+    // chunk's last 10 rows to its successor (the frame depth bounds
+    // the overlap), which this bounded-frame window permits exactly.
     "q_rolling_median" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
