@@ -278,7 +278,10 @@ object Joins {
     // semi-join — which is exactly what the oracle runs. At 100 TB this
     // is the row-level runtime filter made explicit: the big fact side
     // is pruned at the scan side of the exchange instead of shuffling
-    // every row to the join.
+    // every row to the join. Bloom capacity comes from
+    // spark.sql.optimizer.runtime.bloomFilter.* defaults (1M items /
+    // 8M bits here); size estimatedNumItems to the build-side distinct
+    // count at scale or the false-positive rate erodes the pruning.
     "q_join_bloom_prefilter" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       Tables.orders(s, d)

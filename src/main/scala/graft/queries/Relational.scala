@@ -129,8 +129,10 @@ object Relational {
     // (pinned in PlanAssertionsSpec). This is THE layout knob for a
     // repeated fact⋈fact join at 100 TB: the shuffle is paid once at
     // write time and amortized over every subsequent join/aggregate on
-    // that key. Tables are session-catalog parquet (DROP + overwrite →
-    // re-runs are idempotent).
+    // that key. Bucket count is the parallelism knob — 8 matches this
+    // testdata; a cluster sizes it to executor-count × a small factor.
+    // Tables are session-catalog parquet (DROP + overwrite → re-runs
+    // are idempotent).
     "q_join_bucketed" -> ((s, d) => {
       // the in-memory catalog is per-session but the warehouse DIR
       // persists on disk — drop both, or a fresh session hits
