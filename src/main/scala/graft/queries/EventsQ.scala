@@ -234,6 +234,27 @@ object EventsQ {
         .orderBy("event_id")
     }),
 
+    // Trailing 7-day distinct active users per day — the sliding
+    // DISTINCT aggregate no engine's window frames support directly
+    // (COUNT(DISTINCT) OVER is illegal in Spark and DuckDB alike).
+    // Scale shape: daily (day, user) dedup first (the big shuffle,
+    // partial-agg friendly), then each pair contributes to its 7
+    // target days via a BOUNDED explode — never a day×day range
+    // self-join. Target days are clipped to days present in the data
+    // (semi join) so edge windows are honest partial windows.
+    "q_sliding_distinct" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select("day").distinct()
+      du.select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(expr("date_add(day, k)").as("day"), col("user_id"))
+        .join(days, "day")
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("n_active_7d"))
+        .orderBy("day")
+    }),
+
     // Weekly cohort retention: cohort = week of a user's first event;
     // n_active = distinct cohort users active k weeks later. The
     // classic growth-analytics matrix — two shuffles (per-user min,
@@ -333,6 +354,17 @@ object EventsQ {
         |    PARTITION BY event_type ORDER BY ts, event_id
         |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) * 10000) / 10000 AS med
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sliding_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |x AS (
+        |  SELECT du.day + k AS day, du.user_id
+        |  FROM du CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) t(k))
+        |SELECT x.day, COUNT(DISTINCT x.user_id) AS n_active_7d
+        |FROM x JOIN days ON x.day = days.day
+        |GROUP BY x.day ORDER BY x.day""".stripMargin,
 
     "q_retention_cohort" ->
       """WITH wk AS (

@@ -192,6 +192,24 @@ class ZOrderAndSeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  // ---- q_sliding_distinct: driver-side recompute ----
+
+  test("q_sliding_distinct matches a driver-side trailing-window recompute") {
+    import spark.implicits._
+    val du = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Date, Long)].collect()
+      .map(p => (p._1.toLocalDate, p._2))
+    val days = du.map(_._1).distinct.sorted
+    val expected = days.map { d =>
+      d -> du.filter(p => !p._1.isAfter(d) && !p._1.isBefore(d.minusDays(6)))
+        .map(_._2).distinct.size.toLong
+    }.toMap
+    val got = SparkEntry.queries("q_sliding_distinct")(spark, sf)
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   // ---- bloom_agg / bloom_might_contain: no false negatives ----
 
   test("bloom filter admits every inserted key and rejects most others") {
