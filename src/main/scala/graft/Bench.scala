@@ -83,7 +83,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val meta = s""""started":"$startedAt","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}""""
+    // Self-defense against load skew (r5, VERDICT item 7): BASELINE.md
+    // documents ~3 as the comparability ceiling for loadavg at capture
+    // start — tag the JSON explicitly so a loaded capture can never
+    // masquerade as a code regression (r3's 207.8 s) or hide one.
+    val skewed = loadStart.split(",").headOption
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .exists(_ > 3.0)
+    if (skewed)
+      System.err.println(s"[bench] WARNING: loadavg_start=$loadStart > 3 — " +
+        "timings are load-skewed and not comparable to idle captures (BASELINE.md)")
+    val meta = s""""started":"$startedAt","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","skewed":$skewed"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()

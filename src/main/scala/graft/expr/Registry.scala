@@ -15,6 +15,12 @@ object Registry {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   /** The full custom-function surface, shared by the per-session hook
     * (`ensure`) and the `SparkSessionExtensions` path
     * (graft.GraftExtensions). */
@@ -33,8 +39,20 @@ object Registry {
     // sketch-then-verify join pre-filter (q_join_bloom_prefilter).
     // bloom_might_contain requires the filter side to be a literal or
     // scalar subquery — exactly how InjectRuntimeFilter uses it.
-    "bloom_agg" -> ((es: Seq[Expression]) =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(es(0))),
+    // bloom_agg(col[, estimatedNumItems]) — the optional int-literal
+    // capacity maps to BloomFilterAggregate's estimatedNumItems (r5,
+    // ADVICE: sizing the filter to the build side's distinct count is
+    // the at-scale requirement, and extra args now error instead of
+    // being silently dropped).
+    "bloom_agg" -> ((es: Seq[Expression]) => es match {
+      case Seq(e) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(e)
+      case Seq(e, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          e, Literal(longLit(n, "estimatedNumItems")))
+      case other => throw new IllegalArgumentException(
+        s"bloom_agg expects (col[, estimatedNumItems]), got ${other.size} args")
+    }),
     "bloom_might_contain" -> ((es: Seq[Expression]) =>
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
     "keccak256" -> ((es: Seq[Expression]) => Keccak256(es(0))),

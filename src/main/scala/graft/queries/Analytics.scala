@@ -100,19 +100,45 @@ object Analytics {
     // Prefix-weighted fuzzy scoring via the custom codegen'd
     // jaro_winkler expression (expr/JaroWinkler.scala — byte-level,
     // DuckDB-compatible semantics): all distinct-name pairs scoring
-    // ≥ 0.75. The quadratic is confined to the DEDUPED entity table
-    // (64 names behind 20k part rows; entity vocabularies stay small
-    // relative to facts) — JW has no levenshtein-style length bound to
-    // block on, so dedupe-first IS the scale lever here. The threshold
-    // compares the 6dp-ROUNDED score on both engines, so a final-ulp
-    // disagreement in the double arithmetic cannot flip a boundary
-    // pair in or out.
+    // ≥ 0.75, over the DEDUPED entity table (64 names behind 20k part
+    // rows). r5: candidate generation is BLOCKED — two disjoint
+    // equi-join legs replace the all-pairs cross join (the plan has no
+    // CartesianProduct; pinned in PlanAssertionsSpec), each leg sound
+    // for the 6dp-rounded JW ≥ 0.75 threshold:
+    //  - leg 1, shared first character: JW's prefix boost (≤ 0.4 of
+    //    the Jaro deficit) only exists with a common prefix, and under
+    //    the max boost 0.75 admits any length ratio — so same-first-
+    //    char pairs join on the character itself (a ≤256-way block;
+    //    at entity scale this is where a skew salt would attach).
+    //  - leg 2, different first character: the boost is exactly 0, so
+    //    jw = jaro ≤ (2 + min/max)/3 (matches ≤ min length,
+    //    transposition term ≤ 1) and jw ≥ 0.7499995 forces a length
+    //    ratio ≥ 0.2499985 — blocked as 50·min ≥ 11·max (margin
+    //    included), realized as a log2-length band join: each probe
+    //    row explodes to its ±3 neighbor buckets, which covers every
+    //    ratio down to 2^-3 < 0.22.
+    // The exact all-pairs formulation remains the oracle, so the
+    // blocking's soundness is hash-checked, not assumed.
     "q_fuzzy_jw" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val names = Tables.part(s, d).select(col("p_name")).distinct()
-      names.select(col("p_name").as("a_name"))
-        .crossJoin(names.select(col("p_name").as("b_name")))
-        .filter(col("a_name") < col("b_name"))
+        .select(col("p_name"), length(col("p_name")).as("len"),
+          substring(col("p_name"), 1, 1).as("c1"),
+          floor(log2(length(col("p_name")))).cast("int").as("lbkt"))
+      val leg1 = names.select(col("p_name").as("a_name"), col("c1"))
+        .join(names.select(col("p_name").as("b_name"), col("c1").as("c1_b")),
+          col("c1") === col("c1_b") && col("a_name") < col("b_name"))
+        .select("a_name", "b_name")
+      val probe = names.select(col("p_name").as("b_name"), col("len").as("b_len"),
+        col("c1").as("c1_b"),
+        explode(sequence(col("lbkt") - 3, col("lbkt") + 3)).as("bkt"))
+      val leg2 = names.select(col("p_name").as("a_name"), col("len").as("a_len"),
+          col("c1"), col("lbkt").as("bkt"))
+        .join(probe, "bkt")
+        .filter(col("c1") =!= col("c1_b") && col("a_name") < col("b_name") &&
+          least(col("a_len"), col("b_len")) * 50 >= greatest(col("a_len"), col("b_len")) * 11)
+        .select("a_name", "b_name")
+      leg1.unionByName(leg2)
         .select(col("a_name"), col("b_name"),
           round(expr("jaro_winkler(a_name, b_name)"), 6).as("jw"))
         .filter(col("jw") >= 0.75)

@@ -60,14 +60,11 @@ object LlmOps {
     // broadcast-intersect probe (corpus fits an executor — this
     // corpus' 31-word vocabulary lands here). Identical exact results
     // whichever is picked (ShingleSpec).
-    "q_dedup_near_jaccard" -> ((s, d) => {
-      graft.expr.Registry.ensure(s)
-      graft.operators.SetSimJoin.auto(s,
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            expr("token_hashes(split(text, ' '))").as("hs")),
-        tau = 0.8)
-    }),
+    // Served from the memoized edge layer (operators/EdgeGraph):
+    // q_pagerank consumes the same (token, τ=0.8) pair table, so the
+    // derivation runs once per session.
+    "q_dedup_near_jaccard" -> ((s, d) =>
+      graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)),
 
     "q_sim_cosine_topk" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
@@ -80,27 +77,96 @@ object LlmOps {
         .limit(10)
     }),
 
+    // Exact per-vector top-3 within label, routed through IVF cells
+    // (r5, VERDICT item 4 — the old within-label brute force planned a
+    // per-label quadratic self-join; at 100× rows that is 10⁴× the
+    // pair work). Shape:
+    //  (1) per-label coarse quantizer: 4 seed vectors (deterministic:
+    //      smallest vec_ids; a production pipeline samples), packed
+    //      into one broadcast row per label;
+    //  (2) cell assignment as a PURE PROJECTION over the broadcast
+    //      seeds (the q_kmeans shape — vectors never shuffle for it);
+    //  (3) k-th candidate from the OWN cell only (quadratic confined
+    //      to cells — 16× less pair work than label-wide);
+    //  (4) cell pruning with a SOUND cosine bound: for any member x of
+    //      cell C, angle(a,x) ≥ angle(a,seed_C) − radius_C (angular
+    //      triangle inequality), so cos(a,x) ≤ cos(max(0, θ−r)). A
+    //      cell is probed only if that bound reaches the own-cell
+    //      k-th score — compared on the 6dp-rounded grid with an ε
+    //      margin, so a pruned cell provably cannot supply a top-3
+    //      row even on rounded ties (row_number ties break by b_id,
+    //      which only matters between rows of EQUAL rounded score —
+    //      and equal-rounded-score rows are never pruned);
+    //  (5) exact re-rank over the probed cells' members.
+    // The exhaustive within-label formulation remains the oracle, so
+    // exactness of the pruning is hash-checked every round. Fallback:
+    // a vector with < 3 own-cell neighbors has no k-th score and
+    // probes all its label's cells (the brute-force degenerate case).
     "q_knn_per_label" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
+      val k = 3
+      val cellsK = 4
       val e = Tables.embeddings(s, d)
-      // SALTED self-join: only ~10 distinct labels exist, so a plain
-      // label-keyed shuffle puts whole labels on single tasks (skew —
-      // fatal at 1000 executors). Salt the probe side by a_id and
-      // replicate the build side across all salts: same pairs,
-      // salts x more shuffle keys. Adaptive: 1 at local parallelism.
-      val salts = saltFactor(s)
-      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        pmod(col("vec_id"), lit(salts)).as("salt"))
-      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"),
-          col("embedding").as("b_emb"),
-          explode(sequence(lit(0), lit(salts - 1))).as("salt_b"))
-      val pairs = a.join(b,
-          col("label") === col("label_b") && col("salt") === col("salt_b") &&
+      def angle(c: Column): Column = acos(least(greatest(c, lit(-1.0)), lit(1.0)))
+      val wSeed = Window.partitionBy("label").orderBy("vec_id")
+      val seeds = e.withColumn("cell", row_number().over(wSeed))
+        .filter(col("cell") <= cellsK)
+        .select(col("label"), col("cell"), col("embedding").as("c_emb"))
+      val packed = seeds.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("cell"), col("c_emb")))).as("cents"))
+      // cosine to every seed + argmax in one codegen'd projection;
+      // try_element_at: a small label has < cellsK seeds, and the null
+      // (cs, negcell) candidate sorts below every real one
+      val csCols = (1 to cellsK).map { i =>
+        expr(s"cosine_sim(embedding, try_element_at(cents, $i).c_emb)").as(s"cs$i")
+      }
+      val best = greatest((1 to cellsK).map { i =>
+        struct(col(s"cs$i").as("cs"), lit(-i).as("negcell"))
+      }: _*)
+      val assigned = e.join(broadcast(packed), "label")
+        .select(Seq(col("label"), col("vec_id"), col("embedding")) ++ csCols: _*)
+        .withColumn("best", best)
+        .withColumn("cell", -col("best.negcell"))
+        .withColumn("own_cs", col("best.cs"))
+        .drop("best")
+        // five consumers below — materialize the assignment once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val radii = assigned.groupBy("label", "cell")
+        .agg(max(angle(col("own_cs"))).as("r"))
+      val members = assigned.select(col("label").as("lb"), col("cell").as("cb"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      // own-cell k-th score (unrounded; ties make position k's VALUE
+      // deterministic regardless of tie order)
+      val wOwn = Window.partitionBy("a_id").orderBy(col("cos").desc)
+      val kth = assigned
+        .select(col("label"), col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"))
+        .join(members,
+          col("label") === col("lb") && col("cell") === col("cb") &&
+          col("a_id") =!= col("b_id"))
+        .select(col("a_id"), expr("cosine_sim(a_emb, b_emb)").as("cos"))
+        .withColumn("rn", row_number().over(wOwn))
+        .filter(col("rn") === k)
+        .select(col("a_id"), col("cos").as("kth"))
+      // (a, cell) probe set: own cell always survives (bound = 1)
+      val csStack = assigned.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"),
+        expr(s"stack($cellsK, ${(1 to cellsK).map(i => s"$i, cs$i").mkString(", ")}) AS (cell, cs)"))
+        .select(col("label"), col("a_id"), col("a_emb"), col("cell"), col("cs"))
+      val probes = csStack
+        .join(broadcast(radii), Seq("label", "cell"))
+        .join(kth, Seq("a_id"), "left")
+        .filter(col("kth").isNull ||
+          round(cos(greatest(lit(0.0), angle(col("cs")) - col("r"))) + lit(1e-9), 6)
+            >= round(col("kth"), 6))
+        .select(col("label"), col("cell"), col("a_id"), col("a_emb"))
+      val cand = probes.join(members,
+          col("label") === col("lb") && col("cell") === col("cb") &&
           col("a_id") =!= col("b_id"))
         .select(col("label"), col("a_id"), col("b_id"),
           round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"))
       val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
-      pairs.withColumn("rn", row_number().over(w))
+      cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("label", "a_id", "b_id", "cos", "rn")
         .orderBy("a_id", "rn")

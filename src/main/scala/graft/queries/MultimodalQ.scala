@@ -23,20 +23,26 @@ object MultimodalQ {
 
     // Real file-based media ingest via the binaryFile source — the
     // path an image/audio corpus actually enters Spark through (one
-    // row per file: path, length, raw bytes). The fixture files are
-    // written driver-side (bounded: 100 docs, the test stand-in for
-    // an object store); the engine-side read, projection, and hashing
-    // are the real distributed plumbing. The oracle recomputes length
-    // and md5 from the same text in DuckDB (strlen = BYTES there), so
-    // equality proves the file write + binary read are byte-exact.
+    // row per file: path, length, raw bytes). r5: the fixture files
+    // are written EXECUTOR-side (foreachPartition — the object-store
+    // PUT shape; the old collect().foreach was a driver bottleneck
+    // pattern), into a fixed per-sfDir scratch dir (idempotent: file
+    // names key on stable doc_ids and contents are deterministic, so
+    // re-runs overwrite byte-identical files instead of leaking temp
+    // dirs). Local-mode assumption documented in util/Scratch. The
+    // oracle recomputes length and md5 from the same text in DuckDB
+    // (strlen = BYTES there), so equality proves the file write +
+    // binary read are byte-exact.
     "q_mm_binary_ingest" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select("doc_id", "text").filter(col("doc_id") < 100)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bin").toString
-      docs.collect().foreach { r =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$tmp/doc_${r.getLong(0)}.bin"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tmp = graft.util.Scratch.dirFor("mm_bin", d)
+      docs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       }
       s.read.format("binaryFile").load(tmp)
         .select(

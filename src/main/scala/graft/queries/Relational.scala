@@ -35,7 +35,10 @@ object Relational {
     // excluded by design: text timestamp formats are a config surface,
     // not a data one.
     "q_io_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_io").toString
+      // fixed scratch dir (r5, ADVICE): every write below is
+      // mode("overwrite"), so reuse is idempotent and repeated
+      // bench/verify runs stop leaking temp directories
+      val tmp = graft.util.Scratch.dirFor("io_roundtrip", d)
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
       li.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
@@ -63,7 +66,7 @@ object Relational {
     // the layout knob: a pruned scan reads 1/5th of the files before
     // any row is decoded.
     "q_io_partitioned" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_iop").toString
+      val tmp = graft.util.Scratch.dirFor("io_partitioned", d)
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
         .write.mode("overwrite").partitionBy("o_orderpriority")
@@ -107,7 +110,7 @@ object Relational {
     // ORIGINAL table proves write+parse lossless for longs/doubles/
     // strings (Java Double.toString is round-trip exact).
     "q_io_xml" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      val tmp = graft.util.Scratch.dirFor("io_xml", d)
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       o.write.mode("overwrite").format("xml")
@@ -136,12 +139,15 @@ object Relational {
     "q_join_bucketed" -> ((s, d) => {
       // the in-memory catalog is per-session but the warehouse DIR
       // persists on disk — drop both, or a fresh session hits
-      // LOCATION_ALREADY_EXISTS on the stale directory
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      // LOCATION_ALREADY_EXISTS on the stale directory. The delete
+      // must target the filesystem that OWNS the warehouse URI (r5,
+      // ADVICE): FileSystem.get(conf) resolves fs.defaultFS, which is
+      // a silent no-op when the warehouse lives on another scheme.
       Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(
           java.net.URI.create(s.conf.get("spark.sql.warehouse.dir") + "/" + t))
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(loc, true)
       }
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -171,11 +177,17 @@ object Relational {
     // predicate on EITHER column skips most files at 100 TB.
     "q_zorder_layout" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
+      // BOTH dimensions are masked into ZOrderKey's 16-bit domain (r5,
+      // ADVICE): yk was previously unguarded, so dates outside
+      // [1995-01-01, +65535d] would silently alias through the
+      // interleave's low-16-bit mask — the precondition is now
+      // explicit in the query (and mirrored in the oracle) instead of
+      // inherited from the data generator.
       val z = Tables.orders(s, d)
         .select(col("o_orderkey"),
           pmod(col("o_custkey"), lit(65536L)).as("xk"),
-          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
-            .cast("long").as("yk"))
+          pmod(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long"), lit(65536L)).as("yk"))
         .withColumn("zkey", expr("zorder2(xk, yk)"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("zkey"), col("o_orderkey"))
@@ -306,7 +318,8 @@ object Relational {
       """WITH z AS (
         |  SELECT o_orderkey,
         |    o_custkey % 65536 AS xk,
-        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS yk
+        |    ((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |      % 65536) + 65536) % 65536 AS yk
         |  FROM orders),
         |zz AS (
         |  SELECT *, CAST(list_sum(list_transform(generate_series(0, 15), i ->

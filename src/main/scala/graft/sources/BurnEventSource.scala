@@ -64,15 +64,25 @@ object BurnEvents {
     StructField("blockTs", TimestampType, nullable = false)))
 
   /** Events in block b — pure function of b (seeded), 1..3 events. */
-  def eventsInBlock(b: Long): Seq[InternalRow] = {
-    val n = (Mix.splitmix64(b) % 3 + 3) % 3 + 1
+  def eventsInBlock(b: Long): Seq[InternalRow] = eventsInBlock(b, 0L)
+
+  /** Chain-fork variant (A11 reorg simulation): `chainSalt != 0` yields
+    * a DIFFERENT deterministic content for the same block number — the
+    * stand-in for a node answering the same block range with reorged
+    * contents. `chainSalt = 0` is byte-identical to the canonical
+    * chain, so existing outputs never change. */
+  def eventsInBlock(b: Long, chainSalt: Long): Seq[InternalRow] = {
+    // xor with a salt-derived odd constant: salt 0 leaves b untouched
+    val bs = b ^ (chainSalt * 0x9E3779B97F4A7C15L)
+    val n = (Mix.splitmix64(bs) % 3 + 3) % 3 + 1
     (0 until n.toInt).map { i =>
-      val h = KeccakCore.hex(KeccakCore.hash256(s"burn:$b:$i".getBytes("US-ASCII")))
+      val tag = if (chainSalt == 0) s"burn:$b:$i" else s"burn:$b:$i:$chainSalt"
+      val h = KeccakCore.hex(KeccakCore.hash256(tag.getBytes("US-ASCII")))
       val from = "0x" + h.substring(0, 40)
       val ae = "ak_" + h.substring(40, 60)
       // wei spans far beyond 2^53: (mix mod 1e9) * 1e12
       val wei = java.math.BigDecimal.valueOf(
-        math.floorMod(Mix.splitmix64(b * 1000 + i), 1000000000L))
+        math.floorMod(Mix.splitmix64(bs * 1000 + i), 1000000000L))
         .multiply(java.math.BigDecimal.valueOf(1000000000000L))
       InternalRow(
         UTF8String.fromString("0x" + h),
@@ -130,18 +140,31 @@ private class BurnScanBuilder(opts: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new BurnScan(lo, hi,
-    opts.getLong("blocksPerTrigger", 100L), opts.getInt("numPartitions", 4), addrEq)
+    opts.getLong("blocksPerTrigger", 100L), opts.getInt("numPartitions", 4), addrEq,
+    opts.getLong("confirmations", 0L),
+    ChainFork(opts.getLong("reorgSalt", 0L), opts.getLong("reorgAbove", Long.MaxValue)))
+}
+
+/** A11 reorg simulation knob (test harness for the node's view of the
+  * chain): blocks strictly above `above` are generated from the forked
+  * chain `salt`. The default (salt 0 / above MaxValue) is the
+  * canonical chain. */
+private[sources] case class ChainFork(salt: Long, above: Long) {
+  def eventsIn(b: Long): Seq[InternalRow] =
+    if (b > above) BurnEvents.eventsInBlock(b, salt) else BurnEvents.eventsInBlock(b)
 }
 
 private class BurnScan(lo: Long, hi: Long, blocksPerTrigger: Long,
-                       numPartitions: Int, addrEq: List[(String, String)])
+                       numPartitions: Int, addrEq: List[(String, String)],
+                       confirmations: Long, fork: ChainFork)
     extends Scan {
   override def readSchema(): StructType = BurnEvents.schema
   override def description(): String =
     s"BurnScan blocks=[$lo,$hi] addrFilters=${addrEq.mkString(",")}"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BurnMicroBatchStream(lo, hi, blocksPerTrigger, numPartitions, addrEq)
+    new BurnMicroBatchStream(lo, hi, blocksPerTrigger, numPartitions, addrEq,
+      confirmations, fork)
 
   // A2 backfill as a first-class batch read: same balanced block-range
   // partitions, no streaming machinery
@@ -149,7 +172,7 @@ private class BurnScan(lo: Long, hi: Long, blocksPerTrigger: Long,
     override def planInputPartitions(): Array[InputPartition] =
       BurnEventSourceUtil.slice(lo, hi, numPartitions, blocksPerTrigger)
     override def createReaderFactory(): PartitionReaderFactory =
-      new BurnReaderFactory(addrEq)
+      new BurnReaderFactory(addrEq, fork)
   }
 }
 
@@ -175,9 +198,18 @@ private case class BlockOffset(block: Long) extends Offset {
 
 private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
                                    blocksPerTrigger: Long, numPartitions: Int,
-                                   addrEq: List[(String, String)] = Nil)
+                                   addrEq: List[(String, String)] = Nil,
+                                   confirmations: Long = 0L,
+                                   fork: ChainFork = ChainFork(0L, Long.MaxValue))
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  // A11 confirmation depth: the stream never ingests a block closer
+  // than `confirmations` to the head (endBlock = the node's current
+  // head), so a reorg that rewrites blocks above head − confirmations
+  // rewrites only blocks this stream has NOT committed — the
+  // retraction is masked by never having ingested the retracted rows.
+  private val safeHead = endBlock - confirmations
 
   override def initialOffset(): Offset = BlockOffset(startBlock - 1)
 
@@ -186,7 +218,7 @@ private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
   // as many bounded micro-batches instead of one giant catch-up batch.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[BlockOffset].block
-    BlockOffset(math.min(endBlock, cur + blocksPerTrigger))
+    BlockOffset(math.max(cur, math.min(safeHead, cur + blocksPerTrigger)))
   }
 
   // with SupportsAdmissionControl the engine must use the bounded
@@ -195,7 +227,7 @@ private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
     throw new UnsupportedOperationException(
       "use latestOffset(start, limit) — this source bounds micro-batches")
 
-  override def reportLatestOffset(): Offset = BlockOffset(endBlock)
+  override def reportLatestOffset(): Offset = BlockOffset(safeHead)
 
   // endBlock is fixed at stream construction, so AvailableNow needs no
   // snapshotting here: the engine keeps triggering bounded batches
@@ -214,19 +246,21 @@ private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
     BurnEventSourceUtil.slice(lo, hi, numPartitions, blocksPerTrigger)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new BurnReaderFactory(addrEq)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BurnReaderFactory(addrEq, fork)
 }
 
 /** Applies pushed address-equality filters at generation — the analog
   * of the node evaluating the getLogs address/topics filter before
   * anything crosses the wire. */
-private class BurnReaderFactory(addrEq: List[(String, String)])
+private class BurnReaderFactory(addrEq: List[(String, String)],
+                                fork: ChainFork = ChainFork(0L, Long.MaxValue))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BurnRangePartition]
     new PartitionReader[InternalRow] {
       private val it = (p.fromBlock to p.toBlock).iterator
-        .flatMap(BurnEvents.eventsInBlock)
+        .flatMap(fork.eventsIn)
         .filter(row => addrEq.forall {
           case ("fromAddress", v) => row.getUTF8String(3).toString == v
           case ("aeAddress", v) => row.getUTF8String(4).toString == v

@@ -43,8 +43,34 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming scratch root (r5, VERDICT item 5): checkpoints, staged
+    * inputs and sinks live on tmpfs (/dev/shm) when available — the
+    * per-micro-batch checkpoint fsync/rename traffic is the dominant
+    * cost of the bounded test streams, and none of it needs to survive
+    * the process (every query creates a fresh checkpoint; replay tests
+    * replay within one process). A shutdown hook removes the whole
+    * per-process subtree, so repeated runs cannot accumulate in RAM.
+    * In production the checkpoint dir must be durable shared storage —
+    * this is a bench-harness placement choice, not an engine semantic
+    * (batch-equivalence is unchanged and still asserted in
+    * StreamingSpec). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val shm = Paths.get("/dev/shm")
+    val base =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else Paths.get(sys.props("java.io.tmpdir"))
+    val p = Files.createTempDirectory(base, "graft_stream_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
   private def tmp(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString
+    Files.createTempDirectory(scratchRoot, s"graft_$tag").toString
 
   /** The file stream source requires a directory; testdata tables are
     * single files — stage a copy into a temp dir. */

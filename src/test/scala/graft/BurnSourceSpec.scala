@@ -117,4 +117,73 @@ class BurnSourceSpec extends AnyFunSuite with SparkFixture {
     val b = BurnEvents.eventsInBlock(42L).map(_.toString)
     assert(a === b && a.nonEmpty)
   }
+
+  // A11 reorg tolerance (r5, VERDICT item 6): a chain reorg rewrites
+  // blocks above height R with different contents. With confirmation
+  // depth D such that R >= head - D, the stream never ingested the
+  // retracted rows, so the rewritten delivery is invisible — the sink
+  // stays a consistent snapshot of the winning chain.
+  test("confirmation depth masks a reorg below the depth window") {
+    val out = tmp("reorg_out")
+    val ckpt = tmp("reorg_ckpt")
+    def run(head: Long, salt: Long, reorgAbove: Long): Unit =
+      spark.readStream.format("graft.sources.BurnEventSource")
+        .option("startBlock", "0").option("endBlock", head.toString)
+        .option("blocksPerTrigger", "25")
+        .option("confirmations", "10")
+        .option("reorgSalt", salt.toString).option("reorgAbove", reorgAbove.toString)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // run 1: head at 60, depth 10 → only blocks 0..50 are committed
+    run(head = 60, salt = 0, reorgAbove = Long.MaxValue)
+    val ingested1 = spark.read.parquet(out)
+    assert(ingested1.agg(max("blockNumber")).head().getLong(0) === 50)
+    // reorg: blocks ABOVE 52 are replaced (reorg depth 8 < D=10) and
+    // the head advances to 80; run 2 resumes from the same checkpoint
+    // against the node's NEW view of the chain
+    run(head = 80, salt = 7, reorgAbove = 52)
+    val sink = spark.read.parquet(out)
+    // the sink must equal the winning chain's blocks 0..70 exactly:
+    // 0..52 canonical (untouched by the reorg), 53..70 forked
+    val expected = ((0L to 52L).flatMap(BurnEvents.eventsInBlock(_)) ++
+        (53L to 70L).flatMap(BurnEvents.eventsInBlock(_, 7L)))
+      .map(r => (r.getUTF8String(0).toString, r.getInt(1)))
+    val got = sink.select("transactionHash", "logIndex").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSet === expected.toSet)
+    assert(got.length === expected.length, "duplicate identity keys in the sink")
+    // and NO retracted row survived: the pre-reorg (canonical) contents
+    // of the rewritten blocks 53..60 must be absent — the depth filter
+    // masked the retraction by never committing those blocks in run 1
+    val retracted = (53L to 60L).flatMap(BurnEvents.eventsInBlock(_))
+      .map(_.getUTF8String(0).toString).toSet
+    assert(sink.filter(col("transactionHash").isin(retracted.toSeq: _*)).count() === 0)
+  }
+
+  test("depth 0 control: the same reorg leaves stale retracted rows behind") {
+    // the negative control documenting WHY the depth filter exists:
+    // without it, run 1 commits blocks through the head, and the reorg
+    // retracts rows that are already in the sink — an append-only sink
+    // cannot un-write them, so the stale canonical rows survive
+    val out = tmp("reorg0_out")
+    val ckpt = tmp("reorg0_ckpt")
+    def run(head: Long, salt: Long, reorgAbove: Long): Unit =
+      spark.readStream.format("graft.sources.BurnEventSource")
+        .option("startBlock", "0").option("endBlock", head.toString)
+        .option("blocksPerTrigger", "25")
+        .option("reorgSalt", salt.toString).option("reorgAbove", reorgAbove.toString)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run(head = 60, salt = 0, reorgAbove = Long.MaxValue)
+    run(head = 80, salt = 7, reorgAbove = 52)
+    val sink = spark.read.parquet(out)
+    val retracted = (53L to 60L).flatMap(BurnEvents.eventsInBlock(_))
+      .map(_.getUTF8String(0).toString).toSet
+    assert(sink.filter(col("transactionHash").isin(retracted.toSeq: _*)).count()
+      === retracted.size, "expected the stale pre-reorg rows to survive at depth 0")
+  }
 }
