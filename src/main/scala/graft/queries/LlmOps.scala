@@ -187,6 +187,69 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // SemDeDup-style cluster-level semantic dedup (r5): assign every
+    // vector to one of k=4 coarse clusters (broadcast packed seeds,
+    // projection-only argmax — the q_kmeans shape), then inside each
+    // cluster drop any vector whose cosine to a PRIOR member (lower
+    // vec_id — the deterministic stand-in for "keep the first seen")
+    // reaches τ. This is the resolution step q_dedup_embed's pair list
+    // feeds in a real pipeline, confined to clusters so the pair space
+    // is corpus/k per bucket, not corpus² — and at scale the cluster
+    // key is the IVF cell. Cosines round to 6dp BEFORE the max so the
+    // τ compare is grid-exact in both engines.
+    "q_semdedup" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val k = 4
+      // τ picked from this corpus' prior-cos distribution (p99 ≈ 0.47):
+      // ~2% of vectors drop — the realistic semantic-dedup rate; both
+      // engines compare the same 6dp-rounded grid so the boundary is
+      // exact
+      val tau = 0.45
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val packed = e.filter(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+      val cand = (1 to k).map { i =>
+        struct(
+          round(expr(s"cosine_sim(embedding, try_element_at(cents, $i).c)"), 6).as("cs"),
+          (-expr(s"try_element_at(cents, $i).cid")).as("negcid"))
+      }
+      val assigned = e.crossJoin(broadcast(packed))
+        .withColumn("best", greatest(cand: _*))
+        .select(col("vec_id"), (-col("best.negcid")).as("cid"), col("embedding"))
+      val prior = assigned.select(col("cid").as("cid_b"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      assigned.join(prior,
+          col("cid") === col("cid_b") && col("b_id") < col("vec_id"), "left")
+        .withColumn("cs", round(expr("cosine_sim(embedding, b_emb)"), 6))
+        .groupBy("vec_id", "cid")
+        .agg(max("cs").as("max_prior_cos"))
+        .withColumn("keep",
+          col("max_prior_cos").isNull || col("max_prior_cos") < tau)
+        .select("vec_id", "cid", "max_prior_cos", "keep")
+        .orderBy("vec_id")
+    }),
+
+    // Embedding-norm QA (r5): per-vector L2 norm with per-label
+    // z-scores — the vector-sanity audit (collapsed or exploded norms
+    // signal a broken encoder run) an embedding pipeline runs before
+    // indexing. Norms fold the array sequentially (identical order in
+    // both engines → identical doubles); the per-label moments are a
+    // bounded broadcastable table (one row per label, §7.5).
+    "q_embed_norm" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val norms = e.select(col("label"), col("vec_id"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))).as("nrm"))
+      val st = norms.groupBy("label")
+        .agg(avg("nrm").as("mu"), stddev_samp("nrm").as("sd"))
+      norms.join(broadcast(st), "label")
+        .select(col("label"), col("vec_id"), round(col("nrm"), 6).as("nrm"),
+          round((col("nrm") - col("mu")) / col("sd"), 4).as("z"),
+          (abs(col("nrm") - col("mu")) > lit(2.0) * col("sd")).as("outlier"))
+        .orderBy("vec_id")
+    }),
+
     // int8 scalar quantization per embedding (the standard ANN
     // compression: 4x smaller vectors, codes reconstruct within
     // scale/2) — min/max calibration per vector, codes emitted as a
@@ -402,6 +465,35 @@ object LlmOps {
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id BETWEEN 1 AND 4),
+         |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |       FROM (SELECT e.vec_id, c0.cid, e.embedding,
+         |               ROUND(${duckCos("e.embedding", "c0.c")}, 6) AS cos
+         |             FROM e CROSS JOIN c0)),
+         |a AS (SELECT vec_id, cid, embedding FROM s1 WHERE rn = 1),
+         |mp AS (
+         |  SELECT a.vec_id, a.cid,
+         |    MAX(ROUND(${duckCos("a.embedding", "b.embedding")}, 6)) AS max_prior_cos
+         |  FROM a LEFT JOIN a b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, cid, max_prior_cos,
+         |  (max_prior_cos IS NULL OR max_prior_cos < 0.45) AS keep
+         |FROM mp ORDER BY vec_id""".stripMargin,
+
+    "q_embed_norm" ->
+      """WITH n AS (
+        |  SELECT label, vec_id,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |st AS (SELECT label, AVG(nrm) AS mu, stddev_samp(nrm) AS sd FROM n GROUP BY label)
+        |SELECT n.label AS label, vec_id, ROUND(nrm, 6) AS nrm,
+        |  ROUND((nrm - mu) / sd, 4) AS z,
+        |  ABS(nrm - mu) > 2.0 * sd AS outlier
+        |FROM n JOIN st USING (label) ORDER BY vec_id""".stripMargin,
 
     "q_vec_quantize" ->
       """WITH d AS (

@@ -167,6 +167,63 @@ object Training {
         .orderBy("doc_id")
     }),
 
+    // RAG/training chunking (r5): explode each document into
+    // overlapping token windows (size 32, stride 24 — the standard
+    // "chunk with overlap" retrieval shape), emitting per chunk its
+    // index, token offset, length and content hash. The last chunk
+    // covers the tail (start = ceil((n-L)/S)·S), so every token lands
+    // in at least one chunk. One generator pass per document — no
+    // shuffle until the final order; at corpus scale this is the map
+    // stage in front of an embedding or indexing pipeline, and the
+    // md5 becomes the chunk's content address.
+    "q_rag_chunk" -> ((s, d) => {
+      val L = 32; val S = 24
+      Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .withColumn("n", size(col("l")))
+        // integer ceil-div on a guarded-positive operand: (n-L+S-1) div S
+        // truncates identically in both engines only for non-negative
+        // numerators, hence the n <= L guard (the q_domain_mix lesson)
+        .withColumn("k", explode(expr(
+          s"sequence(0, CASE WHEN n <= $L THEN 0 ELSE (n - $L + ${S - 1}) div $S END)")))
+        .select(col("doc_id"),
+          col("k").cast("int").as("chunk_idx"),
+          (col("k") * S).cast("int").as("start_tok"),
+          least(lit(L), col("n") - col("k") * S).cast("int").as("chunk_len"),
+          md5(concat_ws(" ", expr(s"slice(l, k * $S + 1, $L)"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Containment dedup (r5): document A whose DISTINCT 8-token chunk
+    // set is fully covered by another document B's — the "same text
+    // plus appended boilerplate" crawl artifact that neither whole-doc
+    // dedup (hashes differ) nor near-dup Jaccard (the union grows with
+    // B) reliably catches. Realized at chunk grain, which is what
+    // makes it blockable: candidates come from the chunk-hash
+    // inverted-index join (pairs share >= 1 chunk), then containment
+    // is just count(shared) == |chunks(A)|. Requires >= 2 chunks so a
+    // single shared boilerplate paragraph is not "containment". At
+    // corpus scale the join key becomes xxhash64(chunk) and stop-chunk
+    // df-capping bounds the hot buckets (same posture as SetSimJoin's
+    // prefix buckets).
+    "q_chunk_contain" -> ((s, d) => {
+      val ch = Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, (size(l) - 1) div 8), " +
+            "i -> concat_ws(' ', slice(l, i * 8 + 1, 8)))")).as("chunk"))
+        .dropDuplicates("doc_id", "chunk")
+      val sz = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val shared = ch.select(col("doc_id").as("a_id"), col("chunk"))
+        .join(ch.select(col("doc_id").as("b_id"), col("chunk")), "chunk")
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      shared.join(sz.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .filter(col("n_shared") === col("n_chunks") && col("n_chunks") >= 2)
+        .select(col("a_id"), col("b_id"), col("n_chunks"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Corpus bigram-LM fluency score (CCNet-style LM filtering,
     // simplified): per-doc average conditional log-probability
     // avg(ln(count(w1 w2) / count(w1 _))) under the per-language
@@ -292,6 +349,38 @@ object Training {
         |  ROUND((len - mu) / sd, 4) AS z,
         |  ABS(len - mu) > 2.0 * sd AS outlier
         |FROM d JOIN st USING (lang) ORDER BY doc_id""".stripMargin,
+
+    "q_rag_chunk" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, l, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS k
+        |  FROM l)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |  CAST(k * 24 AS INT) AS start_tok,
+        |  CAST(LEAST(32, n - k * 24) AS INT) AS chunk_len,
+        |  md5(array_to_string(l[k*24+1 : k*24+32], ' ')) AS chunk_md5
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_chunk_contain" ->
+      """WITH ch AS (
+        |  SELECT DISTINCT doc_id, chunk FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(0, (len(l) - 1) // 8),
+        |      i -> array_to_string(l[i*8+1:i*8+8], ' '))) AS chunk
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+        |  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, sz.n_chunks
+        |FROM shared JOIN sz ON shared.a_id = sz.doc_id
+        |WHERE n_shared = n_chunks AND n_chunks >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH d AS (

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r5 operator semantics: RAG-chunking coverage invariants, chunk
+  * containment vs an independent Scala brute force, SemDeDup drop
+  * justification, embedding-norm QA invariants. (Cross-engine
+  * equality is the DuckDB oracle's job; these pin the semantic
+  * properties the oracle can't express.) */
+class R5OpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("q_rag_chunk covers every token: dense stride-24 chunks, tail reached") {
+    val rows = SparkEntry.queries("q_rag_chunk")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, ch) =>
+      val n = docs(id)
+      val sorted = ch.sortBy(_.getInt(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) === i, "chunk_idx must be dense from 0")
+        assert(r.getInt(2) === i * 24, "start_tok must follow the stride")
+        assert(r.getInt(3) >= 1 && r.getInt(3) <= 32)
+      }
+      val last = sorted.last
+      assert(last.getInt(2) + last.getInt(3) === n,
+        s"doc $id tail not covered: ${last.getInt(2)} + ${last.getInt(3)} != $n")
+    }
+  }
+
+  test("q_chunk_contain equals an independent Scala brute force") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    def chunks(l: Seq[String]): Set[String] =
+      (0 to (l.size - 1) / 8).map(i => l.slice(i * 8, i * 8 + 8).mkString(" ")).toSet
+    val sets = docs.map { case (id, l) => id -> chunks(l) }
+    val expected = (for {
+      (a, ca) <- sets; (b, cb) <- sets
+      if a != b && ca.size >= 2 && ca.subsetOf(cb)
+    } yield (a, b, ca.size.toLong)).toSet
+    val got = SparkEntry.queries("q_chunk_contain")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("q_semdedup: keep flag is exactly the tau cut over prior-member cosine") {
+    val out = SparkEntry.queries("q_semdedup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val keep = r.getBoolean(3)
+      if (keep) assert(r.isNullAt(2) || r.getDouble(2) < 0.45)
+      else assert(!r.isNullAt(2) && r.getDouble(2) >= 0.45,
+        s"dropped vec ${r.getLong(0)} lacks a prior member at cos >= 0.45")
+    }
+    // the 4 seed-cluster ids are the only clusters
+    assert(out.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("q_embed_norm: norms positive, per-label z-scores center on 0") {
+    val out = SparkEntry.queries("q_embed_norm")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) > 0))
+    out.groupBy(_.getInt(0)).foreach { case (label, rs) =>
+      if (rs.length > 2) {
+        val meanZ = rs.map(_.getDouble(3)).sum / rs.length
+        assert(math.abs(meanZ) < 0.01, s"label $label mean z = $meanZ")
+      }
+    }
+  }
+}
