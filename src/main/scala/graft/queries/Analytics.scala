@@ -199,6 +199,52 @@ object Analytics {
         .orderBy("p_partkey")
     }),
 
+    // SCD2 dimension build (r5): per-user event_type change history as
+    // validity intervals — the type-2 slowly-changing-dimension table
+    // a warehouse derives from an event stream. Change points = rows
+    // whose attr differs from the previous row in (ts, event_id)
+    // order; valid_to = next change's valid_from (null = current).
+    // Two window passes over the same (user_id) partitioning — ONE
+    // shuffle, both windows reuse the sort. At 100 TB this keys by the
+    // dimension's natural key and the window is per-key sequential —
+    // the scalable shape (contrast a self-join on "next change").
+    "q_scd2_dim" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id").as("change_id"),
+          col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "change_id")
+    }),
+
+    // Mergeable distinct-count sketches (r5): per-group HLL sketches
+    // (Spark's DataSketches-backed hll_sketch_agg) UNIONED into a
+    // global estimate — the two-level pattern that makes distinct
+    // counts reaggregatable at 100 TB (per-partition/per-day sketches
+    // merge without rescanning; exact countDistinct cannot). OMIT
+    // oracle (estimates are engine-specific); ExprSpec-style unit test
+    // pins within-2% accuracy of exact on every group AND the merged
+    // total, and DeterminismSpec pins run-twice stability.
+    "q_hll_sketch" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+          countDistinct("o_custkey").as("exact_nd"))
+      val global = per.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_nd"))
+        .crossJoin(Tables.orders(s, d).agg(countDistinct("o_custkey").as("exact_nd")))
+        .select(lit("ALL").as("grp"), col("approx_nd"), col("exact_nd"))
+      per.select(col("o_orderpriority").as("grp"),
+          expr("hll_sketch_estimate(sk)").as("approx_nd"), col("exact_nd"))
+        .unionByName(global)
+        .orderBy("grp")
+    }),
+
     "q_profile_stats" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = Tables.lineitem(s, d)
@@ -287,6 +333,19 @@ object Analytics {
         |  WHERE (q.p_retailprice <  p.p_retailprice AND q.p_size >= p.p_size)
         |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size >  p.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_scd2_dim" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id AS change_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c ORDER BY user_id, valid_from, change_id""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT column_name, n, n_distinct, min_v, max_v, avg_v FROM (

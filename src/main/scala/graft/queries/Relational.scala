@@ -205,6 +205,31 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "l_shipdate")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Schema evolution on read (r5): two parquet generations of the
+    // same table — v=1 written before a column existed, v=2 with the
+    // new o_orderpriority column — read back in ONE scan with
+    // mergeSchema; rows from the old generation surface the new column
+    // as null and the aggregate buckets them explicitly. This is the
+    // additive-migration path a long-lived 100 TB table actually
+    // takes: no rewrite of old files, the merged footer schema is
+    // resolved once at planning. Even/odd orderkey split makes the
+    // generations deterministic, so the oracle reproduces them with a
+    // CASE over the original table.
+    "q_schema_evolution" -> ((s, d) => {
+      val tmp = graft.util.Scratch.dirFor("schema_evo", d)
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/v=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/v=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-migration>")).as("prio"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("prio")
+    }),
+
     "q_filter_range" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(
@@ -337,6 +362,15 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the oracle reproduces the two generations with a CASE over the
+    // ORIGINAL table — equality proves the merged-schema read saw
+    // every row with the right (possibly null) migrated column
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-migration>'
+        |            ELSE o_orderpriority END AS prio,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q_filter_range" ->
       """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue

@@ -60,6 +60,37 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("q_hll_sketch: every group estimate and the merged total within 2% of exact") {
+    val out = SparkEntry.queries("q_hll_sketch")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).contains("ALL"), "merged-sketch row missing")
+    out.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.02,
+        s"group ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("q_scd2_dim: intervals chain per user and change points differ from predecessors") {
+    val out = SparkEntry.queries("q_scd2_dim")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r.getTimestamp(3).getTime, r.getLong(1)))
+      // exactly one open (current) interval per user, and it is last
+      assert(sorted.count(_.getBoolean(5)) === 1)
+      assert(sorted.last.getBoolean(5))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) === b.getTimestamp(3),
+            s"user $user: valid_to of one interval must be the next valid_from")
+          assert(a.getString(2) !== b.getString(2),
+            s"user $user: consecutive intervals must change the attribute")
+        case _ =>
+      }
+    }
+  }
+
   test("q_embed_norm: norms positive, per-label z-scores center on 0") {
     val out = SparkEntry.queries("q_embed_norm")(spark, sf).collect()
     assert(out.nonEmpty)
