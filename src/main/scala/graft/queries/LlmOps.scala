@@ -306,6 +306,10 @@ object LlmOps {
         .groupBy("doc_id", "lang", "dlen", "term")
         .agg(count(lit(1)).as("tf_raw"))
         .withColumn("tf", col("tf_raw") / col("dlen"))
+        // both the df table and the scoring join consume tf — persist
+        // so the explode+aggregate subtree runs once, not twice (r5:
+        // this was the bench's worst run-to-run variance source)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
         .crossJoin(broadcast(nd))
         .withColumn("idf", log(col("n_corpus") / col("df")))

@@ -245,6 +245,53 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // End-to-end APPROXIMATE dedup at the 100 TB composition (r5):
+    // MinHash-LSH banding generates candidates sub-quadratically, the
+    // codegen'd sorted-merge intersect verifies exact token Jaccard
+    // ≥ 0.8 (false positives die here), and ConnectedComponents
+    // resolves the verified pairs to cluster labels — the pipeline a
+    // petabyte corpus actually runs, where the exact SetSimJoin keys
+    // (q_dedup_components) are the small-scale oracle. The verify τ
+    // is MATCHED to the banding curve: 8 bands × 4 rows has its
+    // s-curve threshold at (1/8)^(1/4) ≈ 0.6, so recall at J ≥ 0.8 is
+    // ≈ 0.985 per pair and → 1 as J → 1 (measured here first: a τ=0.5
+    // verify against the same banding missed boundary pairs — per-pair
+    // candidate probability at J = 0.5 is only 0.40). OMIT oracle
+    // (banding recall is probabilistic BY DESIGN); the unit suite pins
+    // the honest approximate contract — soundness exactly (every LSH
+    // cluster is contained in an exact τ=0.8 cluster: verified pairs
+    // cannot over-merge) and recall as a floor.
+    "q_dedup_lsh_resolve" -> ((s, d) => {
+      Registry.ensure(s)
+      val docs = Tables.documents(s, d)
+      val sig = docs.select(col("doc_id"), col("lang"),
+          expr("minhash_sig(array_distinct(split(text, ' ')), 32)").as("sig"),
+          expr("token_hashes(split(text, ' '))").as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // band key = xxhash64 over the 4 lanes + band index: one 64-bit
+      // join key per (doc, band), never array equality
+      val bands = sig.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))")).as("bsig"))
+      val cand = bands.select(col("lang"), col("bsig"), col("doc_id").as("a_id"))
+        .join(bands.select(col("lang").as("l2"), col("bsig").as("b2"),
+            col("doc_id").as("b_id")),
+          col("lang") === col("l2") && col("bsig") === col("b2") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val hsT = sig.select(col("doc_id"), col("hs"))
+      val verified = cand
+        .join(hsT.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+        .join(hsT.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+        .withColumn("i", expr("sorted_intersect_count(a_hs, b_hs)"))
+        .filter(col("i") / (size(col("a_hs")) + size(col("b_hs")) - col("i")) >= 0.8)
+        .select("a_id", "b_id")
+      graft.operators.ConnectedComponents.components(s, docs.select("doc_id"), verified)
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("label") === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprints (constant-size near-dup sketch). OMIT
     // oracle — property-tested (determinism + self-similarity).
     "q_simhash" -> ((s, d) => {

@@ -208,6 +208,15 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p2.contains("Scan ExistingRDD"), p2)
   }
 
+  test("q_scd2_dim: both windows share ONE hash-partition exchange") {
+    // lag (change detection) and lead (interval close) run over the
+    // same (user_id) partitioning — a second exchange would mean the
+    // window specs diverged and the build costs two shuffles at scale
+    val p = plan("q_scd2_dim")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges\n$p")
+  }
+
   test("q_fuzzy_jw verifies only blocked candidates — no cartesian in the plan") {
     // both blocking legs (first-char equi-join; log2-length band join)
     // must plan as hash/merge joins: a CartesianProduct or

@@ -91,6 +91,45 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_dedup_lsh_resolve: sound exactly, recall floor vs the exact tau=0.8 resolution") {
+    // the approximate contract of the LSH path: the exact verify makes
+    // over-merging IMPOSSIBLE (soundness is a hard assertion — every
+    // LSH cluster sits inside one exact cluster), while banding recall
+    // is probabilistic, so coverage is pinned as a floor, not equality
+    // (a tau=0.5 variant of this test failed honestly: per-pair
+    // candidate probability at the J=0.5 boundary is only 0.40)
+    graft.expr.Registry.ensure(spark)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val exactPairs = graft.operators.SetSimJoin.auto(spark,
+      docs.select(col("doc_id"), col("lang"),
+        expr("token_hashes(split(text, ' '))").as("hs")), tau = 0.8)
+      .select("a_id", "b_id")
+    val exact = graft.operators.ConnectedComponents
+      .components(spark, docs.select("doc_id"), exactPairs)
+      .select(col("doc_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = SparkEntry.queries("q_dedup_lsh_resolve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exactLabel = exact.toMap
+    // soundness: docs sharing an LSH cluster share the exact cluster
+    got.groupBy(_._2).foreach { case (lshCluster, members) =>
+      val exactLabels = members.map(m => exactLabel(m._1)).toSet
+      assert(exactLabels.size === 1,
+        s"LSH cluster $lshCluster merges exact clusters $exactLabels")
+    }
+    // recall: >= 90% of the docs the exact resolution clusters as
+    // duplicates are also clustered by the LSH path
+    def dupDocs(labels: Array[(Long, Long)]): Set[Long] = {
+      val sizes = labels.groupBy(_._2).view.mapValues(_.length).toMap
+      labels.filter(l => sizes(l._2) >= 2).map(_._1).toSet
+    }
+    val exactDups = dupDocs(exact)
+    val gotDups = dupDocs(got)
+    assert(exactDups.nonEmpty)
+    val recall = (exactDups & gotDups).size.toDouble / exactDups.size
+    assert(recall >= 0.9, s"LSH dedup recall $recall below floor")
+  }
+
   test("q_embed_norm: norms positive, per-label z-scores center on 0") {
     val out = SparkEntry.queries("q_embed_norm")(spark, sf).collect()
     assert(out.nonEmpty)
