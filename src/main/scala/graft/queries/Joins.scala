@@ -278,23 +278,29 @@ object Joins {
     // semi-join — which is exactly what the oracle runs. At 100 TB this
     // is the row-level runtime filter made explicit: the big fact side
     // is pruned at the scan side of the exchange instead of shuffling
-    // every row to the join. Bloom capacity comes from
-    // spark.sql.optimizer.runtime.bloomFilter.* defaults (1M items /
-    // 8M bits here); size estimatedNumItems to the build-side distinct
-    // count at scale or the false-positive rate erodes the pruning.
+    // every row to the join. r5: the bloom is SIZED — bloom_agg's
+    // capacity argument (Registry) sets estimatedNumItems to a cheap
+    // upper bound on the build side (the quarter's order count; at
+    // scale, a stats-catalog NDV) instead of the 1M-item default, so
+    // the filter's bits match the data and the false-positive rate
+    // cannot erode the pruning as the build side grows.
     "q_join_bloom_prefilter" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      Tables.orders(s, d)
+      val build = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
           col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
-        .select("o_orderkey").createOrReplaceTempView("graft_bloom_build")
+        .select("o_orderkey")
+      build.createOrReplaceTempView("graft_bloom_build")
+      // bounded driver scalar: one count on the (already filtered)
+      // build side — the same pass any runtime-filter planner pays
+      val capacity = math.max(1024L, build.count())
       Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_quantity")
         .createOrReplaceTempView("graft_bloom_probe")
-      s.sql("""
+      s.sql(s"""
         |SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM graft_bloom_probe l
         |WHERE bloom_might_contain(
-        |        (SELECT bloom_agg(xxhash64(o_orderkey)) FROM graft_bloom_build),
+        |        (SELECT bloom_agg(xxhash64(o_orderkey), ${capacity}L) FROM graft_bloom_build),
         |        xxhash64(l.l_orderkey))
         |  AND l.l_orderkey IN (SELECT o_orderkey FROM graft_bloom_build)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)

@@ -130,6 +130,18 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9, s"LSH dedup recall $recall below floor")
   }
 
+  test("bloom_agg: sized capacity argument works; wrong arity errors loudly") {
+    graft.expr.Registry.ensure(spark)
+    val hit = spark.sql(
+      """SELECT bloom_might_contain(
+        |  (SELECT bloom_agg(xxhash64(id), 2048L) FROM range(100)),
+        |  xxhash64(50L)) AS hit""".stripMargin).head().getBoolean(0)
+    assert(hit, "sized bloom must contain an inserted key")
+    intercept[Exception] {
+      spark.sql("SELECT bloom_agg(xxhash64(id), 10L, 20L) FROM range(10)").collect()
+    }
+  }
+
   test("q_embed_norm: norms positive, per-label z-scores center on 0") {
     val out = SparkEntry.queries("q_embed_norm")(spark, sf).collect()
     assert(out.nonEmpty)
