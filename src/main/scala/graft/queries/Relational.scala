@@ -125,6 +125,28 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // First-class DSv2 WRITE surface (r5): lineitem rides through the
+    // custom staged-commit sink (sinks/StagedCommitSink — executor-side
+    // staged files, per-task commit messages, atomic generation-pointer
+    // swap on driver commit, abort leaves the prior generation live)
+    // and is read back from the committed generation; the aggregate
+    // must equal the oracle's aggregate over the ORIGINAL table, which
+    // proves the sink's write+commit+read path lossless. Abort/
+    // overwrite/quoting semantics are pinned in DSv2SinkSpec.
+    "q_dsv2_sink_roundtrip" -> ((s, d) => {
+      val path = graft.util.Scratch.dirFor("staged_sink", d)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      li.write.format("graft.sinks.StagedCommitSink")
+        .option("path", path).mode("overwrite").save()
+      graft.sinks.StagedCommitSink.read(s, path, li.schema)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Bucketed co-located join: both fact tables land as 8-bucket
     // tables hashed AND sorted on the join key, so the per-order
     // aggregate and the orders⋈lineitem join both run WITHOUT a
@@ -304,6 +326,14 @@ object Relational {
         |    list_extract(generate_series(1, CAST(l_quantity AS BIGINT)), 30) AS ev
         |  FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the oracle aggregates the ORIGINAL table: equality proves the
+    // staged-commit sink's write+commit+read path lossless
+    "q_dsv2_sink_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the oracle aggregates the ORIGINAL table: equality proves the
     // csv+json round-trips were lossless

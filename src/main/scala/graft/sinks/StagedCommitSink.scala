@@ -1,0 +1,189 @@
+package graft.sinks
+
+import java.util.{Map => JMap, UUID}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 BATCH WRITE with a staged-commit protocol (r5) — the
+  * reference's A7 "idempotent transactional sink" as a first-class V2
+  * writer instead of the foreachBatch approximation:
+  *
+  *  1. every task's `DataWriter` streams rows to its OWN file under a
+  *     per-job staging dir (`.staging-<uuid>`) — executor-side, no
+  *     driver data path;
+  *  2. a task that fails/aborts deletes its file; speculative twins
+  *     write distinct files and only the committed task's message
+  *     reaches the driver (Spark's commit-coordinator contract);
+  *  3. `BatchWrite.commit` renames the staging dir to a new
+  *     GENERATION dir and atomically swaps the one-line `_current`
+  *     pointer file to it — readers either see the whole old
+  *     generation or the whole new one, never a mix;
+  *  4. `BatchWrite.abort` removes the staging dir; the pointer never
+  *     moved, so the previous generation stays live.
+  *
+  * This is the one-generation-deep core of a table-format commit log
+  * (Delta/Iceberg keep N generations + a metadata log; same shape).
+  * Files are CSV with Spark-reader-compatible quoting so the read
+  * back is `spark.read.schema(...).csv(currentDir(path))` — the
+  * format is deliberately boring; the SINK SEMANTICS (staging, task
+  * commit messages, atomic pointer swap, abort) are the operator.
+  * Supported column types: long/int/double/string (text timestamp
+  * formats are a config surface, excluded as in q_io_roundtrip).
+  *
+  * Production note: generation GC here deletes the superseded dir
+  * right after the pointer swap; a deployment keeps N generations so
+  * in-flight readers of the old pointer finish safely.
+  */
+class StagedCommitSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "StagedCommitSink is write-only from SQL; read back via StagedCommitSink.read")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new StagedTable(schema, properties.get("path"))
+}
+
+object StagedCommitSink {
+  /** Resolve the committed generation dir from the pointer file. */
+  def currentDir(spark: SparkSession, path: String): String = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(path, "_current")
+    require(fs.exists(ptr), s"no committed generation under $path")
+    val in = fs.open(ptr)
+    val gen = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    new Path(path, gen).toString
+  }
+
+  /** Read the committed generation with the given schema. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).csv(currentDir(spark, path))
+}
+
+private class StagedTable(schema: StructType, path: String)
+    extends Table with SupportsWrite {
+  require(path != null, "StagedCommitSink requires option(\"path\", ...)")
+  override def name(): String = s"staged_commit($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new StagedBatchWrite(path, info.schema())
+      }
+    }
+}
+
+private case class StagedFileMessage(file: String) extends WriterCommitMessage
+
+private class StagedBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  // sanity-check the schema ONCE at planning, not per row
+  schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | DoubleType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"StagedCommitSink supports long/int/double/string; got $other for ${f.name}")
+    }
+  }
+  private val stagingName = ".staging-" + UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new StagedWriterFactory(path, stagingName, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+    val gen = "gen-" + stagingName.stripPrefix(".staging-")
+    fs.rename(new Path(root, stagingName), new Path(root, gen))
+    // the pointer swap IS the commit: single-file replace via
+    // write-temp + rename (atomic on local/HDFS semantics)
+    val tmp = new Path(root, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(root, "_current")
+    val prev: Option[String] =
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim) finally in.close()
+      } else None
+    fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    // GC the superseded generation (production keeps N; see Scaladoc)
+    prev.filter(_ != gen).foreach(p => fs.delete(new Path(root, p), true))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+    fs.delete(new Path(root, stagingName), true)
+  }
+}
+
+private class StagedWriterFactory(path: String, stagingName: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new StagedCsvWriter(path, stagingName, schema, partitionId, taskId)
+}
+
+/** One staged CSV file per task attempt; distinct attempt ids write
+  * distinct files, so a speculative twin can never corrupt the
+  * winner's output. */
+private class StagedCsvWriter(path: String, stagingName: String, schema: StructType,
+                              partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = new Path(new Path(path, stagingName),
+    f"part-$partitionId%05d-$taskId.csv")
+  private val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(file, true), "UTF-8"))
+
+  // Spark csv reader defaults: quote = '"', escape = '\'. Quote every
+  // string and escape its quote/backslash chars so the round-trip is
+  // byte-exact for arbitrary content.
+  private def csvString(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType    => sb.append(row.getLong(i))
+        case IntegerType => sb.append(row.getInt(i))
+        case DoubleType  => sb.append(row.getDouble(i))
+        case StringType  => sb.append(csvString(row.getUTF8String(i).toString))
+        case other       => throw new IllegalStateException(s"unreachable: $other")
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedFileMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit = ()
+}

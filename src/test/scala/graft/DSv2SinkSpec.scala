@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.StagedCommitSink
+
+/** The staged-commit DSv2 sink's transactional semantics: atomic
+  * generation swap on commit, prior-generation survival on job abort,
+  * superseded-generation GC, and byte-exact string quoting. */
+class DSv2SinkSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshPath(tag: String): String =
+    Files.createTempDirectory(s"graft_sink_$tag").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType),
+    StructField("s", StringType)))
+
+  private def writeDf(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write.format("graft.sinks.StagedCommitSink")
+      .option("path", path).mode("overwrite").save()
+
+  test("overwrite swaps the generation atomically and GCs the old one") {
+    import spark.implicits._
+    val path = freshPath("swap")
+    writeDf(Seq((1L, 1.5, "a"), (2L, 2.5, "b")).toDF("id", "v", "s"), path)
+    val g1 = StagedCommitSink.currentDir(spark, path)
+    assert(StagedCommitSink.read(spark, path, schema).count() === 2)
+    writeDf(Seq((3L, 3.5, "c")).toDF("id", "v", "s"), path)
+    val g2 = StagedCommitSink.currentDir(spark, path)
+    assert(g1 !== g2)
+    val rows = StagedCommitSink.read(spark, path, schema).collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === 3L)
+    // superseded generation dir is gone; only the live one + pointer remain
+    val entries = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!entries.contains(new java.io.File(g1).getName), entries.toString)
+    assert(entries.contains(new java.io.File(g2).getName))
+  }
+
+  test("a failing job aborts: prior generation stays live, no staging residue") {
+    import spark.implicits._
+    val path = freshPath("abort")
+    writeDf(Seq((1L, 1.0, "keep")).toDF("id", "v", "s"), path)
+    val bad = spark.range(0, 100).select(col("id"),
+      lit(1.0).as("v"),
+      when(col("id") === 57, raise_error(lit("boom")))
+        .otherwise(lit("x")).as("s"))
+    intercept[Exception] { writeDf(bad, path) }
+    // the committed view is untouched by the failed job
+    val rows = StagedCommitSink.read(spark, path, schema).collect()
+    assert(rows.length === 1 && rows.head.getString(2) === "keep")
+    // and the failed job's staging dir was removed by BatchWrite.abort
+    val residue = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith(".staging-"))
+    assert(residue.isEmpty, residue.mkString(","))
+  }
+
+  test("string quoting round-trips commas, quotes and backslashes byte-exact") {
+    import spark.implicits._
+    val path = freshPath("quote")
+    val tricky = Seq(
+      (1L, 0.5, """plain"""),
+      (2L, 1.5, """with,comma"""),
+      (3L, 2.5, """with"quote"""),
+      (4L, 3.5, """back\slash"""),
+      (5L, 4.5, """both\",tricky"""))
+    writeDf(tricky.toDF("id", "v", "s"), path)
+    val got = StagedCommitSink.read(spark, path, schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq === tricky)
+  }
+
+  test("unsupported column types fail loudly at planning") {
+    import spark.implicits._
+    val path = freshPath("types")
+    val withTs = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    intercept[Exception] { writeDf(withTs, path) }
+  }
+}
