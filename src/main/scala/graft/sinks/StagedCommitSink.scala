@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -67,6 +68,19 @@ object StagedCommitSink {
   /** Read the committed generation with the given schema. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).csv(currentDir(spark, path))
+
+  /** Read the union of all committed STREAMING epochs (the `_epochs`
+    * manifest — see [[StagedStreamingWrite]]). */
+  def readEpochs(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val man = new Path(path, "_epochs")
+    require(fs.exists(man), s"no committed epochs under $path")
+    val in = fs.open(man)
+    val dirs = try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    require(dirs.nonEmpty, s"empty epoch manifest under $path")
+    spark.read.schema(schema).csv(dirs.map(g => new Path(path, g).toString): _*)
+  }
 }
 
 private class StagedTable(schema: StructType, path: String)
@@ -75,12 +89,15 @@ private class StagedTable(schema: StructType, path: String)
   override def name(): String = s"staged_commit($path)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new StagedBatchWrite(path, info.schema())
+        override def toStreaming: StreamingWrite =
+          new StagedStreamingWrite(path, info.schema())
       }
     }
 }
@@ -136,6 +153,59 @@ private class StagedWriterFactory(path: String, stagingName: String, schema: Str
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StagedCsvWriter(path, stagingName, schema, partitionId, taskId)
+}
+
+/** STREAMING write through the same staged-commit protocol, keyed by
+  * EPOCH: each micro-batch stages under `.staging-epoch-<id>`, and
+  * `commit(epochId)` renames it to `epoch-<id>` (deleting any prior
+  * dir of that name first — so a REPLAYED epoch after restart
+  * overwrites its own output instead of duplicating it: exactly-once
+  * at the sink without any key-based dedup) and rewrites the
+  * `_epochs` manifest (temp + atomic rename) from the directories
+  * actually present. Readers union the manifest's epochs. */
+private class StagedStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | DoubleType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"StagedCommitSink supports long/int/double/string; got $other for ${f.name}")
+    }
+  }
+
+  private def fs = new Path(path).getFileSystem(
+    org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StagedStreamingWriterFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val f = fs
+    val epochDir = new Path(root, s"epoch-$epochId")
+    f.delete(epochDir, true) // replayed epoch: replace, never duplicate
+    f.rename(new Path(root, s".staging-epoch-$epochId"), epochDir)
+    // manifest rebuilt from the dirs actually present (self-healing)
+    val epochs = f.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("epoch-"))
+      .sortBy(_.stripPrefix("epoch-").toLong)
+    val tmp = new Path(root, "_epochs.tmp")
+    val out = f.create(tmp, true)
+    try out.write(epochs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val man = new Path(root, "_epochs")
+    f.delete(man, false)
+    f.rename(tmp, man)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(new Path(new Path(path), s".staging-epoch-$epochId"), true)
+}
+
+private class StagedStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new StagedCsvWriter(path, s".staging-epoch-$epochId", schema, partitionId, taskId)
 }
 
 /** One staged CSV file per task attempt; distinct attempt ids write

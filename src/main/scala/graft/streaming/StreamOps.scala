@@ -288,6 +288,32 @@ object StreamOps {
       s.read.parquet(out).orderBy("wstart")
     }),
 
+    // A7 through the DSv2 STREAMING_WRITE surface (r5): the staged-
+    // commit sink's epoch-keyed commits (sinks/StagedCommitSink) make
+    // a FULL replay idempotent with no key-based dedup at all — a
+    // replayed epoch renames over its own epoch dir. The pipeline
+    // runs twice from fresh checkpoints; the returned frame must equal
+    // one batch projection of the input (pinned in DSv2SinkSpec).
+    "s_dsv2_sink_ingest" -> ((s, d) => {
+      val sink = tmp("v2sink_out")
+      val in = eventsDir(d, "v2sink_in")
+      def run(ck: String): Unit = withBoundedStatePartitions(s) {
+        readEventsStream(s, in)
+          .select("event_id", "user_id", "event_type", "value")
+          .writeStream.format("graft.sinks.StagedCommitSink")
+          .option("path", sink)
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      run(tmp("v2sink_ckpt"))
+      run(tmp("v2sink_ckpt2")) // full replay — epoch-keyed idempotence
+      graft.sinks.StagedCommitSink.readEpochs(s, sink, StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        .orderBy("event_id")
+    }),
+
     // A7: idempotent keyed upsert per micro-batch (the Backendless-
     // save analog). The whole pipeline is run twice from a fresh
     // checkpoint — the second full replay must leave the sink

@@ -74,6 +74,18 @@ class DSv2SinkSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === tricky)
   }
 
+  test("streaming epoch commits are replay-idempotent and equal the batch projection") {
+    val got = graft.streaming.StreamOps.queries("s_dsv2_sink_ingest")(spark, sf)
+      .collect()
+    val expected = graft.tables.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").collect()
+    // the query ran the WHOLE pipeline twice from fresh checkpoints:
+    // equality with one batch pass proves the second replay replaced
+    // its epochs instead of appending duplicates
+    assert(got === expected)
+  }
+
   test("unsupported column types fail loudly at planning") {
     import spark.implicits._
     val path = freshPath("types")
