@@ -74,6 +74,30 @@ class DSv2SinkSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === tricky)
   }
 
+  test("quoting property: generated strings round-trip byte-exact through write+read") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default.withSize(30)
+    // printable chars with quote/backslash/comma over-weighted; \n and
+    // \r excluded — the read path is multiLine=false by design (a
+    // documented sink limitation, as in Spark's own csv defaults)
+    val charGen = Gen.frequency(
+      (8, Gen.choose(32.toChar, 126.toChar)),
+      (2, Gen.oneOf('"', '\\', ',')))
+    val strGen = Gen.nonEmptyListOf(charGen).map(_.mkString)
+    val strings = (0 until 300).flatMap(i => strGen.apply(params, Seed(i.toLong)))
+    val rows = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val path = freshPath("prop")
+    rows.toDF("id", "s").write.format("graft.sinks.StagedCommitSink")
+      .option("path", path).mode("overwrite").save()
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val got = StagedCommitSink.read(spark, path, schema2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === rows)
+  }
+
   test("streaming epoch commits are replay-idempotent and equal the batch projection") {
     val got = graft.streaming.StreamOps.queries("s_dsv2_sink_ingest")(spark, sf)
       .collect()

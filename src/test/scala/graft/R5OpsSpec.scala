@@ -31,6 +31,20 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rag chunk arithmetic: stride-24/size-32 windows cover any doc length without gaps") {
+    (1 to 2000).foreach { n =>
+      val kmax = if (n <= 32) 0 else (n - 32 + 23) / 24
+      val starts = (0 to kmax).map(_ * 24)
+      assert(starts.head === 0)
+      assert(starts.last < n, s"n=$n: empty last chunk")
+      assert(starts.last + 32 >= n, s"n=$n: tail uncovered")
+      starts.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a === 24 && b < a + 32, s"n=$n: gap between chunks")
+        case _ =>
+      }
+    }
+  }
+
   test("q_chunk_contain equals an independent Scala brute force") {
     val docs = graft.tables.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
