@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.tables.Tables
@@ -288,6 +288,39 @@ object StreamOps {
       s.read.parquet(out).orderBy("wstart")
     }),
 
+    // Spark 4's arbitrary-state API v2 (r5): per-user running totals
+    // via transformWithState — typed ValueState through the
+    // StatefulProcessorHandle instead of the flatMapGroupsWithState
+    // closure-state shape (s_stateful_sessionize keeps the v1 surface;
+    // this is the forward-looking one: named state variables, TTL
+    // config, timers). TWS requires the RocksDB state-store provider —
+    // set for the query, restored after. Batch equivalence (= one
+    // groupBy) pinned in R5OpsSpec.
+    "s_tws_running_total" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("tws_out")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = readEventsStream(s, eventsDir(d, "tws_in"))
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+        val totals = ev.groupByKey(_._1)
+          .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "n_events", "sum_value")
+          // 4dp: state accumulation order varies with shuffle order;
+          // rounding absorbs the ~1e-12 double drift (§7.6)
+          .select(col("user_id"), col("n_events"),
+            round(col("sum_value"), 4).as("sum_value"))
+        runToParquet(totals, out, tmp("tws_ckpt"))
+        s.read.parquet(out).orderBy("user_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // A7 through the DSv2 STREAMING_WRITE surface (r5): the staged-
     // commit sink's epoch-keyed commits (sinks/StagedCommitSink) make
     // a FULL replay idempotent with no key-based dedup at all — a
@@ -328,6 +361,26 @@ object StreamOps {
       s.read.parquet(sink).drop("bucket").orderBy("event_id")
     })
   )
+
+  /** StatefulProcessor for s_tws_running_total: one named ValueState
+    * per user carrying (count, sum); every input batch folds into it
+    * and emits the updated totals. State is keyed storage in the
+    * RocksDB provider — at scale this is the per-key point-lookup
+    * shape, never a per-batch full-state scan. */
+  private class RunningTotals
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; sum += r._2 }
+      totals.update((n, sum))
+      Iterator.single((key, n, sum))
+    }
+  }
 
   /** Key-bucket count of the upsert sink. 8 suffices for the test
     * corpus; at scale this is sized so a bucket rewrite is a bounded

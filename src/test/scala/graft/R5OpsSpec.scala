@@ -156,6 +156,15 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("s_tws_running_total (transformWithState) equals the batch groupBy totals") {
+    val got = SparkEntry.queries("s_tws_running_total")(spark, sf).collect()
+    val expected = graft.tables.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id").collect()
+    assert(got === expected)
+  }
+
   test("q_embed_norm: norms positive, per-label z-scores center on 0") {
     val out = SparkEntry.queries("q_embed_norm")(spark, sf).collect()
     assert(out.nonEmpty)
