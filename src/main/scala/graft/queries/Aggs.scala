@@ -37,6 +37,26 @@ object Aggs {
         .agg(countDistinct("o_custkey").as("cust_cnt"))
         .orderBy("o_orderpriority")),
 
+    // Deterministic MODE per group (r5): most frequent l_quantity per
+    // returnflag with an explicit smallest-value tie-break — Spark's
+    // built-in mode() leaves ties unspecified, so the operator is the
+    // count-then-top-1 composition (RewriteWindowTopK plans the rn=1
+    // window as the sort-free bounded-heap TopKPerGroupExec). Two
+    // shuffles: the (group, value) count, then the per-group top-1 —
+    // both partial-aggregated; the value space bounds the intermediate.
+    "q_agg_mode" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("cnt").desc, col("l_quantity"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_agg_rollup" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
@@ -139,6 +159,14 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """SELECT l_returnflag, mode_qty, cnt FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
     "q_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,
