@@ -141,6 +141,30 @@ object Aggs {
           expr("regr_count(l_extendedprice, l_quantity)").as("n"))
         .orderBy("l_returnflag")),
 
+    // Incremental aggregate maintenance (r5): merge a BASE aggregate
+    // (events before the cutoff — the already-materialized history)
+    // with a DELTA aggregate (the new partition) by combining partial
+    // states — counts and sums add, avg re-derives — without ever
+    // rescanning the base rows. The algebraic-reaggregation pattern
+    // every incremental ETL depends on (the exact-counter sibling of
+    // q_hll_sketch's sketch mergeability); the oracle computes the
+    // full aggregate from scratch, so equality proves the merge
+    // lossless. Sums round 4dp: base+delta adds doubles in a
+    // different order than one full pass (§7.6.2).
+    "q_incremental_agg" -> ((s, d) => {
+      val cutoff = lit("2024-01-21 00:00:00").cast("timestamp")
+      val e = Tables.events(s, d)
+      def part(df: DataFrame): DataFrame = df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      part(e.filter(col("ts") < cutoff))
+        .unionByName(part(e.filter(col("ts") >= cutoff)))
+        .groupBy("event_type")
+        .agg(sum("n").as("n"),
+          round(sum("sv"), 4).as("sum_value"),
+          round(sum("sv") / sum("n"), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
     // HLL sketch — no DuckDB oracle (sketch-specific); unit test bounds
     // it to within 5% of the exact distinct count.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -159,6 +183,13 @@ object Aggs {
   )
 
   val oracle: Map[String, String] = Map(
+    // full-scratch aggregate — equality proves the partial-state merge
+    "q_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 4) AS sum_value,
+        |  ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_agg_mode" ->
       """SELECT l_returnflag, mode_qty, cnt FROM (
         |  SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS cnt,
