@@ -165,6 +165,28 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Salted distinct count (r5): COUNT(DISTINCT user_id) per
+    // event_type via two-phase salting — the skew-mitigation shape for
+    // low-cardinality group keys (5 event types over 32+ shuffle
+    // partitions leave most of the cluster idle, and one hot key can
+    // OOM its reducer). Phase 1 groups by (type, salt) where the salt
+    // is derived FROM THE DISTINCT KEY (pmod(hash(user_id), 64)) so
+    // each user lands in exactly one salt bucket and the partial
+    // distinct counts are disjoint; phase 2 sums the partials — exact,
+    // not approximate, unlike the HLL route. The salt spreads the
+    // phase-1 shuffle 64× while phase 2 moves only 5×64 tiny rows.
+    // The oracle is the plain one-phase COUNT(DISTINCT), so equality
+    // proves the salting semantics-preserving.
+    "q_salted_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(hash(col("user_id")), lit(64)).as("salt"), col("user_id"))
+        .groupBy("event_type", "salt")
+        .agg(countDistinct("user_id").as("pd"))
+        .groupBy("event_type")
+        .agg(sum("pd").as("n_users"))
+        .orderBy("event_type")),
+
     // HLL sketch — no DuckDB oracle (sketch-specific); unit test bounds
     // it to within 5% of the exact distinct count.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -216,6 +238,13 @@ object Aggs {
     "q_agg_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS cust_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // plain one-phase formulation — equality proves the salted
+    // two-phase rewrite exact
+    "q_salted_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT r_name, n_name, ROUND(SUM(c_acctbal), 4) AS acct_sum,

@@ -222,6 +222,64 @@ object Analytics {
         .orderBy("user_id", "valid_from", "change_id")
     }),
 
+    // Snapshot CDC diff (r5): classify every key across two table
+    // snapshots as insert / delete / update — the change-data-capture
+    // derivation a warehouse runs between loads when the source can't
+    // emit a changelog. The two snapshots are derived deterministically
+    // from orders (key%10==3 absent from OLD → insert; key%10==5
+    // absent from NEW → delete; key%10==7 carries price+1.0 in OLD →
+    // update; the +1.0 delta is exact double arithmetic, no rounding
+    // surface). The diff itself is ONE full outer join hash-partitioned
+    // on the key — the shape that scales: both sides shuffle once, AQE
+    // handles skew, and at 100 TB file-level min/max stats prune
+    // unchanged regions before the join ever sees them.
+    "q_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey").as("k_old"),
+          when(col("o_orderkey") % 10 === 7, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("price_old"))
+      val nw = o.filter(col("o_orderkey") % 10 =!= 5)
+        .select(col("o_orderkey").as("k_new"),
+          col("o_totalprice").as("price_new"))
+      old.join(nw, col("k_old") === col("k_new"), "full_outer")
+        .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+          when(col("k_old").isNull, "insert")
+            .when(col("k_new").isNull, "delete")
+            .when(col("price_old") =!= col("price_new"), "update")
+            .otherwise("unchanged").as("change_type"),
+          col("price_old"), col("price_new"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
+    // SCD2 point-in-time snapshot (r5): reconstruct the dimension
+    // state AT a fixed timestamp T from the change history — "what was
+    // each user's state on Jan 16, and since when" — the time-travel
+    // read every type-2 dimension exists to answer. Change points as
+    // in q_scd2_dim (lag over the same (user_id, ts, event_id) order),
+    // then the latest change strictly before T via row_number DESC.
+    // Both windows share the user_id partitioning → ONE shuffle, two
+    // sorts; at 100 TB the T-filter lands before the second sort, so
+    // the argmax runs over changes-before-T only.
+    "q_scd2_snapshot" -> ((s, d) => {
+      val t0 = lit("2024-01-16").cast("timestamp")
+      val wLag = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", lag("event_type", 1).over(wLag))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .filter(col("ts") < t0)
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("since_ts"), col("event_id").as("change_id"))
+        .orderBy("user_id")
+    }),
+
     // Mergeable distinct-count sketches (r5): per-group HLL sketches
     // (Spark's DataSketches-backed hll_sketch_agg) UNIONED into a
     // global estimate — the two-level pattern that makes distinct
@@ -333,6 +391,40 @@ object Analytics {
         |  WHERE (q.p_retailprice <  p.p_retailprice AND q.p_size >= p.p_size)
         |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size >  p.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k_old,
+        |    CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS price_old
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |b AS (
+        |  SELECT o_orderkey AS k_new, o_totalprice AS price_new
+        |  FROM orders WHERE o_orderkey % 10 <> 5)
+        |SELECT o_orderkey, change_type, price_old, price_new FROM (
+        |  SELECT COALESCE(a.k_old, b.k_new) AS o_orderkey,
+        |    CASE WHEN a.k_old IS NULL THEN 'insert'
+        |         WHEN b.k_new IS NULL THEN 'delete'
+        |         WHEN a.price_old <> b.price_new THEN 'update'
+        |         ELSE 'unchanged' END AS change_type,
+        |    a.price_old, b.price_new
+        |  FROM a FULL OUTER JOIN b ON a.k_old = b.k_new)
+        |WHERE change_type <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2_snapshot" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |r AS (
+        |  SELECT user_id, event_type AS state, ts AS since_ts, event_id AS change_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM c WHERE ts < TIMESTAMP '2024-01-16')
+        |SELECT user_id, state, since_ts, change_id
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_scd2_dim" ->
       """WITH m AS (

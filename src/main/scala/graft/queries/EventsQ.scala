@@ -125,6 +125,35 @@ object EventsQ {
         .orderBy("event_type")
     }),
 
+    // Winsorization (r5): per-type p05/p99 clamp of value — the
+    // outlier-robust normalization a feature pipeline applies before
+    // scaling (clip, don't drop: row count is preserved). Boundaries
+    // are exact percentiles snapped round(x·1e4)/1e4 (the
+    // q_anomaly_mad interpolation-ulp guard); the clip itself is
+    // least/greatest against the snapped bounds. Output is the per-type
+    // audit row — n, clipped-low/high counts, and the clamped sum in
+    // exact micro-units (round(x·1e6) per row, THEN integer sum: no
+    // summation-order surface at all). One percentile shuffle, stats
+    // broadcast back, one agg — same two-pass shape as q_anomaly_mad;
+    // at 100 TB pass 1 becomes approx_percentile on the same plan.
+    "q_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def r4(c: Column): Column = round(c * lit(10000)) / lit(10000)
+      val bounds = ev.groupBy("event_type")
+        .agg(r4(expr("percentile(value, 0.05)")).as("lo"),
+          r4(expr("percentile(value, 0.99)")).as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"), col("lo"), col("hi"), col("value"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("w"))
+        .groupBy("event_type")
+        .agg(max("lo").as("lo"), max("hi").as("hi"),
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("lo"), 1)).as("n_clip_lo"),
+          count(when(col("value") > col("hi"), 1)).as("n_clip_hi"),
+          sum(round(col("w") * lit(1000000)).cast("long")).as("sum_w_micro"))
+        .orderBy("event_type")
+    }),
+
     // EWMA smoothing (α=0.2) of hourly event counts over the 2-day
     // grid (empty buckets = 0, as in q_resample_interp). The recurrence
     // y_i = α·x_i + (1−α)·y_{i−1} is closed-form over a running window
@@ -276,6 +305,21 @@ object EventsQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.05) * 10000) / 10000 AS lo,
+        |    ROUND(quantile_cont(value, 0.99) * 10000) / 10000 AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE e.value < b.lo) AS n_clip_lo,
+        |  COUNT(*) FILTER (WHERE e.value > b.hi) AS n_clip_hi,
+        |  CAST(SUM(CAST(ROUND(least(greatest(e.value, b.lo), b.hi) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS sum_w_micro
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "q_anomaly_mad" ->
       """WITH med AS (
         |  SELECT event_type, ROUND(quantile_cont(value, 0.5) * 10000) / 10000 AS med

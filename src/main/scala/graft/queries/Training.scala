@@ -88,6 +88,38 @@ object Training {
         .filter(col("n_docs") >= 2)
         .orderBy("h")),
 
+    // URL parse + canonicalization (r5): the CommonCrawl-style curation
+    // step — parse host/path/query out of each document's URL,
+    // normalize (lowercase host, default port dropped by the parser,
+    // tracking params stripped), and report per-host dedup pressure:
+    // docs vs distinct paths vs distinct canonical URLs (sec=doc_id%7
+    // collapses the id-space 7-fold once trackers are gone). URLs are
+    // synthesized deterministically from (source, lang, doc_id) — the
+    // corpus has no url column — with an UPPERCASE host + :443 + two
+    // tracking params so every normalization rule does real work. All
+    // scalar work is codegen'd expressions on the scan; the only
+    // shuffle is the per-host agg (multi-distinct expands 2×). The
+    // oracle re-derives host/path/query with plain regexes — an
+    // independent parser implementation checking parse_url's.
+    "q_url_extract" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".Example.COM:443/"),
+            col("lang"), lit("/"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit("/page?sec="), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("&utm_source=feed&ref="), col("source")).as("url"))
+        .select(col("doc_id"),
+          lower(expr("parse_url(url, 'HOST')")).as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          regexp_replace(expr("parse_url(url, 'QUERY')"),
+            "&(utm_[a-z]+|ref)=[^&]*", "").as("q"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("path").as("n_paths"),
+          countDistinct(concat(col("host"), col("path"), lit("?"), col("q")))
+            .as("n_canon"))
+        .orderBy("host")),
+
     // Domain mixture sampling: per-source target rates applied via the
     // deterministic hash bucket — the "20% web, 50% curated" knob of a
     // training mix, reproducible at any scale because membership is a
@@ -258,6 +290,28 @@ object Training {
     "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    // independent parse: plain regexes against the same synthesized
+    // URLs check Spark's parse_url-based derivation
+    "q_url_extract" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.Example.COM:443/' || lang || '/' ||
+        |      CAST(doc_id % 50 AS VARCHAR) || '/page?sec=' ||
+        |      CAST(doc_id % 7 AS VARCHAR) ||
+        |      '&utm_source=feed&ref=' || source AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host,
+        |    regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+        |    regexp_replace(regexp_extract(url, '\?(.*)$', 1),
+        |      '&(utm_[a-z]+|ref)=[^&]*', '', 'g') AS q
+        |  FROM u)
+        |SELECT host, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT path) AS n_paths,
+        |  COUNT(DISTINCT host || path || '?' || q) AS n_canon
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
+
     "q_contamination_ngram" ->
       s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          |g AS (
