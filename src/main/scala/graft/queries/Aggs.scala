@@ -187,6 +187,29 @@ object Aggs {
         .agg(sum("pd").as("n_users"))
         .orderBy("event_type")),
 
+    // Mergeable heavy-hitters sketch (r5): per-event-type approx_top_k
+    // ACCUMULATE states combined into one global state, then the top-5
+    // value buckets estimated from the merged sketch — the
+    // reaggregatable frequent-items pattern (per-partition/day states
+    // merge without rescans; the sibling of q_hll_sketch for counts
+    // instead of distincts). Capacity 100 ≥ the 39 distinct buckets,
+    // so the DataSketches frequent-items state is EXACT here — which
+    // is what makes a real DuckDB oracle possible: the top-5 counts
+    // are well separated at every sf, so the estimate equals the exact
+    // GROUP BY top-5. At corpus scale (capacity < cardinality) the
+    // same plan degrades gracefully to ±ε·N guarantees.
+    "q_approx_topk" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") / 10.0).cast("int").as("bucket"))
+        .groupBy("event_type")
+        .agg(expr("approx_top_k_accumulate(bucket, 100)").as("sk"))
+      per.agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 5)").as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("bucket"), col("t.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("bucket"))
+    }),
+
     // HLL sketch — no DuckDB oracle (sketch-specific); unit test bounds
     // it to within 5% of the exact distinct count.
     "q_agg_approx_distinct" -> ((s, d) =>
@@ -238,6 +261,15 @@ object Aggs {
     "q_agg_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS cust_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // exact GROUP BY top-5 — valid oracle because sketch capacity
+    // exceeds bucket cardinality (state exact) and the top-5 counts
+    // are separated at every sf
+    "q_approx_topk" ->
+      """SELECT bucket, cnt FROM (
+        |  SELECT CAST(floor(value / 10.0) AS INT) AS bucket, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |ORDER BY cnt DESC, bucket LIMIT 5""".stripMargin,
 
     // plain one-phase formulation — equality proves the salted
     // two-phase rewrite exact

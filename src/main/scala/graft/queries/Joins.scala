@@ -350,10 +350,85 @@ object Joins {
     "q_join_cross" -> ((s, d) =>
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_name", "n_name")
-        .orderBy("r_name", "n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // Interval OVERLAP join (r5): which user sessions were live at the
+    // same time — the temporal-DB / concurrency-analysis join (genomics
+    // calls it a range intersection). Sessions are derived inline with
+    // the lag + running-sum construction (gap > 30 min opens a new
+    // session; ≥2 events keeps real sessions only), then the
+    // interval×interval overlap a.st ≤ b.en ∧ b.st ≤ a.en is realized
+    // as an HOUR-BUCKET equi-join — each interval explodes to the hour
+    // buckets it covers (sessions run ~1 h, so ≤3 buckets each) and
+    // only same-bucket pairs are tested with the exact residual, then
+    // distinct'd (a pair can share several buckets). Candidates per
+    // bucket are bounded by concurrent-session count — the property
+    // that survives 100 TB, where the plain theta join (the oracle
+    // formulation) is a quadratic nested loop. Overlap duration is
+    // output in exact integer µs.
+    "q_join_interval_overlap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val iv = Tables.events(s, d)
+        .select("user_id", "ts", "event_id")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("brk",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)).cast("long"))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("st"), max("ts").as("en"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"), col("sid"), col("st"), col("en"),
+          floor(unix_micros(col("st")) / 3600000000L).cast("long").as("b0"),
+          floor(unix_micros(col("en")) / 3600000000L).cast("long").as("b1"))
+      val a = iv.select(col("user_id").as("a_user"), col("sid").as("a_sid"),
+        col("st").as("a_st"), col("en").as("a_en"),
+        explode(sequence(col("b0"), col("b1"))).as("bkt"))
+      val b = iv.select(col("user_id").as("b_user"), col("sid").as("b_sid"),
+        col("st").as("b_st"), col("en").as("b_en"),
+        explode(sequence(col("b0"), col("b1"))).as("bkt"))
+      a.join(b, Seq("bkt"))
+        .filter(col("a_user") < col("b_user") &&
+          col("a_st") <= col("b_en") && col("b_st") <= col("a_en"))
+        .select(col("a_user"), col("a_sid"), col("b_user"), col("b_sid"),
+          (least(unix_micros(col("a_en")), unix_micros(col("b_en"))) -
+           greatest(unix_micros(col("a_st")), unix_micros(col("b_st"))))
+            .as("overlap_us"))
+        .distinct()
+        .orderBy("a_user", "a_sid", "b_user", "b_sid")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    // plain theta-join formulation — semantics oracle for the
+    // hour-bucket equi-join realization
+    "q_join_interval_overlap" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS BIGINT) AS sid, ts
+        |  FROM m),
+        |iv AS (
+        |  SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+        |  FROM s GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT a.user_id AS a_user, a.sid AS a_sid,
+        |  b.user_id AS b_user, b.sid AS b_sid,
+        |  least(epoch_us(a.en), epoch_us(b.en)) -
+        |    greatest(epoch_us(a.st), epoch_us(b.st)) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        |ORDER BY a_user, a_sid, b_user, b_sid""".stripMargin,
+
     "q_join_inner_equi" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 4) AS total_price
