@@ -280,6 +280,41 @@ object Analytics {
         .orderBy("user_id")
     }),
 
+    // Batch MERGE apply (r5): apply a changelog (inserts + updates +
+    // delete markers) onto a base snapshot in ONE full outer join —
+    // the lakehouse MERGE INTO semantics (the batch complement of the
+    // streaming s_foreach_upsert sink, and the inverse of
+    // q_snapshot_diff: diff produces the changelog, this consumes it).
+    // Base/delta derive from orders with the same deterministic key%10
+    // scheme as q_snapshot_diff, so the post-merge table must equal
+    // "orders minus the deleted keys at original prices" — which is
+    // exactly what the oracle derives INDEPENDENTLY of the merge
+    // machinery. Output is the per-(key%10) audit aggregate. At scale
+    // this is the shuffle-on-key merge a MERGE INTO plans when file
+    // pruning can't narrow the touched set.
+    "q_merge_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 10 === 7, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("price"))
+      val delta = o.filter(col("o_orderkey") % 10 === 3 ||
+          col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey").as("dk"), col("o_totalprice").as("dprice"),
+          when(col("o_orderkey") % 10 === 3, "insert").otherwise("update").as("op"))
+        .unionByName(o.filter(col("o_orderkey") % 10 === 5)
+          .select(col("o_orderkey").as("dk"),
+            lit(null).cast("double").as("dprice"), lit("delete").as("op")))
+      base.join(delta, col("k") === col("dk"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "delete")
+        .select(coalesce(col("dk"), col("k")).as("o_orderkey"),
+          coalesce(col("dprice"), col("price")).as("price"))
+        .groupBy((col("o_orderkey") % 10).as("kmod"))
+        .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("sum_price"),
+          sum("o_orderkey").as("sum_key"))
+        .orderBy("kmod")
+    }),
+
     // Mergeable distinct-count sketches (r5): per-group HLL sketches
     // (Spark's DataSketches-backed hll_sketch_agg) UNIONED into a
     // global estimate — the two-level pattern that makes distinct
@@ -391,6 +426,16 @@ object Analytics {
         |  WHERE (q.p_retailprice <  p.p_retailprice AND q.p_size >= p.p_size)
         |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size >  p.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    // independent post-state derivation: the merged table must equal
+    // "orders minus deleted keys at original prices" — no merge
+    // machinery on the oracle side at all
+    "q_merge_apply" ->
+      """SELECT o_orderkey % 10 AS kmod, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 10 <> 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH a AS (

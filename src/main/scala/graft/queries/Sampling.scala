@@ -121,6 +121,36 @@ object Sampling {
         .filter(col("rn") <= 20)
         .select("lang", "doc_id", "bucket", "rn")
         .orderBy("lang", "rn")
+    }),
+
+    // Class rebalancing (r5): downsample every language to the
+    // SMALLEST class size — the "balance the training mix" op where
+    // the cap is DATA-DERIVED (min class count), unlike
+    // q_stratified_sample's fixed 20. Selection is the deterministic
+    // hash order (bucket, doc_id), so the kept set is a pure function
+    // of the corpus; the min count is a 1-row broadcast cross join
+    // (the only driver-visible scalar is inside the plan, not
+    // collected). Output keeps the audit columns: per-lang original
+    // count, kept count (all equal the min), and the exact kept-id
+    // sum proving both engines selected the SAME rows. The per-lang
+    // window shuffles once on lang; at corpus scale the same plan
+    // runs on a per-class hash partitioning.
+    "q_label_balance" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("bucket"), col("doc_id"))
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", bucket(col("doc_id")))
+      val minCnt = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .agg(min("c").as("m"))
+      docs.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(minCnt))
+        .withColumn("kept", col("rn") <= col("m"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(when(col("kept"), col("doc_id"))).as("sum_kept_id"))
+        .orderBy("lang")
     })
   )
 
@@ -200,6 +230,19 @@ object Sampling {
          |  SELECT lang, doc_id, bucket,
          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS INT) AS rn
          |  FROM (SELECT lang, doc_id, $bucketSql AS bucket FROM documents))
-         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_label_balance" ->
+      s"""WITH d AS (SELECT lang, doc_id, $bucketSql AS bucket FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+         |  FROM d),
+         |m AS (SELECT MIN(c) AS m FROM
+         |  (SELECT COUNT(*) AS c FROM d GROUP BY lang))
+         |SELECT lang, COUNT(*) AS n_total,
+         |  COUNT(*) FILTER (WHERE rn <= m) AS n_kept,
+         |  CAST(SUM(doc_id) FILTER (WHERE rn <= m) AS BIGINT) AS sum_kept_id
+         |FROM r, m GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -217,6 +217,30 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 1, s"expected 1 exchange, got $exchanges\n$p")
   }
 
+  test("q_join_interval_overlap joins on hour buckets — no cartesian/BNLJ") {
+    // the interval×interval overlap must come from the bucket
+    // equi-join; a CartesianProduct or BroadcastNestedLoopJoin means
+    // the quadratic theta join is back and the key dies at scale
+    val p = plan("q_join_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bkt"), p)
+  }
+
+  test("q_snapshot_diff diffs via one full-outer hash join") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_salted_distinct keeps the two-level (salted) aggregate shape") {
+    // phase 1 must aggregate on (event_type, salt) before the final
+    // per-type sum — if the optimizer ever collapsed the salt column
+    // away the plan would re-concentrate hot keys on one reducer
+    val p = plan("q_salted_distinct")
+    assert(p.contains("salt"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
   test("q_fuzzy_jw verifies only blocked candidates — no cartesian in the plan") {
     // both blocking legs (first-char equi-join; log2-length band join)
     // must plan as hash/merge joins: a CartesianProduct or
