@@ -176,4 +176,68 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("q_merge_apply is the inverse of q_snapshot_diff: apply(diff) rebuilds NEW exactly") {
+    // the CDC pair's defining algebra — diff(old, new) applied onto
+    // old must reproduce new, row for row, price for price
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.tables.Tables.orders(spark, sf)
+    val oldSnap = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 10 === 7, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("price"))
+    val newSnap = o.filter(col("o_orderkey") % 10 =!= 5)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val diff = SparkEntry.queries("q_snapshot_diff")(spark, sf)
+    val applied = oldSnap.join(
+        diff.select(col("o_orderkey").as("dk"), col("change_type").as("op"),
+          col("price_new").as("dprice")),
+        col("k") === col("dk"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(coalesce(col("dk"), col("k")).as("k"),
+        coalesce(col("dprice"), col("price")).as("price"))
+    assert(applied.exceptAll(newSnap).isEmpty && newSnap.exceptAll(applied).isEmpty,
+      "apply(diff(old, new)) must equal new exactly")
+  }
+
+  test("q_winsorize invariants: lo <= hi, clips bounded by n, clamped sum within bounds") {
+    SparkEntry.queries("q_winsorize")(spark, sf).collect().foreach { r =>
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      val (n, nLo, nHi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val sumMicro = r.getLong(6)
+      assert(lo <= hi, s"$r")
+      assert(nLo + nHi <= n, s"$r")
+      // every clamped value lies in [lo, hi] → so must the mean
+      val mean = sumMicro / 1e6 / n
+      assert(mean >= lo - 1e-6 && mean <= hi + 1e-6, s"$r")
+    }
+  }
+
+  test("q_label_balance: every class kept exactly the min class size, kept ⊆ class") {
+    val rows = SparkEntry.queries("q_label_balance")(spark, sf).collect()
+    val kept = rows.map(_.getLong(2)).toSet
+    assert(kept.size === 1, s"all classes must be capped at ONE min size: ${rows.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"kept must not exceed total: $r")
+    }
+    assert(kept.head === rows.map(_.getLong(1)).min,
+      "the cap must equal the smallest class's total")
+  }
+
+  test("q_salted_distinct semantics survive any salt width") {
+    // the two-phase rewrite is exact for EVERY modulus, not just 64 —
+    // pin the algebra, not the constant
+    val ev = graft.tables.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(1, 7, 256).foreach { m =>
+      val salted = ev
+        .select(col("event_type"), pmod(hash(col("user_id")), lit(m)).as("salt"),
+          col("user_id"))
+        .groupBy("event_type", "salt").agg(countDistinct("user_id").as("pd"))
+        .groupBy("event_type").agg(sum("pd").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(salted === exact, s"salt width $m changed the distinct counts")
+    }
+  }
 }
