@@ -399,10 +399,114 @@ object Joins {
             .as("overlap_us"))
         .distinct()
         .orderBy("a_user", "a_sid", "b_user", "b_sid")
+    }),
+
+    // TPC-H Q7 (volume shipping): bilateral trade between two nations
+    // by ship year. The n1×n2 nation-pair filter is pushed to the two
+    // dimension joins (both broadcast — nation is structurally tiny);
+    // the supp-side and cust-side restrictions land BEFORE the
+    // fact⋈fact join, so lineitem and orders each shuffle pre-filtered
+    // to ~2/25 of the corpus. Same exact 1e-4-dollar integer revenue
+    // as Q3/Q5/Q10 — the (nation, nation, year) group-by compares
+    // drift-free.
+    "q_tpch_q7" -> ((s, d) => {
+      val rev4 = (round(col("l_extendedprice") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        * round(lit(100) - col("l_discount") * 100, 0)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("n2key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n2key"))
+        .select("c_custkey", "cust_nation")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"), rev4.as("rev4"))
+      l.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("rev4").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("r4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("r4").cast("string").as("revenue_e4"),
+          round(col("r4").cast("double") / 1e4, 2).as("revenue"))
+    }),
+
+    // Skew-salted join (r5): the hot-key spreading rewrite for a
+    // shuffled join whose build side is too big to broadcast and whose
+    // probe side piles onto few keys. lineitem carries only 100
+    // distinct suppkeys here (at 100 TB: millions of rows per key —
+    // one straggler task each), so the dim side replicates ×16 with an
+    // explicit salt column and the fact side picks its replica by
+    // xxhash64(orderkey, linenumber) — same-supplier rows spread over
+    // 16 shuffle partitions instead of 1. The rewrite is EXACT for any
+    // salt width (each fact row matches exactly one of the 16 dim
+    // copies); the oracle is the plain unsalted join. SHUFFLE_HASH
+    // hint keeps the demo on the shuffle path (AQE would otherwise
+    // broadcast this small dim and hide the salt).
+    "q_join_skew_salted" -> ((s, d) => {
+      val m = 16
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("salt", explode(sequence(lit(0), lit(m - 1))))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(m))
+            .cast("int").as("salt"))
+      fact.join(dim.hint("SHUFFLE_HASH"),
+          fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("s_nationkey")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(r4 AS VARCHAR) AS revenue_e4,
+        |  ROUND(CAST(r4 AS DOUBLE) / 10000, 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS INT) AS l_year, CAST(SUM(
+        |      CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(20,0)) *
+        |      CAST(ROUND(100 - l.l_discount * 100, 0) AS DECIMAL(20,0))) AS DECIMAL(38,0)) AS r4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |    AND n1.n_name <> n2.n_name
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // plain unsalted join — the salt rewrite must be invisible in the
+    // result
+    "q_join_skew_salted" ->
+      """SELECT s.s_nationkey, COUNT(*) AS n_items,
+        |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // plain theta-join formulation — semantics oracle for the
     // hour-bucket equi-join realization
     "q_join_interval_overlap" ->

@@ -283,6 +283,61 @@ object Training {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg("lp"), 6).as("avg_logprob"))
         .orderBy("doc_id")
+    }),
+
+    // Vocabulary pruning / OOV-rate (r5): the tokenizer-prep pass that
+    // decides which tokens survive into the vocab. Per language, a
+    // token whose corpus frequency is below the threshold maps to
+    // <unk>; the report carries per-lang vocab size, token volume, and
+    // the OOV token rate the downstream tokenizer would see. Two
+    // shuffles total — explode→(lang,token) count (partial agg does
+    // the heavy lifting: ~60 distinct words/lang at any SF), then the
+    // per-lang rollup. No join back to documents: the rates roll up
+    // from the count table itself, so the corpus is scanned ONCE.
+    "q_vocab_prune" -> ((s, d) => {
+      val minFreq = 100
+      val tc = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("n"))
+      tc.groupBy("lang").agg(
+          count(lit(1)).as("n_types"),
+          sum("n").as("n_tokens"),
+          sum(when(col("n") >= minFreq, 1).otherwise(0)).as("vocab_size"),
+          sum(when(col("n") < minFreq, col("n")).otherwise(0L)).as("oov_tokens"))
+        .withColumn("oov_rate", round(col("oov_tokens") / col("n_tokens"), 6))
+        .orderBy("lang")
+    }),
+
+    // Boilerplate stripping (r5, CCNet-style): a paragraph (8-word
+    // chunk) that recurs across ≥3 documents of the SAME source is
+    // boilerplate (nav bars, footers, license headers); each doc
+    // reports how much of it survives the strip. Unlike
+    // q_dedup_paragraph (global duplicate listing, first-doc-wins)
+    // this is a per-(source, chunk) frequency JOINED BACK to the
+    // exploded corpus — the join key is (source, md5(chunk)), so at
+    // 100 TB both sides hash-partition on the same key and the
+    // boilerplate side stays proportional to the distinct-chunk count,
+    // not the corpus.
+    "q_boilerplate_strip" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(0, (size(l) - 1) div 8), " +
+            "i -> concat_ws(' ', slice(l, i * 8 + 1, 8)))")).as("chunk"))
+        .select(col("doc_id"), col("source"),
+          md5(col("chunk")).as("h"), length(col("chunk")).as("chars"))
+      val bp = chunks.groupBy("source", "h")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select(col("source"), col("h"), lit(1).as("is_bp"))
+      chunks.join(bp, Seq("source", "h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_bp").isNull, 1).otherwise(0)).as("n_kept"),
+          sum(when(col("is_bp").isNull, col("chars")).otherwise(0L))
+            .as("kept_chars"))
+        .withColumn("keep_ratio", round(col("n_kept") / col("n_chunks"), 4))
+        .orderBy("doc_id")
     })
   )
 
@@ -455,6 +510,41 @@ object Training {
         |FROM bb
         |JOIN bc USING (lang, w1, w2)
         |JOIN uc USING (lang, w1)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_prune" ->
+      """WITH c AS (
+        |  SELECT lang, t, COUNT(*) AS n FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN n >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size,
+        |  CAST(SUM(CASE WHEN n < 100 THEN n ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  ROUND(SUM(CASE WHEN n < 100 THEN n ELSE 0 END) /
+        |    CAST(SUM(n) AS DOUBLE), 6) AS oov_rate
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_boilerplate_strip" ->
+      """WITH ch AS (
+        |  SELECT doc_id, source, md5(chunk) AS h,
+        |    CAST(length(chunk) AS INT) AS chars
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(generate_series(0, (len(l) - 1) // 8),
+        |        i -> array_to_string(l[i*8+1:i*8+8], ' '))) AS chunk
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+        |          FROM documents))),
+        |bp AS (
+        |  SELECT source, h FROM ch
+        |  GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN bp.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN bp.h IS NULL THEN chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars,
+        |  ROUND(SUM(CASE WHEN bp.h IS NULL THEN 1 ELSE 0 END) /
+        |    CAST(COUNT(*) AS DOUBLE), 4) AS keep_ratio
+        |FROM ch LEFT JOIN bp ON ch.source = bp.source AND ch.h = bp.h
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -280,6 +280,41 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q_join_skew_salted joins shuffled on (suppkey, salt) — not broadcast") {
+    // the whole point of the salt is spreading one hot suppkey over 16
+    // shuffle partitions; if the join degrades to a broadcast (AQE
+    // would pick one at this scale without the SHUFFLE_HASH hint) the
+    // rewrite is untested, and if the join keys lose the salt column
+    // the hot keys re-concentrate
+    val p = plan("q_join_skew_salted")
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    val keys = """ShuffledHashJoin \[([^\]]*)\]""".r.findFirstMatchIn(p).get.group(1)
+    assert(keys.contains("l_suppkey") && keys.contains("salt"), keys)
+  }
+
+  test("q_tpch_q7 broadcasts both nation-filtered sides; facts pre-filtered") {
+    val p = plan("q_tpch_q7")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
+    // the shipdate restriction must reach the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q_vocab_prune scans the corpus once and rolls up from the count table") {
+    // one FileScan of documents (no join back), with partial
+    // aggregation below both shuffles
+    val p = plan("q_vocab_prune")
+    assert("FileScan parquet".r.findAllIn(p).length === 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q_boilerplate_strip joins chunk-frequency back on (source, h) hash keys") {
+    val p = plan("q_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val keys = """(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\]""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(keys.contains("source") && keys.contains("h"), keys + "\n" + p.take(1500))
+  }
+
   test("whole-stage codegen covers the cosine expression") {
     // AQE materializes codegen per executed stage, so the pre-execution
     // explain reports 0 subtrees — disable AQE just for this probe
