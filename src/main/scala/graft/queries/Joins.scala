@@ -444,6 +444,32 @@ object Joins {
           round(col("r4").cast("double") / 1e4, 2).as("revenue"))
     }),
 
+    // TPC-H Q14 (promo effect): share of one month's revenue earned by
+    // promo parts. part is a true dimension — broadcast — so lineitem
+    // never shuffles; the month filter is pushed to the fact scan. Both
+    // revenue sums in exact 1e-4-dollar integer units; only the final
+    // ratio (one row) is a rounded double.
+    "q_tpch_q14" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType
+      val rev4 = (round(col("l_extendedprice") * 100, 0).cast(dec(20, 0))
+        * round(lit(100) - col("l_discount") * 100, 0).cast(dec(20, 0)))
+        .cast(dec(38, 0))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp_ntz"))
+        .select(col("l_partkey"), rev4.as("rev4"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("is_promo"), col("rev4"))).cast(dec(38, 0)).as("p4"),
+          sum("rev4").cast(dec(38, 0)).as("t4"))
+        .select(col("p4").cast("string").as("promo_e4"),
+          col("t4").cast("string").as("total_e4"),
+          round(lit(100.0) * col("p4").cast("double") / col("t4").cast("double"), 6)
+            .as("promo_pct"))
+    }),
+
     // Skew-salted join (r5): the hot-key spreading rewrite for a
     // shuffled join whose build side is too big to broadcast and whose
     // probe side piles onto few keys. lineitem carries only 100
@@ -498,6 +524,23 @@ object Joins {
         |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  GROUP BY 1, 2, 3)
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT CAST(p4 AS VARCHAR) AS promo_e4, CAST(t4 AS VARCHAR) AS total_e4,
+        |  ROUND(100.0 * CAST(p4 AS DOUBLE) / CAST(t4 AS DOUBLE), 6) AS promo_pct
+        |FROM (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+        |      CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(20,0)) *
+        |      CAST(ROUND(100 - l.l_discount * 100, 0) AS DECIMAL(20,0)) END)
+        |      AS DECIMAL(38,0)) AS p4,
+        |    CAST(SUM(
+        |      CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(20,0)) *
+        |      CAST(ROUND(100 - l.l_discount * 100, 0) AS DECIMAL(20,0)))
+        |      AS DECIMAL(38,0)) AS t4
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00')""".stripMargin,
 
     // plain unsalted join — the salt rewrite must be invisible in the
     // result

@@ -299,6 +299,54 @@ object Relational {
           count(when(col("disc_n") <=> col("tax_n"), 1)).as("n_nseq"),
           count(when(col("disc_n") === col("tax_n"), 1)).as("n_eq"))
         .orderBy("l_returnflag")
+    }),
+
+    // Stats-based scan pruning (r5): the file-footer min/max prune,
+    // composed explicitly. A tiny per-(day, event_type) stats table
+    // (the parquet footer stand-in) is aggregated once; partitions
+    // whose max(value) misses the predicate are dropped BEFORE the
+    // fact re-scan (broadcast semi-side: 23 of 150 partitions survive
+    // threshold 300 at test SF) — the mechanics behind Delta/Iceberg
+    // data skipping. Result ≡ the plain filter (pruned partitions
+    // contribute zero qualifying rows — that's what makes stats
+    // pruning sound); the oracle IS the plain filter. Qualifying sums
+    // in exact integer micro-units (per-row round, then integer sum).
+    "q_stats_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+      val live = ev.groupBy("day", "event_type")
+        .agg(max("value").as("mx"))
+        .filter(col("mx") >= 300.0)
+        .select("day", "event_type")
+      ev.join(broadcast(live), Seq("day", "event_type"))
+        .filter(col("value") >= 300.0)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"))
+        .orderBy("day", "event_type")
+    }),
+
+    // Small-file compaction planning (r5): the OPTIMIZE/bin-packing
+    // pass every long-lived table needs — logical "files" (the
+    // (source, lang) cells of documents, sized by their char sum) are
+    // packed into ~64 KiB bins per source by running-sum assignment
+    // (largest-first, deterministic lang tie-break). Per-source window
+    // → embarrassingly parallel across tables at warehouse scale; the
+    // file list is metadata (thousands of rows per table), never data.
+    "q_compaction_plan" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("bytes").desc, col("lang"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .groupBy("source", "lang")
+        .agg(sum("n_chars").as("bytes"), count(lit(1)).as("n_docs"))
+        .withColumn("cum", sum("bytes").over(w))
+        .withColumn("bin", expr("CAST((cum - 1) DIV 65536 AS INT)"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
+          sum("n_docs").as("bin_docs"))
+        .orderBy("source", "bin")
     })
   )
 
@@ -432,6 +480,31 @@ object Relational {
         |  COUNT(CASE WHEN disc_n IS NULL THEN 1 END) AS n_disc_null,
         |  COUNT(CASE WHEN disc_n IS NOT DISTINCT FROM tax_n THEN 1 END) AS n_nseq,
         |  COUNT(CASE WHEN disc_n = tax_n THEN 1 END) AS n_eq
-        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the plain filter — pruned partitions contribute nothing, so the
+    // stats-prune composition must be invisible in the result
+    "q_stats_prune" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro
+        |FROM events WHERE value >= 300.0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        |    COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |b AS (
+        |  SELECT source, lang, bytes, n_docs,
+        |    SUM(bytes) OVER (PARTITION BY source
+        |      ORDER BY bytes DESC, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f)
+        |SELECT source, CAST((cum - 1) // 65536 AS INT) AS bin,
+        |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+        |  CAST(SUM(n_docs) AS BIGINT) AS bin_docs
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -338,6 +338,31 @@ object Training {
             .as("kept_chars"))
         .withColumn("keep_ratio", round(col("n_kept") / col("n_chunks"), 4))
         .orderBy("doc_id")
+    }),
+
+    // Unicode NFC canonicalization (r5): web corpora mix composed
+    // (U+00E9 'é') and decomposed (e + U+0301) encodings of identical
+    // text, which silently defeats exact-hash dedup and splits
+    // vocabulary entries. Decomposed text is synthesized
+    // deterministically (corpus text is ASCII): a combining-acute
+    // sequence appended per doc. Normalization runs through the custom
+    // codegen'd NfcNormalize expression (Spark has no built-in; DuckDB
+    // ships nfc_normalize — an independent implementation, so the md5
+    // equality is a real cross-engine check of the JDK normalizer).
+    // Lengths are code-point counts in both engines; the composed form
+    // is 1 shorter per combining pair. Pure per-row scalar work — no
+    // shuffle at all until the (tiny) ordered output.
+    "q_text_normalize" -> ((s, d) => {
+      graft.expr.Registry.ensure(s) // nfc_normalize
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" cafe"), lit("\u0301 "), col("source")).as("dirty"))
+        .select(col("doc_id"),
+          length(col("dirty")).as("len_raw"),
+          length(expr("nfc_normalize(dirty)")).as("len_nfc"),
+          md5(expr("nfc_normalize(dirty)")).as("h_nfc"))
+        .orderBy("doc_id")
     })
   )
 
@@ -524,6 +549,21 @@ object Training {
         |  ROUND(SUM(CASE WHEN n < 100 THEN n ELSE 0 END) /
         |    CAST(SUM(n) AS DOUBLE), 6) AS oov_rate
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // DuckDB's nfc_normalize is an independent implementation of the
+    // same Unicode standard annex — the md5 equality cross-checks the
+    // JDK normalizer behind the custom expression
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(dirty) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(dirty)) AS INT) AS len_nfc,
+        |  md5(nfc_normalize(dirty)) AS h_nfc
+        |FROM (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || ' cafe' || chr(769) || ' ' || source
+        |      AS dirty
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_boilerplate_strip" ->
       """WITH ch AS (

@@ -48,6 +48,35 @@ class ExprSpec extends AnyFunSuite with SparkFixture {
     assert(r.getString(1) === "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed")
   }
 
+  test("nfc_normalize composes decomposed sequences, idempotent, codegen-safe") {
+    Registry.ensure(spark)
+    val conf = spark.conf
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // e + COMBINING ACUTE → U+00E9; already-NFC text passes through
+      // untouched (the isNormalized fast path returns the SAME object)
+      val r = spark.range(1).selectExpr(
+        "nfc_normalize(concat('caf', 'e', '\\u0301')) AS composed",
+        "length(nfc_normalize(concat('e', '\\u0301'))) AS len1",
+        "nfc_normalize(nfc_normalize(concat('e', '\\u0301'))) AS idem",
+        "nfc_normalize('plain ascii') AS plain",
+        "nfc_normalize(CAST(NULL AS STRING)) AS n").head()
+      assert(r.getString(0) === "caf\u00e9")
+      assert(r.getInt(1) === 1)
+      assert(r.getString(2) === "\u00e9")
+      assert(r.getString(3) === "plain ascii")
+      assert(r.isNullAt(4))
+    } finally {
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        conf.set("spark.sql.codegen.factoryMode", v))
+      oldFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+        conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
   test("ngrams generator emits consecutive windows") {
     Registry.ensure(spark)
     import spark.implicits._

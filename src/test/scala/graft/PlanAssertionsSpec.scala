@@ -315,6 +315,26 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(keys.contains("source") && keys.contains("h"), keys + "\n" + p.take(1500))
   }
 
+  test("q_tpch_q14 broadcasts part; month filter pushed to the lineitem scan") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q_stats_prune joins the fact to the stats side via broadcast") {
+    // the surviving-partition list must be the broadcast side of the
+    // re-scan join — a shuffled join would defeat the point of pruning
+    val p = plan("q_stats_prune")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_compaction_plan windows per source — never a global single partition") {
+    val p = plan("q_compaction_plan")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the cosine expression") {
     // AQE materializes codegen per executed stage, so the pre-execution
     // explain reports 0 subtrees — disable AQE just for this probe
