@@ -354,10 +354,75 @@ object Analytics {
       li.agg(aggs.head, aggs.tail: _*)
         .select(expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n, n_distinct, min_v, max_v, avg_v)"))
         .orderBy("column_name")
+    }),
+
+    // RFM segmentation (r5): the classic customer-value cube — per
+    // customer recency (days since last order, vs the corpus max
+    // date), frequency (order count), monetary (lifetime spend in
+    // EXACT integer cents), each median-split into high/low, customers
+    // bucketed into the 8 R/F/M octants. Monetary is integer cents so
+    // the median input has no summation-order surface; medians are
+    // snapped round(x·1e4)/1e4 (the q_winsorize ulp guard) and
+    // BROADCAST back as a 1-row bound table. Everything is
+    // customer-proportional: one custkey shuffle, one median pass over
+    // the per-customer table, final 8-row agg — at 100 TB the median
+    // pass becomes approx_percentile on the identical plan.
+    "q_rfm_segment" -> ((s, d) => {
+      def r4(c: Column): Column = round(c * lit(10000)) / lit(10000)
+      val o = Tables.orders(s, d)
+      val refDate = o.agg(max("o_orderdate").as("ref"))
+      val rfm = o.groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_order"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+        .crossJoin(broadcast(refDate))
+        .select(col("o_custkey"),
+          datediff(col("ref"), col("last_order")).as("r"),
+          col("f"), col("m_cents"))
+      val med = rfm.agg(
+        r4(expr("percentile(r, 0.5)")).as("r_med"),
+        r4(expr("percentile(f, 0.5)")).as("f_med"),
+        r4(expr("percentile(m_cents, 0.5)")).as("m_med"))
+      rfm.crossJoin(broadcast(med))
+        .select(col("o_custkey"), col("f"), col("m_cents"),
+          concat(
+            when(col("r") <= col("r_med"), lit("R")).otherwise(lit("r")),
+            when(col("f") >= col("f_med"), lit("F")).otherwise(lit("f")),
+            when(col("m_cents") >= col("m_med"), lit("M")).otherwise(lit("m")))
+            .as("segment"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("f").as("total_orders"),
+          sum("m_cents").as("total_cents"))
+        .orderBy("segment")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm_segment" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', MAX(o_orderdate),
+        |      (SELECT MAX(o_orderdate) FROM orders)) AS r,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM orders GROUP BY 1),
+        |med AS (
+        |  SELECT ROUND(quantile_cont(r, 0.5) * 10000) / 10000 AS r_med,
+        |    ROUND(quantile_cont(f, 0.5) * 10000) / 10000 AS f_med,
+        |    ROUND(quantile_cont(m_cents, 0.5) * 10000) / 10000 AS m_med
+        |  FROM rfm)
+        |SELECT
+        |  (CASE WHEN r <= r_med THEN 'R' ELSE 'r' END) ||
+        |  (CASE WHEN f >= f_med THEN 'F' ELSE 'f' END) ||
+        |  (CASE WHEN m_cents >= m_med THEN 'M' ELSE 'm' END) AS segment,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(f) AS BIGINT) AS total_orders,
+        |  CAST(SUM(m_cents) AS BIGINT) AS total_cents
+        |FROM rfm, med
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_string_agg" ->
       """SELECT o_orderpriority,
         |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,

@@ -470,6 +470,39 @@ object Joins {
             .as("promo_pct"))
     }),
 
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // three (brand, size-range, quantity-range) clauses OR'd together —
+    // the predicate spans BOTH tables, so no clause pushes down whole;
+    // what DOES reach the scans is the derivable envelope (quantity
+    // ≤ 30 on lineitem; the brand IN-list on part). part broadcasts,
+    // the residual disjunction evaluates post-join inside codegen.
+    // Exact 1e-4-dollar integer revenue.
+    "q_tpch_q19" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType
+      val rev4 = (round(col("l_extendedprice") * 100, 0).cast(dec(20, 0))
+        * round(lit(100) - col("l_discount") * 100, 0).cast(dec(20, 0)))
+        .cast(dec(38, 0))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"), rev4.as("rev4"))
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_items"),
+          sum("rev4").cast(dec(38, 0)).as("r4"))
+        .select(col("n_items"),
+          col("r4").cast("string").as("revenue_e4"),
+          round(col("r4").cast("double") / 1e4, 2).as("revenue"))
+    }),
+
     // Skew-salted join (r5): the hot-key spreading rewrite for a
     // shuffled join whose build side is too big to broadcast and whose
     // probe side piles onto few keys. lineitem carries only 100
@@ -541,6 +574,22 @@ object Joins {
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |  WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
         |    AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00')""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT n_items, CAST(r4s AS VARCHAR) AS revenue_e4,
+        |  ROUND(CAST(r4s AS DOUBLE) / 10000, 2) AS revenue
+        |FROM (
+        |  SELECT CAST(SUM(
+        |      CAST(ROUND(l.l_extendedprice * 100, 0) AS DECIMAL(20,0)) *
+        |      CAST(ROUND(100 - l.l_discount * 100, 0) AS DECIMAL(20,0)))
+        |      AS DECIMAL(38,0)) AS r4s, COUNT(*) AS n_items
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |          AND l.l_quantity BETWEEN 1 AND 11)
+        |     OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |          AND l.l_quantity BETWEEN 10 AND 20)
+        |     OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |          AND l.l_quantity BETWEEN 20 AND 30))""".stripMargin,
 
     // plain unsalted join — the salt rewrite must be invisible in the
     // result
