@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -363,10 +363,17 @@ object Analytics {
     // bucketed into the 8 R/F/M octants. Monetary is integer cents so
     // the median input has no summation-order surface; medians are
     // snapped round(x·1e4)/1e4 (the q_winsorize ulp guard) and
-    // BROADCAST back as a 1-row bound table. Everything is
-    // customer-proportional: one custkey shuffle, one median pass over
-    // the per-customer table, final 8-row agg — at 100 TB the median
-    // pass becomes approx_percentile on the identical plan.
+    // BROADCAST back as a 1-row bound table.
+    //
+    // The medians are EXACT but DISTRIBUTED (r6): `percentile(x,.5)`
+    // buffers every value in one aggregator (O(n) driver-side-style
+    // memory — a 100 TB killer), so instead the three metrics are
+    // unpivoted to (metric, v) rows, value-counted in one map-side-
+    // combinable groupBy, cumulatively ranked with a per-metric window
+    // over the DISTINCT values (external sort, O(1) state), and the
+    // two middle ranks averaged — bit-identical to percentile/
+    // quantile_cont's linear midpoint, with the full-table buffer
+    // replaced by a distinct-value stream.
     "q_rfm_segment" -> ((s, d) => {
       def r4(c: Column): Column = round(c * lit(10000)) / lit(10000)
       val o = Tables.orders(s, d)
@@ -379,10 +386,26 @@ object Analytics {
         .select(col("o_custkey"),
           datediff(col("ref"), col("last_order")).as("r"),
           col("f"), col("m_cents"))
-      val med = rfm.agg(
-        r4(expr("percentile(r, 0.5)")).as("r_med"),
-        r4(expr("percentile(f, 0.5)")).as("f_med"),
-        r4(expr("percentile(m_cents, 0.5)")).as("m_med"))
+      val longs = rfm.select(expr(
+        """stack(3, 'r', CAST(r AS DOUBLE), 'f', CAST(f AS DOUBLE),
+          |         'm', CAST(m_cents AS DOUBLE)) AS (metric, v)""".stripMargin))
+      val totals = longs.groupBy("metric").agg(count(lit(1)).as("n"))
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy("metric").orderBy("v")
+      val med = longs.groupBy("metric", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("hi", sum("cnt").over(wm))
+        .withColumn("lo", col("hi") - col("cnt") + 1)
+        .join(broadcast(totals), "metric")
+        // 1-based middle ranks: n odd -> both = (n+1)/2; n even -> n/2, n/2+1
+        // (Column./ is double division, hence the floor())
+        .withColumn("lo_t", floor((col("n") + 1) / lit(2)))
+        .withColumn("hi_t", floor((col("n") + 2) / lit(2)))
+        .where((col("lo") <= col("lo_t") && col("lo_t") <= col("hi")) ||
+               (col("lo") <= col("hi_t") && col("hi_t") <= col("hi")))
+        .groupBy("metric").agg(avg("v").as("v_med"))
+        .groupBy().pivot("metric", Seq("r", "f", "m")).agg(first("v_med"))
+        .select(r4(col("r")).as("r_med"), r4(col("f")).as("f_med"),
+          r4(col("m")).as("m_med"))
       rfm.crossJoin(broadcast(med))
         .select(col("o_custkey"), col("f"), col("m_cents"),
           concat(
