@@ -23,28 +23,39 @@ object MultimodalQ {
 
     // Real file-based media ingest via the binaryFile source — the
     // path an image/audio corpus actually enters Spark through (one
-    // row per file: path, length, raw bytes). r5: the fixture files
-    // are written EXECUTOR-side (foreachPartition — the object-store
-    // PUT shape; the old collect().foreach was a driver bottleneck
-    // pattern), into a fixed per-sfDir scratch dir (idempotent: file
-    // names key on stable doc_ids and contents are deterministic, so
-    // re-runs overwrite byte-identical files instead of leaking temp
-    // dirs). Local-mode assumption documented in util/Scratch. The
+    // row per file: path, length, raw bytes). r6 (VERDICT #4): the
+    // fixture files are written EXECUTOR-side through the HADOOP FS
+    // API against a configurable base path (`graft.mm.ingestBase` —
+    // an object-store URI on a real cluster), with the job's Hadoop
+    // conf broadcast to the writers, so the write works on shared
+    // storage with non-default fs settings — no node-local-disk
+    // assumption (the r5 java.nio version scattered files across
+    // whichever nodes ran the tasks and the read silently saw a
+    // partial corpus). Default base = per-sfDir scratch (local mode).
+    // Idempotent: file names key on stable doc_ids and contents are
+    // deterministic, so re-runs overwrite byte-identical files. The
     // oracle recomputes length and md5 from the same text in DuckDB
     // (strlen = BYTES there), so equality proves the file write +
     // binary read are byte-exact.
     "q_mm_binary_ingest" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select("doc_id", "text").filter(col("doc_id") < 100)
-      val tmp = graft.util.Scratch.dirFor("mm_bin", d)
+      val base = s.conf.getOption("graft.mm.ingestBase")
+        .getOrElse(graft.util.Scratch.dirFor("mm_bin", d))
+      val hconf = s.sparkContext.broadcast(
+        new graft.util.SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
       docs.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val root = new org.apache.hadoop.fs.Path(base)
+        val fs = root.getFileSystem(hconf.value.value)
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$tmp/doc_${r.getLong(0)}.bin"),
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(root, s"doc_${r.getLong(0)}.bin"), true)
+          try out.write(
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
-      s.read.format("binaryFile").load(tmp)
+      s.read.format("binaryFile").load(base)
         .select(
           regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
           col("length"),
@@ -52,11 +63,15 @@ object MultimodalQ {
         .orderBy("doc_id")
     }),
 
+    // REAL image decode/resample (r6): deterministic PNG bytes per doc
+    // → javax.imageio decode → measured dims + decoded pixel channels.
+    // The oracle's closed forms only hold if the decode round-trip is
+    // byte-faithful — see Multimodal.pngFor/decodeImage/resizeImage.
     "q_mm_decode" -> ((s, d) =>
-      Multimodal.decodeStub(s, d).orderBy("doc_id")),
+      Multimodal.decodeImage(s, d).orderBy("doc_id")),
 
     "q_mm_resize" -> ((s, d) =>
-      Multimodal.resizeStub(s, d, maxW = 96, maxH = 96).orderBy("doc_id")),
+      Multimodal.resizeImage(s, d, maxW = 96, maxH = 96).orderBy("doc_id")),
 
     "q_mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSampleStub(s, d, everyNth = 10, maxFrames = 8)
@@ -79,16 +94,22 @@ object MultimodalQ {
         |  lang AS meta_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // decode is a stub, but its metadata derivation is pure arithmetic
-    // on byte length — expressible in SQL, so oracle it anyway.
+    // the decode is REAL (imageio PNG round-trip); the oracle's closed
+    // forms — dim formula + doc-keyed fill color — are what the
+    // synthesized image contains, so equality proves the decoder
+    // actually measured real pixels.
     "q_mm_decode" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS n_bytes,
         |  CAST(64 + strlen(text) % 64 AS INT) AS width,
         |  CAST(64 + (strlen(text) // 64) % 64 AS INT) AS height,
-        |  3 AS channels
+        |  3 AS channels,
+        |  CAST(doc_id % 256 AS INT) AS px_r,
+        |  CAST((doc_id // 256) % 256 AS INT) AS px_g,
+        |  CAST(doc_id % 7 AS INT) AS px_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // bilinear resample of a constant-color source preserves the color
     "q_mm_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -99,7 +120,10 @@ object MultimodalQ {
         |        least(96.0 / width, 96.0 / height, 1.0) AS scale FROM dims)
         |SELECT doc_id, width, height,
         |  CAST(floor(width * scale) AS INT) AS out_w,
-        |  CAST(floor(height * scale) AS INT) AS out_h
+        |  CAST(floor(height * scale) AS INT) AS out_h,
+        |  CAST(doc_id % 256 AS INT) AS px_r,
+        |  CAST((doc_id // 256) % 256 AS INT) AS px_g,
+        |  CAST(doc_id % 7 AS INT) AS px_b
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_mm_frame_sample" ->
