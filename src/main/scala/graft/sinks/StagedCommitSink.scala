@@ -24,10 +24,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  2. a task that fails/aborts deletes its file; speculative twins
   *     write distinct files and only the committed task's message
   *     reaches the driver (Spark's commit-coordinator contract);
-  *  3. `BatchWrite.commit` renames the staging dir to a new
-  *     GENERATION dir and atomically swaps the one-line `_current`
-  *     pointer file to it — readers either see the whole old
-  *     generation or the whole new one, never a mix;
+  *  3. `BatchWrite.commit` moves ONLY the files named by the task
+  *     commit messages into a new GENERATION dir (r6, ADVICE: a
+  *     zombie/crashed attempt's file that never saw DataWriter.abort
+  *     must not ride along) and atomically swaps the one-line
+  *     `_current` pointer file to it — readers either see the whole
+  *     old generation or the whole new one, never a mix;
   *  4. `BatchWrite.abort` removes the staging dir; the pointer never
   *     moved, so the previous generation stays live.
   *
@@ -116,16 +118,31 @@ private class StagedBatchWrite(path: String, schema: StructType) extends BatchWr
   private val stagingName = ".staging-" + UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new StagedWriterFactory(path, stagingName, schema)
+    new StagedWriterFactory(path, stagingName, schema,
+      new graft.util.SerializableHadoopConf(
+        org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
     val root = new Path(path)
-    val fs = root.getFileSystem(
-      org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+    val fs = root.getFileSystem(conf)
     val gen = "gen-" + stagingName.stripPrefix(".staging-")
-    fs.rename(new Path(root, stagingName), new Path(root, gen))
+    val genDir = new Path(root, gen)
+    // move ONLY the files the commit coordinator vouched for — any
+    // other file in staging is a zombie attempt (executor crash,
+    // speculative twin that never reached abort) and must not commit
+    if (!fs.mkdirs(genDir))
+      throw new java.io.IOException(s"cannot create generation dir $genDir")
+    messages.foreach { case StagedFileMessage(file) =>
+      val src = new Path(file)
+      if (!fs.rename(src, new Path(genDir, src.getName)))
+        throw new java.io.IOException(s"commit rename failed: $src -> $genDir")
+    }
+    fs.delete(new Path(root, stagingName), true) // zombies + the empty dir
     // the pointer swap IS the commit: single-file replace via
-    // write-temp + rename (atomic on local/HDFS semantics)
+    // write-temp + FileContext.rename(OVERWRITE) — atomic on
+    // local/HDFS, no window where _current is absent (the old
+    // delete-then-rename let a concurrent currentDir() throw)
     val tmp = new Path(root, "_current.tmp")
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
@@ -135,8 +152,9 @@ private class StagedBatchWrite(path: String, schema: StructType) extends BatchWr
         val in = fs.open(ptr)
         try Some(scala.io.Source.fromInputStream(in).mkString.trim) finally in.close()
       } else None
-    fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.makeQualified(root).toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // GC the superseded generation (production keeps N; see Scaladoc)
     prev.filter(_ != gen).foreach(p => fs.delete(new Path(root, p), true))
   }
@@ -149,20 +167,25 @@ private class StagedBatchWrite(path: String, schema: StructType) extends BatchWr
   }
 }
 
-private class StagedWriterFactory(path: String, stagingName: String, schema: StructType)
+private class StagedWriterFactory(path: String, stagingName: String, schema: StructType,
+                                  conf: graft.util.SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StagedCsvWriter(path, stagingName, schema, partitionId, taskId)
+    new StagedCsvWriter(path, stagingName, schema, partitionId, taskId, conf)
 }
 
 /** STREAMING write through the same staged-commit protocol, keyed by
   * EPOCH: each micro-batch stages under `.staging-epoch-<id>`, and
-  * `commit(epochId)` renames it to `epoch-<id>` (deleting any prior
-  * dir of that name first — so a REPLAYED epoch after restart
-  * overwrites its own output instead of duplicating it: exactly-once
-  * at the sink without any key-based dedup) and rewrites the
-  * `_epochs` manifest (temp + atomic rename) from the directories
-  * actually present. Readers union the manifest's epochs. */
+  * `commit(epochId)` moves the message-listed files to `epoch-<id>`
+  * (deleting any prior dir of that name first — so a REPLAYED epoch
+  * after restart overwrites its own output instead of duplicating it:
+  * exactly-once at the sink without any key-based dedup), deletes any
+  * HIGHER-numbered epoch dirs (r6, ADVICE: a fresh-checkpoint replay
+  * that re-batches the input into fewer epochs must not leave the
+  * prior run's tail epochs in the manifest — readEpochs would
+  * double-count those rows), and rewrites the `_epochs` manifest
+  * (temp + atomic FileContext rename) from the directories actually
+  * present. Readers union the manifest's epochs. */
 private class StagedStreamingWrite(path: String, schema: StructType)
     extends StreamingWrite {
   schema.fields.foreach { f =>
@@ -173,51 +196,67 @@ private class StagedStreamingWrite(path: String, schema: StructType)
     }
   }
 
-  private def fs = new Path(path).getFileSystem(
-    org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration)
+  private def conf = org.apache.spark.SparkContext.getOrCreate().hadoopConfiguration
+  private def fs = new Path(path).getFileSystem(conf)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new StagedStreamingWriterFactory(path, schema)
+    new StagedStreamingWriterFactory(path, schema,
+      new graft.util.SerializableHadoopConf(conf))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val f = fs
     val epochDir = new Path(root, s"epoch-$epochId")
     f.delete(epochDir, true) // replayed epoch: replace, never duplicate
-    f.rename(new Path(root, s".staging-epoch-$epochId"), epochDir)
-    // manifest rebuilt from the dirs actually present (self-healing)
-    val epochs = f.listStatus(root).map(_.getPath.getName)
+    if (!f.mkdirs(epochDir))
+      throw new java.io.IOException(s"cannot create epoch dir $epochDir")
+    messages.foreach { case StagedFileMessage(file) =>
+      val src = new Path(file)
+      if (!f.rename(src, new Path(epochDir, src.getName)))
+        throw new java.io.IOException(s"epoch commit rename failed: $src -> $epochDir")
+    }
+    f.delete(new Path(root, s".staging-epoch-$epochId"), true)
+    // epochs above the one just committed can only be a prior run's
+    // tail (commits are driver-sequential) — stale after a replay
+    val present = f.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("epoch-"))
+    present.filter(_.stripPrefix("epoch-").toLong > epochId)
+      .foreach(stale => f.delete(new Path(root, stale), true))
+    // manifest rebuilt from the dirs actually present (self-healing)
+    val epochs = present.filter(_.stripPrefix("epoch-").toLong <= epochId)
       .sortBy(_.stripPrefix("epoch-").toLong)
     val tmp = new Path(root, "_epochs.tmp")
     val out = f.create(tmp, true)
     try out.write(epochs.mkString("\n").getBytes("UTF-8")) finally out.close()
     val man = new Path(root, "_epochs")
-    f.delete(man, false)
-    f.rename(tmp, man)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.makeQualified(root).toUri, conf)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(man),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     fs.delete(new Path(new Path(path), s".staging-epoch-$epochId"), true)
 }
 
-private class StagedStreamingWriterFactory(path: String, schema: StructType)
+private class StagedStreamingWriterFactory(path: String, schema: StructType,
+                                           conf: graft.util.SerializableHadoopConf)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new StagedCsvWriter(path, s".staging-epoch-$epochId", schema, partitionId, taskId)
+    new StagedCsvWriter(path, s".staging-epoch-$epochId", schema, partitionId, taskId, conf)
 }
 
 /** One staged CSV file per task attempt; distinct attempt ids write
   * distinct files, so a speculative twin can never corrupt the
   * winner's output. */
 private class StagedCsvWriter(path: String, stagingName: String, schema: StructType,
-                              partitionId: Int, taskId: Long)
+                              partitionId: Int, taskId: Long,
+                              conf: graft.util.SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   private val file = new Path(new Path(path, stagingName),
     f"part-$partitionId%05d-$taskId.csv")
-  private val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+  private val fs = file.getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(file, true), "UTF-8"))
 

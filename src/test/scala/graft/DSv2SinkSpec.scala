@@ -110,6 +110,35 @@ class DSv2SinkSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  test("a shorter replay deletes the prior run's tail epochs from the manifest") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = freshPath("stale_in")
+    val sink = freshPath("stale_sink")
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    Seq((1L, "a")).toDF("id", "s").coalesce(1).write.mode("append").parquet(in)
+    Seq((2L, "b")).toDF("id", "s").coalesce(1).write.mode("append").parquet(in)
+    def run(ck: String, maxFiles: Int): Unit =
+      spark.readStream.schema(schema2).option("maxFilesPerTrigger", maxFiles)
+        .parquet(in)
+        .writeStream.format("graft.sinks.StagedCommitSink")
+        .option("path", sink).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    run(freshPath("stale_ck1"), 1) // one file per epoch -> epochs 0 and 1
+    // fresh checkpoint, both files in ONE batch -> only epoch 0; the
+    // prior run's epoch-1 dir must leave the manifest AND the disk,
+    // else readEpochs double-counts its rows
+    run(freshPath("stale_ck2"), 10)
+    val got = StagedCommitSink.readEpochs(spark, sink, schema2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b")))
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sink, "epoch-1")),
+      "stale tail epoch dir must be deleted on replay commit")
+  }
+
   test("unsupported column types fail loudly at planning") {
     import spark.implicits._
     val path = freshPath("types")
