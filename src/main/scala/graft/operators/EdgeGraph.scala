@@ -84,6 +84,30 @@ object EdgeGraph {
   private val sigCache =
     new ConcurrentHashMap[(SparkContext, String, String, Double), DataFrame]()
 
+  /** Memoized per-(doc, term) term-frequency table (doc_id, lang,
+    * dlen, term, tf_raw, tf) — the explode+aggregate subtree was
+    * q_tfidf_top's dominant cost and re-ran (and re-persisted, leaking
+    * cache blocks) on every call; a real pipeline materializes the
+    * term index once per corpus snapshot and serves every consumer
+    * from it (r6, VERDICT item 6). localCheckpoint like the other
+    * derivations: blocks die with the session, no CacheManager pin. */
+  def termFreq(s: SparkSession, d: String): DataFrame = {
+    val it = tfCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    tfCache.computeIfAbsent((s.sparkContext, d), _ => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(toks).as("dlen"),
+          explode(toks).as("term"))
+        .groupBy("doc_id", "lang", "dlen", "term")
+        .agg(count(lit(1)).as("tf_raw"))
+        .withColumn("tf", col("tf_raw") / col("dlen"))
+        .localCheckpoint(eager = true)
+    })
+  }
+
+  private val tfCache = new ConcurrentHashMap[(SparkContext, String), DataFrame]()
+
   /** Memoized connected-component labels over [[pairs]] — the dedup
     * RESOLUTION table (doc_id, label). q_dedup_components and
     * q_dup_cluster_sizes consume the identical resolution; a real

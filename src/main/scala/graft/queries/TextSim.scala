@@ -68,9 +68,10 @@ object TextSim {
             "transform(sequence(0, 7), b -> struct(b as band, " +
             "xxhash64(slice(sig, b * 4 + 1, 4)) as bsig))")).as("bs"))
         .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-        // both join sides read this — persist so the band explosion
-        // runs once (the signatures themselves scan the checkpoint)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // both join sides read this — localCheckpoint so the band
+        // explosion runs once; blocks free with the frame, no
+        // CacheManager pin across reruns (r6, ADVICE)
+        .localCheckpoint(true)
       val a = bands.select(col("lang"), col("band"), col("bsig"), col("doc_id").as("a_id"))
       val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
         col("bsig").as("bsig_b"), col("doc_id").as("b_id"))
@@ -270,7 +271,7 @@ object TextSim {
       val bands = sig.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))")).as("bsig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       // candidate pairs packed into ONE long before the distinct (the
       // SetSimJoin trick — doc ids fit 32 bits by the same invariant):
       // the dedup shuffle carries 8-byte keys instead of two columns.
@@ -288,8 +289,9 @@ object TextSim {
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
       val hsT = docs.select(col("doc_id"),
         expr("token_hashes(split(text, ' '))").as("hs"))
-        // both verify-join legs scan this — hash once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // both verify-join legs scan this — hash once (localCheckpoint:
+        // no CacheManager pin across reruns, r6 ADVICE)
+        .localCheckpoint(true)
       val verified = cand
         .join(hsT.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
         .join(hsT.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
