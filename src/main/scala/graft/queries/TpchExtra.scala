@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** TPC-H tail (r6): the eight remaining queries expressible over this
+  * testdata's reduced schemas (no partsupp table, so Q2/Q11/Q16/Q20
+  * are out of reach; no commit/receipt dates, shipmode, phone or
+  * comment columns, so Q4/Q12/Q21/Q22 run ADAPTED predicates with the
+  * same plan shape — each adaptation is called out on its key).
+  *
+  * Shared conventions from the Q3/Q5/Q10 family (queries/Joins.scala):
+  * money aggregates in EXACT integer 1e-4-dollar units via decimal
+  * (float SUM order-dependence would make DESC cuts flap between
+  * engines); broadcast hints only on structurally bounded sides
+  * (nation; single-row bound tables); corpus-proportional dims
+  * (customer, supplier, part) carry NO hint — AQE broadcasts them at
+  * test scale, a 1000-executor cluster shuffles them (SURVEY §7.5).
+  */
+object TpchExtra {
+
+  /** l_extendedprice * (1 - l_discount) in exact 1e-4-dollar units. */
+  private def rev4: Column =
+    (round(col("l_extendedprice") * 100, 0).cast(DecimalType(20, 0))
+      * round(lit(100) - col("l_discount") * 100, 0).cast(DecimalType(20, 0)))
+      .cast(DecimalType(38, 0))
+
+  private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q6 (forecast revenue change): the scan-bound query — all
+    // four predicates and both referenced columns push into the
+    // parquet scan (PushedFilters + 4-column ReadSchema), no join, one
+    // partial-agg pass. At 100 TB this is the key that proves the
+    // scan path: a plan that reads any column beyond
+    // shipdate/discount/quantity/extendedprice is wrong.
+    "q_tpch_q6" -> ((s, d) => {
+      val disc4 = (round(col("l_extendedprice") * 100, 0).cast(DecimalType(20, 0))
+        * round(col("l_discount") * 100, 0).cast(DecimalType(20, 0)))
+        .cast(DecimalType(38, 0))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(disc4).cast(DecimalType(38, 0)).as("r4"))
+        .select(col("r4").cast("string").as("revenue_e4"),
+          round(col("r4").cast("double") / 1e4, 2).as("revenue"))
+    }),
+
+    // TPC-H Q4 (order priority checking), ADAPTED: the standard late-
+    // delivery predicate (l_commitdate < l_receiptdate) has no columns
+    // here, so "late" is l_shipdate > o_orderdate + 30 days. The plan
+    // shape is the point and is unchanged: a LEFT SEMI join from a
+    // date-pruned orders slice into lineitem with a non-equi residual,
+    // then a 5-group count. The semi join shuffles on orderkey only;
+    // no lineitem row is ever duplicated into the agg.
+    "q_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1997-04-01"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q12 (shipping modes / late lines), ADAPTED: no l_shipmode
+    // column — l_linestatus is the 2-value grouping stand-in; the
+    // receipt-window predicate becomes a 1997 ship-year filter. The
+    // conditional-count shape is intact: one fact-side filter, one
+    // orderkey join, CASE-sums over o_orderpriority.
+    "q_tpch_q12" -> ((s, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select("l_orderkey", "l_linestatus")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution), ADAPTED only in
+    // the order exclusion (no o_comment — '4-NOT SPECIFIED' priority
+    // stands in for the not-like filter). LEFT OUTER join keeps the
+    // zero-order customers (the row the inner-join variant silently
+    // drops); count(o_orderkey) ignores the nulls; the second, tiny
+    // agg builds the histogram.
+    "q_tpch_q13" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    // the supplier(s) at the exact max. The max is a 1-row bound
+    // table, BROADCAST back over the per-supplier aggregate (the
+    // standard view+subquery realized without recomputing the view);
+    // revenue in exact 1e-4 units so "= max" cannot flap.
+    "q_tpch_q15" -> ((s, d) => {
+      val revenue = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1997-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(rev4).cast(DecimalType(38, 0)).as("r4"))
+      val mx = revenue.agg(max("r4").as("mx"))
+      revenue.crossJoin(broadcast(mx))
+        .filter(col("r4") === col("mx"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("r4").cast("string").as("total_revenue_e4"),
+          round(col("r4").cast("double") / 1e4, 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue), ADAPTED filter: brand
+    // + size bound (no p_container column). Shape intact: the part
+    // slice prunes lineitem FIRST (join before the per-part avg, so
+    // the avg runs over ~brand-cardinality rows, not the corpus), the
+    // correlated avg-quantity subquery is a per-part aggregate joined
+    // back, and the final sum is exact integer cents. l_quantity is
+    // integral here, so AVG is exact-sum/n — deterministic across
+    // partitionings on both engines.
+    "q_tpch_q17" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#13" && col("p_size") < 30)
+        .select("p_partkey")
+      val lp = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("l_partkey").as("k"))
+        .agg(avg("l_quantity").as("aq"))
+      lp.join(avgq, col("l_partkey") === col("k"))
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(sum("cents").as("c"))
+        .select(col("c").cast("string").as("total_e2"),
+          round(col("c") / 100.0 / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), ADAPTED: "late"
+    // is l_shipdate > o_orderdate + 60 days (no commit/receipt dates).
+    // The three-way correlated EXISTS structure is the operator under
+    // test and is intact: late lines of 'F' orders, SEMI-joined to
+    // "another supplier touched this order", ANTI-joined to "another
+    // supplier was ALSO late" — the only-guilty-party query. Both
+    // probes shuffle on orderkey; the late slice is computed once and
+    // reused for l1 and l3.
+    "q_tpch_q21" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val l2 = l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      late
+        .join(l2, col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3, col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // TPC-H Q22 (global sales opportunity), ADAPTED: c_nationkey
+    // stands in for the phone country code. Shape intact: scalar
+    // subquery (positive-balance average over the nation slice,
+    // computed as exact cents sum / count and BROADCAST as a 1-row
+    // bound table), ANTI join against orders, per-nation count + cents
+    // sum. The threshold compare happens in the exact-cents domain, so
+    // no float-summation drift can flip a membership.
+    "q_tpch_q22" -> ((s, d) => {
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_cents"))
+      val th = cust.filter(col("bal_cents") > 0)
+        .agg(sum("bal_cents").as("sc"), count(lit(1)).as("n"))
+      // "prospect" = no orders in the data's FINAL year (every
+      // customer in this synthetic corpus has lifetime orders, so the
+      // standard no-orders-ever predicate is vacuously empty; the
+      // date-pruned anti side keeps the same plan shape)
+      cust
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= ts("2000-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(th))
+        .filter(col("bal_cents") > col("sc") / col("n"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("tot_cents"))
+        .select(col("c_nationkey"), col("numcust"),
+          col("tot_cents").cast("string").as("totacctbal_e2"),
+          round(col("tot_cents") / 100.0, 2).as("totacctbal"))
+        .orderBy("c_nationkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch_q6" ->
+      """SELECT CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |         AS VARCHAR) AS revenue_e4,
+        |  ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |            * CAST(ROUND(l_discount * 100) AS BIGINT)) / 1e4, 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(ROUND(100 - l_discount * 100) AS BIGINT)) AS BIGINT)
+        |      AS r4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(r4 AS VARCHAR) AS total_revenue_e4,
+        |  ROUND(r4 / 1e4, 2) AS total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r4 = (SELECT MAX(r4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, l_quantity,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN (SELECT p_partkey FROM part
+        |        WHERE p_brand = 'Brand#13' AND p_size < 30) p
+        |    ON l_partkey = p_partkey),
+        |a AS (SELECT l_partkey AS k, AVG(l_quantity) AS aq FROM lp GROUP BY 1)
+        |SELECT CAST(CAST(SUM(cents) AS BIGINT) AS VARCHAR) AS total_e2,
+        |  ROUND(SUM(cents) / 100.0 / 7.0, 2) AS avg_yearly
+        |FROM lp JOIN a ON lp.l_partkey = a.k
+        |WHERE l_quantity < 0.2 * aq""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |th AS (SELECT SUM(bal_cents) AS sc, COUNT(*) AS n
+        |       FROM cust WHERE bal_cents > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(CAST(SUM(bal_cents) AS BIGINT) AS VARCHAR) AS totacctbal_e2,
+        |  ROUND(SUM(bal_cents) / 100.0, 2) AS totacctbal
+        |FROM cust, th
+        |WHERE bal_cents > CAST(sc AS DOUBLE) / n
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
+  )
+}

@@ -347,4 +347,36 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     // fallback eval
     assert(code.contains("Math.sqrt"), code.take(500))
   }
+
+  test("q_tpch_q6 is scan-bound: all predicates pushed, 4-column read, no join") {
+    val p = plan("q_tpch_q6")
+    // toString truncates the PushedFilters list — assert on its head
+    // plus the post-scan Filter's residual predicates
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"), p)
+    assert(p.contains(">= 0.05)") && p.contains("< 24.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"), p)
+    assert(!p.contains("Join"), "Q6 must not join\n" + p)
+    assert(!p.contains("l_orderkey"), "Q6 must not read key columns\n" + p)
+  }
+
+  test("q_tpch_q4 plans the EXISTS as a left semi join on orderkey") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q21 keeps semi+anti probes equi-keyed (no cartesian)") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q22 broadcasts the 1-row threshold and anti-joins date-pruned orders") {
+    val p = plan("q_tpch_q22")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
