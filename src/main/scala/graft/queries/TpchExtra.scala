@@ -190,6 +190,50 @@ object TpchExtra {
         .limit(100)
     }),
 
+    // TPC-H Q8 (national market share): of all 'STANDARD'-type part
+    // volume sold into AMERICA-region customers over two years, what
+    // share came from NATION_3 suppliers, by order year. The 8-way
+    // join keeps the §7.5 postures: region/nation broadcast
+    // (structurally bounded), part/supplier/customer corpus-
+    // proportional (no hint — AQE broadcasts at test sf), lineitem
+    // never re-shuffles except on its join keys. Numerator and
+    // denominator are exact 1e-4-dollar integer sums via the
+    // conditional-CASE inside one aggregate (never two passes); only
+    // the final per-year ratio is a rounded double.
+    "q_tpch_q8" -> ((s, d) => {
+      val n1 = Tables.nation(s, d).join(
+        Tables.region(s, d).filter(col("r_name") === "AMERICA")
+          .select("r_regionkey"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cust_nk"))
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select("p_partkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1999-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev4.as("v4"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cust_nk"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("s_nationkey") === 3, col("v4")).otherwise(lit(0)))
+            .cast(DecimalType(38, 0)).as("nation_v4"),
+          sum(col("v4")).cast(DecimalType(38, 0)).as("total_v4"))
+        .select(col("o_year"),
+          col("nation_v4").cast("string").as("nation_e4"),
+          col("total_v4").cast("string").as("total_e4"),
+          round(col("nation_v4").cast("double") / col("total_v4").cast("double"), 6)
+            .as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // TPC-H Q22 (global sales opportunity), ADAPTED: c_nationkey
     // stands in for the phone country code. Shape intact: scalar
     // subquery (positive-balance average over the nation slice,
@@ -315,6 +359,30 @@ object TpchExtra {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH v AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(ROUND(100 - l_discount * 100) AS BIGINT) AS v4,
+        |    s_nationkey
+        |  FROM lineitem
+        |  JOIN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD') p
+        |    ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01')
+        |SELECT CAST(o_year AS INT) AS o_year,
+        |  CAST(CAST(SUM(CASE WHEN s_nationkey = 3 THEN v4 ELSE 0 END) AS BIGINT)
+        |    AS VARCHAR) AS nation_e4,
+        |  CAST(CAST(SUM(v4) AS BIGINT) AS VARCHAR) AS total_e4,
+        |  ROUND(CAST(SUM(CASE WHEN s_nationkey = 3 THEN v4 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(v4) AS DOUBLE), 6) AS mkt_share
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tpch_q22" ->
       """WITH cust AS (
