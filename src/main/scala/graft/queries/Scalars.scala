@@ -159,6 +159,30 @@ object Scalars {
         .filter(col("k") >= 50)
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT path (r6): parse the JSON once into the binary
+    // variant encoding, then typed path extraction (variant_get), a
+    // missing-path try_variant_get null, and extraction from a NESTED
+    // constructed document (object + array). Variant is the
+    // semi-structured shape that scales: one parse into a shredded
+    // binary form, every downstream extract is a cheap typed probe —
+    // versus get_json_object re-walking the text per field
+    // (q_json_extract keeps that classic path for contrast).
+    "q_json_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("parse_json(props)").as("v"),
+          expr("parse_json(to_json(named_struct(" +
+            "'uid', user_id, 'arr', array(value, value * 2), " +
+            "'nest', named_struct('inner', event_id))))").as("doc"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("try_variant_get(v, '$.absent', 'int')").as("absent"),
+          expr("variant_get(doc, '$.uid', 'bigint')").as("uid"),
+          expr("variant_get(doc, '$.arr[1]', 'double')").as("val2"),
+          expr("variant_get(doc, '$.nest.inner', 'bigint')").as("inner_id"))
+        .filter(col("k") < 10)
+        .orderBy("event_id")),
+
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
@@ -269,6 +293,19 @@ object Scalars {
         |FROM (SELECT event_id, event_type,
         |        CAST(props->>'$.k' AS INT) AS k FROM events)
         |WHERE k >= 50 ORDER BY event_id""".stripMargin,
+
+    // the oracle recomputes every extraction from the raw columns —
+    // equality proves the parse->variant->typed-probe round trip
+    "q_json_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k,
+        |  CAST(NULL AS INT) AS absent,
+        |  user_id AS uid,
+        |  value * 2 AS val2,
+        |  event_id AS inner_id
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INT) < 10
+        |ORDER BY event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
