@@ -362,7 +362,7 @@ object TpchExtra {
 
     "q_tpch_q8" ->
       """WITH v AS (
-        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |  SELECT year(o_orderdate) AS o_year,
         |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
         |      * CAST(ROUND(100 - l_discount * 100) AS BIGINT) AS v4,
         |    s_nationkey
