@@ -386,6 +386,10 @@ object Analytics {
         .select(col("o_custkey"),
           datediff(col("ref"), col("last_order")).as("r"),
           col("f"), col("m_cents"))
+        // two consumers (median derivation + final octant pass) —
+        // materialize the customer-proportional table once instead of
+        // re-running the orders aggregate per consumer
+        .localCheckpoint(true)
       val longs = rfm.select(expr(
         """stack(3, 'r', CAST(r AS DOUBLE), 'f', CAST(f AS DOUBLE),
           |         'm', CAST(m_cents AS DOUBLE)) AS (metric, v)""".stripMargin))
