@@ -59,6 +59,31 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Schema EVOLUTION across parquet generations (r6): gen1 files
+    // carry two columns, gen2 adds o_orderpriority; the mergeSchema
+    // read unions the footers into one schema and fills the missing
+    // column with nulls for gen1 rows — the lakehouse add-a-column
+    // path, exercised end-to-end (write old, write new, read merged,
+    // aggregate over the evolved column). Money summed in exact
+    // cents. At 100 TB mergeSchema's footer-union cost is the reason
+    // tables keep a catalog schema; the READ semantics pinned here
+    // are identical.
+    "q_io_schema_evolution" -> ((s, d) => {
+      val tmp = graft.util.Scratch.dirFor("schema_evo", d)
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/gen1", s"$tmp/gen2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("pre-evolution")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("prio")
+    }),
+
     // Partitioned-write + partition-pruning surface: orders land as
     // hive-style o_orderpriority=… parquet directories; the read-back
     // filter must prune to ONE partition directory (PartitionFilters
@@ -351,6 +376,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // the null-filled pre-evolution rows are exactly the even keys
+    "q_io_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |            ELSE 'pre-evolution' END AS prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_io_partitioned" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
