@@ -152,21 +152,6 @@ object Multimodal {
     decoded
   }
 
-  /** STUB resize: target-box geometry is real (aspect-preserving fit
-    * into maxW x maxH, computed from the stub-decoded dims); the pixel
-    * resample itself is `???` in this container. Demonstrates the
-    * batch shape: metadata math stays columnar, only the byte
-    * transform would enter the partition iterator. */
-  def resizeStub(s: SparkSession, d: String, maxW: Int, maxH: Int): DataFrame = {
-    val sc = decodeStub(s, d)
-    sc.withColumn("scale",
-        least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"),
-          lit(1.0)))
-      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
-      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
-      .select("doc_id", "width", "height", "out_w", "out_h")
-  }
-
   /** STUB frame-sample: every-nth-frame selection for a video payload.
     * Frame count is derived deterministically from the payload length
     * (stub); the selection arithmetic (frame indices at a stride, cap
