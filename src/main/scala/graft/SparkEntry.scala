@@ -16,13 +16,13 @@ object SparkEntry {
     Aggs.queries("q_agg_q1")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Joins.queries ++ TpchExtra.queries ++ Subqueries.queries ++ Aggs.queries ++ Reshape.queries ++ Windows.queries ++
+    Relational.queries ++ Joins.queries ++ TpchExtra.queries ++ TpchPartSupp.queries ++ Subqueries.queries ++ Aggs.queries ++ Reshape.queries ++ Windows.queries ++
       SetOps.queries ++ Scalars.queries ++ EventsQ.queries ++ EthOps.queries ++
       LlmOps.queries ++ TextSim.queries ++ MultimodalQ.queries ++ Sampling.queries ++ Analytics.queries ++
       Training.queries ++ graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Joins.oracle ++ TpchExtra.oracle ++ Subqueries.oracle ++ Aggs.oracle ++ Reshape.oracle ++ Windows.oracle ++
+    Relational.oracle ++ Joins.oracle ++ TpchExtra.oracle ++ TpchPartSupp.oracle ++ Subqueries.oracle ++ Aggs.oracle ++ Reshape.oracle ++ Windows.oracle ++
       SetOps.oracle ++ Scalars.oracle ++ EventsQ.oracle ++ EthOps.oracle ++
       LlmOps.oracle ++ TextSim.oracle ++ MultimodalQ.oracle ++ Sampling.oracle ++ Analytics.oracle ++
       Training.oracle

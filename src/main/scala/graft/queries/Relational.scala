@@ -69,7 +69,10 @@ object Relational {
     // tables keep a catalog schema; the READ semantics pinned here
     // are identical.
     "q_io_schema_evolution" -> ((s, d) => {
-      val tmp = graft.util.Scratch.dirFor("schema_evo", d)
+      // NOT "schema_evo" — q_schema_evolution reads that whole dir
+      // with partition discovery, and foreign gen1/gen2 subdirs would
+      // break its v=1/v=2 layout inference.
+      val tmp = graft.util.Scratch.dirFor("schema_evo_gens", d)
       val o = Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_totalprice")

@@ -6,11 +6,13 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.tables.Tables
 
-/** TPC-H tail (r6): the eight remaining queries expressible over this
-  * testdata's reduced schemas (no partsupp table, so Q2/Q11/Q16/Q20
-  * are out of reach; no commit/receipt dates, shipmode, phone or
-  * comment columns, so Q4/Q12/Q21/Q22 run ADAPTED predicates with the
-  * same plan shape — each adaptation is called out on its key).
+/** TPC-H tail (r6): nine of the remaining queries over this
+  * testdata's reduced schemas (the partsupp-dependent Q2/Q9/Q11/Q16/
+  * Q20 live in queries/TpchPartSupp.scala over a derived partsupp,
+  * completing 22/22; no commit/receipt dates, shipmode, phone or
+  * comment columns here, so Q4/Q12/Q21/Q22 run ADAPTED predicates
+  * with the same plan shape — each adaptation is called out on its
+  * key).
   *
   * Shared conventions from the Q3/Q5/Q10 family (queries/Joins.scala):
   * money aggregates in EXACT integer 1e-4-dollar units via decimal

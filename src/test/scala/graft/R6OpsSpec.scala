@@ -64,6 +64,56 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("graft.mm.ingestBase")
   }
 
+  test("derived partsupp: exactly the lineitem pairs, attrs deterministic and in range") {
+    val ps = graft.queries.TpchPartSupp.partsupp(spark, sf)
+    val pairs = graft.tables.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+    // referential integrity both ways (dbgen's guarantee, by construction)
+    assert(ps.select("ps_partkey", "ps_suppkey").exceptAll(pairs).isEmpty)
+    assert(pairs.exceptAll(ps.select("ps_partkey", "ps_suppkey")).isEmpty)
+    val bad = ps.filter(
+      col("ps_availqty") < 1 || col("ps_availqty") > 9999 ||
+      col("ps_supplycost_cents") < 100 || col("ps_supplycost_cents") > 100000 ||
+      col("ps_availqty") =!=
+        (col("ps_partkey") * 37 + col("ps_suppkey") * 61) % 9999 + 1)
+    assert(bad.isEmpty, bad.limit(3).collect().mkString(", "))
+  }
+
+  test("q_tpch_q2 rows sit at the exact per-part min cost of the EUROPE slice") {
+    val out = graft.queries.TpchPartSupp.queries("q_tpch_q2")(spark, sf)
+    val rows = out.select("p_partkey", "ps_supplycost_cents").collect()
+    assert(rows.nonEmpty)
+    val eurSupp = graft.tables.Tables.supplier(spark, sf)
+      .join(graft.tables.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.tables.Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val mins = graft.queries.TpchPartSupp.partsupp(spark, sf)
+      .join(eurSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("ps_partkey").agg(min("ps_supplycost_cents").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === mins(r.getLong(0)),
+        s"part ${r.getLong(0)} not at min cost")
+    }
+  }
+
+  test("q_tpch_q20 returns only NATION_3 suppliers; q_tpch_q16 counts bounded") {
+    val n3 = graft.tables.Tables.supplier(spark, sf)
+      .join(graft.tables.Tables.nation(spark, sf)
+          .filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val got = graft.queries.TpchPartSupp.queries("q_tpch_q20")(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(got.forall(n3.contains))
+    val nSupp = graft.tables.Tables.supplier(spark, sf).count()
+    val q16 = graft.queries.TpchPartSupp.queries("q_tpch_q16")(spark, sf)
+    assert(q16.filter(col("supplier_cnt") < 1 || col("supplier_cnt") > nSupp).isEmpty)
+  }
+
   test("rfm distributed median == exact percentile on the same frame") {
     // the rank-based median must equal percentile(x, 0.5) bit-for-bit
     // on an odd and an even row count, including duplicate values
