@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.tables.Tables
@@ -321,6 +321,42 @@ object StreamOps {
       }
     }),
 
+    // Arbitrary-state v2 TIMERS (r6): per-user sessionization where
+    // the trailing session is closed by an EVENT-TIME TIMER, not by a
+    // subsequent event — the state-expiry surface s_tws_running_total
+    // (ValueState, TimeMode.None) does not touch. In-batch gaps close
+    // sessions inline in handleInputRows; the still-open session
+    // registers a timer at last_event + gap, re-registered as events
+    // extend it (deleteTimer + registerTimer — the sliding-timeout
+    // idiom), and handleExpiredTimer emits it once the watermark
+    // passes. Sessions within `gap` of the corpus max timestamp
+    // correctly never close — exactly what a live pipeline sees.
+    // Batch-twin equality (window sessionization + the same maturity
+    // cut) pinned in StreamingSpec.
+    "s_tws_session_timeout" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("twst_out")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = readEventsStream(s, eventsDir(d, "twst_in"))
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("ts"), unix_millis(col("ts")).as("ms"))
+          .as[(Long, java.sql.Timestamp, Long)]
+        val sessions = ev.groupByKey(_._1)
+          .transformWithState(new SessionTimeout(SessionGapMs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_ms", "end_ms", "n_events")
+        runToParquet(sessions, out, tmp("twst_ckpt"))
+        s.read.parquet(out).orderBy("user_id", "start_ms")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
     // A7 through the DSv2 STREAMING_WRITE surface (r5): the staged-
     // commit sink's epoch-keyed commits (sinks/StagedCommitSink) make
     // a FULL replay idempotent with no key-based dedup at all — a
@@ -379,6 +415,58 @@ object StreamOps {
       rows.foreach { r => n += 1; sum += r._2 }
       totals.update((n, sum))
       Iterator.single((key, n, sum))
+    }
+  }
+
+  /** Session gap for s_tws_session_timeout (30 min, matching
+    * q_session_gaps' batch sessionization). */
+  private[graft] val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** StatefulProcessor for s_tws_session_timeout: one (start, last, n)
+    * ValueState per user plus ONE live event-time timer at
+    * last + gap. Timer bookkeeping is the per-key point-write shape —
+    * no state scan; the store indexes timers by expiry so a batch
+    * touches only the timers the watermark actually crossed. */
+  private class SessionTimeout(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), (Long, Long, Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val ts = rows.map(_._3).toArray.sorted
+      val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var cur: Option[(Long, Long, Long)] =
+        if (sess.exists()) {
+          val c = sess.get()
+          getHandle.deleteTimer(c._2 + gapMs) // will re-register at the new tail
+          Some(c)
+        } else None
+      ts.foreach { t =>
+        cur match {
+          case Some((st, last, n)) if t - last > gapMs =>
+            closed += ((key, st, last, n))
+            cur = Some((t, t, 1L))
+          case Some((st, last, n)) =>
+            cur = Some((st, math.max(last, t), n + 1))
+          case None =>
+            cur = Some((t, t, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.registerTimer(c._2 + gapMs)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      if (sess.exists() && sess.get()._2 + gapMs == info.getExpiryTimeInMs) {
+        val (st, last, n) = sess.get()
+        sess.clear()
+        Iterator.single((key, st, last, n))
+      } else Iterator.empty
     }
   }
 

@@ -70,6 +70,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"streamed=${streamed.count()} expected=${expected.count()}")
   }
 
+  test("s_tws_session_timeout: timer-closed sessions equal the batch twin") {
+    val streamed = run("s_tws_session_timeout")
+      .select("user_id", "start_ms", "end_ms", "n_events")
+
+    val ev = Tables.events(spark, sf)
+    ev.createOrReplaceTempView("ev_twst_test")
+    val batch = spark.sql(
+      """WITH o AS (
+        |  SELECT user_id, unix_millis(ts) AS ms,
+        |    lag(unix_millis(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pms
+        |  FROM ev_twst_test),
+        |f AS (SELECT user_id, ms,
+        |        CASE WHEN pms IS NULL OR ms - pms > 1800000
+        |             THEN 1 ELSE 0 END AS flag FROM o),
+        |g AS (SELECT user_id, ms,
+        |        SUM(flag) OVER (PARTITION BY user_id ORDER BY ms
+        |                        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+        |       COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin)
+
+    // the trailing open session emits only once its timer
+    // (end + gap) is at or behind the final watermark (max ts, ms)
+    val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val gapMs = 30L * 60 * 1000
+    val lastPerUser = batch.groupBy("user_id").agg(max("start_ms").as("start_ms"))
+      .withColumn("is_last", lit(true))
+    val expected = batch.join(lastPerUser, Seq("user_id", "start_ms"), "left")
+      .filter(!(col("is_last") === true && col("end_ms") + gapMs > maxMs))
+      .drop("is_last")
+
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} expected=${expected.count()}")
+  }
+
   test("s_stream_static_join equals batch join") {
     val streamed = run("s_stream_static_join")
     val cohorts = Tables.events(spark, sf).select("user_id").distinct()
