@@ -37,17 +37,29 @@ import graft.tables.Tables
   */
 object TpchPartSupp {
 
+  private val psCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), DataFrame]()
+
   /** Derived partsupp: ps_partkey, ps_suppkey, ps_availqty (long),
-    * ps_supplycost_cents (long). */
-  private[graft] def partsupp(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .withColumn("ps_availqty",
-        (col("ps_partkey") * 37 + col("ps_suppkey") * 61) % 9999 + 1)
-      .withColumn("ps_supplycost_cents",
-        (col("ps_partkey") * 73 + col("ps_suppkey") * 151) % 99901 + 100)
+    * ps_supplycost_cents (long). Memoized per (context, sfDir) and
+    * localCheckpoint'd like the EdgeGraph derivations — five queries
+    * consume it, and a real deployment materializes the dimension
+    * once per corpus snapshot rather than re-running the DISTINCT
+    * per query. */
+  private[graft] def partsupp(s: SparkSession, d: String): DataFrame = {
+    val it = psCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    psCache.computeIfAbsent((s.sparkContext, d), _ =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .withColumn("ps_availqty",
+          (col("ps_partkey") * 37 + col("ps_suppkey") * 61) % 9999 + 1)
+        .withColumn("ps_supplycost_cents",
+          (col("ps_partkey") * 73 + col("ps_suppkey") * 151) % 99901 + 100)
+        .localCheckpoint(true))
+  }
 
   /** The oracle-side CTE mirroring [[partsupp]] exactly. */
   private val psCte: String =
@@ -143,8 +155,13 @@ object TpchPartSupp {
 
     // TPC-H Q11 (important stock identification), ADAPTED scope: the
     // supplier slice is region EUROPE (the single-nation original
-    // leaves too few pairs at test SF) and the threshold fraction is
-    // 0.002. Shape intact: per-part Σ(supplycost·availqty) over the
+    // leaves too few pairs at test SF) and the threshold is
+    // SCALE-INVARIANT — 2× the average per-part value rather than the
+    // original's fixed fraction of the total (whose pass-set shrinks
+    // to zero as |parts| grows with SF; TPC-H itself scales the
+    // fraction by 1/SF for the same reason). Compared in exact
+    // integer cross-multiplied form: value·n_parts > 2·total — no
+    // float boundary. Shape intact: per-part Σ(supplycost·availqty) over the
     // slice, HAVING against fraction·total where the total is the
     // same aggregate re-scoped globally. The per-part table is
     // materialized ONCE (localCheckpoint — it is post-aggregation,
@@ -168,10 +185,11 @@ object TpchPartSupp {
         .groupBy("ps_partkey")
         .agg(sum("v").as("value_cq"))
         .localCheckpoint(true)
-      val total = byPart.agg(sum("value_cq").as("tot"))
+      val total = byPart.agg(sum("value_cq").as("tot"),
+        count(lit(1)).as("nparts"))
       byPart
         .crossJoin(broadcast(total))
-        .filter(col("value_cq") > col("tot") / lit(500))
+        .filter(col("value_cq") * col("nparts") > lit(2) * col("tot"))
         .select(col("ps_partkey"), col("value_cq"),
           round(col("value_cq") / 100.0, 2).as("value_dollars"))
         .orderBy(col("value_cq").desc, col("ps_partkey"))
@@ -288,7 +306,9 @@ object TpchPartSupp {
         |  ROUND(SUM(v) / 100.0, 2) AS value_dollars
         |FROM slice
         |GROUP BY ps_partkey
-        |HAVING SUM(v) > (SELECT SUM(v) FROM slice) / 500
+        |HAVING CAST(SUM(v) AS BIGINT)
+        |       * (SELECT COUNT(DISTINCT ps_partkey) FROM slice)
+        |     > 2 * (SELECT CAST(SUM(v) AS BIGINT) FROM slice)
         |ORDER BY value_cq DESC, ps_partkey""".stripMargin,
 
     "q_tpch_q16" ->
