@@ -87,6 +87,36 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // Malformed-record ingest (r6): the PERMISSIVE-mode contract a
+    // production ingest relies on — a row whose typed parse fails
+    // keeps its parseable fields, nulls the failed one, and surfaces
+    // the raw line in columnNameOfCorruptRecord; the job NEVER dies
+    // on dirty input (vs fail-fast). Corruption is staged
+    // deterministically (orderkey % 7 == 3 carries a non-numeric
+    // price), so the oracle reproduces good/bad counts and the
+    // clean-row exact-cents sum from the ORIGINAL table with a CASE.
+    // At 100 TB this is the quarantine pattern: corrupt raws split to
+    // a dead-letter column instead of failing a 6-hour job.
+    "q_io_badrecords" -> ((s, d) => {
+      val tmp = graft.util.Scratch.dirFor("io_badrecords", d)
+      Tables.orders(s, d)
+        .select(concat_ws(",",
+          col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 3, lit("N/A"))
+            .otherwise(col("o_totalprice").cast("string"))).as("line"))
+        .write.mode("overwrite").text(s"$tmp/csv")
+      s.read
+        .schema("o_orderkey LONG, o_totalprice DOUBLE, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(s"$tmp/csv")
+        .agg(
+          count(when(col("_bad").isNull, 1)).as("n_good"),
+          count(when(col("_bad").isNotNull, 1)).as("n_bad"),
+          sum(when(col("_bad").isNull,
+            round(col("o_totalprice") * 100).cast("long"))).as("good_cents"))
+    }),
+
     // Partitioned-write + partition-pruning surface: orders land as
     // hive-style o_orderpriority=… parquet directories; the read-back
     // filter must prune to ONE partition directory (PartitionFilters
@@ -387,6 +417,16 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // corrupt rows are exactly the orderkey % 7 == 3 ones
+    "q_io_badrecords" ->
+      """SELECT
+        |  COUNT(CASE WHEN o_orderkey % 7 <> 3 THEN 1 END) AS n_good,
+        |  COUNT(CASE WHEN o_orderkey % 7 = 3 THEN 1 END) AS n_bad,
+        |  CAST(SUM(CASE WHEN o_orderkey % 7 <> 3
+        |           THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+        |       AS BIGINT) AS good_cents
+        |FROM orders""".stripMargin,
 
     "q_io_partitioned" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
