@@ -379,4 +379,34 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_tpch_q2's correlated min is ONE partition-window, part slice pushed to scan") {
+    val p = plan("q_tpch_q2")
+    // one window, partitioned by ps_partkey (never SinglePartition)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), "window must partition by part\n" + p)
+    assert(p.contains("LessThanOrEqual(p_size,15)"), "part slice must push to scan\n" + p)
+  }
+
+  test("q_tpch_q9 broadcasts nation; part color slice pushes to the part scan") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q11 broadcasts the 1-row threshold over the checkpointed per-part table") {
+    val p = plan("q_tpch_q11")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus-sized slice is behind the localCheckpoint — the final
+    // plan must NOT rescan lineitem
+    assert(!p.contains("lineitem"), "threshold pass must read the checkpoint, not the corpus\n" + p)
+  }
+
+  test("q_tpch_q20 keeps both probes semi-keyed; 1997 window pushed to the fact scan") {
+    val p = plan("q_tpch_q20")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
 }
