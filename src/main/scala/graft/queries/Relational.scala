@@ -87,6 +87,46 @@ object Relational {
         .orderBy("prio")
     }),
 
+    // Aggregate pushdown into the parquet scan (r6): with
+    // spark.sql.parquet.aggregatePushdown on, a bare MIN/MAX/COUNT
+    // (no filter, no residual grouping) is answered from ROW-GROUP
+    // FOOTER STATISTICS — zero data pages decoded. At 100 TB this is
+    // the difference between a full-corpus scan and a
+    // metadata-only pass over file footers (plan-pinned:
+    // PushedAggregation at the scan). Conf set per query, restored.
+    "q_scan_agg_pushdown" -> ((s, d) => {
+      // both confs matter: aggregate pushdown lives on the DSv2
+      // parquet reader, and parquet defaults to the V1 path — route
+      // it through V2 for this query only. Conf is consulted at PLAN
+      // time, so the physical plan is forced inside the scope (the
+      // Dataset caches it; later execution reuses the pushed plan).
+      val aggKey = "spark.sql.parquet.aggregatePushdown"
+      val v1Key = "spark.sql.sources.useV1SourceList"
+      val prevAgg = s.conf.getOption(aggKey)
+      val prevV1 = s.conf.get(v1Key)
+      try {
+        s.conf.set(aggKey, "true")
+        s.conf.set(v1Key, prevV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+        // numeric columns only: parquet aggregate pushdown rejects
+        // timestamp min/max (logical-type stats ambiguity), and ONE
+        // unsupported aggregate abandons the whole pushdown
+        val df = Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("min_key"),
+            max("l_orderkey").as("max_key"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"))
+        df.queryExecution.executedPlan // plan under the pushdown confs
+        df
+      } finally {
+        prevAgg match {
+          case Some(v) => s.conf.set(aggKey, v)
+          case None    => s.conf.unset(aggKey)
+        }
+        s.conf.set(v1Key, prevV1)
+      }
+    }),
+
     // Malformed-record ingest (r6): the PERMISSIVE-mode contract a
     // production ingest relies on — a row whose typed parse fails
     // keeps its parseable fields, nulls the failed one, and surfaces
@@ -417,6 +457,12 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scan_agg_pushdown" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
 
     // corrupt rows are exactly the orderkey % 7 == 3 ones
     "q_io_badrecords" ->

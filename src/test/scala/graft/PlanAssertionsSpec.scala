@@ -380,6 +380,12 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_scan_agg_pushdown answers MIN/MAX/COUNT from parquet footers (PushedAggregation)") {
+    val p = plan("q_scan_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p)
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"), p)
+  }
+
   test("q_tpch_q2's correlated min is ONE partition-window, part slice pushed to scan") {
     val p = plan("q_tpch_q2")
     // one window, partitioned by ps_partkey (never SinglePartition)
