@@ -17,10 +17,13 @@ import graft.tables.Tables
   * At 100 TB the `bytes` field is kept out-of-line for large assets
   * (uri + content hash in-line, bytes resolved at the consumer) so
   * shuffle rows stay small — here testdata has no media, so envelopes
-  * are synthesized from document text and the decode step is a
-  * clearly-marked deterministic STUB (no image/audio libs in this
-  * environment). The Spark-side plumbing — schema, batch iteration,
-  * partition-parallel decode — is real and tested.
+  * are synthesized from document text. Image decode/resample
+  * ([[decodeImage]]/[[resizeImage]] via javax.imageio) and audio
+  * decode ([[decodeAudio]] via javax.sound.sampled) are REAL
+  * encode→decode round-trips; only VIDEO decode remains a
+  * clearly-marked deterministic STUB (the JDK ships no video codec).
+  * The Spark-side plumbing — schema, batch iteration,
+  * partition-parallel decode — is real and tested throughout.
   */
 object Multimodal {
 
@@ -124,6 +127,76 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "out_w", "out_h",
         "px_r", "px_g", "px_b")
+  }
+
+  /** Deterministic in-container WAV for a document (r6, the audio
+    * analog of [[pngFor]]): PCM16 mono 8 kHz, frame count derived
+    * from the payload length (256 + n % 1024), samples a doc-keyed
+    * square wave (amplitude 1000 + id % 30000, period 16 frames,
+    * starting at +amp) — so a LOSSLESS decode must reproduce the
+    * format, the measured frame count, the first sample, and the
+    * peak. Encoded with javax.sound.sampled (java.desktop,
+    * headless-safe — no audio device needed for file I/O). */
+  private[graft] def wavFor(docId: Long, nBytes: Int): Array[Byte] = {
+    val nFrames = 256 + (nBytes % 1024)
+    val amp = (docId % 30000).toInt + 1000
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = if ((i / 8) % 2 == 0) amp else -amp
+      data(2 * i) = (v & 0xff).toByte // little-endian PCM16
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (r6): synthesize the deterministic WAV bytes
+    * per document executor-side, parse them with
+    * javax.sound.sampled.AudioSystem, and report the MEASURED format
+    * (rate/channels/bits), frame count, first sample and full-stream
+    * peak — every value passes through a real WAV encode→decode
+    * round-trip, so the oracle's closed forms only hold if the
+    * container parse and PCM decode actually work. Only VIDEO decode
+    * remains stubbed ([[frameSampleStub]]) — the JDK has no video
+    * codec. */
+  def decodeAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, n) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wavFor(id, n)))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val buf = new Array[Byte](4096)
+          var first = Integer.MIN_VALUE
+          var peak = 0
+          var r = ais.read(buf)
+          while (r > 0) {
+            var j = 0
+            while (j + 1 < r) {
+              val v = (((buf(j + 1) & 0xff) << 8) | (buf(j) & 0xff)).toShort.toInt
+              if (first == Integer.MIN_VALUE) first = v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              j += 2
+            }
+            r = ais.read(buf)
+          }
+          (id, n, fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getSampleSizeInBits, frames, first, peak)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "sample_rate", "channels", "bits",
+        "n_frames", "first_sample", "peak")
   }
 
   /** STUB decode: kept for the video/audio payloads a real deployment

@@ -73,6 +73,11 @@ object MultimodalQ {
     "q_mm_resize" -> ((s, d) =>
       Multimodal.resizeImage(s, d, maxW = 96, maxH = 96).orderBy("doc_id")),
 
+    // REAL audio decode (r6): deterministic WAV bytes per doc →
+    // javax.sound.sampled parse → measured format/frames/samples.
+    "q_mm_audio_decode" -> ((s, d) =>
+      Multimodal.decodeAudio(s, d).orderBy("doc_id")),
+
     "q_mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSampleStub(s, d, everyNth = 10, maxFrames = 8)
         .orderBy("doc_id", "frame_idx"))
@@ -125,6 +130,21 @@ object MultimodalQ {
         |  CAST((doc_id // 256) % 256 AS INT) AS px_g,
         |  CAST(doc_id % 7 AS INT) AS px_b
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the decode is REAL (javax.sound.sampled WAV round-trip); the
+    // closed forms — format constants, frame-count formula, square-
+    // wave first sample and peak — are what the synthesized WAV
+    // contains, so equality proves the PCM decode measured real data.
+    "q_mm_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  8000 AS sample_rate,
+        |  1 AS channels,
+        |  16 AS bits,
+        |  CAST(256 + strlen(text) % 1024 AS BIGINT) AS n_frames,
+        |  CAST(1000 + doc_id % 30000 AS INT) AS first_sample,
+        |  CAST(1000 + doc_id % 30000 AS INT) AS peak
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_frame_sample" ->
       """WITH f AS (

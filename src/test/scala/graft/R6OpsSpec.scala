@@ -64,6 +64,23 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.unset("graft.mm.ingestBase")
   }
 
+  test("wavFor -> AudioSystem round-trips format, frames, and PCM samples") {
+    for (id <- Seq(0L, 7L, 255L, 30000L); n <- Seq(0, 1, 511, 1023, 5000)) {
+      val bytes = graft.multimodal.Multimodal.wavFor(id, n)
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF", "must be a real WAV container")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFormat.getSampleRate === 8000f)
+      assert(ais.getFormat.getChannels === 1)
+      assert(ais.getFrameLength === 256 + n % 1024)
+      val amp = 1000 + (id % 30000).toInt
+      val frame = new Array[Byte](2)
+      ais.read(frame)
+      val first = (((frame(1) & 0xff) << 8) | (frame(0) & 0xff)).toShort.toInt
+      assert(first === amp, s"doc $id first sample")
+    }
+  }
+
   test("derived partsupp: exactly the lineitem pairs, attrs deterministic and in range") {
     val ps = graft.queries.TpchPartSupp.partsupp(spark, sf)
     val pairs = graft.tables.Tables.lineitem(spark, sf)
