@@ -127,6 +127,43 @@ object Relational {
       }
     }),
 
+    // GROUP BY pushdown over a partitioned layout (r6): when the
+    // grouping key IS the partition column, min/max/count per group
+    // are answered from the file listing plus row-group footers —
+    // still zero data pages. The complement of q_scan_agg_pushdown:
+    // that one proves the global profile, this one the per-partition
+    // profile (PushedAggregation + PushedGroupBy pinned). This is how
+    // a 100 TB table reports per-partition health without a scan.
+    "q_scan_groupby_pushdown" -> ((s, d) => {
+      val tmp = graft.util.Scratch.dirFor("agg_pd_part", d)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$tmp/po")
+      val aggKey = "spark.sql.parquet.aggregatePushdown"
+      val v1Key = "spark.sql.sources.useV1SourceList"
+      val prevAgg = s.conf.getOption(aggKey)
+      val prevV1 = s.conf.get(v1Key)
+      try {
+        s.conf.set(aggKey, "true")
+        s.conf.set(v1Key, prevV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+        val df = s.read.parquet(s"$tmp/po")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .orderBy("o_orderpriority")
+        df.queryExecution.executedPlan // plan under the pushdown confs
+        df
+      } finally {
+        prevAgg match {
+          case Some(v) => s.conf.set(aggKey, v)
+          case None    => s.conf.unset(aggKey)
+        }
+        s.conf.set(v1Key, prevV1)
+      }
+    }),
+
     // Malformed-record ingest (r6): the PERMISSIVE-mode contract a
     // production ingest relies on — a row whose typed parse fails
     // keeps its parseable fields, nulls the failed one, and surfaces
@@ -463,6 +500,11 @@ object Relational {
         |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
         |FROM lineitem""".stripMargin,
+
+    "q_scan_groupby_pushdown" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // corrupt rows are exactly the orderkey % 7 == 3 ones
     "q_io_badrecords" ->

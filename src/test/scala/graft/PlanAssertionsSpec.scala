@@ -386,6 +386,12 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"), p)
   }
 
+  test("q_scan_groupby_pushdown pushes the partition-column GROUP BY to the scan") {
+    val p = plan("q_scan_groupby_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p)
+    assert(p.contains("PushedGroupBy: [o_orderpriority]"), p)
+  }
+
   test("q_tpch_q2's correlated min is ONE partition-window, part slice pushed to scan") {
     val p = plan("q_tpch_q2")
     // one window, partitioned by ps_partkey (never SinglePartition)
