@@ -153,6 +153,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sink.select("event_id").distinct().count() === n)
   }
 
+  test("rate-micro-batch source generates the deterministic sequence (B.1 contract)") {
+    // the synthetic-load source for soak-testing a pipeline shape:
+    // rowsPerBatch fixed values 0..n-1 per batch, deterministic
+    val out = java.nio.file.Files.createTempDirectory("graft_rate_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rate_ckpt").toString
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100)
+      .load()
+      .select("timestamp", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def n(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      while (n() < 200 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(n() >= 200, "rate source produced fewer than 2 batches in 60s")
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    import org.apache.spark.sql.functions._
+    // values are the exact sequence 0..n-1, no gaps or duplicates
+    val stats = got.agg(min("value"), max("value"),
+      count(lit(1)), countDistinct("value")).head()
+    assert(stats.getLong(0) === 0L)
+    assert(stats.getLong(1) === stats.getLong(2) - 1)
+    assert(stats.getLong(2) === stats.getLong(3))
+    assert(got.filter(col("timestamp").isNull).isEmpty)
+  }
+
   test("stateful ops run unchanged on the RocksDB state store provider") {
     // the production state backend for large state (off-heap,
     // incremental checkpoints) — results must match the default
