@@ -131,6 +131,32 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     assert(q16.filter(col("supplier_cnt") < 1 || col("supplier_cnt") > nSupp).isEmpty)
   }
 
+  test("q_simhash key contract: one fp per doc; identical texts collide exactly") {
+    val out = SparkEntry.queries("q_simhash")(spark, sf)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    assert(out.count() === docs.count())
+    // exact-duplicate texts (the q_dedup_exact clusters) must land on
+    // the SAME 64-bit fingerprint — simhash is deterministic in the
+    // token multiset
+    val withText = out.join(docs.select("doc_id", "text"), "doc_id")
+    val clusters = withText.groupBy("text")
+      .agg(countDistinct("fp").as("nfp"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(clusters.filter(col("nfp") =!= 1).isEmpty,
+      "exact-duplicate texts diverged in simhash")
+  }
+
+  test("q_dsv2_burn_backfill key contract: exact half-open block range, wei scaling") {
+    val out = SparkEntry.queries("q_dsv2_burn_backfill")(spark, sf)
+    val rows = out.select("blockNumber").distinct().collect().map(_.getLong(0))
+    // sf0.001 fixture: blocks 0..99, backfill keeps the upper half
+    assert(rows.min === 50L && rows.max === 99L)
+    // tokenWhole is the integer wei scaling of valueWei
+    val bad = out.filter(
+      col("tokenWhole") =!= expr("valueWei div CAST(1000000000000000000 AS DECIMAL(19,0))"))
+    assert(bad.isEmpty)
+  }
+
   test("rfm distributed median == exact percentile on the same frame") {
     // the rank-based median must equal percentile(x, 0.5) bit-for-bit
     // on an odd and an even row count, including duplicate values
