@@ -20,10 +20,14 @@ import graft.tables.Tables
   * are synthesized from document text. Image decode/resample
   * ([[decodeImage]]/[[resizeImage]] via javax.imageio) and audio
   * decode ([[decodeAudio]] via javax.sound.sampled) are REAL
-  * encode→decode round-trips; only VIDEO decode remains a
-  * clearly-marked deterministic STUB (the JDK ships no video codec).
-  * The Spark-side plumbing — schema, batch iteration,
-  * partition-parallel decode — is real and tested throughout.
+  * encode→decode round-trips, and video frame extraction
+  * ([[sampleVideoFrames]]) does real stride-seeks and per-frame PNG
+  * decodes over an MJPEG-style container (custom documented envelope
+  * — the JDK ships no standard video codec, so only standard-codec
+  * PARSING is absent; [[frameSampleStub]] keeps the arithmetic-only
+  * stub for comparison). The Spark-side plumbing — schema, batch
+  * iteration, partition-parallel decode — is real and tested
+  * throughout.
   */
 object Multimodal {
 
@@ -223,6 +227,81 @@ object Multimodal {
       }
       .toDF("doc_id", "n_bytes", "width", "height", "channels")
     decoded
+  }
+
+  /** Deterministic in-container "video" for a document (r6, the video
+    * analog of [[pngFor]]/[[wavFor]]): an MJPEG-style frame container
+    * — [4-byte BE length][PNG frame bytes] repeated — holding
+    * 1 + n % 8 real 8×8 PNG frames whose fill color is keyed on
+    * (docId, frameIdx): r = (id + idx) % 256, g = idx·31 % 256,
+    * b = id % 5. The container format is CUSTOM and documented (the
+    * JDK ships no standard video codec); the frames inside are real
+    * PNGs, so frame extraction must do real seeks and real decodes. */
+  private[graft] def videoFor(docId: Long, nBytes: Int): Array[Byte] = {
+    val nFrames = 1 + (nBytes % 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = ((((docId + f) % 256) << 16) |
+        ((f * 31 % 256) << 8) | (docId % 5)).toInt
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 8, 8) }
+      finally g.dispose()
+      val frame = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", frame)
+      val bytes = frame.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** REAL video frame-sample (r6): parse the MJPEG-style container,
+    * STRIDE-SEEK to every-nth frame (skipped frames are skipped by
+    * their length prefix — never decoded, the exact I/O shape of
+    * seeking keyframes in a real container), imageio-decode ONLY the
+    * sampled frames, and report measured dims + the decoded center
+    * pixel per sampled frame. One output row per sampled frame,
+    * partition-parallel. */
+  def sampleVideoFrames(s: SparkSession, d: String, everyNth: Int,
+                        maxFrames: Int): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, n) =>
+          val container = videoFor(id, n)
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(container))
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int, Int, Int, Int)]
+          var idx = 0
+          var sampled = 0
+          while (in.available() > 0 && sampled < maxFrames) {
+            val len = in.readInt()
+            if (idx % everyNth == 0) {
+              val bytes = new Array[Byte](len)
+              in.readFully(bytes)
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              val px = img.getRGB(img.getWidth / 2, img.getHeight / 2)
+              frames += ((id, idx, img.getWidth, img.getHeight,
+                (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff))
+              sampled += 1
+            } else {
+              in.skipBytes(len) // stride seek: skipped frames never decode
+            }
+            idx += 1
+          }
+          frames
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "px_r", "px_g", "px_b")
   }
 
   /** STUB frame-sample: every-nth-frame selection for a video payload.

@@ -80,6 +80,14 @@ object MultimodalQ {
 
     "q_mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSampleStub(s, d, everyNth = 10, maxFrames = 8)
+        .orderBy("doc_id", "frame_idx")),
+
+    // REAL video frame extraction (r6): MJPEG-style container of real
+    // PNG frames (custom documented envelope — the JDK has no standard
+    // video codec), stride-seek past unsampled frames, imageio decode
+    // of the sampled ones.
+    "q_mm_video_frames" -> ((s, d) =>
+      Multimodal.sampleVideoFrames(s, d, everyNth = 2, maxFrames = 4)
         .orderBy("doc_id", "frame_idx"))
   )
 
@@ -145,6 +153,22 @@ object MultimodalQ {
         |  CAST(1000 + doc_id % 30000 AS INT) AS first_sample,
         |  CAST(1000 + doc_id % 30000 AS INT) AS peak
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the extraction is REAL (container parse + per-frame PNG decode);
+    // closed forms: frame count 1 + n % 8, every-2nd capped at 4,
+    // 8x8 frames, color keyed on (doc_id, frame_idx)
+    "q_mm_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(1 + strlen(text) % 8 AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(list_slice(generate_series(0, n_frames - 1, 2), 1, 4))
+        |       AS INT) AS frame_idx,
+        |  8 AS width, 8 AS height,
+        |  CAST((doc_id + unnest(list_slice(generate_series(0, n_frames - 1, 2), 1, 4))) % 256 AS INT) AS px_r,
+        |  CAST(unnest(list_slice(generate_series(0, n_frames - 1, 2), 1, 4)) * 31 % 256 AS INT) AS px_g,
+        |  CAST(doc_id % 5 AS INT) AS px_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_mm_frame_sample" ->
       """WITH f AS (

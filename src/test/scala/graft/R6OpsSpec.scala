@@ -131,6 +131,26 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     assert(q16.filter(col("supplier_cnt") < 1 || col("supplier_cnt") > nSupp).isEmpty)
   }
 
+  test("videoFor container: length-prefixed real PNG frames, stride-seek sampling") {
+    for (id <- Seq(0L, 7L, 260L); n <- Seq(0, 3, 7, 100)) {
+      val c = graft.multimodal.Multimodal.videoFor(id, n)
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(c))
+      var idx = 0
+      while (in.available() > 0) {
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img.getWidth === 8 && img.getHeight === 8)
+        val px = img.getRGB(4, 4)
+        assert(((px >> 16) & 0xff) === ((id + idx) % 256).toInt, s"doc $id frame $idx r")
+        assert(((px >> 8) & 0xff) === (idx * 31 % 256), s"doc $id frame $idx g")
+        idx += 1
+      }
+      assert(idx === 1 + n % 8, s"doc $id frame count")
+    }
+  }
+
   test("q_simhash key contract: one fp per doc; identical texts collide exactly") {
     val out = SparkEntry.queries("q_simhash")(spark, sf)
     val docs = graft.tables.Tables.documents(spark, sf)
