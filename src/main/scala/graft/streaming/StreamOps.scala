@@ -80,6 +80,13 @@ object StreamOps {
     dir
   }
 
+  /** Stage the documents table into a fresh dir (document streams). */
+  private def docsDir(d: String, tag: String): String = {
+    val dir = tmp(tag)
+    Files.copy(Paths.get(s"$d/documents.parquet"), Paths.get(dir, "documents.parquet"))
+    dir
+  }
+
   private def readEventsStream(s: SparkSession, path: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -319,6 +326,58 @@ object StreamOps {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
       }
+    }),
+
+    // Streaming set-similarity join (r6; PAPERS.md: "Distributed
+    // Streaming Set Similarity Join", ICDE 2020): near-dup detection
+    // the moment a document ARRIVES, against a static reference
+    // corpus — q_dedup_lsh_resolve's LSH band probe run as a
+    // stream-static equi-join. The static side is the memoized banded
+    // signature index + token-hash verify table (the materialize-once
+    // corpus index a production dedup service keeps); each micro-batch
+    // computes the SAME codegen'd minhash/band expressions on arriving
+    // docs, probes the index on the 64-bit bucket key (STATELESS
+    // stream-static join — state never grows with the stream), and
+    // exact-verifies candidates with sorted_intersect_count before
+    // emitting. Band-collision duplicates dedupe at read-back: a
+    // streaming distinct would hold unbounded state for no semantic
+    // gain (the pair set is idempotent). Batch-twin equality pinned
+    // in StreamingSpec.
+    "s_stream_lsh_dedup" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val in = docsDir(d, "lshstream_in")
+      val out = tmp("lshstream_out")
+      val refBands = graft.operators.EdgeGraph.minhashSigs(s, d, 32)
+        .select(col("doc_id").as("ref_id"), col("lang").as("ref_lang"),
+          explode(expr(
+            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))"))
+            .as("ref_bsig"))
+        .localCheckpoint(true)
+      val refHs = Tables.documents(s, d)
+        .select(col("doc_id").as("hs_id"),
+          expr("token_hashes(split(text, ' '))").as("ref_hs"))
+        .localCheckpoint(true)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val verified = s.readStream.schema(docSchema).parquet(in)
+        .select(col("doc_id"), col("lang"),
+          expr("minhash_sig(array_distinct(split(text, ' ')), 32)").as("sig"),
+          expr("token_hashes(split(text, ' '))").as("hs"))
+        .select(col("doc_id"), col("lang"), col("hs"),
+          explode(expr(
+            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))"))
+            .as("bsig"))
+        .join(refBands,
+          col("lang") === col("ref_lang") && col("bsig") === col("ref_bsig") &&
+            col("doc_id") < col("ref_id"))
+        .join(refHs, col("ref_id") === col("hs_id"))
+        .withColumn("i", expr("sorted_intersect_count(hs, ref_hs)"))
+        .filter(col("i") / (size(col("hs")) + size(col("ref_hs")) - col("i")) >= 0.8)
+        .select(col("doc_id").as("a_id"), col("ref_id").as("b_id"))
+      runToParquet(verified, out, tmp("lshstream_ckpt"))
+      s.read.parquet(out).distinct().orderBy("a_id", "b_id")
     }),
 
     // Arbitrary-state v2 TIMERS (r6): per-user sessionization where

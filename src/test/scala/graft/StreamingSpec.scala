@@ -70,6 +70,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"streamed=${streamed.count()} expected=${expected.count()}")
   }
 
+  test("s_stream_lsh_dedup equals the batch LSH-banded, exact-verified pair set") {
+    val streamed = run("s_stream_lsh_dedup")
+    graft.expr.Registry.ensure(spark)
+    val bands = graft.operators.EdgeGraph.minhashSigs(spark, sf, 32)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))"))
+          .as("bsig"))
+    val cand = bands.select(col("lang"), col("bsig"), col("doc_id").as("a_id"))
+      .join(bands.select(col("lang").as("l2"), col("bsig").as("b2"),
+          col("doc_id").as("b_id")),
+        col("lang") === col("l2") && col("bsig") === col("b2") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val hs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("token_hashes(split(text, ' '))").as("hs"))
+    val expected = cand
+      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      .withColumn("i", expr("sorted_intersect_count(a_hs, b_hs)"))
+      .filter(col("i") / (size(col("a_hs")) + size(col("b_hs")) - col("i")) >= 0.8)
+      .select("a_id", "b_id")
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} expected=${expected.count()}")
+  }
+
   test("s_tws_session_timeout: timer-closed sessions equal the batch twin") {
     val streamed = run("s_tws_session_timeout")
       .select("user_id", "start_ms", "end_ms", "n_events")
