@@ -203,12 +203,15 @@ object Multimodal {
         "n_frames", "first_sample", "peak")
   }
 
-  /** STUB decode: kept for the video/audio payloads a real deployment
-    * would route to codec libs absent in this container (the image
-    * path is REAL — [[decodeImage]]). The fake is deterministic in
-    * the payload so tests pin exact values, and it runs
-    * partition-parallel over the binary column exactly like a real
-    * decoder would (mapPartitions shape, no driver collect).
+  /** STUB decode, kept deliberately beside the REAL paths
+    * ([[decodeImage]] imageio PNG, [[decodeAudio]] sampled-audio WAV,
+    * [[sampleVideoFrames]] container frame extraction): this is the
+    * arithmetic-only shape a deployment plugs a standard-codec
+    * library into (mp4/webm parsing is the one thing the JDK cannot
+    * do). The fake is deterministic in the payload so tests pin exact
+    * values, and it runs partition-parallel over the binary column
+    * exactly like the real decoders beside it (mapPartitions shape,
+    * no driver collect).
     */
   def decodeStub(s: SparkSession, d: String): DataFrame = {
     val env = envelopes(s, d)
@@ -217,7 +220,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // ??? real decode goes here — deterministic fake instead:
+          // a standard-codec decode plugs in here; deterministic fake:
           val n = if (bytes == null) 0 else bytes.length
           val fakeWidth = 64 + (n % 64)
           val fakeHeight = 64 + ((n / 64) % 64)
