@@ -108,12 +108,18 @@ object EventsQ {
     "q_anomaly_mad" -> ((s, d) => {
       val ev = Tables.events(s, d)
       def r4(c: Column): Column = round(c * lit(10000)) / lit(10000)
-      val med = ev.groupBy("event_type")
-        .agg(r4(expr("percentile(value, 0.5)")).as("med"))
-      val mad = ev.join(broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(max("med").as("med"),
-          r4(expr("percentile(abs(value - med), 0.5)")).as("mad"))
+      // both medians through the distributed exact-quantile plan
+      // (r6, §7.5): value-count + rank window, never a per-group
+      // full-value buffer
+      val med = graft.operators.ExactQuantiles
+        .byGroup(ev, Seq("event_type"), "value", Seq(0.5))
+        .select(col("event_type"), r4(col("v")).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("_dev"))
+      val mad = graft.operators.ExactQuantiles
+        .byGroup(dev, Seq("event_type"), "_dev", Seq(0.5))
+        .select(col("event_type"), r4(col("v")).as("mad"))
+        .join(broadcast(med), "event_type")
       val out = ev.join(broadcast(mad), "event_type")
         .filter(abs(col("value") - col("med")) > lit(3) * col("mad"))
         .groupBy("event_type")
@@ -139,9 +145,12 @@ object EventsQ {
     "q_winsorize" -> ((s, d) => {
       val ev = Tables.events(s, d)
       def r4(c: Column): Column = round(c * lit(10000)) / lit(10000)
-      val bounds = ev.groupBy("event_type")
-        .agg(r4(expr("percentile(value, 0.05)")).as("lo"),
-          r4(expr("percentile(value, 0.99)")).as("hi"))
+      // bounds through the distributed exact-quantile plan (r6, §7.5)
+      val bounds = graft.operators.ExactQuantiles
+        .byGroup(ev, Seq("event_type"), "value", Seq(0.05, 0.99))
+        .groupBy("event_type")
+        .agg(r4(max(when(col("q") === 0.05, col("v")))).as("lo"),
+          r4(max(when(col("q") === 0.99, col("v")))).as("hi"))
       ev.join(broadcast(bounds), "event_type")
         .select(col("event_type"), col("lo"), col("hi"), col("value"),
           least(greatest(col("value"), col("lo")), col("hi")).as("w"))

@@ -53,15 +53,22 @@ object Reshape {
 
     // exact interpolated percentiles (Spark percentile() and DuckDB
     // quantile_cont share the definition).
-    "q_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
+    // Exact quantiles via the DISTRIBUTED plan (r6, §7.5 posture):
+    // percentile()'s per-group full-value buffer is the
+    // memory-unbounded shape — ExactQuantiles reproduces its linear
+    // interpolation from a value-count stream + rank window instead.
+    "q_percentiles" -> ((s, d) => {
+      val qv = graft.operators.ExactQuantiles.byGroup(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.99))
+      qv.groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
-        .orderBy("l_returnflag"))
+          round(max(when(col("q") === 0.25, col("v"))), 4).as("p25"),
+          round(max(when(col("q") === 0.5, col("v"))), 4).as("p50"),
+          round(max(when(col("q") === 0.75, col("v"))), 4).as("p75"),
+          round(max(when(col("q") === 0.99, col("v"))), 4).as("p99"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracle: Map[String, String] = Map(

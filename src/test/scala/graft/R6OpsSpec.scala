@@ -177,6 +177,22 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     assert(bad.isEmpty)
   }
 
+  test("ExactQuantiles.byGroup reproduces percentile() bit-for-bit on events") {
+    val ev = graft.tables.Tables.events(spark, sf)
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.99)
+    val got = graft.operators.ExactQuantiles
+      .byGroup(ev, Seq("event_type"), "value", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val aggs = qs.map(q => expr(s"percentile(value, $q)"))
+    val exact = ev.groupBy("event_type").agg(aggs.head, aggs.tail: _*).collect()
+    exact.foreach { r =>
+      qs.zipWithIndex.foreach { case (q, i) =>
+        assert(got((r.getString(0), q)) === r.getDouble(i + 1),
+          s"q=$q type=${r.getString(0)}")
+      }
+    }
+  }
+
   test("rfm distributed median == exact percentile on the same frame") {
     // the rank-based median must equal percentile(x, 0.5) bit-for-bit
     // on an odd and an even row count, including duplicate values
