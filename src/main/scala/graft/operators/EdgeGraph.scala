@@ -108,6 +108,40 @@ object EdgeGraph {
 
   private val tfCache = new ConcurrentHashMap[(SparkContext, String), DataFrame]()
 
+  /** Memoized per-doc bigram-LM score table (doc_id, lang, n_bigrams,
+    * avg_lp) — the corpus bigram model (count tables joined model-side
+    * first) plus the per-doc scoring join, shared by q_bigram_lm
+    * (fluency report) and q_ppl_bucket (CCNet-style perplexity
+    * bucketing). One derivation per (session, sfDir); rounding is
+    * left to the consumers. */
+  def bigramScores(s: SparkSession, d: String): DataFrame = {
+    val it = lmCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    lmCache.computeIfAbsent((s.sparkContext, d), _ => {
+      val docs = Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .filter(size(col("l")) >= 2)
+      val big = docs.select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(l) - 1), " +
+            "i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))")).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bc = big.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n12"))
+      // unigram-prefix counts roll up from the bigram counts (no third
+      // pass over the exploded grams); the model joins its two count
+      // tables FIRST so the big fact side is probed exactly once
+      val uc = bc.groupBy("lang", "w1").agg(sum("n12").as("n1"))
+      val lm = bc.join(uc, Seq("lang", "w1"))
+        .withColumn("lp", log(col("n12") / col("n1")))
+        .select("lang", "w1", "w2", "lp")
+      big.join(lm, Seq("lang", "w1", "w2"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), avg("lp").as("avg_lp"))
+        .localCheckpoint(eager = true)
+    })
+  }
+
+  private val lmCache = new ConcurrentHashMap[(SparkContext, String), DataFrame]()
+
   /** Memoized connected-component labels over [[pairs]] — the dedup
     * RESOLUTION table (doc_id, label). q_dedup_components and
     * q_dup_cluster_sizes consume the identical resolution; a real

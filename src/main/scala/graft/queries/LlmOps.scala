@@ -327,6 +327,47 @@ object LlmOps {
         .orderBy("lang", "rn")
     }),
 
+    // BM25 retrieval scoring (Okapi, k1=1.2 b=0.75): a literal
+    // query-term table scores the corpus and keeps the top-10 docs
+    // per query — the relevance-mining shape (quality filtering /
+    // targeted subset selection) a training pipeline runs against its
+    // own corpus. tf/dlen come from the session-memoized term index;
+    // the vocab-sized df table is pruned to the QUERY terms before it
+    // ever meets the corpus, idf + avgdl fold into one 8-row broadcast
+    // side, so the fact table is probed exactly once with no shuffle
+    // on the scoring join; ranking is a per-query window over the
+    // pre-aggregated (query, doc) scores — |queries|·|docs| rows
+    // bounded by the top-k filter.
+    "q_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      graft.expr.Registry.ensure(s) // RewriteWindowTopK for the top-10 window
+      val tf = graft.operators.EdgeGraph.termFreq(s, d)
+      val corpus = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("sum_dl"))
+      val qterms = Seq((1, "spark"), (1, "join"), (1, "hash"),
+          (2, "stream"), (2, "window"), (2, "batch"),
+          (3, "vector"), (3, "scan")).toDF("qid", "term")
+      val df_ = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val probe = df_.join(broadcast(qterms), "term")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .select("term", "qid", "idf", "avgdl")
+      val scored = tf.join(broadcast(probe), "term")
+        .withColumn("w", col("idf") * col("tf_raw") * lit(2.2) /
+          (col("tf_raw") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))))
+        .groupBy("qid", "doc_id")
+        .agg(round(sum("w"), 6).as("score"))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("qid", "doc_id", "score", "rn")
+        .orderBy("qid", "rn")
+    }),
+
     // Sequence packing (concat-and-chunk): assign documents to fixed
     // token-budget training bins (512 tokens) in deterministic
     // (lang, doc_id) order — the step that turns a filtered corpus
@@ -551,6 +592,29 @@ object LlmOps {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_bm25_topk" ->
+      """WITH q(qid, term) AS (VALUES (1, 'spark'), (1, 'join'), (1, 'hash'),
+        |  (2, 'stream'), (2, 'window'), (2, 'batch'),
+        |  (3, 'vector'), (3, 'scan')),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dlen,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, dlen, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |c AS (SELECT COUNT(*) AS n_docs,
+        |    SUM(len(string_split(text, ' '))) AS sum_dl FROM documents),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    ROUND(SUM(ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dlen
+        |        / (c.sum_dl * 1.0 / c.n_docs)))), 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN c
+        |  GROUP BY 1, 2)
+        |SELECT qid, doc_id, score, rn FROM (
+        |  SELECT qid, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS INT) AS rn
+        |  FROM s)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (

@@ -262,26 +262,37 @@ object Training {
     // corpus bigram model. Junk/boilerplate scores low; the counts are
     // vocabulary-sized tables joined WITHOUT broadcast hints (§7.5 —
     // AQE broadcasts them at test sf, a real corpus shuffles).
-    "q_bigram_lm" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("l", split(col("text"), " "))
-        .filter(size(col("l")) >= 2)
-      val big = docs.select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, size(l) - 1), " +
-            "i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))")).as("p"))
-        .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val bc = big.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n12"))
-      // unigram-prefix counts roll up from the bigram counts (no third
-      // pass over the exploded grams), and the model joins its two
-      // count tables FIRST so the big fact side is probed exactly once
-      val uc = bc.groupBy("lang", "w1").agg(sum("n12").as("n1"))
-      val lm = bc.join(uc, Seq("lang", "w1"))
-        .withColumn("lp", log(col("n12") / col("n1")))
-        .select("lang", "w1", "w2", "lp")
-      big.join(lm, Seq("lang", "w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg("lp"), 6).as("avg_logprob"))
+    "q_bigram_lm" -> ((s, d) =>
+      // per-doc scores from the session-memoized bigram-LM table
+      // (operators/EdgeGraph.bigramScores) — the model derivation is
+      // shared with q_ppl_bucket, computed once per (session, sfDir)
+      graft.operators.EdgeGraph.bigramScores(s, d)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_lp"), 6).as("avg_logprob"))
+        .orderBy("doc_id")),
+
+    // CCNet-style perplexity bucketing: each document's bigram-LM
+    // perplexity (exp of negative avg conditional log-prob) is
+    // compared to its LANGUAGE's corpus terciles → head / middle /
+    // tail — the bucket CCNet uses to stratify training data by
+    // fluency. The terciles go through the distributed ExactQuantiles
+    // plan (value-count + rank window — no per-group value buffer)
+    // and come back as a per-lang broadcast bound table; the per-doc
+    // scores come from the session-memoized bigramScores table, so
+    // the LM derivation is paid once across both consumers.
+    "q_ppl_bucket" -> ((s, d) => {
+      val sc = graft.operators.EdgeGraph.bigramScores(s, d)
+        .select(col("doc_id"), col("lang"),
+          round(exp(-col("avg_lp")), 6).as("ppl"))
+      val cuts = graft.operators.ExactQuantiles
+        .byGroup(sc, Seq("lang"), "ppl", Seq(1.0 / 3, 2.0 / 3))
+        .groupBy("lang")
+        .agg(round(max(when(col("q") === 1.0 / 3, col("v"))), 6).as("t1"),
+          round(max(when(col("q") === 2.0 / 3, col("v"))), 6).as("t2"))
+      sc.join(broadcast(cuts), "lang")
+        .withColumn("bucket", when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle").otherwise("tail"))
+        .select("doc_id", "lang", "ppl", "bucket")
         .orderBy("doc_id")
     }),
 
@@ -536,6 +547,34 @@ object Training {
         |JOIN bc USING (lang, w1, w2)
         |JOIN uc USING (lang, w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_bucket" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b0 AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(l) - 1),
+        |    i -> l[i] || ' ' || l[i + 1])) AS g
+        |  FROM d),
+        |bb AS (
+        |  SELECT doc_id, lang,
+        |    string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+        |  FROM b0),
+        |bc AS (SELECT lang, w1, w2, COUNT(*) AS n12 FROM bb GROUP BY 1, 2, 3),
+        |uc AS (SELECT lang, w1, COUNT(*) AS n1 FROM bb GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, lang, ROUND(exp(-AVG(ln(n12 * 1.0 / n1))), 6) AS ppl
+        |  FROM bb JOIN bc USING (lang, w1, w2) JOIN uc USING (lang, w1)
+        |  GROUP BY 1, 2),
+        |cuts AS (
+        |  SELECT lang, ROUND(quantile_cont(ppl, 1.0/3), 6) AS t1,
+        |    ROUND(quantile_cont(ppl, 2.0/3), 6) AS t2
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, lang, ppl,
+        |  CASE WHEN ppl <= t1 THEN 'head' WHEN ppl <= t2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM sc JOIN cuts USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_vocab_prune" ->
       """WITH c AS (

@@ -193,6 +193,52 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ExactQuantiles edge cases: q=0/1, singleton group, all-duplicate values") {
+    import spark.implicits._
+    // group a: 1 row; group b: all-equal values; group c: 4 distinct
+    val df = Seq(("a", 5.0), ("b", 2.0), ("b", 2.0), ("b", 2.0),
+      ("c", 1.0), ("c", 3.0), ("c", 7.0), ("c", 9.0)).toDF("g", "x")
+    val qs = Seq(0.0, 0.33, 0.5, 1.0)
+    val got = graft.operators.ExactQuantiles.byGroup(df, Seq("g"), "x", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 3 * qs.size)
+    val aggs = qs.map(q => expr(s"percentile(x, $q)"))
+    df.groupBy("g").agg(aggs.head, aggs.tail: _*).collect().foreach { r =>
+      qs.zipWithIndex.foreach { case (q, i) =>
+        assert(got((r.getString(0), q)) === r.getDouble(i + 1),
+          s"q=$q g=${r.getString(0)}")
+      }
+    }
+  }
+
+  test("bigramScores is memoized per (session, sfDir) and feeds both consumers") {
+    val a = graft.operators.EdgeGraph.bigramScores(spark, sf)
+    val b = graft.operators.EdgeGraph.bigramScores(spark, sf)
+    assert(a eq b, "second call must return the memoized frame")
+    // every scored doc lands in exactly one bucket, terciles split
+    // each language into three non-empty bands at this sf
+    val buckets = graft.queries.Training.queries("q_ppl_bucket")(spark, sf)
+      .groupBy("lang", "bucket").count().collect()
+    val langs = buckets.map(_.getString(0)).distinct
+    langs.foreach { l =>
+      val bs = buckets.filter(_.getString(0) == l).map(_.getString(1)).toSet
+      assert(bs === Set("head", "middle", "tail"), s"lang $l buckets: $bs")
+    }
+  }
+
+  test("bm25 top-k is rank-consistent: scores non-increasing, rn dense per query") {
+    val rows = graft.queries.LlmOps.queries("q_bm25_topk")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length), s"qid $qid rn gap")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"qid $qid score increased at rn ${b._4}")
+        case _ =>
+      }
+    }
+  }
+
   test("rfm distributed median == exact percentile on the same frame") {
     // the rank-based median must equal percentile(x, 0.5) bit-for-bit
     // on an odd and an even row count, including duplicate values
