@@ -421,4 +421,25 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
   }
+
+  test("q_bm25_topk probes the term index once, scoring join broadcast, window partitioned") {
+    val p = plan("q_bm25_topk")
+    // the idf/avgdl probe side reaches the fact table as a broadcast —
+    // a shuffle here would re-partition the corpus-sized term index
+    assert(p.contains("BroadcastHashJoin"), p)
+    // ranking goes through the two-phase TopKPerGroup (partial top-k
+    // before the qid exchange), never a global single-task window
+    assert(p.contains("TopKPerGroup [qid"), p)
+    // the ONLY single-partition exchange is the 1-row corpus aggregate
+    // (count + total doc length) feeding the broadcast probe side
+    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ExactQuantiles probes broadcast; ranking window is per-group, not global") {
+    val df = graft.operators.ExactQuantiles.byGroup(
+      graft.tables.Tables.events(spark, sf), Seq("event_type"), "value", Seq(0.5))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SinglePartition"), "rank window must partition by group\n" + p)
+  }
 }
