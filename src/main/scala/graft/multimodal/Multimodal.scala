@@ -70,25 +70,45 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL image decode (r6, VERDICT #5): synthesize the deterministic
-    * PNG bytes per document executor-side, then decode them with
-    * javax.imageio and report MEASURED width/height/bands plus the
-    * decoded corner pixel's channels. Every output value passes
-    * through a real PNG encode→decode round-trip; the oracle's
+  /** Session-memoized encoded-image corpus (doc_id, n_bytes, png) —
+    * the synthesized fixture stands in for the STORED media corpus: a
+    * real pipeline reads each asset's bytes once from the object
+    * store, so the decode/resample consumers here share ONE
+    * materialization instead of re-encoding the corpus per key
+    * (EdgeGraph posture applied to media). Blobs are constant-color
+    * PNGs (~300 B deflated), so the checkpointed corpus stays small. */
+  def pngCorpus(s: SparkSession, d: String): DataFrame = {
+    val it = pngCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    pngCache.computeIfAbsent((s.sparkContext, d), _ => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(rows => rows.map { case (id, n) => (id, n, pngFor(id, n)) })
+        .toDF("doc_id", "n_bytes", "png")
+        .localCheckpoint(true)
+    })
+  }
+
+  private val pngCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+
+  /** REAL image decode (r6, VERDICT #5): decode the corpus's PNG
+    * bytes with javax.imageio and report MEASURED width/height/bands
+    * plus the decoded corner pixel's channels. Every output value
+    * passes through a real PNG encode→decode round-trip; the oracle's
     * closed-form expectations (dim formula + doc-keyed color) only
     * hold if the decode actually works. Partition-parallel
-    * mapPartitions — the exact shape a real media decoder runs in.
-    * Audio/video decode stays stubbed ([[frameSampleStub]]): no codec
-    * libs in this container. */
+    * mapPartitions — the exact shape a real media decoder runs in. */
   def decodeImage(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), octet_length(col("text")).as("n"))
-      .as[(Long, Int)]
+    pngCorpus(s, d)
+      .as[(Long, Int, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, n) =>
+        it.map { case (id, n, png) =>
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(pngFor(id, n)))
+            new java.io.ByteArrayInputStream(png))
           val px = img.getRGB(img.getWidth - 1, img.getHeight - 1)
           (id, n, img.getWidth, img.getHeight, img.getRaster.getNumBands,
             (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
@@ -106,13 +126,12 @@ object Multimodal {
     * work, not just geometry. */
   def resizeImage(s: SparkSession, d: String, maxW: Int, maxH: Int): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), octet_length(col("text")).as("n"))
-      .as[(Long, Int)]
+    pngCorpus(s, d)
+      .as[(Long, Int, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, n) =>
+        it.map { case (id, _, png) =>
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(pngFor(id, n)))
+            new java.io.ByteArrayInputStream(png))
           val (w, h) = (img.getWidth, img.getHeight)
           val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
           val (ow, oh) = (math.floor(w * scale).toInt, math.floor(h * scale).toInt)
