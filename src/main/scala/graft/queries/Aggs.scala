@@ -210,6 +210,34 @@ object Aggs {
         .orderBy(col("cnt").desc, col("bucket"))
     }),
 
+    // Mergeable quantile sketch (KLL, DataSketches): the
+    // reaggregatable DISTRIBUTION sibling of q_hll_sketch (distinct
+    // counts) and q_approx_topk (heavy hitters), and the concrete form
+    // of §7.5's documented fallback for when even the distinct-value
+    // domain behind ExactQuantiles explodes. BASE and DELTA event
+    // slices sketch independently (partial agg carries the mergeable
+    // state), the states combine with kll_merge_agg_double — no base
+    // rescan, the incremental-maintenance shape of q_incremental_agg —
+    // and p50/p95/rank-at-median read off the merged sketch. No DuckDB
+    // oracle (probabilistic-sketch family, sanctioned OMIT):
+    // R6OpsSpec pins merge-losslessness (merged == whole-corpus
+    // sketch) and the KLL rank-error envelope vs the exact quantiles.
+    "q_kll_quantile" -> ((s, d) => {
+      val parts = Tables.events(s, d)
+        .withColumn("slice",
+          when(pmod(col("event_id"), lit(4)) === 0, "delta").otherwise("base"))
+        .groupBy("event_type", "slice")
+        .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+      parts.groupBy("event_type")
+        .agg(expr("kll_merge_agg_double(sk, 200)").as("mk"),
+          count(lit(1)).as("n_slices"))
+        .select(col("event_type"), col("n_slices"),
+          expr("kll_sketch_get_n_double(mk)").as("n_events"),
+          round(expr("kll_sketch_get_quantile_double(mk, 0.5)"), 4).as("p50"),
+          round(expr("kll_sketch_get_quantile_double(mk, 0.95)"), 4).as("p95"))
+        .orderBy("event_type")
+    }),
+
     // HLL sketch — no DuckDB oracle (sketch-specific); unit test bounds
     // it to within 5% of the exact distinct count.
     "q_agg_approx_distinct" -> ((s, d) =>

@@ -239,6 +239,29 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_kll_quantile key contract: exact n accounting, quantiles inside the rank envelope") {
+    val out = SparkEntry.queries("q_kll_quantile")(spark, sf).collect()
+    val ev = graft.tables.Tables.events(spark, sf)
+    val counts = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (tpe, nSlices, n, p50, p95) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // the sketch never loses or double-counts rows across the merge
+      assert(nSlices === 2L, s"$tpe slices")
+      assert(n === counts(tpe), s"$tpe merged n")
+      assert(p50 <= p95, s"$tpe quantile order")
+      // reported quantiles must sit within the KLL k=200 rank-error
+      // envelope (~1.65% at 99% conf; assert a generous 5%) of the
+      // EXACT distribution
+      val vals = ev.filter(col("event_type") === tpe)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.05, s"$tpe p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.05, s"$tpe p95 rank ${rankOf(p95)}")
+    }
+  }
+
   test("rfm distributed median == exact percentile on the same frame") {
     // the rank-based median must equal percentile(x, 0.5) bit-for-bit
     // on an odd and an even row count, including duplicate values
