@@ -32,12 +32,15 @@ import graft.tables.Tables
   */
 object StreamOps {
 
-  /** events schema as the streaming file source must declare it:
-    * ts is TIMESTAMP(NANOS) in the parquet footer, readable only as
-    * LongType nanos (spark.sql.legacy.parquet.nanosAsLong). */
+  /** events schema as the streaming file source must declare it: ts is
+    * unannotated µs TIMESTAMP in the parquet footer (isAdjustedToUTC
+    * absent → TIMESTAMP_NTZ to Spark 4). The read casts it to
+    * TimestampType — the session is pinned UTC so the instants are
+    * identical, and every downstream watermark/window keeps the
+    * TimestampType contract the engine has had since r1. */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -88,10 +91,9 @@ object StreamOps {
   }
 
   private def readEventsStream(s: SparkSession, path: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     s.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Stateful streaming creates one state store — and its per-batch
@@ -124,7 +126,7 @@ object StreamOps {
     val dir = tmp(tag)
     (1 to copies).foreach { i =>
       Tables.events(s, d)
-        .withColumn("ts", expr("unix_micros(ts) * 1000"))  // back to raw nanos shape
+        .withColumn("ts", col("ts").cast(TimestampNTZType)) // back to the raw NTZ µs shape
         .write.mode("append").parquet(dir)
     }
     dir
@@ -280,7 +282,9 @@ object StreamOps {
       val in = tmp("late_in")
       val out = tmp("late_out")
       val ckpt = tmp("late_ckpt")
-      val raw = Tables.events(s, d).withColumn("ts", expr("unix_micros(ts) * 1000"))
+      // stage ts as NTZ µs so the staged files match rawSchema exactly
+      // (the same physical shape the driver-generated parquet has)
+      val raw = Tables.events(s, d).withColumn("ts", col("ts").cast(TimestampNTZType))
       raw.write.mode("append").parquet(in)
       def agg(): DataFrame = readEventsStream(s, in)
         .withWatermark("ts", "10 minutes")
@@ -289,7 +293,7 @@ object StreamOps {
         .select(col("window.start").as("wstart"), col("n"))
       runToParquet(agg(), out, ckpt)
       // second delivery: only late rows (well behind the watermark)
-      raw.withColumn("ts", col("ts") - expr("CAST(40 AS BIGINT) * 24 * 3600 * 1000000000"))
+      raw.withColumn("ts", col("ts") - expr("INTERVAL 40 DAYS"))
         .write.mode("append").parquet(in)
       runToParquet(agg(), out, ckpt)
       s.read.parquet(out).orderBy("wstart")

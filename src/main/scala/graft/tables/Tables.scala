@@ -25,15 +25,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = rd(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = rd(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = rd(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos via the
-    * legacy conf and truncate to microseconds — exactly what DuckDB 1.0
-    * does on read, so engine and oracle see identical µs instants.
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) (which Spark 4
+    * only reads as LongType nanos via the legacy conf) and plain µs
+    * TIMESTAMP across testdata generations. Branch on what the footer
+    * actually yielded so either generation reads to the same µs
+    * TimestampType column — matching what DuckDB 1.0 sees on read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = rd(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = rd(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = rd(s, d, "embeddings")

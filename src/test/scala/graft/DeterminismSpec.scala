@@ -9,8 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DeterminismSpec extends AnyFunSuite with SparkFixture {
 
+  /** KLL sketch compaction flips coins (Datasketches randomized
+    * compaction) — its quantile estimates vary run to run by design,
+    * within the rank-error envelope R6OpsSpec pins. Every other
+    * sketch key here (HLL++, CMS) is deterministic. */
+  private val randomizedSketch = Set("q_kll_quantile")
+
   private val batchQueries =
-    SparkEntry.queries.keys.filterNot(_.startsWith("s_")).toSeq.sorted
+    SparkEntry.queries.keys.filterNot(_.startsWith("s_"))
+      .filterNot(randomizedSketch).toSeq.sorted
 
   batchQueries.foreach { name =>
     test(s"$name is run-twice deterministic") {

@@ -235,7 +235,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val sink = Files.createTempDirectory("graft_ub_sink").toString + "/cur"
     def stage(df: org.apache.spark.sql.DataFrame): String = {
       val dir = Files.createTempDirectory("graft_ub_in").toString
-      df.withColumn("ts", expr("unix_micros(ts) * 1000")).write.mode("append").parquet(dir)
+      df.withColumn("ts", col("ts").cast("timestamp_ntz")).write.mode("append").parquet(dir)
       dir
     }
     StreamOps.upsertOnce(spark, stage(Tables.events(spark, sf)), sink,
