@@ -374,6 +374,83 @@ object Training {
           length(expr("nfc_normalize(dirty)")).as("len_nfc"),
           md5(expr("nfc_normalize(dirty)")).as("h_nfc"))
         .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled domain mixture (the multilingual/multi-source
+    // sampling rule: w_d ∝ mass_d^α, α=0.5): upweights tail domains,
+    // downweights the head. Everything heavy is one partial-agg
+    // groupBy over the corpus; the windows then run over the
+    // per-domain table — domains, not documents, so the single
+    // window partition holds dozens of rows at any corpus size.
+    "q_mix_temperature" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .withColumn("p_raw",
+          col("n_tokens") / sum("n_tokens").over(whole).cast("double"))
+        .withColumn("u", pow(col("n_tokens"), 0.5))
+        .withColumn("w_temp", col("u") / sum("u").over(whole))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("p_raw"), 6).as("p_raw"),
+          round(col("w_temp"), 6).as("w_temp"),
+          round(col("w_temp") / col("p_raw"), 4).as("boost"))
+        .orderBy("source")
+    }),
+
+    // Quality-mass nucleus selection (top-p curation): per source,
+    // take documents by descending char mass until 90% of the
+    // source's total mass is covered (the crossing doc included).
+    // One running-sum window per source partition — ROWS frame over
+    // a total order so engines agree on the boundary row — then a
+    // partial-agg rollup. No driver-side data.
+    "q_select_topp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byMass = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("source")
+      Tables.documents(s, d)
+        .withColumn("cum", sum("n_chars").over(byMass))
+        .withColumn("tot", sum("n_chars").over(whole))
+        .withColumn("sel", col("cum") - col("n_chars") < col("tot") * 0.9)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+          sum(when(col("sel"), col("n_chars")).otherwise(0L)).as("chars_sel"),
+          max("tot").as("chars_total"))
+        .withColumn("mass_ratio",
+          round(col("chars_sel") / col("chars_total").cast("double"), 4))
+        .orderBy("source")
+    }),
+
+    // Per-document 8-gram novelty (the RefinedWeb/FineWeb "how much
+    // of this doc is new text" signal): fraction of a doc's distinct
+    // 8-grams whose corpus-wide first occurrence (min doc_id) is this
+    // doc. First-occurrence is a partial-agg min per gram; the probe
+    // join is gram-keyed hash-split. String gram keys keep the DuckDB
+    // oracle exact; at 100 TB they'd be xxhash64'd (same plan, 8-byte
+    // keys) — the q_contamination_ngram posture.
+    "q_ngram_novelty" -> ((s, d) => {
+      val w = 8
+      val grams = Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .filter(size(col("l")) >= w)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(1, size(l) - ${w - 1}), " +
+            s"i -> concat_ws(' ', slice(l, i, $w)))")).as("g"))
+        .dropDuplicates("doc_id", "g")
+      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel") / col("n_grams").cast("double"), 4))
+        .orderBy("doc_id")
     })
   )
 
@@ -624,6 +701,56 @@ object Training {
         |  ROUND(SUM(CASE WHEN bp.h IS NULL THEN 1 ELSE 0 END) /
         |    CAST(COUNT(*) AS DOUBLE), 4) AS keep_ratio
         |FROM ch LEFT JOIN bp ON ch.source = bp.source AND ch.h = bp.h
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p_raw,
+        |    power(n_tokens, 0.5) AS u
+        |  FROM m)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(p_raw, 6) AS p_raw,
+        |  ROUND(u / SUM(u) OVER (), 6) AS w_temp,
+        |  ROUND((u / SUM(u) OVER ()) / p_raw, 4) AS boost
+        |FROM t ORDER BY source""".stripMargin,
+
+    "q_select_topp" ->
+      """WITH w AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents),
+        |f AS (SELECT *, cum - n_chars < tot * 0.9 AS sel FROM w)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        |  CAST(SUM(CASE WHEN sel THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_sel,
+        |  CAST(MAX(tot) AS BIGINT) AS chars_total,
+        |  ROUND(SUM(CASE WHEN sel THEN n_chars ELSE 0 END) /
+        |    CAST(MAX(tot) AS DOUBLE), 4) AS mass_ratio
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(l) - 7),
+        |        i -> array_to_string(l[i:i+7], ' '))) AS g
+        |    FROM l WHERE len(l) >= 8)),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  ROUND(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) /
+        |    CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+        |FROM g JOIN f USING (g) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

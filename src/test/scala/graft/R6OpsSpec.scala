@@ -282,4 +282,58 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
       assert(med === exact, s"vals=$vals")
     }
   }
+
+  test("q_mix_temperature: weights renormalize and compress toward uniform") {
+    val r = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+    assert(math.abs(r.map(_.getAs[Double]("w_temp")).sum - 1.0) < 1e-3)
+    assert(math.abs(r.map(_.getAs[Double]("p_raw")).sum - 1.0) < 1e-3)
+    // α<1 pulls every domain toward uniform: below-average-mass domains
+    // get boost>1, above-average ones boost<1 (α=0.5 order-preserving)
+    r.foreach { row =>
+      val (p, w) = (row.getAs[Double]("p_raw"), row.getAs[Double]("w_temp"))
+      val u = 1.0 / r.length
+      if (p < u) assert(w >= p, s"${row.getString(0)}: tail domain must upweight")
+      if (p > u) assert(w <= p, s"${row.getString(0)}: head domain must downweight")
+    }
+  }
+
+  test("q_select_topp: per-source nucleus covers >=90% mass with the smallest prefix") {
+    val r = SparkEntry.queries("q_select_topp")(spark, sf).collect()
+    r.foreach { row =>
+      assert(row.getAs[Double]("mass_ratio") >= 0.9, row.toString)
+      assert(row.getAs[Long]("n_sel") <= row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("chars_sel") <= row.getAs[Long]("chars_total"))
+    }
+    // smallest-prefix: dropping the last selected doc must fall under 90%.
+    // Re-derive one source's ordered masses and check the boundary.
+    import org.apache.spark.sql.functions.{col => c}
+    val src = r.head.getString(0)
+    val masses = graft.tables.Tables.documents(spark, sf)
+      .filter(c("source") === src)
+      .orderBy(c("n_chars").desc, c("doc_id"))
+      .select("n_chars").collect().map(_.getLong(0))
+    val tot = masses.sum.toDouble
+    val nSel = r.head.getAs[Long]("n_sel").toInt
+    assert(masses.take(nSel).sum / tot >= 0.9)
+    if (nSel > 1) assert(masses.take(nSel - 1).sum / tot < 0.9)
+  }
+
+  test("q_ngram_novelty: first doc fully novel, ratios bounded, novel grams partition the gram space") {
+    val r = SparkEntry.queries("q_ngram_novelty")(spark, sf).collect()
+    assert(r.head.getAs[Double]("novelty") === 1.0,
+      "the lowest doc_id with grams owns all its first occurrences")
+    r.foreach { row =>
+      val nv = row.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+      assert(row.getAs[Long]("n_novel") <= row.getAs[Long]("n_grams"))
+    }
+    // every distinct gram is novel in exactly one doc
+    val distinctGrams = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "split(text, ' ') AS l")
+      .where("size(l) >= 8")
+      .selectExpr("explode(transform(sequence(1, size(l) - 7), " +
+        "i -> concat_ws(' ', slice(l, i, 8)))) AS g")
+      .distinct().count()
+    assert(r.map(_.getAs[Long]("n_novel")).sum === distinctGrams)
+  }
 }
