@@ -275,6 +275,109 @@ object LlmOps {
             ",").as("codes"))
         .orderBy("vec_id")),
 
+    // Per-dimension distribution profile of the embedding corpus (the
+    // drift/collapse check an embedding pipeline runs per batch: a
+    // dimension whose variance collapses or mean drifts flags a bad
+    // encoder rollout). Slice-before-explode is unnecessary here —
+    // all 64 dims are wanted — so this is one posexplode into a
+    // 64-group partial agg; output is dim-bounded (64 rows) at any
+    // corpus size.
+    "q_embed_dimstats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .groupBy("dim")
+        .agg(round(avg("x"), 6).as("mu"),
+          round(stddev_samp("x"), 6).as("sd"),
+          round(min("x"), 6).as("mn"),
+          round(max("x"), 6).as("mx"))
+        .orderBy("dim")),
+
+    // Distributed PCA, top component: the Gram matrix accumulates in
+    // ONE partial-agg pass over an exploded upper-triangle (i, j,
+    // xi*xj) stream — dim²-bounded state (64x64), corpus-size
+    // independent, the textbook tall-skinny covariance shape. The
+    // 2 080-entry Gram table and 64 means are BOUNDED scalars (the CC
+    // convergence-counter precedent, §7.5): eigen-solving them on the
+    // driver is O(dim²) work on dim²-sized data, not a data collect.
+    // Power iteration (200 steps, fixed init, sign-canonicalized)
+    // is deterministic; Gram sums are rounded 6dp before the solve so
+    // shuffle-order double noise cannot reach the eigenvector. Scores
+    // then project each row against the broadcast-literal component.
+    // No DuckDB oracle (no eigensolver there): R6OpsSpec pins the
+    // eigenpair residual, explained-variance bounds, and projection
+    // equivalence on a collected re-computation.
+    "q_embed_pca" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val gramRows = e.select(explode(expr(
+          "flatten(transform(v, (xi, i) -> " +
+          "transform(slice(v, i + 1, size(v) - i), (xj, j) -> " +
+          "named_struct('i', i, 'j', i + j, 'p', xi * xj))))")).as("t"))
+        .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+        .agg(sum("t.p").as("sp"))
+        .collect()
+      val muRows = e.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(avg("x").as("mu"), count(lit(1)).as("n"))
+        .collect()
+      val dim = muRows.length
+      val n = muRows.head.getAs[Long]("n").toDouble
+      val mu = Array.ofDim[Double](dim)
+      muRows.foreach(r => mu(r.getAs[Int]("i")) = r.getAs[Double]("mu"))
+      val cov = Array.ofDim[Double](dim, dim)
+      gramRows.foreach { r =>
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        val c = math.rint((r.getAs[Double]("sp") / n - mu(i) * mu(j)) * 1e6) / 1e6
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      var vec = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      for (_ <- 1 to 200) {
+        val av = Array.tabulate(dim)(i =>
+          (0 until dim).foldLeft(0.0)((a, j) => a + cov(i)(j) * vec(j)))
+        lambda = math.sqrt(av.map(x => x * x).sum)
+        vec = av.map(_ / lambda)
+      }
+      val pivot = vec.indices.maxBy(i => math.abs(vec(i)))
+      if (vec(pivot) < 0) { vec = vec.map(-_); () }
+      val trace = (0 until dim).map(i => cov(i)(i)).sum
+      val pc = array(vec.map(x => lit(math.rint(x * 1e6) / 1e6)): _*)
+      val muDot = vec.zip(mu).map { case (a, b) => a * b }.sum
+      e.withColumn("pc", pc)
+        .select(col("vec_id"),
+          round(expr("aggregate(zip_with(v, pc, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+            .minus(lit(muDot)), 4).as("score"),
+          lit(math.rint(lambda / trace * 1e4) / 1e4).as("explained"))
+        .orderBy(abs(col("score")).desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Cluster-resolution keep-best: the step after dedup resolution a
+    // curation pipeline actually ships — per near-dup cluster, keep
+    // the highest-quality member (char mass; doc_id tiebreak), not
+    // the arbitrary min-id representative q_dedup_components reports.
+    // Consumes the session-memoized EdgeGraph resolution (labels
+    // materialize once per session), one label-partitioned window.
+    // No DuckDB oracle (needs the CC resolution): R6OpsSpec pins the
+    // argmax invariant, the cluster partition, and corpus coverage.
+    "q_dedup_keep_best" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      import org.apache.spark.sql.expressions.Window
+      val labels = graft.operators.EdgeGraph.components(s, d, "bigram", 0.3)
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("quality"))
+      val best = Window.partitionBy("label")
+        .orderBy(col("quality").desc, col("doc_id"))
+      labels.join(q, "doc_id")
+        .withColumn("rk", row_number().over(best))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("label")))
+        .filter(col("rk") === 1)
+        .select(col("label").as("cluster_id"), col("doc_id").as("kept_doc"),
+          col("n_members"), col("quality").as("best_quality"))
+        .orderBy("cluster_id")
+    }),
+
     "q_vec_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         // slice BEFORE exploding: only the 4 requested dims leave the
@@ -549,6 +652,17 @@ object LlmOps {
         |    x -> CAST((CASE WHEN scale = 0 THEN 0
         |               ELSE CAST(round((x - mn) / scale) AS INT) END) AS VARCHAR)), ',') AS codes
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "q_embed_dimstats" ->
+      """SELECT CAST(pos - 1 AS INT) AS dim,
+        |  ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mu,
+        |  ROUND(STDDEV_SAMP(CAST(v AS DOUBLE)), 6) AS sd,
+        |  ROUND(MIN(CAST(v AS DOUBLE)), 6) AS mn,
+        |  ROUND(MAX(CAST(v AS DOUBLE)), 6) AS mx
+        |FROM (SELECT unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_vec_centroid" ->
       """SELECT label, CAST(pos - 1 AS INT) AS dim,

@@ -336,4 +336,65 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
       .distinct().count()
     assert(r.map(_.getAs[Long]("n_novel")).sum === distinctGrams)
   }
+
+  test("q_embed_pca: distributed Gram reproduces the collected eigenpair and projections") {
+    val out = SparkEntry.queries("q_embed_pca")(spark, sf).collect()
+    assert(out.length === 10)
+    val explained = out.head.getAs[Double]("explained")
+    assert(explained > 0.0 && explained <= 1.0)
+    // independent driver-side recomputation on the collected corpus
+    val rows = graft.tables.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = rows.head._2.length
+    val n = rows.size.toDouble
+    val mu = Array.tabulate(dim)(i => rows.values.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      rows.values.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j))
+    var vec = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to 200) {
+      val av = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + cov(i)(j) * vec(j)))
+      lambda = math.sqrt(av.map(x => x * x).sum)
+      vec = av.map(_ / lambda)
+    }
+    val pivot = vec.indices.maxBy(i => math.abs(vec(i)))
+    if (vec(pivot) < 0) vec = vec.map(-_)
+    // eigenpair residual: ||C v - λ v|| small relative to λ
+    val av = Array.tabulate(dim)(i =>
+      (0 until dim).foldLeft(0.0)((a, j) => a + cov(i)(j) * vec(j)))
+    val resid = math.sqrt(av.zip(vec).map { case (a, b) => (a - lambda * b) * (a - lambda * b) }.sum)
+    assert(resid / lambda < 1e-3, s"power iteration unconverged: $resid / $lambda")
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    assert(math.abs(explained - lambda / trace) < 2e-3)
+    // the distributed projections match the collected ones
+    out.foreach { row =>
+      val v = rows(row.getAs[Long]("vec_id"))
+      val want = v.zip(vec).map { case (a, b) => a * b }.sum -
+        mu.zip(vec).map { case (a, b) => a * b }.sum
+      assert(math.abs(math.abs(row.getAs[Double]("score")) - math.abs(want)) < 1e-2,
+        s"vec ${row.getAs[Long]("vec_id")}: ${row.getAs[Double]("score")} vs $want")
+    }
+  }
+
+  test("q_dedup_keep_best: one kept doc per cluster, argmax by quality, full coverage") {
+    val out = SparkEntry.queries("q_dedup_keep_best")(spark, sf).collect()
+    val corpus = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getAs[Long]("n_members")).sum === corpus.size.toLong)
+    assert(out.map(_.getAs[Long]("cluster_id")).distinct.length === out.length)
+    val labels = graft.operators.EdgeGraph.components(spark, sf, "bigram", 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label"))
+    val byCluster = labels.groupBy(_._2)
+    out.foreach { row =>
+      val members = byCluster(row.getAs[Long]("cluster_id")).map(_._1)
+      val bestQ = members.map(corpus).max
+      assert(row.getAs[Long]("best_quality") === bestQ)
+      assert(members.contains(row.getAs[Long]("kept_doc")))
+      assert(corpus(row.getAs[Long]("kept_doc")) === bestQ)
+      assert(row.getAs[Long]("n_members") === members.length.toLong)
+    }
+  }
 }
