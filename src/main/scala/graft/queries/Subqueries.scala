@@ -52,6 +52,25 @@ object Subqueries {
           |  WHERE l2.l_partkey = l.l_partkey)
           |GROUP BY l.l_partkey
           |ORDER BY l.l_partkey""".stripMargin)
+    }),
+
+    // correlated LATERAL subquery with per-row ORDER BY ... LIMIT
+    // (top-2 orders per customer): Catalyst decorrelates the lateral
+    // into a ranked window join — one shuffle on the correlation key,
+    // never a per-customer re-execution. The lateral SPELLING matters
+    // beyond q_win_rownum_topk's window form because it's the shape
+    // SQL users actually write for top-k-per-group.
+    "q_join_lateral" -> ((s, d) => {
+      withViews(s, d)
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey,
+          |  ROUND(o.o_totalprice, 4) AS price
+          |FROM customer_sq c,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_sq
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin)
     })
   )
 
@@ -76,6 +95,16 @@ object Subqueries {
         |  SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
         |  WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY l.l_partkey
-        |ORDER BY l.l_partkey""".stripMargin
+        |ORDER BY l.l_partkey""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  ROUND(o.o_totalprice, 4) AS price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin
   )
 }

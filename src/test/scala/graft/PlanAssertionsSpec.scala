@@ -321,6 +321,19 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(2000))
   }
 
+  test("q_join_lateral decorrelates to a rank-limit join, never a per-row loop") {
+    // the correlated LATERAL ... ORDER BY ... LIMIT must become a
+    // rank-limited equi-join — vanilla Spark's WindowGroupLimit, or
+    // this repo's two-phase TopKPerGroup once RewriteWindowTopK is
+    // registered (either is the sub-quadratic shape); a
+    // BroadcastNestedLoopJoin/CartesianProduct here means Catalyst
+    // re-executes the subquery per outer row — quadratic at scale
+    val p = plan("q_join_lateral")
+    assert(p.contains("WindowGroupLimit") || p.contains("TopKPerGroup"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_stats_prune joins the fact to the stats side via broadcast") {
     // the surviving-partition list must be the broadcast side of the
     // re-scan join — a shuffled join would defeat the point of pruning
