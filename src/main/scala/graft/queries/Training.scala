@@ -426,6 +426,57 @@ object Training {
         .orderBy("source")
     }),
 
+    // Distributed BPE merge learning (Sennrich word-type formulation —
+    // the tokenizer-training pass of a data pipeline): the corpus
+    // collapses ONCE to a (word, freq) type table (corpus-sized scan,
+    // vocab-sized state), then each of the 10 merge rounds is one
+    // pair-explode + partial-agg over word TYPES weighted by freq —
+    // never the corpus again. That type-table iteration is exactly how
+    // BPE scales to 100 TB: round cost ∝ distinct word types, not
+    // tokens. The per-round argmax is a bounded 1-ROW driver scalar
+    // (the CC convergence-counter precedent), tie-broken (freq desc,
+    // pair asc) so the merge sequence is deterministic; the merge
+    // applies as a codegen'd left-to-right `aggregate` fold, and the
+    // type table localCheckpoints per round (10 nested HOF projections
+    // would otherwise stack into one giant codegen unit). No DuckDB
+    // oracle (iterative): R6OpsSpec replays a pure-Scala reference BPE
+    // on the collected type table and pins the exact merge sequence.
+    "q_bpe_learn" -> ((s, d) => {
+      val rounds = 10
+      var words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
+          col("freq"))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val top = words
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+            "named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("f"))
+          .orderBy(col("f").desc, col("a"), col("b"))
+          .head() // bounded: exactly one row crosses to the driver
+        val (a, b) = (top.getString(0), top.getString(1))
+        merges += ((r, a, b, top.getLong(2)))
+        val (aV, bV, abV) = (lit(a), lit(b), lit(a + b))
+        words = words.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, lit(-1)) === aV && x === bV,
+                concat(slice(acc, lit(1), size(acc) - 1), array(abV)))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+      }
+      import s.implicits._
+      merges.result().toDF("rank", "left", "rite", "pair_freq")
+        .orderBy("rank")
+    }),
+
     // Per-document 8-gram novelty (the RefinedWeb/FineWeb "how much
     // of this doc is new text" signal): fraction of a doc's distinct
     // 8-grams whose corpus-wide first occurrence (min doc_id) is this

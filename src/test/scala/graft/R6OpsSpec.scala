@@ -337,6 +337,34 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.map(_.getAs[Long]("n_novel")).sum === distinctGrams)
   }
 
+  test("q_bpe_learn: distributed merge sequence equals a pure-Scala reference BPE") {
+    val got = SparkEntry.queries("q_bpe_learn")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("rite"), r.getAs[Long]("pair_freq")))
+    // reference: Sennrich BPE over the collected (word, freq) table
+    var types: Map[List[String], Long] = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("explode(split(text, ' ')) AS w").where("length(w) > 0")
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0).map(_.toString).toList :+ "</w>") -> r.getLong(1))
+      .toMap
+    val want = (1 to 10).map { r =>
+      val pairCounts = types.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => p -> f)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val ((a, b), f) = pairCounts.minBy { case ((a, b), f) => (-f, a, b) }
+      types = types.toSeq.map { case (syms, fr) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        out.toList -> fr
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      (r, a, b, f)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("q_embed_pca: distributed Gram reproduces the collected eigenpair and projections") {
     val out = SparkEntry.queries("q_embed_pca")(spark, sf).collect()
     assert(out.length === 10)
