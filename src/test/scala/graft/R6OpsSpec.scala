@@ -365,6 +365,36 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === want)
   }
 
+  test("q_bpe_apply: distributed encode equals a per-word reference apply of the learned merges") {
+    val merges = SparkEntry.queries("q_bpe_learn")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("rite")))
+    def encodeWord(w: String): List[String] = {
+      var syms = w.map(_.toString).toList :+ "</w>"
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_bpe_apply")(spark, sf).collect()
+    got.take(50).foreach { row =>
+      val words = docs(row.getAs[Long]("doc_id")).split(" ").filter(_.nonEmpty)
+      val want = words.map(encodeWord(_).length).sum
+      assert(row.getAs[Int]("n_tokens") === want,
+        s"doc ${row.getAs[Long]("doc_id")}")
+      assert(row.getAs[Int]("n_tokens") <= row.getAs[Int]("n_chars_syms"))
+    }
+    assert(got.length === docs.size)
+  }
+
   test("q_embed_pca: distributed Gram reproduces the collected eigenpair and projections") {
     val out = SparkEntry.queries("q_embed_pca")(spark, sf).collect()
     assert(out.length === 10)
