@@ -448,6 +448,64 @@ object Training {
         .orderBy("source")
     }),
 
+    // Mixture MATERIALIZATION (the step after q_mix_temperature): turn
+    // per-source boost factors into an actual resampled corpus,
+    // deterministically — every doc replicates floor(boost) times plus
+    // one more iff its md5 bucket falls under the fractional part
+    // (boost 1.38 → 38% of docs get a 2nd copy). Replication is a
+    // sequence-explode (no rand(), reproducible across engines and
+    // cluster sizes); the boost table is domain-bounded and broadcast.
+    // Output: per-source materialized volume vs the α-target share.
+    "q_mix_materialize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = docs.groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val boost = m
+        .withColumn("p", col("n_tokens") / sum("n_tokens").over(whole).cast("double"))
+        .withColumn("u", pow(col("n_tokens"), 0.5))
+        .withColumn("w", col("u") / sum("u").over(whole))
+        .select(col("source"), (col("w") / col("p")).as("boost"), col("w"))
+      docs.join(broadcast(boost), "source")
+        .withColumn("n_rep",
+          floor(col("boost")).cast("long") +
+            when(bucket(col("doc_id")) <
+              round((col("boost") - floor(col("boost"))) * 10000, 0).cast("long"),
+              1L).otherwise(0L))
+        .select(col("source"), col("w"),
+          // sequence(1, 0) in Spark is the DESCENDING [1, 0], not
+          // empty — the dropped-doc case must yield array() so the
+          // explode removes the row
+          explode(expr("CASE WHEN n_rep >= 1 THEN sequence(1, n_rep) " +
+            "ELSE CAST(array() AS array<bigint>) END")).as("copy"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_out"),
+          sum(col("toks")).as("n_tokens_out"),
+          round(max("w"), 6).as("w_target"))
+        .withColumn("share_out",
+          round(col("n_tokens_out") /
+            sum("n_tokens_out").over(whole).cast("double"), 4))
+        .orderBy("source")
+    }),
+
+    // Deterministic k-per-group exemplar sample (the "show me 5 docs
+    // per domain" debugging/eval draw): md5-ordered row_number per
+    // source — reproducible across engines, cluster sizes and runs,
+    // and rewritten by RewriteWindowTopK into the two-phase top-k
+    // (partial per-partition heads before the shuffle).
+    "q_group_sample" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("lang"))
+        .orderBy("source", "rk")
+    }),
+
     // Quality-mass nucleus selection (top-p curation): per source,
     // take documents by descending char mass until 90% of the
     // source's total mass is covered (the crossing doc included).
@@ -829,6 +887,50 @@ object Training {
         |  ROUND(u / SUM(u) OVER (), 6) AS w_temp,
         |  ROUND((u / SUM(u) OVER ()) / p_raw, 4) AS boost
         |FROM t ORDER BY source""".stripMargin,
+
+    "q_mix_materialize" ->
+      s"""WITH m AS (
+         |  SELECT source,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT source, n_tokens,
+         |    n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p,
+         |    power(n_tokens, 0.5) AS u
+         |  FROM m),
+         |b AS (
+         |  SELECT source, (u / SUM(u) OVER ()) / p AS boost,
+         |    u / SUM(u) OVER () AS w
+         |  FROM t),
+         |r AS (
+         |  SELECT d.source, b.w,
+         |    CAST(floor(b.boost) AS BIGINT) +
+         |      CASE WHEN $bucketSql <
+         |        CAST(round((b.boost - floor(b.boost)) * 10000, 0) AS BIGINT)
+         |      THEN 1 ELSE 0 END AS n_rep,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS toks
+         |  FROM documents d JOIN b USING (source)),
+         |e AS (
+         |  SELECT source, w, toks,
+         |    unnest(generate_series(1, n_rep)) AS copy
+         |  FROM r WHERE n_rep >= 1),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_out,
+         |    CAST(SUM(toks) AS BIGINT) AS n_tokens_out,
+         |    ROUND(MAX(w), 6) AS w_target
+         |  FROM e GROUP BY source)
+         |SELECT source, n_docs_out, n_tokens_out, w_target,
+         |  ROUND(n_tokens_out / CAST(SUM(n_tokens_out) OVER () AS DOUBLE), 4)
+         |    AS share_out
+         |FROM g ORDER BY source""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT source, CAST(rk AS INT) AS rk, doc_id, lang FROM (
+        |  SELECT source, doc_id, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "q_select_topp" ->
       """WITH w AS (
