@@ -222,6 +222,26 @@ object Relational {
     // a whole job on one bad row. min/max of the division are single
     // operations on identical doubles (no accumulation), snapped via
     // round(x·1e4)/1e4; counts are exact.
+    // Null-hygiene surface (DataFrameNaFunctions): the corpus has no
+    // NULL cells (FIXTURES.md), so nulls are synthesized
+    // deterministically (custkey mod), then repaired with na.fill —
+    // the imputation pass every ingest runs before analytics. The
+    // fill is per-row scalar work; the report is one partial agg.
+    "q_na_clean" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")).as("seg"))
+        .na.fill(Map("bal" -> 0.0, "seg" -> "UNKNOWN"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_custkey") % 7 === 0, 1L).otherwise(0L))
+            .as("n_bal_filled"),
+          round(sum("bal"), 2).as("sum_bal"))
+        .orderBy("seg")),
+
     "q_try_funcs" -> ((s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -522,6 +542,17 @@ object Relational {
         |  ROUND(SUM(o_totalprice), 2) AS sum_price
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_na_clean" ->
+      """SELECT
+        |  COALESCE(CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |    ELSE c_mktsegment END, 'UNKNOWN') AS seg,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bal_filled,
+        |  ROUND(SUM(COALESCE(CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |    ELSE c_acctbal END, 0.0)), 2) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_try_funcs" ->
       """SELECT l_returnflag, COUNT(*) AS n,
