@@ -313,6 +313,42 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup RESOLUTION (the Google-crawl dedup shape:
+    // Manku et al., WWW'07): 64-bit fingerprints band into 4×16-bit
+    // keys — any pair within hamming distance 3 agrees exactly on at
+    // least one band (pigeonhole), so candidate generation is four
+    // equi-joins on band keys, never all-pairs. Candidates verify
+    // with a codegen'd popcount on the XOR'd fingerprints; band
+    // collisions dedupe on the packed (min,max) pair id. Sub-quadratic
+    // end-to-end — the same bucket-join posture as the MinHash path,
+    // at 8 bytes of state per doc instead of a signature array.
+    // OMIT oracle (simhash not in DuckDB): R6OpsSpec pins soundness
+    // (every pair verified ≤ 3) and completeness vs the brute-force
+    // hamming pairs on the collected corpus.
+    "q_simhash_dedup" -> ((s, d) => {
+      Registry.ensure(s)
+      val fp = Tables.documents(s, d)
+        .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("fp"))
+        .withColumn("b0", shiftright(col("fp"), 48).bitwiseAND(lit(0xffffL)))
+        .withColumn("b1", shiftright(col("fp"), 32).bitwiseAND(lit(0xffffL)))
+        .withColumn("b2", shiftright(col("fp"), 16).bitwiseAND(lit(0xffffL)))
+        .withColumn("b3", col("fp").bitwiseAND(lit(0xffffL)))
+        .localCheckpoint(true) // four join legs read this
+      val cands = (0 to 3).map { i =>
+        val l = fp.select(col("doc_id").as("a_id"), col("fp").as("a_fp"),
+          col(s"b$i").as("k"))
+        val r = fp.select(col("doc_id").as("b_id"), col("fp").as("b_fp"),
+          col(s"b$i").as("k"))
+        l.join(r, Seq("k")).filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id", "a_fp", "b_fp")
+      }.reduce(_ unionByName _)
+      cands
+        .withColumn("ham", expr("bit_count(a_fp ^ b_fp)"))
+        .filter(col("ham") <= 3)
+        .select(col("a_id"), col("b_id"), col("ham")).distinct()
+        .orderBy("a_id", "b_id")
+    }),
+
     // Order-insensitive exact-content fingerprint (rolling digest of
     // the sorted distinct token stream) — SQL-expressible, oracled.
     "q_text_fingerprint" -> ((s, d) =>

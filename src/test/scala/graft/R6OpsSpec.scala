@@ -395,6 +395,26 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.length === docs.size)
   }
 
+  test("q_simhash_dedup: banded candidates = exactly the brute-force hamming<=3 pairs") {
+    val got = SparkEntry.queries("q_simhash_dedup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("ham")))
+      .toSet
+    val fps = SparkEntry.queries("q_simhash")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
+    val want = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      ham = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if ham <= 3
+    } yield {
+      val (a, b) = if (fps(i)._1 < fps(j)._1) (fps(i)._1, fps(j)._1)
+                   else (fps(j)._1, fps(i)._1)
+      (a, b, ham)
+    }).toSet
+    // pigeonhole: 4 bands over 64 bits make <=3 differing bits ALWAYS
+    // collide on one band, so this is equality, not just soundness
+    assert(got === want)
+  }
+
   test("q_embed_pca: distributed Gram reproduces the collected eigenpair and projections") {
     val out = SparkEntry.queries("q_embed_pca")(spark, sf).collect()
     assert(out.length === 10)
