@@ -297,6 +297,19 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_mix_materialize: materialized token shares land on the temperature targets") {
+    val r = SparkEntry.queries("q_mix_materialize")(spark, sf).collect()
+    assert(math.abs(r.map(_.getAs[Double]("share_out")).sum - 1.0) < 1e-3)
+    r.foreach { row =>
+      // bucket-granular replication approximates the α-weights; 2pp
+      // tolerance is ~3× the worst observed deviation at this sf
+      assert(math.abs(row.getAs[Double]("share_out") -
+        row.getAs[Double]("w_target")) < 0.02,
+        s"${row.getString(0)}: ${row.getAs[Double]("share_out")} vs " +
+        s"${row.getAs[Double]("w_target")}")
+    }
+  }
+
   test("q_select_topp: per-source nucleus covers >=90% mass with the smallest prefix") {
     val r = SparkEntry.queries("q_select_topp")(spark, sf).collect()
     r.foreach { row =>
