@@ -422,10 +422,54 @@ object Analytics {
           sum("f").as("total_orders"),
           sum("m_cents").as("total_cents"))
         .orderBy("segment")
+    }),
+
+    // Gini concentration coefficient of order value per customer
+    // nation — the standard inequality metric over a revenue
+    // distribution. Needs each group's values in rank order, which is
+    // irreducibly a per-group sort: one window (external sort, O(1)
+    // running state) assigns ranks, then a partial-agg rollup applies
+    // the closed form G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n. Ties commute
+    // (equal x at swapped ranks leave Σ(i·x_i) unchanged), so the
+    // orderkey tiebreak is for engine-order stability only. At 100 TB
+    // the per-nation sort shards like any range sort; the alternative
+    // — an equi-depth-histogram approximation — trades exactness for
+    // one pass and is the documented fallback when groups stop
+    // fitting a sort spill budget.
+    "q_gini" -> ((s, d) => {
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_totalprice").as("x"), col("o_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name").orderBy(col("x"), col("o_orderkey"))
+      j.withColumn("i", row_number().over(w))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("n_name"), col("n"),
+          round(lit(2.0) * col("six") / (col("n") * col("sx"))
+            - (col("n") + lit(1.0)) / col("n"), 4).as("gini"))
+        .orderBy("n_name")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH j AS (
+        |  SELECT n_name, o_totalprice AS x, o_orderkey
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (
+        |  SELECT n_name, x,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY x, o_orderkey) AS i
+        |  FROM j)
+        |SELECT n_name, COUNT(*) AS n,
+        |  ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+        |    - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+        |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_rfm_segment" ->
       """WITH rfm AS (
         |  SELECT o_custkey,

@@ -310,10 +310,117 @@ object EventsQ {
           col("week_offset"))
         .agg(countDistinct("user_id").as("n_active"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Time-series downsampling to OHLC bars (open/high/low/close +
+    // volume), the canonical resample shape for metric stores. One
+    // shuffle on (bucket, type) with full partial aggregation:
+    // open/close are min_by/max_by over the (ts, event_id) total
+    // order — no window sort, no second pass, and at 100 TB the bar
+    // table is ~|buckets|·|types| rows regardless of input size.
+    "q_ohlc_resample" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"),
+          col("event_type"))
+        .agg(
+          round(min_by(col("value"), struct(col("ts"), col("event_id"))), 4).as("open"),
+          round(max("value"), 4).as("high"),
+          round(min("value"), 4).as("low"),
+          round(max_by(col("value"), struct(col("ts"), col("event_id"))), 4).as("close"),
+          count(lit(1)).as("n"),
+          round(sum("value"), 4).as("volume"))
+        .orderBy("bucket", "event_type")),
+
+    // Last-touch attribution: each purchase is credited to the most
+    // recent PRECEDING non-purchase event of the same user ("direct"
+    // when none exists). One window pass per user (running last-non-
+    // null carry — O(1) state per row), then a tiny channel rollup.
+    // State is per-user and time-ordered, so at scale this partitions
+    // on user_id and streams — the same shape sessionization uses.
+    "q_attribution_last" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("src",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 4).as("revenue"))
+        .orderBy("channel")
+    }),
+
+    // Standardized third/fourth moments (skewness, excess kurtosis)
+    // per event type, computed TWO-PASS: first-pass mu/sigma per
+    // group (bounded, broadcast back), second pass averages powers of
+    // the ~O(1) z-scores. The naive one-pass raw-moment route sums
+    // x^4 (~1e13 at bench sf) and loses the 4dp comparison to double
+    // cancellation; centering first keeps every partial sum O(n) —
+    // the numerically-stable shape that survives corpus magnitudes.
+    "q_moment_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"),
+          count(lit(1)).as("n"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .groupBy("event_type")
+        .agg(min("n").as("n"),
+          round(avg(pow(col("z"), 3)), 4).as("skewness"),
+          round(avg(pow(col("z"), 4)) - lit(3.0), 4).as("excess_kurtosis"))
+        .orderBy("event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ohlc_resample" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type, value, ts, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bucket, event_type
+        |                       ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY bucket, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT bucket, event_type,
+        |  ROUND(MAX(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        |  ROUND(MAX(value), 4) AS high,
+        |  ROUND(MIN(value), 4) AS low,
+        |  ROUND(MAX(CASE WHEN rd = 1 THEN value END), 4) AS close,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM(value), 4) AS volume
+        |FROM r GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+
+    "q_attribution_last" ->
+      """WITH a AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+        |  FROM events)
+        |SELECT COALESCE(src, 'direct') AS channel,
+        |  COUNT(*) AS n_purchases, ROUND(SUM(value), 4) AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_moment_stats" ->
+      """WITH st AS (
+        |  SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_type, (e.value - st.mu) / st.sigma AS z, st.n
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_type, MIN(n) AS n,
+        |  ROUND(AVG(z * z * z), 4) AS skewness,
+        |  ROUND(AVG(z * z * z * z) - 3.0, 4) AS excess_kurtosis
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,

@@ -551,6 +551,31 @@ object LlmOps {
           .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> CAST(p.m AS FLOAT))")
             .as("c"))
       assign(cents).select(col("vec_id"), col("cid"), col("cos")).orderBy("vec_id")
+    }),
+
+    // Compressibility quality signal: DEFLATE(text) / octet_length —
+    // template/machine-generated text compresses far below natural
+    // prose, so a low ratio flags boilerplate the entropy and
+    // repetition scores can miss (they look at characters and exact
+    // n-grams; zlib's LZ77 window catches long-range structure). Per
+    // doc one codegen'd `deflate_len` call (expr/DeflateLen.scala),
+    // then a per-lang rollup with a flag count below a fixed bar.
+    // DuckDB has no compressed-size function → unit contract instead
+    // (ExprSpec roundtrip + R6OpsSpec invariants), rows-only driver
+    // check — same class as the sketch keys.
+    "q_compress_ratio" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          octet_length(col("text")).as("raw_len"),
+          expr("deflate_len(text)").as("comp_len"))
+        .withColumn("ratio", round(col("comp_len") / col("raw_len").cast("double"), 6))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("ratio"), 4).as("avg_ratio"),
+          round(min("ratio"), 4).as("min_ratio"),
+          sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_suspect"))
+        .orderBy("lang")
     })
   )
 

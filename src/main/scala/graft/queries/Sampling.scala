@@ -151,13 +151,40 @@ object Sampling {
           count(when(col("kept"), 1)).as("n_kept"),
           sum(when(col("kept"), col("doc_id"))).as("sum_kept_id"))
         .orderBy("lang")
-    })
+    }),
+
+    // Deterministic k-fold cross-validation assignment (k=5): fold =
+    // md5-bucket of the row key mod k, so membership is stable under
+    // re-partitioning, scale-out and engine choice — the same
+    // contract as the train/test split, generalized to k folds. The
+    // rollup proves the property that matters: every fold's size and
+    // label mass lands within sampling noise of 1/k.
+    "q_crossval_folds" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("fold", bucket(col("o_orderkey")) % 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("o_custkey").as("n_cust"),
+          // exact integer cents: a 4dp-rounded double sum at ~1e10
+          // magnitude diverges across engine summation orders
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy("fold"))
   )
 
   private val bucketSql =
     "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
+  private val orderBucketSql =
+    "CAST(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
+
   val oracle: Map[String, String] = Map(
+    "q_crossval_folds" ->
+      s"""SELECT $orderBucketSql % 5 AS fold,
+         |  COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT o_custkey) AS n_cust,
+         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY 1 ORDER BY fold""".stripMargin,
+
     "q_weighted_sample" ->
       s"""SELECT doc_id, $bucketSql AS bucket,
          |  LEAST(10000, n_chars * 25) / 10000.0 AS w

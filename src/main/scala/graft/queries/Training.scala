@@ -620,6 +620,27 @@ object Training {
         .withColumn("novelty",
           round(col("n_novel") / col("n_grams").cast("double"), 4))
         .orderBy("doc_id")
+    }),
+
+    // Zipf's-law fit per language: OLS slope/R² of ln(freq) against
+    // ln(rank) over the term-frequency distribution — the standard
+    // sanity check that a corpus slice looks like natural language
+    // (slope ≈ −1) rather than template spam. Served from the
+    // session-memoized term index (one derivation per corpus
+    // snapshot); the rank window runs over the VOCABULARY (bounded,
+    // per-lang), never the corpus, and regr_* aggregates partial-
+    // combine like any sum — the whole fit is one vocab-sized pass.
+    "q_zipf_fit" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("freq").desc, col("term"))
+      graft.operators.EdgeGraph.termFreq(s, d)
+        .groupBy("lang", "term").agg(sum("tf_raw").as("freq"))
+        .withColumn("rank", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("zipf_slope"),
+          round(expr("regr_r2(ln(freq), ln(rank))"), 4).as("fit_r2"))
+        .orderBy("lang")
     })
   )
 
@@ -627,6 +648,20 @@ object Training {
     "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (
+        |  SELECT lang, term, COUNT(*) AS freq FROM toks GROUP BY lang, term),
+        |r AS (
+        |  SELECT lang, freq,
+        |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rank
+        |  FROM freq)
+        |SELECT lang, COUNT(*) AS n_terms,
+        |  ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+        |  ROUND(regr_r2(ln(freq), ln(rank)), 4) AS fit_r2
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     // independent parse: plain regexes against the same synthesized
     // URLs check Spark's parse_url-based derivation
     "q_url_extract" ->

@@ -77,6 +77,52 @@ class ExprSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("deflate_len matches direct zlib, codegen-safe, orders quality") {
+    Registry.ensure(spark)
+    // independent computation through the JDK API the expression wraps
+    def direct(s: String): Int = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val repetitive = "spam " * 200          // LZ77 collapses this
+    val prose = (1 to 200).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val conf = spark.conf
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFallback = conf.getOption("spark.sql.codegen.fallback")
+    def lens(mode: String): (Int, Int, Boolean) = {
+      conf.set("spark.sql.codegen.factoryMode", mode)
+      val r = spark.sql(
+        s"""SELECT deflate_len('${repetitive}') AS a,
+           |       deflate_len('${prose}') AS b,
+           |       deflate_len(CAST(NULL AS STRING)) IS NULL AS n""".stripMargin)
+        .head()
+      (r.getInt(0), r.getInt(1), r.getBoolean(2))
+    }
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      val (ra, rb, rn) = lens("CODEGEN_ONLY")
+      val (ia, ib, in) = lens("NO_CODEGEN")
+      // interpreted == generated == independent JDK computation
+      assert((ra, rb) === (ia, ib))
+      assert(ra === direct(repetitive) && rb === direct(prose))
+      assert(rn && in)
+      // the quality ordering the ratio key relies on: repetitive text
+      // compresses ~an order of magnitude below varied text
+      assert(ra * 5 < rb, s"repetitive $ra should be << varied $rb")
+      assert(rb < prose.getBytes("UTF-8").length)
+    } finally {
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        conf.set("spark.sql.codegen.factoryMode", v))
+      oldFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v =>
+        conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
   test("ngrams generator emits consecutive windows") {
     Registry.ensure(spark)
     import spark.implicits._
