@@ -553,6 +553,71 @@ object LlmOps {
       assign(cents).select(col("vec_id"), col("cid"), col("cos")).orderBy("vec_id")
     }),
 
+    // Maximal Marginal Relevance selection (Carbonell & Goldstein
+    // SIGIR'98): greedy top-5 from the top-20 relevance candidates,
+    // score = λ·rel − (1−λ)·max-sim-to-selected (λ=0.7) — the
+    // diversity-aware retrieval step RAG rerankers and few-shot
+    // example pickers run after ANN. Scale shape: everything
+    // corpus-sized stays distributed (relevance scan + top-k); the
+    // candidate set is BOUNDED by construction (top-20 — at 100 TB
+    // the ANN stage supplies it), so its 20×20 cosine matrix is ONE
+    // small job and the greedy itself runs driver-side over ~420
+    // collected doubles — a bounded statistic table (the CC
+    // convergence-counter posture), not data collection. A first cut
+    // ran the greedy as 5 rounds of Spark jobs over the 20-row frame:
+    // 7.8 s of pure per-round scheduling/codegen for identical
+    // output — the overhead was scale-INDEPENDENT, so it bought
+    // nothing. Ties break on the 6dp-rounded score grid then vec_id,
+    // so the selection sequence is deterministic. OMIT (iterative):
+    // R6OpsSpec replays a pure-Scala reference MMR from the raw
+    // embeddings — exact sequence equality.
+    "q_mmr_select" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val lam = 0.7
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20)
+        .localCheckpoint(eager = true)
+      val rel = cand.select("vec_id", "rel").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(p => (-p._2, p._1))
+      val sim = cand.as("a").crossJoin(cand.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ai"), col("b.vec_id").as("bi"),
+          round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("sim"))
+        .collect()
+        .flatMap(r => {
+          val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          Seq((a, b) -> c, (b, a) -> c)
+        }).toMap
+      var picked = Vector.empty[(Long, Double)] // (vec_id, mmr score)
+      for (_ <- 1 to 5) {
+        val scored = rel.filterNot(c => picked.exists(_._1 == c._1))
+          .map { case (id, r) =>
+            val m =
+              if (picked.isEmpty) r
+              else {
+                val ms = picked.map(p => sim((id, p._1))).max
+                BigDecimal(lam * r - (1 - lam) * ms)
+                  .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+              }
+            (id, r, m)
+          }
+        val best = scored.minBy { case (id, _, m) => (-m, id) }
+        picked :+= ((best._1, best._3))
+      }
+      import s.implicits._
+      val relMap = rel.toMap
+      picked.zipWithIndex
+        .map { case ((id, sc), i) => (i + 1, id, relMap(id), sc) }
+        .toDF("sel_order", "vec_id", "rel", "mmr_score")
+        .orderBy("sel_order")
+    }),
+
     // Compressibility quality signal: DEFLATE(text) / octet_length —
     // template/machine-generated text compresses far below natural
     // prose, so a low ratio flags boilerplate the entropy and

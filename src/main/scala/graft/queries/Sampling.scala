@@ -168,7 +168,29 @@ object Sampling {
           // exact integer cents: a 4dp-rounded double sum at ~1e10
           // magnitude diverges across engine summation orders
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
-        .orderBy("fold"))
+        .orderBy("fold")),
+
+    // Diversity-capped top-k: per language the 5 longest documents
+    // with AT MOST 2 per source — the source-cap rule data-mixing
+    // recipes apply so no single domain dominates a curated slice.
+    // Two stacked rank windows (within (lang, source), then within
+    // lang over the survivors); both are per-group sorts with O(1)
+    // running state, and RewriteWindowTopK can lower either to the
+    // bounded-heap TopKPerGroup plan.
+    "q_topk_diverse" -> ((s, d) => {
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy(col("n_chars").desc, col("doc_id"))
+      val wLang = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn_src", row_number().over(wSrc))
+        .filter(col("rn_src") <= 2)
+        .withColumn("rn", row_number().over(wLang))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("rn"), col("doc_id"), col("source"),
+          col("n_chars"))
+        .orderBy("lang", "rn")
+    })
   )
 
   private val bucketSql =
@@ -178,6 +200,20 @@ object Sampling {
     "CAST(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_topk_diverse" ->
+      """WITH s1 AS (
+        |  SELECT lang, source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn_src
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT lang, doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM s1 WHERE rn_src <= 2)
+        |SELECT lang, CAST(rn AS INT) AS rn, doc_id, source, n_chars
+        |FROM s2 WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
     "q_crossval_folds" ->
       s"""SELECT $orderBucketSql % 5 AS fold,
          |  COUNT(*) AS n_rows,

@@ -641,13 +641,41 @@ object Training {
           round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("zipf_slope"),
           round(expr("regr_r2(ln(freq), ln(rank))"), 4).as("fit_r2"))
         .orderBy("lang")
-    })
+    }),
+
+    // Hashing-trick featurization (Weinberger ICML'09): categorical
+    // attributes map to a FIXED d=64 index space via the md5 bucket —
+    // no vocabulary table, no fit step, deterministic across engines
+    // and cluster sizes, collisions by design. Per doc the sorted
+    // index vector (the sparse-feature representation a downstream
+    // trainer consumes); pure projection + one doc-grain agg, no
+    // shuffle wider than the output.
+    "q_feature_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array(
+          concat(lit("lang="), col("lang")),
+          concat(lit("src="), col("source")))).as("feat"))
+        .withColumn("idx",
+          conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("int") % 64)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("idx"))).as("fvec"))
+        .orderBy("doc_id"))
   )
 
   private val bucketSql =
     "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substring(md5(feat), 1, 4) AS INT) % 64 AS INT) AS idx
+        |  FROM (SELECT doc_id,
+        |          unnest(['lang=' || lang, 'src=' || source]) AS feat
+        |        FROM documents))
+        |SELECT doc_id, list_sort(list(idx)) AS fvec
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_zipf_fit" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -488,4 +488,48 @@ class R6OpsSpec extends AnyFunSuite with SparkFixture {
       assert(row.getAs[Long]("n_members") === members.length.toLong)
     }
   }
+
+  test("q_mmr_select: greedy selection equals a pure-Scala reference MMR") {
+    val got = SparkEntry.queries("q_mmr_select")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("sel_order"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("rel"), r.getAs[Double]("mmr_score")))
+    val emb = graft.tables.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    // cosine replicated with the expression's ascending-index fold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = 0.7
+    val q = emb(0L)
+    val cand = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, r6(cos(q, v))) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    var picked = Vector.empty[(Long, Double)]
+    for (_ <- 1 to 5) {
+      val rem = cand.filterNot(c => picked.exists(_._1 == c._1))
+      val scored = rem.map { case (id, v, rel) =>
+        val m =
+          if (picked.isEmpty) rel
+          else {
+            val ms = picked.map(p => r6(cos(v, emb(p._1)))).max
+            r6(lam * rel - (1 - lam) * ms)
+          }
+        (id, rel, m)
+      }
+      val best = scored.minBy { case (id, _, m) => (-m, id) }
+      picked :+= ((best._1, best._3))
+    }
+    val want = picked.zipWithIndex.map { case ((id, m), i) =>
+      (i + 1, id, cand.find(_._1 == id).get._3, m) }
+    assert(got.toSeq === want.toSeq)
+  }
 }
