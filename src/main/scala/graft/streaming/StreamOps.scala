@@ -299,6 +299,32 @@ object StreamOps {
       s.read.parquet(out).orderBy("wstart")
     }),
 
+    // Streaming twin of q_ohlc_resample: watermarked hourly OHLC bars
+    // in append mode — min_by/max_by are declarative aggregates, so
+    // the arg-min/max semantics ride the streaming state exactly like
+    // sum/count (no custom state needed); each closed window emits one
+    // immutable bar, the metric-store ingestion shape. Append-mode
+    // boundary: the final unflushed window(s) stay in state
+    // (StreamingSpec asserts emitted ⊆ batch with equal values).
+    "s_ohlc_bars" -> ((s, d) => {
+      val out = tmp("ohlc_out")
+      val bars = readEventsStream(s, eventsDir(d, "ohlc_in"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          round(min_by(col("value"), struct(col("ts"), col("event_id"))), 4).as("open"),
+          round(max("value"), 4).as("high"),
+          round(min("value"), 4).as("low"),
+          round(max_by(col("value"), struct(col("ts"), col("event_id"))), 4).as("close"),
+          count(lit(1)).as("n"),
+          round(sum("value"), 4).as("volume"))
+        .select(col("window.start").cast("timestamp_ntz").as("bucket"),
+          col("event_type"), col("open"), col("high"), col("low"),
+          col("close"), col("n"), col("volume"))
+      runToParquet(bars, out, tmp("ohlc_ckpt"))
+      s.read.parquet(out).orderBy("bucket", "event_type")
+    }),
+
     // Spark 4's arbitrary-state API v2 (r5): per-user running totals
     // via transformWithState — typed ValueState through the
     // StatefulProcessorHandle instead of the flatMapGroupsWithState

@@ -455,4 +455,42 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SinglePartition"), "rank window must partition by group\n" + p)
   }
+
+  test("q_ohlc_resample is ONE partial+final aggregate — no window sort") {
+    // open/close via min_by/max_by ride the same shuffle as high/low/
+    // volume; a Window in this plan means the arg-min/max degenerated
+    // to the two-sort row_number formulation
+    val p = plan("q_ohlc_resample")
+    assert(!p.contains("Window"), "OHLC must not plan a window sort\n" + p)
+    assert(p.contains("partial_min_by") || p.contains("min_by"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      "exactly one shuffle for the bar aggregate\n" + p)
+  }
+
+  test("q_attribution_last / q_gini / q_topk_diverse windows stay per-group") {
+    for (k <- Seq("q_attribution_last", "q_gini", "q_topk_diverse")) {
+      val p = plan(k)
+      // with Registry.ensure active in the shared session,
+      // RewriteWindowTopK lowers q_topk_diverse's row_number windows
+      // to the bounded-heap TopKPerGroup plan — also per-group, better
+      assert(p.contains("Window") || p.contains("TopKPerGroup"),
+        s"$k lost its per-group rank operator\n" + p)
+      assert(!p.contains("SinglePartition"),
+        s"$k planned a global single-task window\n" + p)
+    }
+  }
+
+  test("q_moment_stats broadcasts the bounded per-group stats back") {
+    val p = plan("q_moment_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_zipf_fit scans the memoized term index, not a re-derivation") {
+    val p = plan("q_zipf_fit")
+    assert(p.contains("Scan ExistingRDD"),
+      "zipf must serve from the session term-index checkpoint\n" + p)
+    assert(!p.contains("Generate explode"),
+      "a fresh tokenize explode means the memo was bypassed\n" + p)
+  }
 }

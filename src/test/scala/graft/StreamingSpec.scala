@@ -172,6 +172,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.count() > 0 && streamed.count() <= batch.count())
   }
 
+  test("s_ohlc_bars equals the batch OHLC on emitted (closed) windows") {
+    val streamed = run("s_ohlc_bars")
+    val batch = SparkEntry.queries("q_ohlc_resample")(spark, sf)
+    val j = streamed.as("s").join(batch.as("b"), Seq("bucket", "event_type"))
+    // every emitted bar exists in the batch result with equal values
+    assert(j.count() === streamed.count())
+    for (c <- Seq("open", "high", "low", "close", "n", "volume"))
+      assert(j.filter(col(s"s.$c") =!= col(s"b.$c")).count() === 0,
+        s"column $c diverges from the batch twin")
+    // append-mode boundary: only the unflushed tail may be missing
+    assert(streamed.count() > 0 && streamed.count() <= batch.count())
+  }
+
   test("s_foreach_upsert is an idempotent keyed sink") {
     val sink = run("s_foreach_upsert")
     val n = Tables.events(spark, sf).count()
