@@ -351,6 +351,27 @@ object EventsQ {
         .orderBy("channel")
     }),
 
+    // Rate-burst detection: hourly event counts per type, flagged
+    // where the count's z-score against that type's own hourly
+    // distribution exceeds 2 — the ops-monitoring complement to
+    // q_anomaly_mad (value-grain). The hourly rollup is one partial
+    // agg; the per-type stats are bounded and broadcast back. The
+    // threshold compares the 4dp-ROUNDED z (the fuzzy_jw ulp rule) so
+    // both engines cut on the same grid.
+    "q_burst_detect" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type")
+        .agg(avg("n").as("mu"), stddev_pop("n").as("sigma"))
+      hourly.join(broadcast(stats), "event_type")
+        .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 4))
+        .filter(col("z") > 2.0)
+        .select("event_type", "bucket", "n", "z")
+        .orderBy("event_type", "bucket")
+    }),
+
     // Standardized third/fourth moments (skewness, excess kurtosis)
     // per event type, computed TWO-PASS: first-pass mu/sigma per
     // group (bounded, broadcast back), second pass averages powers of
@@ -407,6 +428,19 @@ object EventsQ {
         |  COUNT(*) AS n_purchases, ROUND(SUM(value), 4) AS revenue
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_burst_detect" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, AVG(n) AS mu, stddev_pop(n) AS sigma
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.bucket, h.n,
+        |  ROUND((h.n - st.mu) / st.sigma, 4) AS z
+        |FROM h JOIN st USING (event_type)
+        |WHERE ROUND((h.n - st.mu) / st.sigma, 4) > 2.0
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "q_moment_stats" ->
       """WITH st AS (

@@ -27,6 +27,23 @@ object TextSim {
   /** n-gram/stopword language-ID heuristic as a reusable Column:
     * CJK codepoint → zh; else marker-token argmax with fixed tie
     * order (en, de, es, fr); no signal → 'und'. */
+  /** DuckDB twin of `langId` — shared by the q_text_langid and
+    * q_lang_confusion oracles so the heuristic has ONE SQL source. */
+  private val langPredCaseSql: String = {
+    def sc(l: String) = {
+      val lst = langMarkers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), [$lst]))"
+    }
+    s"""CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |     WHEN ${sc("en")} >= ${sc("de")} AND ${sc("en")} >= ${sc("es")}
+       |          AND ${sc("en")} >= ${sc("fr")} AND ${sc("en")} > 0 THEN 'en'
+       |     WHEN ${sc("de")} >= ${sc("es")} AND ${sc("de")} >= ${sc("fr")}
+       |          AND ${sc("de")} > 0 THEN 'de'
+       |     WHEN ${sc("es")} >= ${sc("fr")} AND ${sc("es")} > 0 THEN 'es'
+       |     WHEN ${sc("fr")} > 0 THEN 'fr'
+       |     ELSE 'und' END""".stripMargin
+  }
+
   def langId(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val toks = array_distinct(split(text, " "))
     def score(lang: String) =
@@ -368,6 +385,16 @@ object TextSim {
         .select(col("doc_id"), col("lang"), langId(col("text")).as("pred"))
         .orderBy("doc_id")),
 
+    // Confusion matrix auditing the langid heuristic against the
+    // labeled corpus: per (true lang, predicted) counts — the
+    // quality report a curation pipeline keeps for every heuristic
+    // classifier it gates on. Exact counts, one partial agg.
+    "q_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), langId(col("text")).as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")),
+
     // Intra-document repetition ratio (Gopher/RefinedWeb-style quality
     // rule): share of bigram occurrences that are repeats of an
     // earlier bigram in the same doc. 0 = no repeated word pair;
@@ -640,22 +667,16 @@ object TextSim {
         |  md5(text) AS fp_exact
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_text_langid" -> {
-      def sc(l: String) = {
-        val lst = langMarkers(l).map(w => s"'$w'").mkString(", ")
-        s"len(list_intersect(list_distinct(string_split(text, ' ')), [$lst]))"
-      }
+    "q_text_langid" ->
       s"""SELECT doc_id, lang,
-         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |       WHEN ${sc("en")} >= ${sc("de")} AND ${sc("en")} >= ${sc("es")}
-         |            AND ${sc("en")} >= ${sc("fr")} AND ${sc("en")} > 0 THEN 'en'
-         |       WHEN ${sc("de")} >= ${sc("es")} AND ${sc("de")} >= ${sc("fr")}
-         |            AND ${sc("de")} > 0 THEN 'de'
-         |       WHEN ${sc("es")} >= ${sc("fr")} AND ${sc("es")} > 0 THEN 'es'
-         |       WHEN ${sc("fr")} > 0 THEN 'fr'
-         |       ELSE 'und' END AS pred
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |  $langPredCaseSql AS pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang, $langPredCaseSql AS pred FROM documents)
+         |SELECT lang, pred, COUNT(*) AS n
+         |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
 
     "q_text_repetition" ->
       """SELECT doc_id,
