@@ -502,10 +502,79 @@ object Relational {
         .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
           sum("n_docs").as("bin_docs"))
         .orderBy("source", "bin")
+    }),
+
+    // Deequ-style data-quality validation suite: constraint rules
+    // over the fact table as ONE declarative report — row-local
+    // domain rules fold into a single conditional-agg scan (stack-
+    // unpivoted), relational rules (FK orphans via anti-join,
+    // duplicate PK via count>1, ship-before-order via the FK join)
+    // each cost one join/agg. All counts exact integers. A 100 TB
+    // ingest runs exactly this shape as its admission gate; every
+    // rule is partial-agg or anti-join — no collect, no windows.
+    "q_dq_checks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val local = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("neg_price"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("bad_discount"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("bad_quantity"))
+        .select(expr("stack(3, 'neg_price', neg_price, " +
+          "'bad_discount', bad_discount, 'bad_quantity', bad_quantity) " +
+          "AS (rule, n_violations)"), col("n_rows").as("n_checked"))
+      val orphans = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_orphan").as("rule"), col("n_violations"),
+          lit(null).cast("long").as("n_checked"))
+      val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+        .select(lit("dup_pk").as("rule"), col("n_violations"),
+          lit(null).cast("long").as("n_checked"))
+      val shipOrder = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("n_violations"))
+        .select(lit("ship_before_order").as("rule"), col("n_violations"),
+          lit(null).cast("long").as("n_checked"))
+      local.unionByName(orphans).unionByName(dupPk).unionByName(shipOrder)
+        .orderBy("rule")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """WITH local AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS neg_price,
+        |    COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS bad_discount,
+        |    COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS bad_quantity
+        |  FROM lineitem)
+        |SELECT rule, n_violations, n_checked FROM (
+        |  SELECT 'neg_price' AS rule, neg_price AS n_violations, n_rows AS n_checked FROM local
+        |  UNION ALL
+        |  SELECT 'bad_discount', bad_discount, n_rows FROM local
+        |  UNION ALL
+        |  SELECT 'bad_quantity', bad_quantity, n_rows FROM local
+        |  UNION ALL
+        |  SELECT 'fk_orphan',
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |    CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'dup_pk',
+        |    (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+        |      (SELECT COUNT(*) AS c FROM lineitem
+        |       GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+        |    CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'ship_before_order',
+        |    (SELECT COUNT(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+        |     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |    CAST(NULL AS BIGINT))
+        |ORDER BY rule""".stripMargin,
     // the null-filled pre-evolution rows are exactly the even keys
     "q_io_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority

@@ -486,6 +486,12 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_dq_checks: FK rule is an anti-join; row-local rules share ONE scan") {
+    val p = plan("q_dq_checks")
+    assert(p.contains("LeftAnti"), "fk_orphan must plan as anti-join\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q_zipf_fit scans the memoized term index, not a re-derivation") {
     val p = plan("q_zipf_fit")
     assert(p.contains("Scan ExistingRDD"),
