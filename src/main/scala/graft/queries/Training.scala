@@ -643,6 +643,25 @@ object Training {
         .orderBy("lang")
     }),
 
+    // Hapax-legomena density per document: share of a doc's distinct
+    // terms that occur exactly ONCE in the whole per-lang corpus
+    // slice — high hapax density flags OCR junk, mangled encodings
+    // and tokenizer-hostile text (the OOV pressure signal tokenizer
+    // training watches). Served from the memoized term index; the
+    // corpus-frequency table joins at vocab grain with NO broadcast
+    // hint (vocabulary posture, SURVEY §7.5).
+    "q_hapax_ratio" -> ((s, d) => {
+      val tf = graft.operators.EdgeGraph.termFreq(s, d)
+      val cf = tf.groupBy("lang", "term").agg(sum("tf_raw").as("cf"))
+      tf.join(cf, Seq("lang", "term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_ratio",
+          round(col("n_hapax") / col("n_terms").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Hashing-trick featurization (Weinberger ICML'09): categorical
     // attributes map to a FIXED d=64 index space via the md5 bucket —
     // no vocabulary table, no fit step, deterministic across engines
@@ -666,6 +685,20 @@ object Training {
     "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_hapax_ratio" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang, term, COUNT(*) AS tf_raw
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |cf AS (SELECT lang, term, SUM(tf_raw) AS cf FROM tf GROUP BY 1, 2)
+        |SELECT tf.doc_id, COUNT(*) AS n_terms,
+        |  COUNT(*) FILTER (WHERE cf.cf = 1) AS n_hapax,
+        |  ROUND(COUNT(*) FILTER (WHERE cf.cf = 1) * 1.0 / COUNT(*), 6)
+        |    AS hapax_ratio
+        |FROM tf JOIN cf ON tf.lang = cf.lang AND tf.term = cf.term
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
     "q_feature_hash" ->
       """WITH f AS (
         |  SELECT doc_id,
