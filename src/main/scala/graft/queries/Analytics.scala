@@ -424,6 +424,29 @@ object Analytics {
         .orderBy("segment")
     }),
 
+    // Head-of-distribution selection: the smallest set of sources
+    // covering ≥80% of corpus bytes — the "which domains carry the
+    // mass" cut data-mixing recipes start from. The cumulative window
+    // is GLOBAL but runs over the source rollup (bounded: 20 sources;
+    // the q_skyline/zorder sanctioned-bounded-window argument). The
+    // 80% cut compares in INTEGER space (10·(cum−bytes) < 8·total) —
+    // no double rounding at the boundary.
+    "q_topn_percent" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .groupBy("source").agg(sum("n_chars").as("bytes"))
+      val total = src.agg(sum("bytes").as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bytes").desc, col("source"))
+      src.withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum("bytes").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(total))
+        .filter((col("cum") - col("bytes")) * 10 < col("total") * 8)
+        .select(col("rank"), col("source"), col("bytes"), col("cum"),
+          round(col("cum") / col("total").cast("double"), 6).as("cum_share"))
+        .orderBy("rank")
+    }),
+
     // Gini concentration coefficient of order value per customer
     // nation — the standard inequality metric over a revenue
     // distribution. Needs each group's values in rank order, which is
@@ -456,6 +479,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_topn_percent" ->
+      """WITH src AS (
+        |  SELECT source, SUM(n_chars) AS bytes FROM documents GROUP BY source),
+        |t AS (SELECT SUM(bytes) AS total FROM src),
+        |r AS (
+        |  SELECT source, bytes,
+        |    row_number() OVER (ORDER BY bytes DESC, source) AS rank,
+        |    SUM(bytes) OVER (ORDER BY bytes DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM src)
+        |SELECT CAST(rank AS INT) AS rank, source,
+        |  CAST(bytes AS BIGINT) AS bytes, CAST(cum AS BIGINT) AS cum,
+        |  ROUND(cum * 1.0 / total, 6) AS cum_share
+        |FROM r, t WHERE (cum - bytes) * 10 < total * 8
+        |ORDER BY rank""".stripMargin,
+
     "q_gini" ->
       """WITH j AS (
         |  SELECT n_name, o_totalprice AS x, o_orderkey

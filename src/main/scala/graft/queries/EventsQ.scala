@@ -351,6 +351,26 @@ object EventsQ {
         .orderBy("channel")
     }),
 
+    // Consecutive-run collapse (clickstream compression): per user,
+    // runs of the same event_type in time order collapse to one —
+    // n_runs/n_events is the stream's compressibility. One lag window
+    // per user (O(1) state) + a rollup; the sequence-dedup pass event
+    // pipelines run before sessionization.
+    "q_seq_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("is_new",
+          col("prev").isNull || col("prev") =!= col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_runs"))
+        .withColumn("compress_ratio",
+          round(col("n_runs") / col("n_events").cast("double"), 6))
+        .orderBy("user_id")
+    }),
+
     // Rate-burst detection: hourly event counts per type, flagged
     // where the count's z-score against that type's own hourly
     // distribution exceeds 2 — the ops-monitoring complement to
@@ -428,6 +448,18 @@ object EventsQ {
         |  COUNT(*) AS n_purchases, ROUND(SUM(value), 4) AS revenue
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_seq_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(is_new) AS BIGINT) AS n_runs,
+        |  ROUND(SUM(is_new) * 1.0 / COUNT(*), 6) AS compress_ratio
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_burst_detect" ->
       """WITH h AS (

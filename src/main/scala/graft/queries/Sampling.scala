@@ -170,6 +170,28 @@ object Sampling {
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy("fold")),
 
+    // Entity-consistent sampling: sample ~20% of CUSTOMERS by key
+    // hash, then take every order and lineitem OF those customers —
+    // the train/serve-consistency rule (sampling rows independently
+    // per table would break referential joins downstream). The
+    // summary proves the closure: sampled entity count + exact
+    // integer-cents order mass + lineitem count, all reproducible on
+    // any engine/cluster size.
+    "q_sample_consistent" -> ((s, d) => {
+      val picked = Tables.customer(s, d)
+        .filter(bucket(col("c_custkey")) < 2000)
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .join(picked, col("o_custkey") === col("c_custkey"))
+      val li = Tables.lineitem(s, d)
+        .join(o.select(col("o_orderkey").as("k")), col("l_orderkey") === col("k"))
+      val a = picked.agg(count(lit(1)).as("n_cust"))
+      val b = o.agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("order_cents"))
+      val c = li.agg(count(lit(1)).as("n_lineitems"))
+      a.crossJoin(b).crossJoin(c)
+    }),
+
     // Diversity-capped top-k: per language the 5 longest documents
     // with AT MOST 2 per source — the source-cap rule data-mixing
     // recipes apply so no single domain dominates a curated slice.
@@ -200,6 +222,20 @@ object Sampling {
     "CAST(CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_sample_consistent" ->
+      """WITH picked AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE CAST(CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+        |    AS INT) % 10000 AS INT) < 2000),
+        |o AS (SELECT * FROM orders JOIN picked ON o_custkey = c_custkey)
+        |SELECT
+        |  (SELECT COUNT(*) FROM picked) AS n_cust,
+        |  (SELECT COUNT(*) FROM o) AS n_orders,
+        |  (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   FROM o) AS order_cents,
+        |  (SELECT COUNT(*) FROM lineitem JOIN o ON l_orderkey = o_orderkey)
+        |    AS n_lineitems""".stripMargin,
+
     "q_topk_diverse" ->
       """WITH s1 AS (
         |  SELECT lang, source, doc_id, n_chars,
