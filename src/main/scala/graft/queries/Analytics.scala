@@ -424,6 +424,30 @@ object Analytics {
         .orderBy("segment")
     }),
 
+    // Month-over-month growth series per nation: monthly revenue in
+    // exact integer cents, then one lag window per nation for the
+    // percent change — the growth-analytics shape (lag over an
+    // AGGREGATED series: the window runs on |nations|·|months| rows,
+    // never the fact table). Month keys leave as strings (tz-free,
+    // the retention-cohort precedent).
+    "q_mom_growth" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name").orderBy("month")
+      m.withColumn("prev", lag("cents", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("mom_pct",
+          round((col("cents") - col("prev")) * 100.0 / col("prev"), 4))
+        .select("n_name", "month", "cents", "mom_pct")
+        .orderBy("n_name", "month")
+    }),
+
     // Head-of-distribution selection: the smallest set of sources
     // covering ≥80% of corpus bytes — the "which domains carry the
     // mass" cut data-mixing recipes start from. The cumulative window
@@ -479,6 +503,22 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mom_growth" ->
+      """WITH m AS (
+        |  SELECT n_name,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, lag(cents) OVER (PARTITION BY n_name ORDER BY month) AS prev
+        |  FROM m)
+        |SELECT n_name, month, cents,
+        |  ROUND((cents - prev) * 100.0 / prev, 4) AS mom_pct
+        |FROM r WHERE prev IS NOT NULL ORDER BY n_name, month""".stripMargin,
+
     "q_topn_percent" ->
       """WITH src AS (
         |  SELECT source, SUM(n_chars) AS bytes FROM documents GROUP BY source),

@@ -351,6 +351,27 @@ object EventsQ {
         .orderBy("channel")
     }),
 
+    // Welch's two-sample t-statistic between every event-type pair on
+    // `value` — the A/B-test primitive as a query: everything derives
+    // from one partial-agg stats pass (n, mean, sample variance per
+    // arm); the pair join is over the BOUNDED 5-row stats table. The
+    // corpus is scanned once regardless of how many pairs are tested.
+    "q_abtest_ttest" -> ((s, d) => {
+      val st = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), avg("value").as("m"),
+          var_samp("value").as("v"))
+      val a = st.select(col("event_type").as("type_a"), col("n").as("n_a"),
+        col("m").as("m_a"), col("v").as("v_a"))
+      val b = st.select(col("event_type").as("type_b"), col("n").as("n_b"),
+        col("m").as("m_b"), col("v").as("v_b"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          round((col("m_a") - col("m_b"))
+            / sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 4)
+            .as("t_stat"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Consecutive-run collapse (clickstream compression): per user,
     // runs of the same event_type in time order collapse to one —
     // n_runs/n_events is the stream's compressibility. One lag window
@@ -448,6 +469,17 @@ object EventsQ {
         |  COUNT(*) AS n_purchases, ROUND(SUM(value), 4) AS revenue
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_abtest_ttest" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+        |    var_samp(value) AS v
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat
+        |FROM st a JOIN st b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "q_seq_dedup" ->
       """WITH r AS (

@@ -54,6 +54,25 @@ object Scalars {
         .orderBy("o_orderkey")
         .limit(500)),
 
+    // Generated calendar dimension (one year): the warehouse date-dim
+    // build as a pure generator query — `sequence` over dates plus
+    // derived attributes, no table input. dow is ISO (Mon=1) via
+    // Spark's weekday()+1 ≡ DuckDB isodow (the B.8 documented-mapping
+    // rule); week-of-year is deliberately absent (ISO-week year
+    // boundaries differ subtly across engines — SURVEY §7.6.6 class).
+    "q_calendar_dim" -> ((s, _) =>
+      s.range(1)
+        .select(explode(expr(
+          "sequence(to_date('1995-01-01'), to_date('1995-12-31'))")).as("dt"))
+        .select(col("dt"),
+          year(col("dt")).as("y"), quarter(col("dt")).as("q"),
+          month(col("dt")).as("m"), dayofmonth(col("dt")).as("d"),
+          dayofyear(col("dt")).as("doy"),
+          (expr("weekday(dt)") + 1).as("dow_iso"),
+          (expr("weekday(dt)") + 1 >= 6).as("is_weekend"),
+          dayofmonth(last_day(col("dt"))).as("days_in_month"))
+        .orderBy("dt")),
+
     // Bitwise function family over exact integers — the last scalar
     // family the surface was missing (masking, packing, popcount: the
     // ops feature-hashing and bitmap-index code lean on).
@@ -196,6 +215,15 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_calendar_dim" ->
+      """SELECT dt, CAST(year(dt) AS INT) AS y, CAST(quarter(dt) AS INT) AS q,
+        |  CAST(month(dt) AS INT) AS m, CAST(day(dt) AS INT) AS d,
+        |  CAST(dayofyear(dt) AS INT) AS doy, CAST(isodow(dt) AS INT) AS dow_iso,
+        |  isodow(dt) >= 6 AS is_weekend,
+        |  CAST(day(last_day(dt)) AS INT) AS days_in_month
+        |FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |        DATE '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS dt)
+        |ORDER BY dt""".stripMargin,
     "q_str_funcs" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up_name,
