@@ -456,8 +456,11 @@ object Analytics {
     // 80% cut compares in INTEGER space (10·(cum−bytes) < 8·total) —
     // no double rounding at the boundary.
     "q_topn_percent" -> ((s, d) => {
+      // src feeds both the window and the total — materialize the
+      // bounded per-source rollup so the corpus is scanned once
       val src = Tables.documents(s, d)
         .groupBy("source").agg(sum("n_chars").as("bytes"))
+        .localCheckpoint(eager = true)
       val total = src.agg(sum("bytes").as("total"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("bytes").desc, col("source"))

@@ -357,9 +357,13 @@ object EventsQ {
     // arm); the pair join is over the BOUNDED 5-row stats table. The
     // corpus is scanned once regardless of how many pairs are tested.
     "q_abtest_ttest" -> ((s, d) => {
+      // the stats table is referenced on BOTH sides of the pair join;
+      // unmaterialized, each reference re-runs the full corpus scan —
+      // localCheckpoint the 5 bounded rows so the corpus is read once
       val st = Tables.events(s, d).groupBy("event_type")
         .agg(count(lit(1)).as("n"), avg("value").as("m"),
           var_samp("value").as("v"))
+        .localCheckpoint(eager = true)
       val a = st.select(col("event_type").as("type_a"), col("n").as("n_a"),
         col("m").as("m_a"), col("v").as("v_a"))
       val b = st.select(col("event_type").as("type_b"), col("n").as("n_b"),
@@ -400,10 +404,13 @@ object EventsQ {
     // threshold compares the 4dp-ROUNDED z (the fuzzy_jw ulp rule) so
     // both engines cut on the same grid.
     "q_burst_detect" -> ((s, d) => {
+      // hourly feeds both the stats derivation and the probe side —
+      // materialize the bounded (buckets × types) rollup once
       val hourly = Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
       val stats = hourly.groupBy("event_type")
         .agg(avg("n").as("mu"), stddev_pop("n").as("sigma"))
       hourly.join(broadcast(stats), "event_type")

@@ -492,6 +492,17 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("double-referenced bounded rollups are materialized once") {
+    // abtest's 5-row stats, burst's hourly rollup and topn's source
+    // rollup each feed two consumers; unmaterialized, every reference
+    // re-scans the corpus — the checkpoint caps each plan at ≤1 scan
+    for (k <- Seq("q_abtest_ttest", "q_burst_detect", "q_topn_percent")) {
+      val p = plan(k)
+      assert(p.sliding("FileScan".length).count(_ == "FileScan") <= 1,
+        s"$k re-scans its input\n" + p)
+    }
+  }
+
   test("q_zipf_fit scans the memoized term index, not a re-derivation") {
     val p = plan("q_zipf_fit")
     assert(p.contains("Scan ExistingRDD"),
