@@ -351,6 +351,38 @@ object EventsQ {
         .orderBy("channel")
     }),
 
+    // Population Stability Index per event type between the month's
+    // two halves — the drift-monitoring metric serving/feature
+    // pipelines alarm on (PSI > 0.2 = shifted). Fixed-width bins
+    // (width 10, capped at 19) rather than quantile bins: boundary
+    // arithmetic is exact integer division, no interpolation-ulp
+    // surface. Missing bins floor at ε=1e-4 (the standard PSI
+    // convention). Two partial aggs + a bounded full-outer on
+    // (type, bin) — input scanned once.
+    "q_psi_drift" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .withColumn("half",
+          when(col("ts") < lit("2024-01-15").cast("timestamp"), "a").otherwise("b"))
+        .withColumn("bin", least(floor(col("value") / 10).cast("int"), lit(19)))
+        .groupBy("event_type", "half", "bin").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val tot = counts.groupBy("event_type", "half").agg(sum("n").as("tot"))
+      val p = counts.join(tot, Seq("event_type", "half"))
+        .withColumn("share", col("n") / col("tot"))
+      val a = p.filter(col("half") === "a")
+        .select(col("event_type"), col("bin"), col("share").as("pa"))
+      val b = p.filter(col("half") === "b")
+        .select(col("event_type"), col("bin"), col("share").as("pb"))
+      a.join(b, Seq("event_type", "bin"), "full_outer")
+        .withColumn("qa", coalesce(col("pa"), lit(1e-4)))
+        .withColumn("qb", coalesce(col("pb"), lit(1e-4)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum((col("qa") - col("qb")) * log(col("qa") / col("qb"))), 4)
+            .as("psi"))
+        .orderBy("event_type")
+    }),
+
     // Welch's two-sample t-statistic between every event-type pair on
     // `value` — the A/B-test primitive as a query: everything derives
     // from one partial-agg stats pass (n, mean, sample variance per
@@ -476,6 +508,26 @@ object EventsQ {
         |  COUNT(*) AS n_purchases, ROUND(SUM(value), 4) AS revenue
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'a' ELSE 'b' END AS half,
+        |    LEAST(CAST(FLOOR(value / 10) AS INT), 19) AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, half, bin, COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, half, SUM(n) AS tot FROM c GROUP BY 1, 2),
+        |p AS (SELECT c.event_type, c.half, c.bin, c.n * 1.0 / t.tot AS share
+        |      FROM c JOIN t USING (event_type, half)),
+        |a AS (SELECT event_type, bin, share AS pa FROM p WHERE half = 'a'),
+        |b AS (SELECT event_type, bin, share AS pb FROM p WHERE half = 'b'),
+        |j AS (SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+        |        COALESCE(pa, 1e-4) AS qa, COALESCE(pb, 1e-4) AS qb
+        |      FROM a FULL OUTER JOIN b
+        |        ON a.event_type = b.event_type AND a.bin = b.bin)
+        |SELECT event_type, COUNT(*) AS n_bins,
+        |  ROUND(SUM((qa - qb) * ln(qa / qb)), 4) AS psi
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_abtest_ttest" ->
       """WITH st AS (
