@@ -502,6 +502,73 @@ object Analytics {
           round(lit(2.0) * col("six") / (col("n") * col("sx"))
             - (col("n") + lit(1.0)) / col("n"), 4).as("gini"))
         .orderBy("n_name")
+    }),
+
+    // Smoothed mean-target encoding (the leakage-safe categorical
+    // feature): segment-level order-value means shrunk toward the
+    // global mean with pseudo-count m=10 — enc = (n·μ_seg + m·μ)/n+m.
+    // One shuffle join orders⋈customer + one partial agg; the
+    // encoding table is bounded (one row per category) and would be
+    // broadcast back to feature rows in a full pipeline.
+    "q_target_encode" -> ((s, d) => {
+      val st = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), avg("o_totalprice").as("m"))
+        .localCheckpoint(eager = true) // bounded, referenced twice
+      val g = st.agg((sum(col("m") * col("n")) / sum("n")).as("gm"))
+      st.crossJoin(broadcast(g))
+        .select(col("c_mktsegment"), col("n"),
+          round((col("n") * col("m") + lit(10.0) * col("gm"))
+            / (col("n") + lit(10.0)), 6).as("enc"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // k-anonymity / l-diversity audit over the quasi-identifier pair
+    // (nation, market segment): group sizes k, distinct sensitive
+    // values l (account-balance kilo-bucket), and the re-id risk flag
+    // k < 5 — the privacy gate a training-data release runs before
+    // shipping. One partial agg over the corpus; output is bounded by
+    // the QI domain.
+    "q_kanon" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("k_size"),
+          countDistinct(floor(col("c_acctbal") / 1000)).as("l_div"))
+        .withColumn("at_risk", col("k_size") < 5)
+        .orderBy("n_name", "c_mktsegment")),
+
+    // Market-basket frequent brand pairs with lift — the a-priori
+    // shape: baskets collapse to DISTINCT (order, brand) first, the
+    // pair join is per-order over bounded baskets (O(k²) rows per
+    // order, never a global cross), and item supports join back via
+    // a broadcast of the bounded brand table. Support cut at 1% of
+    // orders scales with the corpus, not an absolute count.
+    "q_freq_pairs" -> ((s, d) => {
+      val basket = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("b"))
+        .distinct()
+        .localCheckpoint(eager = true) // feeds items, pairs, and totals
+      val nOrders = basket.select(countDistinct("okey").as("n_orders"))
+      val items = basket.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val pairs = basket.join(
+          basket.select(col("okey"), col("b").as("b2")), "okey")
+        .filter(col("b") < col("b2"))
+        .groupBy("b", "b2").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(items), "b")
+        .join(broadcast(items.select(col("b").as("b2"), col("nb").as("nb2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .filter(col("n") >= col("n_orders") * 0.01)
+        .select(col("b").as("brand_a"), col("b2").as("brand_b"), col("n"),
+          round(col("n") / col("n_orders"), 6).as("support"),
+          round(col("n").cast("double") * col("n_orders")
+            / (col("nb").cast("double") * col("nb2")), 4).as("lift"))
+        .orderBy("brand_a", "brand_b")
     })
   )
 
@@ -723,6 +790,43 @@ object Analytics {
         |    CAST(COUNT(DISTINCT l_tax) AS BIGINT),
         |    CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
         |    ROUND(AVG(l_tax) * 10000) / 10000 FROM lineitem)
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH st AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n, AVG(o_totalprice) AS m
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |g AS (SELECT SUM(m * n) / SUM(n) AS gm FROM st)
+        |SELECT c_mktsegment, n,
+        |  ROUND((n * m + 10.0 * gm) / (n + 10.0), 6) AS enc
+        |FROM st CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS k_size,
+        |  CAST(COUNT(DISTINCT FLOOR(c_acctbal / 1000)) AS BIGINT) AS l_div,
+        |  COUNT(*) < 5 AS at_risk
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, c_mktsegment""".stripMargin,
+
+    "q_freq_pairs" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |no AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM basket),
+        |items AS (SELECT b, COUNT(*) AS nb FROM basket GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.b, y.b AS b2, COUNT(*) AS n
+        |  FROM basket x JOIN basket y ON x.okey = y.okey AND x.b < y.b
+        |  GROUP BY 1, 2)
+        |SELECT p.b AS brand_a, p.b2 AS brand_b, p.n,
+        |  ROUND(p.n * 1.0 / no.n_orders, 6) AS support,
+        |  ROUND(p.n * 1.0 * no.n_orders / (i1.nb * 1.0 * i2.nb), 4) AS lift
+        |FROM pairs p
+        |JOIN items i1 ON p.b = i1.b
+        |JOIN items i2 ON p.b2 = i2.b
+        |CROSS JOIN no
+        |WHERE p.n >= no.n_orders * 0.01
+        |ORDER BY brand_a, brand_b""".stripMargin
   )
 }

@@ -471,6 +471,107 @@ object EventsQ {
           round(avg(pow(col("z"), 3)), 4).as("skewness"),
           round(avg(pow(col("z"), 4)) - lit(3.0), 4).as("excess_kurtosis"))
         .orderBy("event_type")
+    }),
+
+    // ROC-AUC of `value` as a purchase predictor — the tie-corrected
+    // Mann-Whitney formulation: collapse the corpus to per-score
+    // (pos, neg) counts FIRST (the value grid is bounded — ~20k cells
+    // for 2dp values regardless of corpus size), then one ordered
+    // pass accumulates negatives strictly below each score:
+    // AUC = Σ pos_s·(cumneg_<s + neg_s/2) / (P·N). The global window
+    // runs over the bounded score rollup, never the raw rows — the
+    // shape that survives 100 TB (rank-the-corpus does not).
+    "q_auc" -> ((s, d) => {
+      val perScore = Tables.events(s, d)
+        .withColumn("is_pos",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy("value")
+        .agg(count(lit(1)).as("n"), sum("is_pos").as("pos"))
+        .withColumn("neg", col("n") - col("pos"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      perScore
+        .withColumn("cumneg", coalesce(sum("neg").over(w), lit(0L)))
+        .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+          round(sum(col("pos") * (col("cumneg") + col("neg") / 2.0))
+            / (sum(col("pos")) * sum(col("neg"))), 6).as("auc"))
+    }),
+
+    // Pearson chi-squared independence test between event type and a
+    // calendar bucket (day-of-month mod 7): one contingency partial
+    // agg over the corpus, then the expected-count algebra runs on
+    // the BOUNDED cell table with broadcast marginals. Expected
+    // counts in double (long·long marginal products overflow at
+    // petabyte row counts).
+    "q_chisq_indep" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .withColumn("dow", dayofmonth(col("ts")) % 7)
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+        .localCheckpoint(eager = true) // bounded cells, referenced 4×
+      val rowt = obs.groupBy("event_type").agg(sum("o").as("rt"))
+      val colt = obs.groupBy("dow").agg(sum("o").as("ct"))
+      val tot = obs.agg(sum("o").as("nn"))
+      obs.join(broadcast(rowt), "event_type").join(broadcast(colt), "dow")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("nn"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"))
+    }),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence: one lead-window pass per user (partitioned, O(1)
+    // state), pair counts via partial agg, row-normalized against the
+    // bounded (cur → *) totals. The clickstream next-action model.
+    "q_markov_transition" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("next", lead("event_type", 1).over(w))
+        .filter(col("next").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true) // ≤25 rows, referenced twice
+      val tot = pairs.groupBy("cur").agg(sum("n").as("tot"))
+      pairs.join(broadcast(tot), "cur")
+        .withColumn("p", round(col("n") / col("tot"), 6))
+        .select("cur", "next", "n", "p")
+        .orderBy("cur", "next")
+    }),
+
+    // Autocorrelation of the daily value series at lags 1..7: the
+    // corpus collapses to one bounded daily rollup (one partial agg),
+    // and every lagged Pearson correlation runs on that ~30-row
+    // series via a broadcast lag grid — 7 ACF points for one scan.
+    "q_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d")).agg(sum("value").as("x"))
+        .localCheckpoint(eager = true) // bounded: one row per day
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag_n"))
+      daily.crossJoin(broadcast(lags))
+        .join(daily.select(col("d").as("d2"), col("x").as("y")),
+          expr("date_add(d, lag_n) = d2"))
+        .groupBy("lag_n")
+        .agg(count(lit(1)).as("n_pairs"), round(corr("x", "y"), 4).as("acf"))
+        .orderBy("lag_n")
+    }),
+
+    // Trend/residual decomposition of the daily series via a 7-day
+    // centered moving average — null at the edges where the window is
+    // partial, the textbook MA-STL convention. Like q_acf, the corpus
+    // collapses to the bounded daily rollup first; the un-partitioned
+    // window runs over ~30 rows, never the raw corpus.
+    "q_stl_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d")).agg(sum("value").as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("d").rowsBetween(-3, 3)
+      daily
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("ma", avg("x").over(w))
+        .select(col("d"), round(col("x"), 4).as("x"),
+          when(col("nw") === 7, round(col("ma"), 4)).as("trend"),
+          when(col("nw") === 7, round(col("x") - col("ma"), 4)).as("resid"))
+        .orderBy("d")
     })
   )
 
@@ -758,6 +859,69 @@ object EventsQ {
         |SELECT event_type, wstart, n,
         |  ROUND(COALESCE(last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type
         |    ORDER BY wstart ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 4) AS filled
-        |FROM j ORDER BY event_type, wstart""".stripMargin
+        |FROM j ORDER BY event_type, wstart""".stripMargin,
+
+    "q_auc" ->
+      """WITH ps AS (
+        |  SELECT value, COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+        |  FROM events GROUP BY value),
+        |acc AS (
+        |  SELECT pos, n - pos AS neg,
+        |    COALESCE(SUM(n - pos) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM ps)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |  ROUND(SUM(pos * (cumneg + neg / 2.0))
+        |    / (SUM(pos) * 1.0 * SUM(neg)), 6) AS auc
+        |FROM acc""".stripMargin,
+
+    "q_chisq_indep" ->
+      """WITH obs AS (
+        |  SELECT event_type, date_part('day', ts) % 7 AS dow, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(o) AS rt FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, SUM(o) AS ct FROM obs GROUP BY 1),
+        |tt AS (SELECT SUM(o) AS nn FROM obs)
+        |SELECT COUNT(*) AS n_cells,
+        |  ROUND(SUM(pow(obs.o - rt.rt * 1.0 * ct.ct / tt.nn, 2)
+        |    / (rt.rt * 1.0 * ct.ct / tt.nn)), 4) AS chi2
+        |FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
+        |CROSS JOIN tt""".stripMargin,
+
+    "q_markov_transition" ->
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |c AS (SELECT cur, next, COUNT(*) AS n FROM p
+        |      WHERE next IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.cur, c.next, c.n, ROUND(c.n * 1.0 / t.tot, 6) AS p
+        |FROM c JOIN t USING (cur) ORDER BY cur, next""".stripMargin,
+
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS lag_n)
+        |SELECT l.lag_n, COUNT(*) AS n_pairs, ROUND(corr(a.x, b.x), 4) AS acf
+        |FROM daily a CROSS JOIN l JOIN daily b ON a.d + l.lag_n = b.d
+        |GROUP BY l.lag_n ORDER BY lag_n""".stripMargin,
+
+    "q_stl_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, SUM(value) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT d, x, COUNT(*) OVER win AS nw, AVG(x) OVER win AS ma
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT d, ROUND(x, 4) AS x,
+        |  CASE WHEN nw = 7 THEN ROUND(ma, 4) END AS trend,
+        |  CASE WHEN nw = 7 THEN ROUND(x - ma, 4) END AS resid
+        |FROM w ORDER BY d""".stripMargin
   )
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r6 session-4 statistical operators: AUC (tie-corrected Mann-Whitney
+  * vs brute-force pair counting), chi-squared independence, Markov
+  * transition normalization, and the lagged-autocorrelation series.
+  */
+class StatsOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("q_auc equals brute-force pair-counted AUC with tie credit") {
+    val rows = graft.tables.Tables.events(spark, sf)
+      .select(col("value"),
+        (col("event_type") === "purchase").cast("int").as("y"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    var credit = 0.0
+    for (p <- pos; n <- neg)
+      credit += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = credit / (pos.length.toDouble * neg.length)
+
+    val got = graft.queries.EventsQ.queries("q_auc")(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(got.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(math.abs(got.getAs[Double]("auc") - brute) < 1e-6)
+  }
+
+  test("q_chisq_indep matches a driver-side contingency recompute") {
+    val obs = graft.tables.Tables.events(spark, sf)
+      .groupBy(col("event_type"), (dayofmonth(col("ts")) % 7).as("dow"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val n = obs.values.sum.toDouble
+    val rt = obs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = obs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val chi2 = obs.map { case ((t, d), o) =>
+      val e = rt(t) * ct(d) / n
+      (o - e) * (o - e) / e
+    }.sum
+
+    val got = graft.queries.EventsQ.queries("q_chisq_indep")(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n_cells") === obs.size.toLong)
+    assert(math.abs(got.getAs[Double]("chi2") - chi2) < 1e-3)
+  }
+
+  test("q_markov_transition rows normalize to 1 and conserve transitions") {
+    val df = graft.queries.EventsQ.queries("q_markov_transition")(spark, sf)
+      .localCheckpoint(true)
+    val rowSums = df.groupBy("cur").agg(sum("p").as("sp")).collect()
+    rowSums.foreach(r =>
+      assert(math.abs(r.getAs[Double]("sp") - 1.0) < 1e-4, s"row ${r.getString(0)}"))
+    // total transition count = events - one per user (last has no next)
+    val ev = graft.tables.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === expected)
+  }
+
+  test("q_target_encode shrinks each segment mean toward the global mean") {
+    val rows = graft.queries.Analytics.queries("q_target_encode")(spark, sf)
+      .collect()
+    assert(rows.length === 5)
+    val seg = graft.tables.Tables.orders(spark, sf)
+      .join(graft.tables.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), avg("o_totalprice").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val gm = seg.values.map { case (n, m) => n * m }.sum / seg.values.map(_._1).sum
+    rows.foreach { r =>
+      val (n, m) = seg(r.getString(0))
+      val want = (n * m + 10.0 * gm) / (n + 10.0)
+      assert(math.abs(r.getAs[Double]("enc") - want) < 1e-5)
+      // shrinkage: enc strictly between the segment mean and the global mean
+      assert((r.getAs[Double]("enc") - m) * (gm - m) >= 0.0)
+    }
+  }
+
+  test("q_kanon partitions all customers and flags exactly k<5 groups") {
+    val df = graft.queries.Analytics.queries("q_kanon")(spark, sf)
+      .localCheckpoint(true)
+    val total = df.agg(sum("k_size")).collect()(0).getLong(0)
+    assert(total === graft.tables.Tables.customer(spark, sf).count())
+    assert(df.filter(col("at_risk") =!= (col("k_size") < 5)).isEmpty)
+    assert(df.filter(col("l_div") > col("k_size")).isEmpty)
+  }
+
+  test("q_freq_pairs supports meet the 1% floor and recount exactly") {
+    val df = graft.queries.Analytics.queries("q_freq_pairs")(spark, sf)
+      .localCheckpoint(true)
+    val nOrders = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(df.filter(col("n") < nOrders * 0.01).isEmpty)
+    // recount one pair brute-force
+    val first = df.orderBy("brand_a", "brand_b").limit(1).collect()(0)
+    val (ba, bb) = (first.getString(0), first.getString(1))
+    val basket = graft.tables.Tables.lineitem(spark, sf)
+      .join(graft.tables.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val brute = basket.filter(col("p_brand") === ba).select("l_orderkey")
+      .intersect(basket.filter(col("p_brand") === bb).select("l_orderkey"))
+      .count()
+    assert(first.getAs[Long]("n") === brute)
+  }
+
+  test("q_stl_trend nulls the 3-row edges and resid = x - trend inside") {
+    val rows = graft.queries.EventsQ.queries("q_stl_trend")(spark, sf).collect()
+    val n = rows.length
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val edge = i < 3 || i >= n - 3
+      assert(r.isNullAt(r.fieldIndex("trend")) === edge, s"row $i")
+      if (!edge)
+        assert(math.abs(r.getAs[Double]("x") - r.getAs[Double]("trend")
+          - r.getAs[Double]("resid")) < 2e-4)
+    }
+  }
+
+  test("q_acf yields one bounded point per lag with |acf| <= 1") {
+    val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
+    val nDays = graft.tables.Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") === nDays - r.getAs[Int]("lag_n"))
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0)
+    }
+  }
+}
