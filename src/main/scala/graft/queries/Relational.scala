@@ -541,6 +541,31 @@ object Relational {
           lit(null).cast("long").as("n_checked"))
       local.unionByName(orphans).unionByName(dupPk).unionByName(shipOrder)
         .orderBy("rule")
+    }),
+
+    // DYNAMIC partition pruning (vs q_io_partitioned's static prune):
+    // the fact table is partitioned by order year on disk and the
+    // selective predicate arrives only through a JOIN to a derived
+    // dim, so no static filter exists at plan time — Spark injects a
+    // runtime subquery on the partition column (plan-pinned as
+    // `dynamicpruning` in PlanAssertionsSpec). At 100 TB this is the
+    // difference between scanning 7 year-partitions and 2: whole
+    // directories are skipped based on the dim filter's result.
+    "q_dpp_prune" -> ((s, d) => {
+      val tmp = graft.util.Scratch.dirFor("dpp_prune", d)
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .select("o_orderkey", "o_totalprice", "o_year")
+        .write.mode("overwrite").partitionBy("o_year").parquet(s"$tmp/fact")
+      val dim = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y")).distinct()
+        .withColumn("era", when(col("y") <= 1996, "early").otherwise("late"))
+      val fact = s.read.parquet(s"$tmp/fact")
+      fact.join(broadcast(dim.filter(col("era") === "early")),
+          fact("o_year") === dim("y"))
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_year")
     })
   )
 
@@ -770,6 +795,12 @@ object Relational {
         |SELECT source, CAST((cum - 1) // 65536 AS INT) AS bin,
         |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
         |  CAST(SUM(n_docs) AS BIGINT) AS bin_docs
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dpp_prune" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE year(o_orderdate) <= 1996
+        |GROUP BY 1 ORDER BY o_year""".stripMargin
   )
 }

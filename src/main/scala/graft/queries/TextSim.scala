@@ -464,6 +464,30 @@ object TextSim {
         .select(col("vec_id"), round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Degree distribution of the τ=0.8 near-dup graph — the audit a
+    // dedup pipeline runs BEFORE resolution: a fat-tailed histogram
+    // predicts connected-component blowup (one hub node can chain
+    // half the corpus into one cluster). Edges come from the
+    // session-memoized EdgeGraph derivation (materialize-once); this
+    // key adds two bounded partial aggs on the pair list plus the
+    // isolated-node (degree-0) complement against the corpus count.
+    "q_graph_degree_stats" -> ((s, d) => {
+      val pairs = graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)
+      val deg = pairs.select(col("a_id").as("id"))
+        .unionAll(pairs.select(col("b_id").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .localCheckpoint(eager = true) // feeds histogram + connected count
+      val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      val nConn = deg.agg(count(lit(1)).as("n_conn"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      hist.unionAll(
+          nDocs.crossJoin(broadcast(nConn))
+            .select(lit(0L).as("degree"),
+              (col("n_docs") - col("n_conn")).as("n_nodes")))
+        .filter(col("n_nodes") > 0)
+        .orderBy("degree")
     })
   )
 
@@ -704,6 +728,37 @@ object TextSim {
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |       w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subword
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_graph_degree_stats" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.8),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS degree FROM (
+        |    SELECT a_id AS id FROM pairs
+        |    UNION ALL SELECT b_id AS id FROM pairs)
+        |  GROUP BY id),
+        |hist AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree),
+        |iso AS (
+        |  SELECT CAST(0 AS BIGINT) AS degree,
+        |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg)
+        |      AS n_nodes)
+        |SELECT degree, CAST(n_nodes AS BIGINT) AS n_nodes FROM (
+        |  SELECT * FROM hist UNION ALL SELECT * FROM iso)
+        |WHERE n_nodes > 0 ORDER BY degree""".stripMargin
   )
 }

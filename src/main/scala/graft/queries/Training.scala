@@ -679,6 +679,52 @@ object Training {
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("idx"))).as("fvec"))
         .orderBy("doc_id"))
+,
+    // Multinomial Naive Bayes language ID, trained and applied inside
+    // the engine — the fastText-style classifier pass a curation
+    // pipeline runs (CCNet line 1: classify, then filter). Train on
+    // even doc_ids (Laplace-smoothed per-class token log-probs, log
+    // priors), score odd doc_ids as token-sum log-likelihoods, output
+    // the confusion matrix. Every stage is explode → partial agg or a
+    // join against the BOUNDED (vocab × 5) model table; the candidate
+    // frame is tokens × classes — linear in the corpus with a
+    // constant class factor, the canonical distributed NB shape.
+    // Argmax tiebreak: max (score, class) struct — deterministic.
+    "q_nb_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val wc = tok.filter(col("doc_id") % 2 === 0)
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true) // the model: bounded vocab × classes
+      val tot = wc.groupBy("lang").agg(sum("c").as("tc"))
+      val v = wc.agg(countDistinct("w").as("v"))
+      val pri = docs.filter(col("doc_id") % 2 === 0)
+        .groupBy("lang").agg(count(lit(1)).as("nd"))
+        .localCheckpoint(eager = true) // 5 rows, referenced twice
+      val priT = pri.agg(sum("nd").as("ndt"))
+      val cand = tok.filter(col("doc_id") % 2 === 1).select("doc_id", "w")
+        .crossJoin(broadcast(pri.select(col("lang").as("cl"))))
+        .join(wc.select(col("lang").as("cl"), col("w"), col("c")),
+          Seq("cl", "w"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(broadcast(tot.select(col("lang").as("cl"), col("tc"))), "cl")
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id", "cl")
+        .agg(sum(log((col("c") + 1.0) / (col("tc") + col("v")))).as("ll"))
+      val scored = cand
+        .join(broadcast(pri.select(col("lang").as("cl"), col("nd"))), "cl")
+        .crossJoin(broadcast(priT))
+        .withColumn("score", col("ll") + log(col("nd") / col("ndt")))
+      val pred = scored.groupBy("doc_id")
+        .agg(max(struct(col("score"), col("cl"))).as("best"))
+        .select(col("doc_id"), col("best.cl").as("pred"))
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    })
   )
 
   private val bucketSql =
@@ -1060,6 +1106,40 @@ object Training {
         |    AS BIGINT) AS n_novel,
         |  ROUND(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) /
         |    CAST(COUNT(*) AS DOUBLE), 4) AS novelty
-        |FROM g JOIN f USING (g) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        |FROM g JOIN f USING (g) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_nb_langid" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, w FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |wc AS (SELECT lang, w, COUNT(*) AS c FROM tok
+        |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(c) AS tc FROM wc GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM wc),
+        |pri AS (SELECT lang, COUNT(*) AS nd FROM documents
+        |        WHERE doc_id % 2 = 0 GROUP BY 1),
+        |prit AS (SELECT SUM(nd) AS ndt FROM pri),
+        |cand AS (
+        |  SELECT t.doc_id, p.lang AS cl,
+        |    SUM(ln((COALESCE(wc.c, 0) + 1.0) / (tot.tc + v.v))) AS ll
+        |  FROM (SELECT doc_id, w FROM tok WHERE doc_id % 2 = 1) t
+        |  CROSS JOIN pri p
+        |  LEFT JOIN wc ON wc.lang = p.lang AND wc.w = t.w
+        |  JOIN tot ON tot.lang = p.lang CROSS JOIN v
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT cand.doc_id, cand.cl,
+        |    cand.ll + ln(pri.nd * 1.0 / prit.ndt) AS score
+        |  FROM cand JOIN pri ON pri.lang = cand.cl CROSS JOIN prit),
+        |pred AS (
+        |  SELECT doc_id, cl AS pred FROM (
+        |    SELECT doc_id, cl, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cl DESC) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT d.lang, p.pred, COUNT(*) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
+        |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
   )
 }

@@ -510,4 +510,10 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Generate explode"),
       "a fresh tokenize explode means the memo was bypassed\n" + p)
   }
+
+  test("q_dpp_prune injects a runtime dynamic-partition-pruning filter") {
+    val p = plan("q_dpp_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruning partition filter\n" + p)
+  }
 }

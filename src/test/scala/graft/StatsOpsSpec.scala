@@ -117,6 +117,41 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_dpp_prune result equals the statically-filtered aggregate") {
+    val got = graft.queries.Relational.queries("q_dpp_prune")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val want = graft.tables.Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) <= 1996)
+      .groupBy(year(col("o_orderdate")).as("y")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q_nb_langid confusion matrix covers every test doc; diagonal dominates") {
+    val df = graft.queries.Training.queries("q_nb_langid")(spark, sf)
+      .localCheckpoint(true)
+    val testDocs = graft.tables.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === testDocs)
+    // the vocab is shared across langs in this corpus, so don't demand
+    // high accuracy — but the classifier must beat the 1/5 prior
+    val correct = df.filter(col("lang") === col("pred"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(correct.toDouble / testDocs > 0.2,
+      s"NB no better than chance: $correct/$testDocs")
+  }
+
+  test("q_graph_degree_stats conserves nodes and edge endpoints") {
+    val df = graft.queries.TextSim.queries("q_graph_degree_stats")(spark, sf)
+      .localCheckpoint(true)
+    val nDocs = graft.tables.Tables.documents(spark, sf).count()
+    assert(df.agg(sum("n_nodes")).collect()(0).getLong(0) === nDocs)
+    val pairs = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.8).count()
+    val endpoints = df.agg(sum(col("degree") * col("n_nodes")))
+      .collect()(0).getLong(0)
+    assert(endpoints === 2 * pairs)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
