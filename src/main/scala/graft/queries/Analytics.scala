@@ -569,6 +569,82 @@ object Analytics {
           round(col("n").cast("double") * col("n_orders")
             / (col("nb").cast("double") * col("nb2")), 4).as("lift"))
         .orderBy("brand_a", "brand_b")
+    }),
+
+    // Pairwise Pearson correlation matrix over the lineitem numeric
+    // columns — ONE aggregate pass computes all six co-moment pairs
+    // (no per-pair rescan), then a 6-row stack unpivots to tidy
+    // (col_a, col_b, r) form. The profiling primitive feature stores
+    // run nightly; at 100 TB it is still one scan + one 1-row agg.
+    "q_corr_matrix" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(a, b), 6).as(s"${a}__$b") }
+      val stackArgs = pairs
+        .map { case (a, b) => s"'$a', '$b', ${a}__$b" }.mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)"))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // Mutual information (nats) between event type and the value
+    // band, with marginal entropies and the normalized MI — the
+    // dependence measure that catches what Pearson can't (non-linear,
+    // categorical). One contingency partial agg; all the information
+    // algebra runs on the bounded cell table.
+    "q_mutual_info" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .withColumn("b", least(floor(col("value") / 20).cast("int"), lit(9)))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true) // bounded cells, referenced 4×
+      val px = cells.groupBy("event_type").agg(sum("n").as("nx"))
+      val py = cells.groupBy("b").agg(sum("n").as("ny"))
+      val tot = cells.agg(sum("n").as("nn"))
+      val joint = cells.join(broadcast(px), "event_type")
+        .join(broadcast(py), "b").crossJoin(broadcast(tot))
+      val mi = joint.agg(
+        count(lit(1)).as("n_cells"),
+        sum((col("n") / col("nn"))
+          * log(col("n").cast("double") * col("nn")
+            / (col("nx").cast("double") * col("ny"))))
+          .as("mi_raw"))
+      val hx = px.crossJoin(broadcast(tot))
+        .agg(sum((col("nx") / col("nn")) * log(col("nx") / col("nn"))).as("hx_neg"))
+      val hy = py.crossJoin(broadcast(tot))
+        .agg(sum((col("ny") / col("nn")) * log(col("ny") / col("nn"))).as("hy_neg"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(col("n_cells"),
+          round(col("mi_raw"), 6).as("mi"),
+          round(-col("hx_neg"), 6).as("h_type"),
+          round(-col("hy_neg"), 6).as("h_band"),
+          round(col("mi_raw") / least(-col("hx_neg"), -col("hy_neg")), 6)
+            .as("nmi"))
+    }),
+
+    // Benford first-digit audit of order totals — the fraud/data-
+    // quality screen: observed leading-digit shares vs the Benford
+    // expectation log10(1+1/d). Digit extracted from the STRING form
+    // (both engines print doubles < 1e7 identically), so no
+    // log10-boundary ulp surface. One partial agg; 9-row output.
+    "q_benford" -> ((s, d) => {
+      val digits = Tables.orders(s, d)
+        .withColumn("digit",
+          substring(col("o_totalprice").cast("string"), 1, 1).cast("int"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val tot = digits.agg(sum("n").as("nn"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("nn"), 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford"),
+          round(col("n") / col("nn")
+            - log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("excess"))
+        .orderBy("digit")
     })
   )
 
@@ -827,6 +903,56 @@ object Analytics {
         |JOIN items i2 ON p.b2 = i2.b
         |CROSS JOIN no
         |WHERE p.n >= no.n_orders * 0.01
-        |ORDER BY brand_a, brand_b""".stripMargin
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    "q_corr_matrix" ->
+      """SELECT col_a, col_b, r FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    ROUND(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    ROUND(corr(l_discount, l_tax), 6) FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type, LEAST(CAST(FLOOR(value / 20) AS INT), 9) AS b,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |px AS (SELECT event_type, SUM(n) AS nx FROM cells GROUP BY 1),
+        |py AS (SELECT b, SUM(n) AS ny FROM cells GROUP BY 1),
+        |tt AS (SELECT SUM(n) AS nn FROM cells),
+        |mi AS (
+        |  SELECT COUNT(*) AS n_cells,
+        |    SUM((cells.n * 1.0 / tt.nn)
+        |      * ln(cells.n * 1.0 * tt.nn / (px.nx * 1.0 * py.ny))) AS mi_raw
+        |  FROM cells JOIN px USING (event_type) JOIN py USING (b)
+        |  CROSS JOIN tt),
+        |hx AS (SELECT SUM((nx * 1.0 / nn) * ln(nx * 1.0 / nn)) AS hx_neg
+        |       FROM px CROSS JOIN tt),
+        |hy AS (SELECT SUM((ny * 1.0 / nn) * ln(ny * 1.0 / nn)) AS hy_neg
+        |       FROM py CROSS JOIN tt)
+        |SELECT n_cells, ROUND(mi_raw, 6) AS mi,
+        |  ROUND(-hx_neg, 6) AS h_type, ROUND(-hy_neg, 6) AS h_band,
+        |  ROUND(mi_raw / LEAST(-hx_neg, -hy_neg), 6) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT)
+        |    AS digit, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM d)
+        |SELECT digit, n, ROUND(n * 1.0 / nn, 6) AS share,
+        |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford,
+        |  ROUND(n * 1.0 / nn - log10(1.0 + 1.0 / digit), 6) AS excess
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin
   )
 }

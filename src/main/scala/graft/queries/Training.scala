@@ -724,7 +724,24 @@ object Training {
         .join(pred, "doc_id")
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")
-    })
+    }),
+
+    // Dataset card: the per-source datasheet a corpus release ships —
+    // doc/token volume, language spread, length profile, and the
+    // exact-duplicate rate (1 - distinct-hash / docs). One partial
+    // agg over the corpus; every metric is mergeable, so the same
+    // plan emits per-shard cards that roll up at 100 TB.
+    "q_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          round(avg(length(col("text"))), 4).as("avg_chars"),
+          countDistinct(md5(col("text"))).as("n_uniq"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_uniq") / col("n_docs"), 6))
+        .orderBy("source"))
   )
 
   private val bucketSql =
@@ -1140,6 +1157,16 @@ object Training {
         |SELECT d.lang, p.pred, COUNT(*) AS n
         |FROM documents d JOIN pred p USING (doc_id)
         |WHERE d.doc_id % 2 = 1
-        |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+        |GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    "q_dataset_card" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  ROUND(AVG(length(text)), 4) AS avg_chars,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
+        |  ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
+        |    AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -152,6 +152,49 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(endpoints === 2 * pairs)
   }
 
+  test("q_corr_matrix emits all 6 pairs; qty-price strongly positive") {
+    val rows = graft.queries.Analytics.queries("q_corr_matrix")(spark, sf)
+      .collect()
+    assert(rows.length === 6)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("r")) <= 1.0))
+    // cross-check one cell against a direct single-pair recompute
+    val qp = rows.find(r => r.getString(0) == "l_quantity"
+      && r.getString(1) == "l_extendedprice").get
+    val direct = graft.tables.Tables.lineitem(spark, sf)
+      .agg(corr("l_quantity", "l_extendedprice")).collect()(0).getDouble(0)
+    assert(math.abs(qp.getAs[Double]("r") - direct) < 1e-6)
+  }
+
+  test("q_mutual_info is bounded by the smaller marginal entropy") {
+    val r = graft.queries.Analytics.queries("q_mutual_info")(spark, sf)
+      .collect()(0)
+    val (mi, hx, hy) = (r.getAs[Double]("mi"), r.getAs[Double]("h_type"),
+      r.getAs[Double]("h_band"))
+    assert(mi >= -1e-9 && mi <= math.min(hx, hy) + 1e-9)
+    assert(r.getAs[Double]("nmi") >= -1e-9 && r.getAs[Double]("nmi") <= 1.0 + 1e-9)
+    assert(hx > 0 && hy > 0)
+  }
+
+  test("q_benford shares sum to 1 over digits 1..9") {
+    val rows = graft.queries.Analytics.queries("q_benford")(spark, sf).collect()
+    assert(rows.forall(r => (1 to 9).contains(r.getAs[Int]("digit"))))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val want = math.log10(1.0 + 1.0 / r.getAs[Int]("digit"))
+      assert(math.abs(r.getAs[Double]("benford") - want) < 1e-6)
+    }
+  }
+
+  test("q_dataset_card conserves docs and bounds dup_rate") {
+    val df = graft.queries.Training.queries("q_dataset_card")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) ===
+      graft.tables.Tables.documents(spark, sf).count())
+    assert(df.filter(col("dup_rate") < 0 || col("dup_rate") > 1).isEmpty)
+    assert(df.filter(col("n_uniq") > col("n_docs")).isEmpty)
+    assert(df.filter(col("n_tokens") <= 0).isEmpty)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
