@@ -572,6 +572,40 @@ object EventsQ {
           when(col("nw") === 7, round(col("ma"), 4)).as("trend"),
           when(col("nw") === 7, round(col("x") - col("ma"), 4)).as("resid"))
         .orderBy("d")
+    }),
+
+    // Grid-density clustering (the DBSCAN shape that scales): points
+    // collapse to grid cells in ONE partial agg (the only corpus
+    // scan), dense cells (≥0.2% of points — a RELATIVE threshold, so
+    // the same query works at any corpus size) become vertices, the
+    // 8-neighborhood between dense cells becomes edges (a broadcast
+    // self-join over the bounded cell table), and cluster ids resolve
+    // via the same ConnectedComponents operator the dedup family
+    // uses. Density clustering at 100 TB is exactly this: never pair
+    // points, pair CELLS.
+    "q_grid_cluster" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(floor(col("value") / 20).cast("int").as("cx"),
+          floor(get_json_object(col("props"), "$.k").cast("int") / 10)
+            .cast("int").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true) // bounded cell table
+      val tot = cells.agg(sum("n").as("nn"))
+      val dense = cells.crossJoin(broadcast(tot))
+        .filter(col("n") >= col("nn") * 0.002)
+        .withColumn("id", (col("cx").cast("long") * 1000 + col("cy")))
+        .localCheckpoint(eager = true) // vertices, referenced 3×
+      val b = dense.select(col("id").as("b_id"), col("cx").as("bx"),
+        col("cy").as("by"))
+      val edges = dense.join(broadcast(b),
+          abs(col("cx") - col("bx")) <= 1 && abs(col("cy") - col("by")) <= 1
+            && col("id") < col("b_id"))
+        .select(col("id").as("a_id"), col("b_id"))
+      val labels = graft.operators.ConnectedComponents.components(s,
+        dense.select(col("id").as("doc_id")), edges)
+      dense.join(labels, dense("id") === labels("doc_id"))
+        .select(col("cx"), col("cy"), col("n"), col("label").as("cluster"))
+        .orderBy("cx", "cy")
     })
   )
 
@@ -922,6 +956,31 @@ object EventsQ {
         |SELECT d, ROUND(x, 4) AS x,
         |  CASE WHEN nw = 7 THEN ROUND(ma, 4) END AS trend,
         |  CASE WHEN nw = 7 THEN ROUND(x - ma, 4) END AS resid
-        |FROM w ORDER BY d""".stripMargin
+        |FROM w ORDER BY d""".stripMargin,
+
+    "q_grid_cluster" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT CAST(FLOOR(value / 20) AS INT) AS cx,
+        |    CAST(FLOOR(CAST(json_extract(props, '$.k') AS INT) / 10) AS INT)
+        |      AS cy,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n) AS nn FROM cells),
+        |dense AS (
+        |  SELECT cx, cy, n, CAST(cx AS BIGINT) * 1000 + cy AS id
+        |  FROM cells CROSS JOIN tot WHERE n >= nn * 0.002),
+        |sym AS (
+        |  SELECT a.id AS src, b.id AS dst FROM dense a JOIN dense b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |    AND a.id <> b.id),
+        |reach AS (
+        |  SELECT id AS src, id AS dst FROM dense
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT d.cx, d.cy, d.n, l.cluster
+        |FROM dense d JOIN (
+        |  SELECT src, MIN(dst) AS cluster FROM reach GROUP BY src) l
+        |  ON l.src = d.id
+        |ORDER BY cx, cy""".stripMargin
   )
 }

@@ -195,6 +195,22 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(col("n_tokens") <= 0).isEmpty)
   }
 
+  test("q_grid_cluster: adjacency implies same cluster; label is min member id") {
+    val rows = graft.queries.EventsQ.queries("q_grid_cluster")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getInt(0).toLong * 1000 + r.getInt(1), r.getAs[Long]("cluster")))
+    val byCell = rows.map(t => t._1 -> t._3).toMap
+    // every pair of 8-adjacent dense cells shares a cluster label
+    for (((ax, ay), _, ac) <- rows; ((bx, by), _, bc) <- rows
+         if math.abs(ax - bx) <= 1 && math.abs(ay - by) <= 1)
+      assert(ac === bc, s"adjacent cells ($ax,$ay)/($bx,$by) split")
+    // cluster label = smallest member id
+    rows.groupBy(_._3).foreach { case (label, members) =>
+      assert(members.map(_._2).min === label)
+    }
+    assert(rows.nonEmpty && byCell.size === rows.length)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
