@@ -531,6 +531,39 @@ object Joins {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("s_nationkey")
+    }),
+
+    // OPTIMIZER-injected runtime bloom filter (vs q_join_bloom_
+    // prefilter's hand-built bloom): with runtime.bloomFilter enabled
+    // Catalyst's InjectRuntimeFilter plants a BloomFilterMightContain
+    // predicate on the fact side of a shuffle join, built from the
+    // dim side's selective filter — zero user code, the feature that
+    // skips most of a 100 TB probe before the shuffle. The size
+    // thresholds are production guards tuned for real corpora;
+    // scoped down here so the demonstration triggers at test scale
+    // (plan-pinned in PlanAssertionsSpec). executedPlan is forced
+    // inside the conf scope, as q_scan_agg_pushdown does.
+    "q_runtime_bloom" -> ((s, d) => {
+      val scoped = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+      try {
+        scoped.foreach { case (k, v) => s.conf.set(k, v) }
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val li = Tables.lineitem(s, d)
+        val df = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+          .orderBy("l_returnflag")
+        df.queryExecution.executedPlan // plan under the scoped confs
+        df
+      } finally prev.foreach { case (k, vOpt) =>
+        vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
     })
   )
 
@@ -779,6 +812,12 @@ object Joins {
 
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
-        |ORDER BY r_name, n_name""".stripMargin
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_runtime_bloom" ->
+      """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -516,4 +516,10 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.toLowerCase.contains("dynamicpruning"),
       "fact scan must carry a dynamicpruning partition filter\n" + p)
   }
+
+  test("q_runtime_bloom gets an optimizer-injected bloom probe on the fact side") {
+    val p = plan("q_runtime_bloom")
+    assert(p.contains("BloomFilterMightContain") || p.contains("bloom_filter"),
+      "InjectRuntimeFilter must plant a bloom probe\n" + p)
+  }
 }
