@@ -484,6 +484,41 @@ object StreamOps {
       upsertOnce(s, in, sink, tmp("upsert_ckpt"))
       upsertOnce(s, in, sink, tmp("upsert_ckpt2")) // full replay — idempotence
       s.read.parquet(sink).drop("bucket").orderBy("event_id")
+    }),
+
+    // Streaming Markov transitions: per-user LAST-EVENT state
+    // (flatMapGroupsWithState, O(1) state per key — the minimal
+    // stateful-stream shape), each arriving event emits one
+    // (prev → cur) pair; pair counts roll up at the sink read-back.
+    // Batch twin: q_markov_transition's (cur, next, n) — equality
+    // asserted in StreamingSpec. Carries µs timestamps as longs (the
+    // sessionize precision rule) and sorts within the micro-batch;
+    // cross-batch order is the file source's time order.
+    "s_markov_transitions" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("markov_out")
+      val ev = readEventsStream(s, eventsDir(d, "markov_in"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val pairs = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (_, rows, state: GroupState[(Long, Long, String)]) =>
+              val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+              val chain = state.getOption.map(_._3).toArray ++ sorted.map(_._4)
+              val out = chain.sliding(2)
+                .collect { case Array(a, b) => (a, b) }.toList
+              sorted.lastOption.foreach(e => state.update((e._2, e._3, e._4)))
+              out.iterator
+          }
+          .toDF("cur", "next")
+      }
+      runToParquet(pairs, out, tmp("markov_ckpt"))
+      s.read.parquet(out)
+        .groupBy("cur", "next").agg(count(lit(1)).as("n"))
+        .orderBy("cur", "next")
     })
   )
 

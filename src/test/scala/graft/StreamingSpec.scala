@@ -285,4 +285,12 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx=$ap exact=$ex")
     }
   }
+
+  test("s_markov_transitions equals the batch transition counts") {
+    val streamed = run("s_markov_transitions")
+      .select("cur", "next", "n")
+    val batch = graft.queries.EventsQ.queries("q_markov_transition")(spark, sf)
+      .select("cur", "next", "n")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
