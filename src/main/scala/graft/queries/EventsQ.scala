@@ -606,7 +606,67 @@ object EventsQ {
       dense.join(labels, dense("id") === labels("doc_id"))
         .select(col("cx"), col("cy"), col("n"), col("label").as("cluster"))
         .orderBy("cx", "cy")
-    })
+    }),
+
+    // Two-sample Kolmogorov-Smirnov: D = max |F_purchase - F_view|
+    // over the merged value grid, the same collapse-to-the-bounded-
+    // score-grid shape as q_auc (the corpus is scanned once; the
+    // ordered pass runs on per-value counts). The reject flag
+    // compares 6dp-ROUNDED D to the 6dp-rounded α=.05 critical value
+    // so both engines cut on the same grid.
+    "q_ks_test" -> ((s, d) => {
+      val perVal = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy("value")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"))
+        .localCheckpoint(eager = true) // bounded value grid, referenced twice
+      val w = org.apache.spark.sql.expressions.Window.orderBy("value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = perVal.agg(sum("a").as("n1"), sum("b").as("n2"))
+      perVal
+        .withColumn("ca", sum("a").over(w))
+        .withColumn("cb", sum("b").over(w))
+        .crossJoin(broadcast(tot))
+        .agg(min("n1").as("n1"), min("n2").as("n2"),
+          max(abs(col("ca") / col("n1") - col("cb") / col("n2"))).as("d_raw"))
+        .select(col("n1"), col("n2"), round(col("d_raw"), 6).as("d"),
+          (round(col("d_raw"), 6) >
+            round(lit(1.358) * sqrt((col("n1") + col("n2"))
+              / (col("n1").cast("double") * col("n2"))), 6)).as("reject"))
+    }),
+
+    // CUSUM mean-shift detection on the daily series: cumulative
+    // deviation from the global mean, peak excursion flagged — the
+    // changepoint complement to q_burst_detect (rate spikes) and
+    // q_psi_drift (distribution drift). Corpus → bounded daily rollup
+    // → one ordered pass; peak equality is on the 4dp-rounded grid.
+    "q_cusum_drift" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d")).agg(avg("value").as("m"))
+        .localCheckpoint(eager = true) // bounded, referenced via two windows
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy("d").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val mu = daily.agg(avg("m").as("mu"))
+      val withCusum = daily.crossJoin(broadcast(mu))
+        .withColumn("cusum", round(sum(col("m") - col("mu")).over(wAll), 4))
+      val peak = withCusum.agg(max(abs(col("cusum"))).as("peak"))
+      withCusum.crossJoin(broadcast(peak))
+        .select(col("d"), round(col("m"), 4).as("mean_v"), col("cusum"),
+          (abs(col("cusum")) === col("peak")).as("is_peak"))
+        .orderBy("d")
+    }),
+
+    // Hour-of-day × day-of-week seasonality heatmap per the session's
+    // UTC clock — one partial agg, bounded 168-cell output. (Spark's
+    // dayofweek is 1-based Sun..Sat; emitted 0-based to match the
+    // DuckDB convention.)
+    "q_seasonality_profile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_val"))
+        .orderBy("dow", "hr"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -981,6 +1041,48 @@ object EventsQ {
         |FROM dense d JOIN (
         |  SELECT src, MIN(dst) AS cluster FROM reach GROUP BY src) l
         |  ON l.src = d.id
-        |ORDER BY cx, cy""".stripMargin
+        |ORDER BY cx, cy""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH pv AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS b
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY value),
+        |acc AS (
+        |  SELECT
+        |    SUM(a) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    SUM(b) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM pv),
+        |t AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM pv)
+        |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+        |  ROUND(MAX(abs(ca * 1.0 / t.n1 - cb * 1.0 / t.n2)), 6) AS d,
+        |  ROUND(MAX(abs(ca * 1.0 / t.n1 - cb * 1.0 / t.n2)), 6) >
+        |    ROUND(1.358 * sqrt((t.n1 + t.n2) * 1.0 / (t.n1 * t.n2)), 6)
+        |    AS reject
+        |FROM acc CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin,
+
+    "q_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, AVG(value) AS m
+        |  FROM events GROUP BY 1),
+        |mu AS (SELECT AVG(m) AS mu FROM daily),
+        |c AS (
+        |  SELECT d, m,
+        |    ROUND(SUM(m - mu) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cusum
+        |  FROM daily CROSS JOIN mu),
+        |p AS (SELECT MAX(abs(cusum)) AS peak FROM c)
+        |SELECT d, ROUND(m, 4) AS mean_v, cusum,
+        |  abs(cusum) = peak AS is_peak
+        |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_seasonality_profile" ->
+      """SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
+        |  COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_val
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
   )
 }

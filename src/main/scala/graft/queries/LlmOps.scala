@@ -641,6 +641,35 @@ object LlmOps {
           round(min("ratio"), 4).as("min_ratio"),
           sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_suspect"))
         .orderBy("lang")
+    }),
+
+    // Retrieval-quality eval: precision@10 per label over the full
+    // neighbor ranking — every vector queries the whole corpus, its
+    // top-10 by cosine (tiebreak vec_id) are scored against the label.
+    // This is the BRUTE-FORCE eval baseline (the thing q_sim_ivf's
+    // recall is measured against): all-pairs with a broadcast probe
+    // side, one per-query window. At 100 TB the candidate generation
+    // routes through the IVF cells (q_sim_ivf) and this same scoring
+    // tail runs unchanged on the probed candidates.
+    "q_precision_recall_k" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_lab"),
+        col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_lab"),
+        col("embedding").as("b_emb"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("a_lab"), col("b_lab"),
+          round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"), col("b_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy("a_id", "a_lab")
+        .agg(sum(when(col("b_lab") === col("a_lab"), 1L).otherwise(0L)).as("hits"))
+        .groupBy(col("a_lab").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("hits") / 10.0), 6).as("p_at_10"))
+        .orderBy("label")
     })
   )
 
@@ -872,6 +901,25 @@ object LlmOps {
          |       FROM (SELECT e.vec_id, c2.cid,
          |               ROUND(${duckCos("e.embedding", "c2.c")}, 6) AS cos
          |             FROM e CROSS JOIN c2))
-         |SELECT vec_id, cid, cos FROM s3 WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, cid, cos FROM s3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_precision_recall_k" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS a_id, a.label AS a_lab, b.vec_id AS b_id,
+         |    b.label AS b_lab,
+         |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |top AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id) AS rn FROM pairs)
+         |  WHERE rn <= 10),
+         |pq AS (
+         |  SELECT a_id, a_lab,
+         |    SUM(CASE WHEN b_lab = a_lab THEN 1 ELSE 0 END) AS hits
+         |  FROM top GROUP BY 1, 2)
+         |SELECT a_lab AS label, COUNT(*) AS n_queries,
+         |  ROUND(AVG(hits / 10.0), 6) AS p_at_10
+         |FROM pq GROUP BY 1 ORDER BY label""".stripMargin
   )
 }

@@ -211,6 +211,51 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.nonEmpty && byCell.size === rows.length)
   }
 
+  test("q_ks_test D matches a driver-side ECDF recompute") {
+    val rows = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val xs = rows.filter(_._1 == "purchase").map(_._2).sorted
+    val ys = rows.filter(_._1 == "view").map(_._2).sorted
+    val grid = (xs ++ ys).distinct.sorted
+    def ecdf(s: Array[Double], v: Double) =
+      s.count(_ <= v).toDouble / s.length
+    val d = grid.map(v => math.abs(ecdf(xs, v) - ecdf(ys, v))).max
+    val got = graft.queries.EventsQ.queries("q_ks_test")(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n1") === xs.length.toLong)
+    assert(got.getAs[Long]("n2") === ys.length.toLong)
+    assert(math.abs(got.getAs[Double]("d") - d) < 1e-6)
+  }
+
+  test("q_cusum_drift ends near zero and flags at least one peak") {
+    val rows = graft.queries.EventsQ.queries("q_cusum_drift")(spark, sf).collect()
+    // sum over all days of (m - mu) telescopes to ~0
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 1e-2)
+    assert(rows.count(_.getAs[Boolean]("is_peak")) >= 1)
+    val peak = rows.map(r => math.abs(r.getAs[Double]("cusum"))).max
+    rows.filter(_.getAs[Boolean]("is_peak"))
+      .foreach(r => assert(math.abs(math.abs(r.getAs[Double]("cusum")) - peak) < 1e-9))
+  }
+
+  test("q_seasonality_profile partitions the corpus over <=168 cells") {
+    val df = graft.queries.EventsQ.queries("q_seasonality_profile")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.count() <= 168)
+    assert(df.agg(sum("n")).collect()(0).getLong(0) ===
+      graft.tables.Tables.events(spark, sf).count())
+    assert(df.filter(col("dow") < 0 || col("dow") > 6
+      || col("hr") < 0 || col("hr") > 23).isEmpty)
+  }
+
+  test("q_precision_recall_k conserves queries; p@10 in [0,1]") {
+    val df = graft.queries.LlmOps.queries("q_precision_recall_k")(spark, sf)
+      .localCheckpoint(true)
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(df.agg(sum("n_queries")).collect()(0).getLong(0) === n)
+    assert(df.filter(col("p_at_10") < 0 || col("p_at_10") > 1).isEmpty)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
