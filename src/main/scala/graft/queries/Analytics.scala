@@ -571,6 +571,24 @@ object Analytics {
         .orderBy("brand_a", "brand_b")
     }),
 
+    // Seasonal index: each month's revenue relative to its year's
+    // monthly average — the classic retail seasonality normalization.
+    // One partial agg to the bounded (year, month) rollup; the yearly
+    // averages broadcast back. Money compared at 2dp (the io_roundtrip
+    // large-sum rule), the index at 4dp.
+    "q_seasonal_index" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(sum("o_totalprice").as("rev"))
+        .localCheckpoint(eager = true) // bounded, feeds yearly avg too
+      val yearly = monthly.groupBy("yr").agg(avg("rev").as("avg_rev"))
+      monthly.join(broadcast(yearly), "yr")
+        .select(col("yr"), col("mo"), round(col("rev"), 2).as("rev"),
+          round(col("rev") / col("avg_rev"), 4).as("idx"))
+        .orderBy("yr", "mo")
+    }),
+
     // Pairwise Pearson correlation matrix over the lineitem numeric
     // columns — ONE aggregate pass computes all six co-moment pairs
     // (no per-pair rescan), then a 6-row stack unpivots to tidy
@@ -904,6 +922,17 @@ object Analytics {
         |CROSS JOIN no
         |WHERE p.n >= no.n_orders * 0.01
         |ORDER BY brand_a, brand_b""".stripMargin,
+
+    "q_seasonal_index" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(month(o_orderdate) AS INT) AS mo,
+        |    SUM(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |y AS (SELECT yr, AVG(rev) AS avg_rev FROM m GROUP BY 1)
+        |SELECT m.yr, m.mo, ROUND(m.rev, 2) AS rev,
+        |  ROUND(m.rev / y.avg_rev, 4) AS idx
+        |FROM m JOIN y USING (yr) ORDER BY yr, mo""".stripMargin,
 
     "q_corr_matrix" ->
       """SELECT col_a, col_b, r FROM (

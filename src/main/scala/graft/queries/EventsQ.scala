@@ -666,7 +666,51 @@ object EventsQ {
       Tables.events(s, d)
         .groupBy((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
         .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_val"))
-        .orderBy("dow", "hr"))
+        .orderBy("dow", "hr")),
+
+    // Density-based anomaly scoring on the q_grid_cluster lattice:
+    // each point's score is -ln(its cell's density share) — rare
+    // cells are anomalous — and the 20 most anomalous points surface
+    // via TakeOrdered (no global sort materialized). One corpus scan
+    // builds the bounded cell table; the probe join back is a
+    // broadcast.
+    "q_isolation_grid" -> ((s, d) => {
+      val pts = Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") / 20).cast("int").as("cx"),
+          floor(get_json_object(col("props"), "$.k").cast("int") / 10)
+            .cast("int").as("cy"))
+      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val tot = cells.agg(sum("n").as("nn"))
+      val scored = cells.crossJoin(broadcast(tot))
+        .withColumn("score", round(-log(col("n") / col("nn")), 6))
+      pts.join(broadcast(scored), Seq("cx", "cy"))
+        .select("event_id", "cx", "cy", "n", "score")
+        .orderBy(col("score").desc, col("event_id"))
+        .limit(20)
+    }),
+
+    // View→purchase conversion-lag histogram: one per-user carry
+    // window (last preceding view, O(1) state) feeds an hour-bucketed
+    // rollup; purchases with no prior view land in bucket -1. The
+    // marketing-funnel latency profile, computed in one corpus pass.
+    "q_conversion_lag" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("lv_us",
+          last(when(col("event_type") === "view", col("ts_us")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("lag_hours",
+          when(col("lv_us").isNull, lit(-1L))
+            .otherwise(expr("(ts_us - lv_us) div 3600000000")))
+        .groupBy("lag_hours").agg(count(lit(1)).as("n_purchases"))
+        .orderBy("lag_hours")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1083,6 +1127,33 @@ object EventsQ {
     "q_seasonality_profile" ->
       """SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,
         |  COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_val
-        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+
+    "q_isolation_grid" ->
+      """WITH pts AS (
+        |  SELECT event_id, CAST(FLOOR(value / 20) AS INT) AS cx,
+        |    CAST(FLOOR(CAST(json_extract(props, '$.k') AS INT) / 10) AS INT)
+        |      AS cy
+        |  FROM events),
+        |cells AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+        |t AS (SELECT SUM(n) AS nn FROM cells)
+        |SELECT p.event_id, p.cx, p.cy, c.n,
+        |  ROUND(-ln(c.n * 1.0 / t.nn), 6) AS score
+        |FROM pts p JOIN cells c USING (cx, cy) CROSS JOIN t
+        |ORDER BY score DESC, event_id LIMIT 20""".stripMargin,
+
+    "q_conversion_lag" ->
+      """WITH a AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv_us
+        |  FROM events)
+        |SELECT CASE WHEN lv_us IS NULL THEN -1
+        |    ELSE (ts_us - lv_us) // 3600000000 END AS lag_hours,
+        |  COUNT(*) AS n_purchases
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY lag_hours""".stripMargin
   )
 }

@@ -741,7 +741,37 @@ object Training {
           countDistinct(md5(col("text"))).as("n_uniq"))
         .withColumn("dup_rate",
           round(lit(1.0) - col("n_uniq") / col("n_docs"), 6))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Vocabulary-growth (Heaps' law) curve: terms are attributed to
+    // the doc-id decile where they FIRST appear (min doc_id per term
+    // — one explode + partial agg), so cumulative vocabulary size per
+    // decile falls out of a 10-row window — the whole curve from one
+    // corpus scan, no per-prefix rescans. The tokenizer-sizing
+    // diagnostic: sublinear growth says when vocab saturates.
+    "q_vocab_growth" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg((max("doc_id") + 1).as("mxd"))
+      val firstSeen = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(min("doc_id").as("first_doc"))
+      val newTerms = firstSeen.crossJoin(broadcast(mx))
+        .groupBy(expr("(first_doc * 10) div mxd").cast("int").as("bucket"))
+        .agg(count(lit(1)).as("new_terms"))
+      val docStats = docs.crossJoin(broadcast(mx))
+        .groupBy(expr("(doc_id * 10) div mxd").cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docStats.join(newTerms, Seq("bucket"), "left")
+        .na.fill(0L, Seq("new_terms"))
+        .select(col("bucket"),
+          sum("n_docs").over(w).as("cum_docs"),
+          sum("n_tokens").over(w).as("cum_tokens"),
+          sum("new_terms").over(w).as("vocab_size"))
+        .orderBy("bucket")
+    })
   )
 
   private val bucketSql =
@@ -1167,6 +1197,30 @@ object Training {
         |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq,
         |  ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6)
         |    AS dup_rate
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS mxd FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |fs AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |nt AS (
+        |  SELECT CAST((first_doc * 10) // mxd AS INT) AS bucket,
+        |    COUNT(*) AS new_terms
+        |  FROM fs CROSS JOIN mx GROUP BY 1),
+        |ds AS (
+        |  SELECT CAST((doc_id * 10) // mxd AS INT) AS bucket,
+        |    COUNT(*) AS n_docs,
+        |    SUM(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents CROSS JOIN mx GROUP BY 1)
+        |SELECT ds.bucket,
+        |  CAST(SUM(ds.n_docs) OVER win AS BIGINT) AS cum_docs,
+        |  CAST(SUM(ds.n_tokens) OVER win AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(nt.new_terms, 0)) OVER win AS BIGINT) AS vocab_size
+        |FROM ds LEFT JOIN nt USING (bucket)
+        |WINDOW win AS (ORDER BY ds.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin
   )
 }

@@ -256,6 +256,49 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(col("p_at_10") < 0 || col("p_at_10") > 1).isEmpty)
   }
 
+  test("q_isolation_grid surfaces the rarest cells first") {
+    val rows = graft.queries.EventsQ.queries("q_isolation_grid")(spark, sf)
+      .collect()
+    assert(rows.length === 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // score must decrease as cell count grows
+    val byN = rows.map(r => (r.getAs[Long]("n"), r.getAs[Double]("score")))
+    byN.combinations(2).foreach { case Array((n1, s1), (n2, s2)) =>
+      if (n1 < n2) assert(s1 >= s2)
+    }
+  }
+
+  test("q_conversion_lag conserves purchases; buckets non-negative or -1") {
+    val df = graft.queries.EventsQ.queries("q_conversion_lag")(spark, sf)
+      .localCheckpoint(true)
+    val purchases = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.agg(sum("n_purchases")).collect()(0).getLong(0) === purchases)
+    assert(df.filter(col("lag_hours") < -1).isEmpty)
+  }
+
+  test("q_seasonal_index averages to 1 within each year") {
+    val df = graft.queries.Analytics.queries("q_seasonal_index")(spark, sf)
+      .localCheckpoint(true)
+    df.groupBy("yr").agg(avg("idx").as("m"), count(lit(1)).as("n"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getAs[Double]("m") - 1.0) < 1e-3,
+          s"year ${r.getInt(0)}: mean idx ${r.getAs[Double]("m")}")
+      }
+  }
+
+  test("q_vocab_growth is monotone and lands on corpus totals") {
+    val rows = graft.queries.Training.queries("q_vocab_growth")(spark, sf)
+      .collect()
+    val vs = rows.map(_.getAs[Long]("vocab_size"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+    val docs = graft.tables.Tables.documents(spark, sf)
+    assert(rows.last.getAs[Long]("cum_docs") === docs.count())
+    val vocab = docs.select(explode(split(col("text"), " "))).distinct().count()
+    assert(rows.last.getAs[Long]("vocab_size") === vocab)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
