@@ -589,6 +589,52 @@ object Analytics {
         .orderBy("yr", "mo")
     }),
 
+    // Decile lift chart — the marketing-model eval: rank by score
+    // (value), cut into POPULATION deciles on the bounded score grid
+    // (cum-count integer arithmetic, the q_auc collapse — never a
+    // global row sort), then purchase rate and lift per decile.
+    // Decile 0 = highest scores.
+    "q_decile_lift" -> ((s, d) => {
+      val grid = Tables.events(s, d)
+        .withColumn("is_pos",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy("value")
+        .agg(count(lit(1)).as("n"), sum("is_pos").as("pos"))
+        .localCheckpoint(eager = true) // bounded score grid, referenced twice
+      val tot = grid.agg(sum("n").as("nn"), sum("pos").as("pp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("value").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      grid
+        .withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cb * 10) div nn").cast("int"))
+        .groupBy("decile")
+        .agg(sum("n").as("n"), sum("pos").as("n_pos"),
+          round(sum("pos") / sum("n").cast("double"), 6).as("rate"),
+          round((sum("pos") / sum("n").cast("double"))
+            / (min("pp") / min("nn").cast("double")), 4).as("lift"))
+        .orderBy("decile")
+    }),
+
+    // Rare-category collapse (the feature-prep recode): labels below
+    // 1% frequency fold into OTHER before encoding — kills the
+    // long-tail cardinality that would blow up one-hot/target
+    // encodings. One partial agg builds the bounded frequency table;
+    // the recode is a broadcast probe.
+    "q_rare_collapse" -> ((s, d) => {
+      val freq = Tables.part(s, d)
+        .groupBy("p_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val tot = freq.agg(sum("n").as("nn"))
+      freq.crossJoin(broadcast(tot))
+        .withColumn("recoded",
+          when(col("n") < col("nn") * 0.01, lit("OTHER")).otherwise(col("p_type")))
+        .groupBy("recoded")
+        .agg(sum("n").as("n_parts"), count(lit(1)).as("n_source_labels"))
+        .orderBy("recoded")
+    }),
+
     // Pairwise Pearson correlation matrix over the lineitem numeric
     // columns — ONE aggregate pass computes all six co-moment pairs
     // (no per-pair rescan), then a 6-row stack unpivots to tidy
@@ -933,6 +979,37 @@ object Analytics {
         |SELECT m.yr, m.mo, ROUND(m.rev, 2) AS rev,
         |  ROUND(m.rev / y.avg_rev, 4) AS idx
         |FROM m JOIN y USING (yr) ORDER BY yr, mo""".stripMargin,
+
+    "q_decile_lift" ->
+      """WITH grid AS (
+        |  SELECT value, COUNT(*) AS n,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+        |  FROM events GROUP BY value),
+        |t AS (SELECT SUM(n) AS nn, SUM(pos) AS pp FROM grid),
+        |acc AS (
+        |  SELECT n, pos,
+        |    COALESCE(SUM(n) OVER (ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM grid),
+        |dec AS (
+        |  SELECT CAST((acc.cb * 10) // t.nn AS INT) AS decile,
+        |    acc.n, acc.pos, t.nn, t.pp
+        |  FROM acc CROSS JOIN t)
+        |SELECT decile, CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  ROUND(SUM(pos) * 1.0 / SUM(n), 6) AS rate,
+        |  ROUND((SUM(pos) * 1.0 / SUM(n)) / (MIN(pp) * 1.0 / MIN(nn)), 4)
+        |    AS lift
+        |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_rare_collapse" ->
+      """WITH f AS (SELECT p_type, COUNT(*) AS n FROM part GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM f)
+        |SELECT CASE WHEN f.n < t.nn * 0.01 THEN 'OTHER' ELSE f.p_type END
+        |    AS recoded,
+        |  CAST(SUM(f.n) AS BIGINT) AS n_parts,
+        |  COUNT(*) AS n_source_labels
+        |FROM f CROSS JOIN t GROUP BY 1 ORDER BY recoded""".stripMargin,
 
     "q_corr_matrix" ->
       """SELECT col_a, col_b, r FROM (

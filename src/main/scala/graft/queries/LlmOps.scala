@@ -670,6 +670,27 @@ object LlmOps {
         .agg(count(lit(1)).as("n_queries"),
           round(avg(col("hits") / 10.0), 6).as("p_at_10"))
         .orderBy("label")
+    }),
+
+    // Mislabel/outlier detection in embedding space (the cleanlab
+    // pass): distance to the OWN-label centroid, 20 farthest surfaced
+    // via TakeOrdered. Centroids derive once per label (posexplode +
+    // partial avg — the q_sim_ivf derivation) and broadcast to the
+    // scoring join; the corpus streams through one codegen'd cosine.
+    "q_embed_outlier" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = Tables.embeddings(s, d)
+      val centroids = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> CAST(p.m AS FLOAT))")
+          .as("centroid"))
+      e.join(broadcast(centroids), "label")
+        .select(col("vec_id"), col("label"),
+          round(lit(1.0) - expr("cosine_sim(embedding, centroid)"), 6).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(20)
     })
   )
 
@@ -920,6 +941,17 @@ object LlmOps {
          |  FROM top GROUP BY 1, 2)
          |SELECT a_lab AS label, COUNT(*) AS n_queries,
          |  ROUND(AVG(hits / 10.0), 6) AS p_at_10
-         |FROM pq GROUP BY 1 ORDER BY label""".stripMargin
+         |FROM pq GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q_embed_outlier" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |m AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+         |      FROM embeddings CROSS JOIN dims GROUP BY label, i),
+         |c AS (SELECT label, list(CAST(m AS FLOAT) ORDER BY i) AS c
+         |      FROM m GROUP BY label)
+         |SELECT e.vec_id, e.label,
+         |  ROUND(1.0 - ${duckCos("e.embedding", "c.c")}, 6) AS dist
+         |FROM embeddings e JOIN c USING (label)
+         |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
   )
 }

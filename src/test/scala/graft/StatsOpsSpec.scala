@@ -299,6 +299,40 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.last.getAs[Long]("vocab_size") === vocab)
   }
 
+  test("q_decile_lift partitions the corpus into ~equal deciles; lift avg 1") {
+    val rows = graft.queries.Analytics.queries("q_decile_lift")(spark, sf)
+      .collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === graft.tables.Tables.events(spark, sf).count())
+    // deciles are population-balanced up to score-grid granularity
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n") - total / 10.0)
+      < total * 0.02, s"decile ${r.getInt(0)} size ${r.getAs[Long]("n")}"))
+    // weighted mean of rates = overall rate => weighted mean lift = 1
+    val wl = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("lift")).sum / total
+    assert(math.abs(wl - 1.0) < 1e-2)
+  }
+
+  test("q_rare_collapse conserves parts and only folds sub-1% labels") {
+    val df = graft.queries.Analytics.queries("q_rare_collapse")(spark, sf)
+      .localCheckpoint(true)
+    val total = graft.tables.Tables.part(spark, sf).count()
+    assert(df.agg(sum("n_parts")).collect()(0).getLong(0) === total)
+    // every kept (non-OTHER) label is itself >= 1%
+    assert(df.filter(col("recoded") =!= "OTHER"
+      && col("n_parts") < total * 0.01).isEmpty)
+    assert(df.filter(col("recoded") =!= "OTHER")
+      .filter(col("n_source_labels") =!= 1).isEmpty)
+  }
+
+  test("q_embed_outlier: every listed dist >= any unlisted vector's dist") {
+    val top = graft.queries.LlmOps.queries("q_embed_outlier")(spark, sf)
+      .collect()
+    assert(top.length === 20)
+    val ds = top.map(_.getAs[Double]("dist"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    assert(ds.forall(d => d >= 0.0 && d <= 2.0))
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
