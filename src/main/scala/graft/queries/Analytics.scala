@@ -635,6 +635,57 @@ object Analytics {
         .orderBy("recoded")
     }),
 
+    // Item-item collaborative-filtering similarity: cosine between
+    // brand purchase-count vectors (over the customer dimension) —
+    // the recsys "customers who bought X" primitive. The co-product
+    // join runs PER CUSTOMER over bounded baskets (never across the
+    // customer dimension), norms broadcast back; one corpus scan.
+    "q_cf_item_sim" -> ((s, d) => {
+      val cb = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey").as("cust"), col("p_brand").as("b"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .localCheckpoint(eager = true) // feeds co-products and norms
+      val norms = cb.groupBy("b").agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+      val coprod = cb.join(
+          cb.select(col("cust"), col("b").as("b2"), col("c").as("c2")), "cust")
+        .filter(col("b") < col("b2"))
+        .groupBy("b", "b2").agg(sum(col("c") * col("c2")).as("dot"))
+      coprod
+        .join(broadcast(norms), "b")
+        .join(broadcast(norms.select(col("b").as("b2"), col("nrm").as("nrm2"))),
+          "b2")
+        .select(col("b").as("brand_a"), col("b2").as("brand_b"),
+          round(col("dot") / (col("nrm") * col("nrm2")), 6).as("cos"))
+        .orderBy("brand_a", "brand_b")
+    }),
+
+    // Percent-of-parent rollup (the OLAP drill-down ratio): nation
+    // revenue as a share of its region, region as a share of the
+    // total — shares derive from ONE bounded nation-grain rollup via
+    // two window sums, the fact table is scanned once.
+    "q_share_of_parent" -> ((s, d) => {
+      val byNation = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum("o_totalprice").as("rev"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)) // bounded 25-row rollup — global frame is safe
+      byNation
+        .select(col("r_name"), col("n_name"), round(col("rev"), 2).as("rev"),
+          round(col("rev") / sum("rev").over(wr), 6).as("share_of_region"),
+          round(sum("rev").over(wr) / sum("rev").over(wAll), 6)
+            .as("region_share_of_total"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // Pairwise Pearson correlation matrix over the lineitem numeric
     // columns — ONE aggregate pass computes all six co-moment pairs
     // (no per-pair rescan), then a 6-row stack unpivots to tidy
@@ -979,6 +1030,39 @@ object Analytics {
         |SELECT m.yr, m.mo, ROUND(m.rev, 2) AS rev,
         |  ROUND(m.rev / y.avg_rev, 4) AS idx
         |FROM m JOIN y USING (yr) ORDER BY yr, mo""".stripMargin,
+
+    "q_cf_item_sim" ->
+      """WITH cb AS (
+        |  SELECT o_custkey AS cust, p_brand AS b,
+        |    CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |n AS (SELECT b, sqrt(SUM(c * c)) AS nrm FROM cb GROUP BY 1),
+        |cp AS (
+        |  SELECT x.b, y.b AS b2, SUM(x.c * y.c) AS dot
+        |  FROM cb x JOIN cb y ON x.cust = y.cust AND x.b < y.b
+        |  GROUP BY 1, 2)
+        |SELECT cp.b AS brand_a, cp.b2 AS brand_b,
+        |  ROUND(cp.dot / (n1.nrm * n2.nrm), 6) AS cos
+        |FROM cp JOIN n n1 ON cp.b = n1.b JOIN n n2 ON cp.b2 = n2.b
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    "q_share_of_parent" ->
+      """WITH bn AS (
+        |  SELECT r_name, n_name, SUM(o_totalprice) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, ROUND(rev, 2) AS rev,
+        |  ROUND(rev / SUM(rev) OVER (PARTITION BY r_name), 6)
+        |    AS share_of_region,
+        |  ROUND(SUM(rev) OVER (PARTITION BY r_name) / SUM(rev) OVER (), 6)
+        |    AS region_share_of_total
+        |FROM bn ORDER BY r_name, n_name""".stripMargin,
 
     "q_decile_lift" ->
       """WITH grid AS (

@@ -710,6 +710,25 @@ object EventsQ {
             .otherwise(expr("(ts_us - lv_us) div 3600000000")))
         .groupBy("lag_hours").agg(count(lit(1)).as("n_purchases"))
         .orderBy("lag_hours")
+    }),
+
+    // Lag-feature generation (the ML feature-engineering pass a
+    // training pipeline materializes next to the label): per-user
+    // lag-1/lag-2 values, trailing-3 rolling mean, and first
+    // difference — all from ONE per-user window sort, honest nulls at
+    // sequence heads. Output is corpus-grain (a feature table), the
+    // one key family that intentionally emits per-row features.
+    "q_lag_features" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wr = w.rowsBetween(-3, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), round(col("value"), 4).as("v"),
+          round(lag("value", 1).over(w), 4).as("lag1"),
+          round(lag("value", 2).over(w), 4).as("lag2"),
+          round(avg("value").over(wr), 4).as("rmean3"),
+          round(col("value") - lag("value", 1).over(w), 4).as("delta1"))
+        .orderBy("event_id")
     })
   )
 
@@ -1154,6 +1173,17 @@ object EventsQ {
         |    ELSE (ts_us - lv_us) // 3600000000 END AS lag_hours,
         |  COUNT(*) AS n_purchases
         |FROM a WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY lag_hours""".stripMargin
+        |GROUP BY 1 ORDER BY lag_hours""".stripMargin,
+
+    "q_lag_features" ->
+      """SELECT event_id, user_id, ROUND(value, 4) AS v,
+        |  ROUND(lag(value, 1) OVER w, 4) AS lag1,
+        |  ROUND(lag(value, 2) OVER w, 4) AS lag2,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS rmean3,
+        |  ROUND(value - lag(value, 1) OVER w, 4) AS delta1
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin
   )
 }

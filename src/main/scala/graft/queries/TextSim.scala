@@ -488,7 +488,17 @@ object TextSim {
               (col("n_docs") - col("n_conn")).as("n_nodes")))
         .filter(col("n_nodes") > 0)
         .orderBy("degree")
-    })
+    }),
+
+    // Token-length histogram per language (tokenizer sizing
+    // diagnostic: long-tail word lengths predict subword fertility).
+    // Served from the session term-index memo — one partial agg, no
+    // fresh tokenize explode.
+    "q_token_len_hist" -> ((s, d) =>
+      graft.operators.EdgeGraph.termFreq(s, d)
+        .groupBy(col("lang"), length(col("term")).as("wlen"))
+        .agg(sum("tf_raw").as("n"))
+        .orderBy("lang", "wlen"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -759,6 +769,13 @@ object TextSim {
         |      AS n_nodes)
         |SELECT degree, CAST(n_nodes AS BIGINT) AS n_nodes FROM (
         |  SELECT * FROM hist UNION ALL SELECT * FROM iso)
-        |WHERE n_nodes > 0 ORDER BY degree""".stripMargin
+        |WHERE n_nodes > 0 ORDER BY degree""".stripMargin,
+
+    "q_token_len_hist" ->
+      """SELECT lang, CAST(length(w) AS INT) AS wlen,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY lang, wlen""".stripMargin
   )
 }

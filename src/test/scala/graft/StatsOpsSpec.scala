@@ -333,6 +333,59 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(ds.forall(d => d >= 0.0 && d <= 2.0))
   }
 
+  test("q_cf_item_sim: cosines bounded; one value recounts brute-force") {
+    val rows = graft.queries.Analytics.queries("q_cf_item_sim")(spark, sf)
+      .collect()
+    rows.foreach(r => assert(r.getAs[Double]("cos") >= 0.0
+      && r.getAs[Double]("cos") <= 1.0 + 1e-9))
+    val first = rows.minBy(r => (r.getString(0), r.getString(1)))
+    val cb = graft.tables.Tables.lineitem(spark, sf)
+      .join(graft.tables.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.tables.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("o_custkey", "p_brand").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def vec(b: String) = cb.collect { case ((c, bb), n) if bb == b => c -> n.toDouble }.toMap
+    val (va, vb) = (vec(first.getString(0)), vec(first.getString(1)))
+    val dot = va.keySet.intersect(vb.keySet).toSeq.map(c => va(c) * vb(c)).sum
+    val want = dot / (math.sqrt(va.values.map(x => x * x).sum)
+      * math.sqrt(vb.values.map(x => x * x).sum))
+    assert(math.abs(first.getAs[Double]("cos") - want) < 1e-6)
+  }
+
+  test("q_share_of_parent: region shares sum to 1; nation shares per region sum to 1") {
+    val df = graft.queries.Analytics.queries("q_share_of_parent")(spark, sf)
+      .localCheckpoint(true)
+    df.groupBy("r_name").agg(sum("share_of_region").as("s")).collect()
+      .foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3))
+    val regionShares = df.select("r_name", "region_share_of_total").distinct()
+      .collect().map(_.getDouble(1))
+    assert(math.abs(regionShares.sum - 1.0) < 1e-3)
+  }
+
+  test("q_token_len_hist conserves total token occurrences") {
+    val df = graft.queries.TextSim.queries("q_token_len_hist")(spark, sf)
+      .localCheckpoint(true)
+    val total = graft.tables.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(df.agg(sum("n")).collect()(0).getLong(0) === total)
+    assert(df.filter(col("wlen") <= 0).isEmpty)
+  }
+
+  test("q_lag_features: head rows null, delta1 = v - lag1 elsewhere") {
+    val df = graft.queries.EventsQ.queries("q_lag_features")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.count() === graft.tables.Tables.events(spark, sf).count())
+    // per-user first event has no lag features
+    assert(df.filter(col("lag1").isNull).count() ===
+      graft.tables.Tables.events(spark, sf).select("user_id").distinct().count())
+    val bad = df.filter(col("lag1").isNotNull &&
+      abs(col("delta1") - (col("v") - col("lag1"))) > 2e-4)
+    assert(bad.isEmpty, bad.limit(3).collect().mkString(","))
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
