@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.FoldSelfCosine)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBandJoin)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -67,7 +67,8 @@ object Registry {
     }
     // custom optimizer rule + physical strategy surface (idempotent)
     val rules = spark.experimental.extraOptimizations
-    val missing = Seq(graft.plans.FoldSelfCosine, graft.plans.RewriteWindowTopK)
+    val missing = Seq(graft.plans.FoldSelfCosine, graft.plans.RewriteWindowTopK,
+      graft.plans.RewriteBandJoin)
       .filterNot(rules.contains(_))
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations = rules ++ missing

@@ -564,6 +564,26 @@ object Joins {
         df
       } finally prev.foreach { case (k, vOpt) =>
         vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+    }),
+
+    // AUTOMATIC band-join rewrite (plans/Rules.RewriteBandJoin): the
+    // query is written as the naive theta join `abs(s_acctbal -
+    // c_acctbal) <= 1.0` — which Spark would plan as an O(n·m)
+    // BroadcastNestedLoopJoin — and the optimizer rule turns it into
+    // a bucketed equi-join with the original predicate as residual
+    // (EXACT, no recall tradeoff; plan-pinned: no BNLJ, a Generate +
+    // hash join instead). The manual realizations of the same idea
+    // are q_join_theta_range / q_join_range_bucket; this closes the
+    // triangle with the optimizer doing it invisibly.
+    "q_band_join_auto" -> ((s, d) => {
+      graft.expr.Registry.ensure(s) // installs RewriteBandJoin
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      sup.join(cust, abs(col("s_acctbal") - col("c_acctbal")) <= 1.0)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_matches"),
+          round(min(abs(col("s_acctbal") - col("c_acctbal"))), 4).as("closest"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -818,6 +838,12 @@ object Joins {
       """SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_band_join_auto" ->
+      """SELECT s_suppkey, COUNT(*) AS n_matches,
+        |  ROUND(MIN(abs(s_acctbal - c_acctbal)), 4) AS closest
+        |FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 1.0
+        |GROUP BY 1 ORDER BY s_suppkey""".stripMargin
   )
 }

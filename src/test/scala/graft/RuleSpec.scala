@@ -47,4 +47,51 @@ class RuleSpec extends AnyFunSuite with SparkFixture {
     val df = a.crossJoin(b).select(expr("cosine_sim(a_emb, b_emb)").as("c"))
     assert(df.queryExecution.optimizedPlan.toString().toLowerCase.contains("cosinesimilarity"))
   }
+
+  private def bandJoin = {
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_acctbal"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"))
+    sup.join(cust, abs(col("s_acctbal") - col("c_acctbal")) <= lit(200.0))
+      .select("s_suppkey", "c_custkey")
+  }
+
+  test("RewriteBandJoin turns abs-band theta joins into bucketed equi-joins") {
+    Registry.ensure(spark)
+    val p = bandJoin.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "band join must not plan as a nested-loop scan\n" + p)
+    assert(p.contains("graft_band_bucket"),
+      "bucket key missing — rewrite did not fire\n" + p)
+  }
+
+  test("RewriteBandJoin result is identical to the unrewritten theta join") {
+    Registry.ensure(spark)
+    val withRule = bandJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val saved = spark.experimental.extraOptimizations
+    val without = try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.RewriteBandJoin)
+      val df = bandJoin
+      assert(!df.queryExecution.executedPlan.toString().contains("graft_band_bucket"))
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    } finally spark.experimental.extraOptimizations = saved
+    assert(withRule.toSeq === without.toSeq)
+    assert(withRule.nonEmpty, "fixture must produce at least one band match")
+  }
+
+  test("RewriteBandJoin leaves equi and non-band joins alone") {
+    Registry.ensure(spark)
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val p = o.join(c, o("o_custkey") === c("c_custkey"))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("graft_band_bucket"), p)
+    // strict < band is not (yet) matched — must stay un-rewritten, correct
+    val strict = Tables.supplier(spark, sf)
+      .join(c, abs(col("s_acctbal") - col("c_acctbal")) < lit(0.5))
+    assert(!strict.queryExecution.executedPlan.toString()
+      .contains("graft_band_bucket"))
+  }
 }
