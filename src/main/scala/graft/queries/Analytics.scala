@@ -11,6 +11,51 @@ import graft.tables.Tables
   */
 object Analytics {
 
+  /** Session-memoized (customer, brand) purchase-count table and the
+    * directed brand-similarity table derived from it — shared by
+    * q_cf_item_sim and q_recs_topn exactly as EdgeGraph shares the
+    * near-dup derivations: a real pipeline materializes the
+    * interaction matrix once per corpus snapshot and serves every
+    * recsys consumer from it. localCheckpoint'd (lineage cut, blocks
+    * die with the context). */
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+  private val simsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+
+  private def custBrand(s: SparkSession, d: String): DataFrame = {
+    val it = cbCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    cbCache.computeIfAbsent((s.sparkContext, d), _ =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey").as("cust"), col("p_brand").as("b"))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .localCheckpoint(eager = true))
+  }
+
+  /** Directed (b, b2, cos) brand similarity — both orientations. */
+  private def brandSims(s: SparkSession, d: String): DataFrame = {
+    val it = simsCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    simsCache.computeIfAbsent((s.sparkContext, d), _ => {
+      val cb = custBrand(s, d)
+      val norms = cb.groupBy("b").agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+      cb.join(cb.select(col("cust"), col("b").as("b2"), col("c").as("c2")),
+          "cust")
+        .filter(col("b") =!= col("b2"))
+        .groupBy("b", "b2").agg(sum(col("c") * col("c2")).as("dot"))
+        .join(broadcast(norms), "b")
+        .join(broadcast(norms.select(col("b").as("b2"), col("nrm").as("nrm2"))),
+          "b2")
+        .select(col("b"), col("b2"),
+          (col("dot") / (col("nrm") * col("nrm2"))).as("cos"))
+        .localCheckpoint(eager = true)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic string aggregation (sorted before joining, so no
     // engine-specific aggregation-order dependence).
@@ -635,32 +680,87 @@ object Analytics {
         .orderBy("recoded")
     }),
 
+    // Join-key skew report — the diagnostic that decides when
+    // q_join_skew_salted's salting is worth it: per-key row counts
+    // rolled into max/avg skew factor plus the top-5 heaviest keys.
+    // One partial agg; the stats run on the bounded key-count table.
+    "q_skew_stats" -> ((s, d) => {
+      val keyCounts = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true) // feeds stats + top-5
+      val stats = keyCounts.agg(count(lit(1)).as("n_keys"),
+        max("n").as("max_n"), avg("n").as("avg_n"))
+      val top = keyCounts.orderBy(col("n").desc, col("l_suppkey")).limit(5)
+        // order rebuilt INSIDE the array (collect_list order is not a
+        // contract): sort by (-n, key) = count desc, key asc
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+          "struct(-n AS nn, l_suppkey))), p -> cast(p.l_suppkey AS string)), ',')")
+          .as("top5_keys"))
+      stats.crossJoin(broadcast(top))
+        .select(col("n_keys"), col("max_n"),
+          round(col("avg_n"), 4).as("avg_n"),
+          round(col("max_n") / col("avg_n"), 4).as("skew_factor"),
+          col("top5_keys"))
+    }),
+
+    // Pareto / ABC inventory classification: parts ranked by revenue,
+    // cumulative share cut at 80%/95% into A/B/C classes. The cumsum
+    // window runs over the PART-grain rollup (dimension-grain, not
+    // fact-grain — the standard ABC shape); class sizes + revenue
+    // shares out.
+    "q_pareto_abc" -> ((s, d) => {
+      val byPart = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+        .localCheckpoint(eager = true)
+      val tot = byPart.agg(sum("rev").as("tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byPart.crossJoin(broadcast(tot))
+        .withColumn("cum_share", sum("rev").over(w) / col("tot"))
+        .withColumn("abc",
+          when(col("cum_share") <= 0.8, "A")
+            .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum("rev") / min("tot"), 6).as("rev_share"))
+        .orderBy("abc")
+    }),
+
+    // Top-3 brand recommendations per customer — the full recsys
+    // composition over q_cf_item_sim: a customer's owned brands pull
+    // in similar brands (score = Σ own-count · cos), already-owned
+    // candidates anti-join away, top-3 per customer via a per-group
+    // window. Every stage is bounded-basket × bounded-brand work.
+    "q_recs_topn" -> ((s, d) => {
+      val cb = custBrand(s, d)
+      val sims = brandSims(s, d)
+      val cand = cb.join(broadcast(sims), "b")
+        .groupBy(col("cust"), col("b2").as("rec"))
+        .agg(round(sum(col("c") * col("cos")), 6).as("score"))
+      val owned = cb.select(col("cust"), col("b").as("rec"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("cust").orderBy(col("score").desc, col("rec"))
+      cand.join(owned, Seq("cust", "rec"), "left_anti")
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("cust"), col("rk"), col("rec"), col("score"))
+        .orderBy("cust", "rk")
+    }),
+
     // Item-item collaborative-filtering similarity: cosine between
     // brand purchase-count vectors (over the customer dimension) —
     // the recsys "customers who bought X" primitive. The co-product
     // join runs PER CUSTOMER over bounded baskets (never across the
     // customer dimension), norms broadcast back; one corpus scan.
-    "q_cf_item_sim" -> ((s, d) => {
-      val cb = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("o_custkey").as("cust"), col("p_brand").as("b"))
-        .agg(count(lit(1)).cast("double").as("c"))
-        .localCheckpoint(eager = true) // feeds co-products and norms
-      val norms = cb.groupBy("b").agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
-      val coprod = cb.join(
-          cb.select(col("cust"), col("b").as("b2"), col("c").as("c2")), "cust")
+    "q_cf_item_sim" -> ((s, d) =>
+      brandSims(s, d)
         .filter(col("b") < col("b2"))
-        .groupBy("b", "b2").agg(sum(col("c") * col("c2")).as("dot"))
-      coprod
-        .join(broadcast(norms), "b")
-        .join(broadcast(norms.select(col("b").as("b2"), col("nrm").as("nrm2"))),
-          "b2")
         .select(col("b").as("brand_a"), col("b2").as("brand_b"),
-          round(col("dot") / (col("nrm") * col("nrm2")), 6).as("cos"))
-        .orderBy("brand_a", "brand_b")
-    }),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("brand_a", "brand_b")),
 
     // Percent-of-parent rollup (the OLAP drill-down ratio): nation
     // revenue as a share of its region, region as a share of the
@@ -1030,6 +1130,64 @@ object Analytics {
         |SELECT m.yr, m.mo, ROUND(m.rev, 2) AS rev,
         |  ROUND(m.rev / y.avg_rev, 4) AS idx
         |FROM m JOIN y USING (yr) ORDER BY yr, mo""".stripMargin,
+
+    "q_skew_stats" ->
+      """WITH kc AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_keys, MAX(n) AS max_n, AVG(n) AS avg_n
+        |       FROM kc),
+        |top AS (
+        |  SELECT string_agg(CAST(l_suppkey AS VARCHAR), ','
+        |           ORDER BY n DESC, l_suppkey) AS top5_keys
+        |  FROM (SELECT * FROM kc ORDER BY n DESC, l_suppkey LIMIT 5))
+        |SELECT n_keys, CAST(max_n AS BIGINT) AS max_n,
+        |  ROUND(avg_n, 4) AS avg_n,
+        |  ROUND(max_n / avg_n, 4) AS skew_factor, top5_keys
+        |FROM st CROSS JOIN top""".stripMargin,
+
+    "q_pareto_abc" ->
+      """WITH bp AS (
+        |  SELECT l_partkey, SUM(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS tot FROM bp),
+        |c AS (
+        |  SELECT rev, t.tot,
+        |    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.tot
+        |      AS cum_share
+        |  FROM bp CROSS JOIN t)
+        |SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+        |            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+        |  COUNT(*) AS n_parts, ROUND(SUM(rev) / MIN(tot), 6) AS rev_share
+        |FROM c GROUP BY 1 ORDER BY abc""".stripMargin,
+
+    "q_recs_topn" ->
+      """WITH cb AS (
+        |  SELECT o_custkey AS cust, p_brand AS b,
+        |    CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |n AS (SELECT b, sqrt(SUM(c * c)) AS nrm FROM cb GROUP BY 1),
+        |s AS (
+        |  SELECT x.b, y.b AS b2, SUM(x.c * y.c) AS dot
+        |  FROM cb x JOIN cb y ON x.cust = y.cust AND x.b <> y.b
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT s.b, s.b2, s.dot / (n1.nrm * n2.nrm) AS cos
+        |  FROM s JOIN n n1 ON s.b = n1.b JOIN n n2 ON s.b2 = n2.b),
+        |cand AS (
+        |  SELECT cb.cust, sim.b2 AS rec, ROUND(SUM(cb.c * sim.cos), 6) AS score
+        |  FROM cb JOIN sim ON cb.b = sim.b GROUP BY 1, 2),
+        |flt AS (
+        |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+        |    SELECT 1 FROM cb WHERE cb.cust = c.cust AND cb.b = c.rec)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cust
+        |    ORDER BY score DESC, rec) AS rk
+        |  FROM flt)
+        |SELECT cust, CAST(rk AS INT) AS rk, rec, score
+        |FROM rk WHERE rk <= 3 ORDER BY cust, rk""".stripMargin,
 
     "q_cf_item_sim" ->
       """WITH cb AS (

@@ -386,6 +386,48 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(bad.isEmpty, bad.limit(3).collect().mkString(","))
   }
 
+  test("q_skew_stats reports the true heaviest key first") {
+    val r = graft.queries.Analytics.queries("q_skew_stats")(spark, sf)
+      .collect()(0)
+    val kc = graft.tables.Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey").count().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.getAs[Long]("n_keys") === kc.length.toLong)
+    assert(r.getAs[Long]("max_n") === kc.map(_._2).max)
+    val heaviest = kc.minBy { case (k, n) => (-n, k) }._1
+    assert(r.getAs[String]("top5_keys").split(",").head === heaviest.toString)
+    assert(r.getAs[Double]("skew_factor") >= 1.0)
+  }
+
+  test("q_pareto_abc partitions all parts; A holds ~80% of revenue") {
+    val rows = graft.queries.Analytics.queries("q_pareto_abc")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val nParts = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_.getAs[Long]("n_parts")).sum === nParts)
+    assert(math.abs(rows.values.map(_.getAs[Double]("rev_share")).sum - 1.0) < 1e-3)
+    assert(rows("A").getAs[Double]("rev_share") <= 0.8 + 0.01)
+  }
+
+  test("q_recs_topn never recommends an owned brand; ranks are 1..3 descending") {
+    val df = graft.queries.Analytics.queries("q_recs_topn")(spark, sf)
+      .localCheckpoint(true)
+    val owned = graft.tables.Tables.lineitem(spark, sf)
+      .join(graft.tables.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.tables.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("cust"), col("p_brand").as("rec")).distinct()
+    assert(df.join(owned, Seq("cust", "rec")).isEmpty,
+      "a recommendation duplicated an owned brand")
+    assert(df.filter(col("rk") < 1 || col("rk") > 3).isEmpty)
+    // scores are non-increasing within each customer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cust").orderBy("rk")
+    assert(df.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev")).isEmpty)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
