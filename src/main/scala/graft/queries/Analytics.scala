@@ -680,6 +680,48 @@ object Analytics {
         .orderBy("recoded")
     }),
 
+    // OpenRefine-style fingerprint clustering (entity-resolution
+    // lite): normalize → tokenize → sort → rejoin collapses word
+    // order and duplicates, grouping name variants under one key.
+    // One scalar projection + one partial agg; canonical member =
+    // lexicographic min (deterministic).
+    "q_string_cluster" -> ((s, d) =>
+      Tables.part(s, d)
+        .withColumn("fp", array_join(array_sort(array_distinct(
+          split(lower(regexp_replace(col("p_name"), "[^a-z0-9 ]", "")), " "))),
+          " "))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct("p_name").as("n_variants"),
+          min("p_name").as("canonical"))
+        .orderBy("fp")),
+
+    // Wilson lower-bound ranking (the rank-under-uncertainty formula
+    // comment feeds use): per-brand return rate with its 95% Wilson
+    // lower bound — small-sample brands can't top the ranking on a
+    // lucky streak. Closed-form on the bounded brand rollup; ranking
+    // cut on the 6dp-ROUNDED bound.
+    "q_ctr_wilson" -> ((s, d) => {
+      val z = 1.959963984540054 // Phi^-1(0.975)
+      val br = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      br.withColumn("nd", col("n").cast("double")) // double up front:
+        // n·n in long space overflows at petabyte trial counts
+        .withColumn("p", col("k") / col("nd"))
+        .withColumn("wilson", round(
+          (col("p") + lit(z * z) / (col("nd") * 2)
+            - lit(z) * sqrt(col("p") * (lit(1.0) - col("p")) / col("nd")
+              + lit(z * z) / (col("nd") * col("nd") * 4.0)))
+            / (lit(1.0) + lit(z * z) / col("nd")), 6))
+        .select(col("p_brand"), col("n"), col("k"),
+          round(col("p"), 6).as("rate"), col("wilson"))
+        .orderBy(col("wilson").desc, col("p_brand"))
+    }),
+
     // Join-key skew report — the diagnostic that decides when
     // q_join_skew_salted's salting is worth it: per-key row counts
     // rolled into max/avg skew factor plus the top-5 heaviest keys.
@@ -1130,6 +1172,32 @@ object Analytics {
         |SELECT m.yr, m.mo, ROUND(m.rev, 2) AS rev,
         |  ROUND(m.rev / y.avg_rev, 4) AS idx
         |FROM m JOIN y USING (yr) ORDER BY yr, mo""".stripMargin,
+
+    "q_string_cluster" ->
+      """SELECT list_aggr(list_sort(list_distinct(string_split(
+        |    lower(regexp_replace(p_name, '[^a-z0-9 ]', '', 'g')), ' '))),
+        |    'string_agg', ' ') AS fp,
+        |  COUNT(*) AS n_parts,
+        |  CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants,
+        |  MIN(p_name) AS canonical
+        |FROM part GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_ctr_wilson" ->
+      """WITH br AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT p_brand, n, k, k * 1.0 / n AS p, n * 1.0 AS nd,
+        |    1.959963984540054 AS z
+        |  FROM br)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  ROUND(p, 6) AS rate,
+        |  ROUND((p + z * z / (nd * 2)
+        |    - z * sqrt(p * (1.0 - p) / nd + z * z / (nd * nd * 4.0)))
+        |    / (1.0 + z * z / nd), 6) AS wilson
+        |FROM w ORDER BY wilson DESC, p_brand""".stripMargin,
 
     "q_skew_stats" ->
       """WITH kc AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),

@@ -771,6 +771,28 @@ object Training {
           sum("n_tokens").over(w).as("cum_tokens"),
           sum("new_terms").over(w).as("vocab_size"))
         .orderBy("bucket")
+    }),
+
+    // Per-source language-diversity entropy (the mixture-health
+    // metric next to q_domain_mix's sampling): Shannon entropy of
+    // each source's language distribution in nats, plus the
+    // normalized form against ln(n_langs). One partial agg; the
+    // entropy algebra runs on the bounded (source, lang) cells.
+    "q_src_diversity" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val tot = cells.groupBy("source").agg(sum("n").as("nt"),
+        countDistinct("lang").as("nl"))
+      cells.join(broadcast(tot), "source")
+        .groupBy(col("source"))
+        .agg(min("nl").as("n_langs"),
+          round(-sum((col("n") / col("nt"))
+            * log(col("n") / col("nt"))), 6).as("entropy"),
+          round(-sum((col("n") / col("nt")) * log(col("n") / col("nt")))
+            / log(greatest(min("nl").cast("double"), lit(2.0))), 6)
+            .as("norm_entropy"))
+        .orderBy("source")
     })
   )
 
@@ -1221,6 +1243,19 @@ object Training {
         |FROM ds LEFT JOIN nt USING (bucket)
         |WINDOW win AS (ORDER BY ds.bucket
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    "q_src_diversity" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, SUM(n) AS nt, COUNT(DISTINCT lang) AS nl
+        |      FROM c GROUP BY 1)
+        |SELECT c.source, CAST(MIN(t.nl) AS BIGINT) AS n_langs,
+        |  ROUND(-SUM((c.n * 1.0 / t.nt) * ln(c.n * 1.0 / t.nt)), 6)
+        |    AS entropy,
+        |  ROUND(-SUM((c.n * 1.0 / t.nt) * ln(c.n * 1.0 / t.nt))
+        |    / ln(GREATEST(MIN(t.nl) * 1.0, 2.0)), 6) AS norm_entropy
+        |FROM c JOIN t USING (source)
+        |GROUP BY c.source ORDER BY source""".stripMargin
   )
 }

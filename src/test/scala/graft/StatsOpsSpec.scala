@@ -428,6 +428,42 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
       .filter(col("prev").isNotNull && col("score") > col("prev")).isEmpty)
   }
 
+  test("q_string_cluster covers all parts; canonical is a member") {
+    val df = graft.queries.Analytics.queries("q_string_cluster")(spark, sf)
+      .localCheckpoint(true)
+    assert(df.agg(sum("n_parts")).collect()(0).getLong(0) ===
+      graft.tables.Tables.part(spark, sf).count())
+    assert(df.filter(col("n_variants") > col("n_parts")).isEmpty)
+    // the canonical name's own fingerprint is the cluster key
+    val bad = df.withColumn("cfp", array_join(array_sort(array_distinct(
+      split(lower(regexp_replace(col("canonical"), "[^a-z0-9 ]", "")), " "))),
+      " ")).filter(col("cfp") =!= col("fp"))
+    assert(bad.isEmpty, bad.limit(3).collect().mkString(","))
+  }
+
+  test("q_ctr_wilson bound is below the rate and within [0,1]") {
+    val rows = graft.queries.Analytics.queries("q_ctr_wilson")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val (rate, w) = (r.getAs[Double]("rate"), r.getAs[Double]("wilson"))
+      assert(w <= rate + 1e-9, s"${r.getString(0)}: bound above rate")
+      assert(w >= -1e-9 && w <= 1.0)
+    }
+    // bounds are sorted descending (the ranking contract)
+    val ws = rows.map(_.getAs[Double]("wilson"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_src_diversity entropy bounded by ln(n_langs)") {
+    val rows = graft.queries.Training.queries("q_src_diversity")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val (h, nl) = (r.getAs[Double]("entropy"), r.getAs[Long]("n_langs"))
+      assert(h >= -1e-9 && h <= math.log(nl.toDouble) + 1e-6)
+      assert(r.getAs[Double]("norm_entropy") <= 1.0 + 1e-6)
+    }
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
