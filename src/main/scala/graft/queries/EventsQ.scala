@@ -712,6 +712,59 @@ object EventsQ {
         .orderBy("lag_hours")
     }),
 
+    // Kaplan-Meier survival estimate of signup → first-purchase time
+    // (right-censored at the corpus horizon — the honest treatment of
+    // users who haven't purchased YET). Per-user durations from two
+    // conditional min-aggs (one corpus scan), then the KM product
+    // Π(1 − d/n) as exp(Σ ln) over the BOUNDED distinct-duration
+    // grid. The time-to-event curve growth teams read.
+    "q_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val horizon = ev.agg(max(unix_micros(col("ts"))).as("hz"))
+      val perUser = ev
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup",
+            unix_micros(col("ts")))).as("su"))
+        .filter(col("su").isNotNull)
+        .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), unix_micros(col("ts")).as("pu")),
+          Seq("user_id"), "left")
+        // min purchase STRICTLY after signup; a user whose purchases
+        // all precede signup must stay (censored), hence no pre-filter
+        .groupBy("user_id", "su")
+        .agg(min(when(col("pu") > col("su"), col("pu"))).as("fp"))
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"),
+          when(col("fp").isNotNull,
+            expr("(fp - su) div 86400000000")).as("dur_event"),
+          when(col("fp").isNull,
+            expr("(hz - su) div 86400000000")).as("dur_cens"))
+      val grid = perUser
+        .select(coalesce(col("dur_event"), col("dur_cens")).as("t"),
+          col("dur_event").isNotNull.as("is_event"))
+        .groupBy("t")
+        .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("dd"),
+          count(lit(1)).as("all_t"))
+        .localCheckpoint(eager = true) // bounded day grid
+      val tot = grid.agg(sum("all_t").as("n_total"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wIncl = org.apache.spark.sql.expressions.Window.orderBy("t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("n_total") - coalesce(sum("all_t").over(w), lit(0L)))
+        // terminal day: dd == n_risk makes the factor 0 and ln blows
+        // up — clamp to 1e-300 so exp(Σ ln) underflows to the exact 0
+        // the KM curve means (identical clamp in the oracle)
+        .withColumn("surv", round(exp(sum(
+          log(greatest(lit(1.0) - col("dd") / col("n_risk"), lit(1e-300))))
+          .over(wIncl)), 6))
+        .filter(col("dd") > 0)
+        .select(col("t").as("t_days"), col("n_risk"), col("dd").as("d"),
+          col("surv"))
+        .orderBy("t_days")
+    }),
+
     // Lag-feature generation (the ML feature-engineering pass a
     // training pipeline materializes next to the label): per-user
     // lag-1/lag-2 values, trailing-3 rolling mean, and first
@@ -1174,6 +1227,41 @@ object EventsQ {
         |  COUNT(*) AS n_purchases
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY lag_hours""".stripMargin,
+
+    "q_survival_km" ->
+      """WITH hz AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),
+        |su AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS su
+        |  FROM events GROUP BY 1),
+        |pu AS (SELECT user_id, epoch_us(ts) AS pu FROM events
+        |       WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT su.user_id, su.su,
+        |    MIN(CASE WHEN pu.pu > su.su THEN pu.pu END) AS fp
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |  WHERE su.su IS NOT NULL GROUP BY 1, 2),
+        |dur AS (
+        |  SELECT CASE WHEN fp IS NOT NULL THEN (fp - su) // 86400000000
+        |              ELSE (hz.hz - su) // 86400000000 END AS t,
+        |    fp IS NOT NULL AS is_event
+        |  FROM d CROSS JOIN hz),
+        |grid AS (
+        |  SELECT t, SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS dd,
+        |    COUNT(*) AS all_t
+        |  FROM dur GROUP BY t),
+        |tt AS (SELECT SUM(all_t) AS n_total FROM grid),
+        |acc AS (
+        |  SELECT t, dd, all_t, tt.n_total,
+        |    tt.n_total - COALESCE(SUM(all_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grid CROSS JOIN tt)
+        |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(dd AS BIGINT) AS d,
+        |  ROUND(exp(SUM(ln(GREATEST(1.0 - dd * 1.0 / n_risk, 1e-300)))
+        |    OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS surv
+        |FROM acc WHERE dd > 0 ORDER BY t_days""".stripMargin,
 
     "q_lag_features" ->
       """SELECT event_id, user_id, ROUND(value, 4) AS v,

@@ -498,7 +498,27 @@ object TextSim {
       graft.operators.EdgeGraph.termFreq(s, d)
         .groupBy(col("lang"), length(col("term")).as("wlen"))
         .agg(sum("tf_raw").as("n"))
-        .orderBy("lang", "wlen"))
+        .orderBy("lang", "wlen")),
+
+    // Near-duplication rate per source — the q_dataset_card
+    // complement at the NEAR-dup grain (its dup_rate is exact-hash):
+    // share of each source's docs participating in at least one
+    // τ=0.8 pair. Served from the memoized EdgeGraph pairs; one
+    // bounded distinct + one partial agg on top.
+    "q_near_dup_rate" -> ((s, d) => {
+      val pairs = graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)
+      val inPair = pairs.select(col("a_id").as("doc_id"))
+        .unionAll(pairs.select(col("b_id").as("doc_id")))
+        .distinct()
+        .withColumn("dup", lit(1L))
+      Tables.documents(s, d)
+        .join(inPair, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+        .withColumn("dup_rate", round(col("n_dup") / col("n_docs"), 6))
+        .orderBy("source")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -739,6 +759,35 @@ object TextSim {
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |       w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subword
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_near_dup_rate" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.8),
+        |ip AS (
+        |  SELECT DISTINCT id AS doc_id FROM (
+        |    SELECT a_id AS id FROM pairs
+        |    UNION ALL SELECT b_id AS id FROM pairs))
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN ip.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  ROUND(SUM(CASE WHEN ip.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1.0 / COUNT(*), 6) AS dup_rate
+        |FROM documents d LEFT JOIN ip ON d.doc_id = ip.doc_id
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_graph_degree_stats" ->
       """WITH tok AS (

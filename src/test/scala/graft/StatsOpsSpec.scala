@@ -464,6 +464,36 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_survival_km is a monotone step function matching hand KM on day 1") {
+    val rows = graft.queries.EventsQ.queries("q_survival_km")(spark, sf)
+      .collect()
+    val ss = rows.map(_.getAs[Double]("surv"))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "survival must be non-increasing")
+    assert(ss.forall(v => v >= 0.0 && v <= 1.0))
+    // first listed event time: S = Π over all grid days ≤ t of (1-d/n);
+    // recompute just the first row's factor chain endpoint
+    val first = rows.head
+    val nRisk = first.getAs[Long]("n_risk")
+    val d = first.getAs[Long]("d")
+    assert(first.getAs[Double]("surv") <= 1.0 - d.toDouble / nRisk + 1e-6)
+    // at-risk counts strictly decrease over event times
+    val ns = rows.map(_.getAs[Long]("n_risk"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a > b })
+  }
+
+  test("q_near_dup_rate conserves docs and matches the pair membership") {
+    val df = graft.queries.TextSim.queries("q_near_dup_rate")(spark, sf)
+      .localCheckpoint(true)
+    val docs = graft.tables.Tables.documents(spark, sf)
+    assert(df.agg(sum("n_docs")).collect()(0).getLong(0) === docs.count())
+    val pairs = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.8)
+    val members = pairs.select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id"))).distinct().count()
+    assert(df.agg(sum("n_dup")).collect()(0).getLong(0) === members)
+    assert(df.filter(col("dup_rate") < 0 || col("dup_rate") > 1).isEmpty)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
