@@ -712,6 +712,54 @@ object EventsQ {
         .orderBy("lag_hours")
     }),
 
+    // Cohort LTV matrix (q_retention_cohort's revenue complement):
+    // weekly signup cohorts × week offset, per-user cumulative
+    // purchase revenue — the unit-economics curve. Same date
+    // conventions as retention (week-truncated, tz-free string key);
+    // cumulative sums run over the bounded cohort × offset rollup.
+    "q_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .groupBy("user_id").agg(min("wk").as("cohort"))
+        .localCheckpoint(eager = true) // bounded users, referenced twice
+      val sizes = first.groupBy("cohort").agg(countDistinct("user_id").as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .select(col("cohort"),
+          (datediff(date_trunc("week", col("ts")), col("cohort")) / 7)
+            .cast("int").as("week_offset"),
+          col("value"))
+        .groupBy("cohort", "week_offset").agg(sum("value").as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("week_offset")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      rev.join(broadcast(sizes), "cohort")
+        .withColumn("cum_ltv", round(sum("rev").over(w) / col("n_users"), 4))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"),
+          round(col("rev"), 4).as("rev"), col("cum_ltv"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Right-to-be-forgotten audit (the DSR pass beside q_kanon and
+    // q_pii_redact): a deterministic md5-bucket user set stands in
+    // for the deletion-request list (~5% of users), events anti-join
+    // it away, and the per-type before/after/removed audit a
+    // compliance pipeline must file comes out of two partial aggs.
+    "q_gdpr_forget" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val forget = ev.select("user_id").distinct()
+        .filter(conv(substring(md5(col("user_id").cast("string")), 1, 4),
+          16, 10).cast("int") % 20 === 0)
+      val before = ev.groupBy("event_type").agg(count(lit(1)).as("n_before"))
+      val after = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_after"))
+        .withColumn("n_removed", col("n_before") - col("n_after"))
+        .orderBy("event_type")
+    }),
+
     // Kaplan-Meier survival estimate of signup → first-purchase time
     // (right-censored at the corpus horizon — the honest treatment of
     // users who haven't purchased YET). Per-user durations from two
@@ -1227,6 +1275,44 @@ object EventsQ {
         |  COUNT(*) AS n_purchases
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY lag_hours""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cohort, COUNT(DISTINCT user_id) AS n_users
+        |       FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7
+        |      AS INT) AS week_offset,
+        |    SUM(e.value) AS rev
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_week,
+        |  r.week_offset, CAST(sz.n_users AS BIGINT) AS n_users,
+        |  ROUND(r.rev, 4) AS rev,
+        |  ROUND(SUM(r.rev) OVER (PARTITION BY r.cohort ORDER BY r.week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / sz.n_users, 4) AS cum_ltv
+        |FROM r JOIN sz USING (cohort)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_gdpr_forget" ->
+      """WITH forget AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+        |    AS INT) % 20 AS INT) = 0),
+        |b AS (SELECT event_type, COUNT(*) AS n_before FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS n_after FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id)
+        |  GROUP BY 1)
+        |SELECT b.event_type, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+        |  b.n_before - COALESCE(a.n_after, 0) AS n_removed
+        |FROM b LEFT JOIN a USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_survival_km" ->
       """WITH hz AS (SELECT MAX(epoch_us(ts)) AS hz FROM events),

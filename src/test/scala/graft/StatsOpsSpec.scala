@@ -494,6 +494,34 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(col("dup_rate") < 0 || col("dup_rate") > 1).isEmpty)
   }
 
+  test("q_cohort_ltv is cumulative and normalized by cohort size") {
+    val rows = graft.queries.EventsQ.queries("q_cohort_ltv")(spark, sf)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("week_offset"))
+      val ltv = sorted.map(_.getAs[Double]("cum_ltv"))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a - 1e-9 },
+        "cumulative LTV must be non-decreasing")
+      // cum_ltv at the first offset = rev / n_users
+      val h = sorted.head
+      assert(math.abs(h.getAs[Double]("cum_ltv")
+        - h.getAs[Double]("rev") / h.getAs[Long]("n_users")) < 1e-3)
+    }
+  }
+
+  test("q_gdpr_forget removes exactly the bucketed users' events") {
+    val df = graft.queries.EventsQ.queries("q_gdpr_forget")(spark, sf)
+      .localCheckpoint(true)
+    val ev = graft.tables.Tables.events(spark, sf)
+    assert(df.agg(sum("n_before")).collect()(0).getLong(0) === ev.count())
+    val removed = df.agg(sum("n_removed")).collect()(0).getLong(0)
+    val expected = ev.filter(
+      conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 20 === 0).count()
+    assert(removed === expected)
+    assert(df.filter(col("n_after") > col("n_before")).isEmpty)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
