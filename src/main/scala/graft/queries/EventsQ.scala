@@ -712,6 +712,27 @@ object EventsQ {
         .orderBy("lag_hours")
     }),
 
+    // Longest consecutive-active-day streak per user — the
+    // gaps-and-islands classic at the daily grain (vs q_session_gaps'
+    // time-gap sessions): island id = date − row_number days, so one
+    // per-user window + two rollups find every user's best streak.
+    "q_streak_detect" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      days
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+        .groupBy("user_id")
+        .agg(max(struct(col("len"), col("streak_start"))).as("best"))
+        .select(col("user_id"), col("best.len").as("longest_streak"),
+          col("best.streak_start"))
+        .orderBy("user_id")
+    }),
+
     // Cohort LTV matrix (q_retention_cohort's revenue complement):
     // weekly signup cohorts × week offset, per-user cumulative
     // purchase revenue — the unit-economics curve. Same date
@@ -1275,6 +1296,21 @@ object EventsQ {
         |  COUNT(*) AS n_purchases
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY lag_hours""".stripMargin,
+
+    "q_streak_detect" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INT) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS streak_start
+        |       FROM g GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |         ORDER BY len DESC, streak_start DESC) AS rn FROM st)
+        |SELECT user_id, CAST(len AS BIGINT) AS longest_streak, streak_start
+        |FROM rk WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH f AS (

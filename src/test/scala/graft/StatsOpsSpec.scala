@@ -522,6 +522,23 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(col("n_after") > col("n_before")).isEmpty)
   }
 
+  test("q_streak_detect finds each user's true longest run (brute recheck)") {
+    val rows = graft.queries.EventsQ.queries("q_streak_detect")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    byUser.foreach { case (u, ds) =>
+      var best = 1L; var cur = 1L
+      ds.zip(ds.tail).foreach { case (a, b) =>
+        cur = if (b.toEpochDay == a.toEpochDay + 1) cur + 1 else 1
+        best = math.max(best, cur)
+      }
+      assert(rows(u) === best, s"user $u")
+    }
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
