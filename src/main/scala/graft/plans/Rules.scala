@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, AttributeReference, Cast, CreateArray, Divide, EqualTo, Explode, Expression, Floor, LessThanOrEqual, Literal, PredicateHelper, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, AttributeReference, Cast, CreateArray, Divide, EqualTo, Explode, Expression, Floor, GreaterThanOrEqual, LessThanOrEqual, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -74,14 +74,35 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
         if !left.output.exists(_.name.startsWith("graft_band_bucket")) &&
            !right.output.exists(_.name.startsWith("graft_band_bucket")) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val bandOpt = conjuncts.collectFirst {
+      def okTypes(x: Expression, y: Expression): Boolean =
+        x.dataType.isInstanceOf[NumericType] &&
+          y.dataType.isInstanceOf[NumericType] &&
+          x.deterministic && y.deterministic
+      // form 1: abs(x − y) <= w
+      val absForm = conjuncts.collectFirst {
         case LessThanOrEqual(Abs(Subtract(x, y, _), _), wl)
-            if posLit(wl).isDefined &&
-              x.dataType.isInstanceOf[NumericType] &&
-              y.dataType.isInstanceOf[NumericType] &&
-              x.deterministic && y.deterministic =>
+            if posLit(wl).isDefined && okTypes(x, y) =>
           (x, y, posLit(wl).get)
       }
+      // form 2: the BETWEEN spelling — x >= y − w AND x <= y + w
+      lazy val pairForm = {
+        val ges = conjuncts.collect {
+          case GreaterThanOrEqual(x, Subtract(y, wl, _))
+              if posLit(wl).isDefined && okTypes(x, y) =>
+            (x, y, posLit(wl).get)
+        }
+        val les = conjuncts.collect {
+          case LessThanOrEqual(x, Add(y, wl, _))
+              if posLit(wl).isDefined && okTypes(x, y) =>
+            (x, y, posLit(wl).get)
+        }
+        (for {
+          g <- ges; l <- les
+          if g._1.semanticEquals(l._1) && g._2.semanticEquals(l._2) &&
+            g._3 == l._3
+        } yield g).headOption
+      }
+      val bandOpt = absForm.orElse(pairForm)
       bandOpt.flatMap { case (x, y, w) =>
         // orient (x, y) to (left side, right side)
         val oriented =

@@ -81,6 +81,23 @@ class RuleSpec extends AnyFunSuite with SparkFixture {
     assert(withRule.nonEmpty, "fixture must produce at least one band match")
   }
 
+  test("RewriteBandJoin also matches the BETWEEN spelling, same results") {
+    Registry.ensure(spark)
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_acctbal"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val between = sup.join(cust,
+      col("s_acctbal") >= col("c_acctbal") - lit(200.0) &&
+      col("s_acctbal") <= col("c_acctbal") + lit(200.0))
+      .select("s_suppkey", "c_custkey")
+    val p = between.queryExecution.executedPlan.toString()
+    assert(p.contains("graft_band_bucket"), "BETWEEN form must rewrite\n" + p)
+    val got = between.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = bandJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("RewriteBandJoin leaves equi and non-band joins alone") {
     Registry.ensure(spark)
     val o = Tables.orders(spark, sf)
