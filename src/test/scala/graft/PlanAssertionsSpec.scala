@@ -522,4 +522,48 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BloomFilterMightContain") || p.contains("bloom_filter"),
       "InjectRuntimeFilter must plant a bloom probe\n" + p)
   }
+
+  test("session-4 pair miners never go cartesian") {
+    for (k <- Seq("q_freq_pairs", "q_cf_item_sim", "q_markov_transition")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian\n" + p)
+    }
+  }
+
+  test("q_grid_cluster scans the events corpus exactly once") {
+    // cells are checkpointed before fan-out; CC and the final join all
+    // consume the bounded cell tables, never the raw corpus again
+    val p = plan("q_grid_cluster")
+    assert(p.sliding("FileScan".length).count(_ == "FileScan") <= 1,
+      "grid cluster re-scans its input\n" + p)
+  }
+
+  test("q_recs_topn serves from the memoized interaction matrix") {
+    val p = plan("q_recs_topn")
+    assert(p.contains("Scan ExistingRDD"),
+      "recs must read the session memo, not re-derive\n" + p)
+    assert(!p.contains("FileScan parquet") || !p.contains("lineitem"),
+      "a fresh lineitem scan means the memo was bypassed\n" + p)
+  }
+
+  test("q_embed_outlier and q_precision_recall_k broadcast their probe side") {
+    for (k <- Seq("q_embed_outlier", "q_precision_recall_k")) {
+      val p = plan(k)
+      assert(p.contains("BroadcastExchange"), s"$k must broadcast\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian\n" + p)
+    }
+  }
+
+  test("bounded-grid stats keys aggregate BEFORE their global window") {
+    // the q_auc collapse shape: the un-partitioned window must consume
+    // an aggregated grid, so a HashAggregate appears below the Window
+    for (k <- Seq("q_auc", "q_ks_test", "q_decile_lift")) {
+      val p = plan(k)
+      val wIdx = p.indexOf("Window")
+      assert(wIdx >= 0, s"$k lost its window\n" + p)
+      assert(p.indexOf("HashAggregate", wIdx) >= 0 ||
+        p.substring(wIdx).contains("ExistingRDD"),
+        s"$k's window is not over the aggregated grid\n" + p)
+    }
+  }
 }
