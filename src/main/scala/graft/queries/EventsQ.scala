@@ -712,6 +712,50 @@ object EventsQ {
         .orderBy("lag_hours")
     }),
 
+    // Clickstream path mining: the top-10 3-step event-type paths
+    // (two lead windows per user — one sort — then a partial-agg
+    // count and TakeOrdered). The n-gram generalization of
+    // q_markov_transition's 1-step matrix.
+    "q_path_mining" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(10)
+    }),
+
+    // Calibration / reliability diagram with ECE: `value`/200 as the
+    // pseudo-probability, 10 fixed-width bins, per-bin predicted-vs-
+    // actual purchase rate plus each bin's weighted ECE contribution
+    // — the model-trust eval beside q_auc (discrimination) and
+    // q_decile_lift (ranking). One partial agg; bin algebra on the
+    // bounded bin table.
+    "q_calibration_bins" -> ((s, d) => {
+      val binned = Tables.events(s, d)
+        .withColumn("pred", least(col("value") / 200.0, lit(0.999999)))
+        .withColumn("bin", floor(col("pred") * 10).cast("int"))
+        .withColumn("y",
+          when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), avg("pred").as("avg_pred"),
+          avg("y").as("actual"))
+        .localCheckpoint(eager = true)
+      val tot = binned.agg(sum("n").as("nn"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"),
+          round(col("avg_pred"), 6).as("avg_pred"),
+          round(col("actual"), 6).as("actual_rate"),
+          round(abs(col("avg_pred") - col("actual"))
+            * col("n") / col("nn"), 6).as("ece_part"))
+        .orderBy("bin")
+    }),
+
     // Longest consecutive-active-day streak per user — the
     // gaps-and-islands classic at the daily grain (vs q_session_gaps'
     // time-gap sessions): island id = date − row_number days, so one
@@ -1296,6 +1340,33 @@ object EventsQ {
         |  COUNT(*) AS n_purchases
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY lag_hours""".stripMargin,
+
+    "q_path_mining" ->
+      """WITH p AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM p WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 10""".stripMargin,
+
+    "q_calibration_bins" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(LEAST(value / 200.0, 0.999999) * 10) AS INT)
+        |      AS bin,
+        |    COUNT(*) AS n,
+        |    AVG(LEAST(value / 200.0, 0.999999)) AS avg_pred,
+        |    AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
+        |      AS actual
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM b)
+        |SELECT bin, n, ROUND(avg_pred, 6) AS avg_pred,
+        |  ROUND(actual, 6) AS actual_rate,
+        |  ROUND(abs(avg_pred - actual) * n / t.nn, 6) AS ece_part
+        |FROM b CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "q_streak_detect" ->
       """WITH days AS (

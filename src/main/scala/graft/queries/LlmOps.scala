@@ -691,6 +691,32 @@ object LlmOps {
           round(lit(1.0) - expr("cosine_sim(embedding, centroid)"), 6).as("dist"))
         .orderBy(col("dist").desc, col("vec_id"))
         .limit(20)
+    }),
+
+    // Corpus-level label-separation margin: mean intra-label vs
+    // inter-label pairwise cosine in ONE conditional-agg pass over
+    // the pair stream — the embedding-quality scalar beside
+    // q_precision_recall_k's ranking view (margin ≈ 0 ⇒ labels are
+    // not cosine clusters, which is exactly what p@10 ≈ 1/|labels|
+    // showed on this corpus). Brute pairs at test scale; at 100 TB
+    // the pair stream is sampled — the aggregate shape is unchanged.
+    "q_emb_margin" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_lab"),
+        col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_lab"),
+        col("embedding").as("b_emb"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .select((col("a_lab") === col("b_lab")).as("intra"),
+          expr("cosine_sim(a_emb, b_emb)").as("cos"))
+        .agg(
+          sum(when(col("intra"), 1L).otherwise(0L)).as("n_intra"),
+          sum(when(!col("intra"), 1L).otherwise(0L)).as("n_inter"),
+          round(avg(when(col("intra"), col("cos"))), 6).as("mean_intra"),
+          round(avg(when(!col("intra"), col("cos"))), 6).as("mean_inter"))
+        .withColumn("margin",
+          round(col("mean_intra") - col("mean_inter"), 6))
     })
   )
 
@@ -952,6 +978,21 @@ object LlmOps {
          |SELECT e.vec_id, e.label,
          |  ROUND(1.0 - ${duckCos("e.embedding", "c.c")}, 6) AS dist
          |FROM embeddings e JOIN c USING (label)
-         |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
+         |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_emb_margin" ->
+      s"""WITH p AS (
+         |  SELECT a.label = b.label AS intra,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT
+         |  CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS BIGINT) AS n_intra,
+         |  CAST(SUM(CASE WHEN intra THEN 0 ELSE 1 END) AS BIGINT) AS n_inter,
+         |  ROUND(AVG(CASE WHEN intra THEN cos END), 6) AS mean_intra,
+         |  ROUND(AVG(CASE WHEN intra THEN NULL ELSE cos END), 6) AS mean_inter,
+         |  ROUND(ROUND(AVG(CASE WHEN intra THEN cos END), 6)
+         |    - ROUND(AVG(CASE WHEN intra THEN NULL ELSE cos END), 6), 6)
+         |    AS margin
+         |FROM p""".stripMargin
   )
 }

@@ -539,6 +539,46 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_path_mining counts conserve: each path n <= its prefix pair count") {
+    val paths = graft.queries.EventsQ.queries("q_path_mining")(spark, sf)
+      .collect()
+    assert(paths.length === 10)
+    val ns = paths.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val pairCounts = graft.queries.EventsQ.queries("q_markov_transition")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap
+    paths.foreach { p =>
+      val prefix = pairCounts((p.getString(0), p.getString(1)))
+      assert(p.getAs[Long]("n") <= prefix,
+        s"path ${p.getString(0)}->${p.getString(1)}->${p.getString(2)}")
+    }
+  }
+
+  test("q_calibration_bins: bins partition events, ECE parts bounded") {
+    val rows = graft.queries.EventsQ.queries("q_calibration_bins")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      graft.tables.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("bin") >= 0 && r.getAs[Int]("bin") <= 9)
+      assert(r.getAs[Double]("ece_part") >= 0.0 && r.getAs[Double]("ece_part") <= 1.0)
+      // avg_pred must fall inside its own bin's range
+      assert(r.getAs[Double]("avg_pred") >= r.getAs[Int]("bin") / 10.0 - 1e-9)
+      assert(r.getAs[Double]("avg_pred") <= (r.getAs[Int]("bin") + 1) / 10.0 + 1e-9)
+    }
+  }
+
+  test("q_emb_margin pair counts conserve; means bounded") {
+    val r = graft.queries.LlmOps.queries("q_emb_margin")(spark, sf).collect()(0)
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(r.getAs[Long]("n_intra") + r.getAs[Long]("n_inter") === n * (n - 1) / 2)
+    assert(math.abs(r.getAs[Double]("mean_intra")) <= 1.0)
+    assert(math.abs(r.getAs[Double]("mean_inter")) <= 1.0)
+    assert(math.abs(r.getAs[Double]("margin")
+      - (r.getAs[Double]("mean_intra") - r.getAs[Double]("mean_inter"))) < 1e-9)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
