@@ -680,6 +680,34 @@ object Analytics {
         .orderBy("recoded")
     }),
 
+    // Sorted-neighborhood ER blocking (Hernández–Stolfo): sort by the
+    // name key, compare each record ONLY to its w=2 window neighbors
+    // — O(n·w) candidates instead of O(n²), the classic alternative
+    // to q_fuzzy_match's band blocking and q_string_cluster's
+    // fingerprint collapse. The un-partitioned sort runs at DIMENSION
+    // grain; at fact scale the key becomes the range partitioner.
+    // Candidates verified by the codegen'd Jaro-Winkler ≥ 0.92, cut
+    // on the 6dp-rounded grid (the fuzzy_jw rule).
+    "q_sorted_neighborhood" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_name"), col("p_partkey"))
+      Tables.part(s, d).select("p_partkey", "p_name")
+        .withColumn("cand", array(
+          struct(lead("p_partkey", 1).over(w).as("b_id"),
+            lead("p_name", 1).over(w).as("b_name")),
+          struct(lead("p_partkey", 2).over(w).as("b_id"),
+            lead("p_name", 2).over(w).as("b_name"))))
+        .select(col("p_partkey").as("a_id"), col("p_name"),
+          explode(col("cand")).as("c"))
+        .filter(col("c.b_id").isNotNull)
+        .withColumn("jw",
+          round(expr("jaro_winkler(p_name, c.b_name)"), 6))
+        .filter(col("jw") >= 0.92)
+        .select(col("a_id"), col("c.b_id").as("b_id"), col("jw"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // OpenRefine-style fingerprint clustering (entity-resolution
     // lite): normalize → tokenize → sort → rejoin collapses word
     // order and duplicates, grouping name variants under one key.
@@ -1172,6 +1200,23 @@ object Analytics {
         |SELECT m.yr, m.mo, ROUND(m.rev, 2) AS rev,
         |  ROUND(m.rev / y.avg_rev, 4) AS idx
         |FROM m JOIN y USING (yr) ORDER BY yr, mo""".stripMargin,
+
+    "q_sorted_neighborhood" ->
+      """WITH s AS (
+        |  SELECT p_partkey, p_name,
+        |    lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS m1,
+        |    lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS m2
+        |  FROM part WINDOW w AS (ORDER BY p_name, p_partkey)),
+        |c AS (
+        |  SELECT p_partkey AS a_id, k1 AS b_id,
+        |    ROUND(jaro_winkler_similarity(p_name, m1), 6) AS jw
+        |  FROM s WHERE k1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT p_partkey, k2,
+        |    ROUND(jaro_winkler_similarity(p_name, m2), 6)
+        |  FROM s WHERE k2 IS NOT NULL)
+        |SELECT a_id, b_id, jw FROM c WHERE jw >= 0.92
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_string_cluster" ->
       """SELECT list_aggr(list_sort(list_distinct(string_split(

@@ -773,6 +773,39 @@ object Training {
         .orderBy("bucket")
     }),
 
+    // Distinctive vocabulary per source — the Monroe et al. log-odds
+    // ratio with a Dirichlet prior (a=0.5/term): what q_tfidf_top is
+    // at doc grain, this is at CORPUS-SLICE grain, the
+    // compare-two-corpora primitive (what words make src3 different).
+    // Everything runs at vocab grain (explode → partial aggs, bounded
+    // marginals broadcast); top-3 per source on the rounded score.
+    "q_log_odds_terms" -> ((s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true) // vocab-grain, referenced 3×
+      val sTot = st.groupBy("source").agg(sum("n").as("ns"))
+      val tTot = st.groupBy("term").agg(sum("n").as("nt"))
+      val vocab = st.agg(countDistinct("term").as("v"), sum("n").as("nn"))
+      val a = 0.5
+      val scored = st
+        .join(broadcast(sTot), "source")
+        .join(tTot, "term")
+        .crossJoin(broadcast(vocab))
+        .withColumn("rest", col("nt") - col("n"))
+        .withColumn("nrest", col("nn") - col("ns"))
+        .withColumn("delta", round(
+          log((col("n") + a) / (col("ns") - col("n") + lit(a) * col("v")))
+            - log((col("rest") + a) / (col("nrest") - col("rest") + lit(a) * col("v"))),
+          6))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("delta").desc, col("term"))
+      scored.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("term"), col("delta"))
+        .orderBy("source", "rk")
+    }),
+
     // Per-source language-diversity entropy (the mixture-health
     // metric next to q_domain_mix's sampling): Shannon entropy of
     // each source's language distribution in nats, plus the
@@ -1244,6 +1277,27 @@ object Training {
         |WINDOW win AS (ORDER BY ds.bucket
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY bucket""".stripMargin,
+
+    "q_log_odds_terms" ->
+      """WITH st AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, COUNT(*) AS n FROM st GROUP BY 1, 2),
+        |s AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+        |t AS (SELECT term, SUM(n) AS nt FROM c GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v, SUM(n) AS nn FROM c),
+        |sc AS (
+        |  SELECT c.source, c.term,
+        |    ROUND(ln((c.n + 0.5) / (s.ns - c.n + 0.5 * v.v))
+        |      - ln((t.nt - c.n + 0.5)
+        |          / (v.nn - s.ns - (t.nt - c.n) + 0.5 * v.v)), 6) AS delta
+        |  FROM c JOIN s USING (source) JOIN t USING (term) CROSS JOIN v),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY delta DESC, term) AS rk
+        |  FROM sc)
+        |SELECT source, CAST(rk AS INT) AS rk, term, delta
+        |FROM rk WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
 
     "q_src_diversity" ->
       """WITH c AS (

@@ -579,6 +579,39 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
       - (r.getAs[Double]("mean_intra") - r.getAs[Double]("mean_inter"))) < 1e-9)
   }
 
+  test("q_sorted_neighborhood pairs are window-bounded and JW-verified") {
+    val rows = graft.queries.Analytics.queries("q_sorted_neighborhood")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("jw") >= 0.92
+      && r.getAs[Double]("jw") <= 1.0))
+    // every pair must be within 2 positions in the name-sorted order
+    val pos = graft.tables.Tables.part(spark, sf)
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getString(1), r.getLong(0))).sorted.zipWithIndex
+      .map { case ((_, k), i) => k -> i }.toMap
+    rows.foreach { r =>
+      val gap = math.abs(pos(r.getAs[Long]("a_id")) - pos(r.getAs[Long]("b_id")))
+      assert(gap >= 1 && gap <= 2, s"pair ${r.getLong(0)}/${r.getLong(1)} gap $gap")
+    }
+  }
+
+  test("q_log_odds_terms: top terms are source-frequent; 3 per source desc") {
+    val rows = graft.queries.Training.queries("q_log_odds_terms")(spark, sf)
+      .collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (_, rs) =>
+      assert(rs.length === 3)
+      val ds = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("delta"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    }
+    // a top-distinctive term must actually occur in its source
+    val st = graft.tables.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    rows.foreach(r => assert(st((r.getString(0), r.getString(2)))))
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
