@@ -799,6 +799,45 @@ object Analytics {
         .orderBy("abc")
     }),
 
+    // ABC × XYZ inventory planning matrix: q_pareto_abc's revenue
+    // classes crossed with demand-variability classes (monthly-demand
+    // CV over months with sales, cut on the 4dp-rounded grid:
+    // X < 0.5 steady, Y < 1.0, Z volatile or <2 observations). Both
+    // class derivations run at PART grain; the output is the bounded
+    // 3×3 planning matrix.
+    "q_abc_xyz" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val monthly = li.groupBy(col("l_partkey"),
+          date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(sum("l_quantity").as("q"))
+      val xyz = monthly.groupBy("l_partkey")
+        .agg(count(lit(1)).as("nm"), avg("q").as("mu"),
+          stddev_samp("q").as("sd"))
+        .withColumn("cv", round(col("sd") / col("mu"), 4))
+        .withColumn("xyz",
+          when(col("nm") < 2, "Z")
+            .when(col("cv") < 0.5, "X")
+            .when(col("cv") < 1.0, "Y").otherwise("Z"))
+        .select("l_partkey", "xyz")
+      val byPart = li.groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+        .localCheckpoint(eager = true)
+      val tot = byPart.agg(sum("rev").as("tot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val abc = byPart.crossJoin(broadcast(tot))
+        .withColumn("cum_share", sum("rev").over(w) / col("tot"))
+        .withColumn("abc",
+          when(col("cum_share") <= 0.8, "A")
+            .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+        .select("l_partkey", "abc")
+      abc.join(xyz, "l_partkey")
+        .groupBy("abc", "xyz").agg(count(lit(1)).as("n_parts"))
+        .orderBy("abc", "xyz")
+    }),
+
     // Top-3 brand recommendations per customer — the full recsys
     // composition over q_cf_item_sim: a customer's owned brands pull
     // in similar brands (score = Σ own-count · cos), already-owned
@@ -1256,6 +1295,35 @@ object Analytics {
         |  ROUND(avg_n, 4) AS avg_n,
         |  ROUND(max_n / avg_n, 4) AS skew_factor, top5_keys
         |FROM st CROSS JOIN top""".stripMargin,
+
+    "q_abc_xyz" ->
+      """WITH m AS (
+        |  SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+        |    SUM(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |x AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN COUNT(*) < 2 THEN 'Z'
+        |         WHEN ROUND(stddev_samp(q) / AVG(q), 4) < 0.5 THEN 'X'
+        |         WHEN ROUND(stddev_samp(q) / AVG(q), 4) < 1.0 THEN 'Y'
+        |         ELSE 'Z' END AS xyz
+        |  FROM m GROUP BY 1),
+        |bp AS (
+        |  SELECT l_partkey, SUM(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(rev) AS tot FROM bp),
+        |a AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.tot
+        |        <= 0.8 THEN 'A'
+        |      WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.tot
+        |        <= 0.95 THEN 'B' ELSE 'C' END AS abc
+        |  FROM bp CROSS JOIN t)
+        |SELECT a.abc, x.xyz, COUNT(*) AS n_parts
+        |FROM a JOIN x USING (l_partkey)
+        |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
 
     "q_pareto_abc" ->
       """WITH bp AS (

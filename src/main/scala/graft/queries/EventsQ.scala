@@ -712,6 +712,23 @@ object EventsQ {
         .orderBy("lag_hours")
     }),
 
+    // Seasonal-naive forecast backtest: predict each day's total by
+    // the same weekday one week earlier, score per-day APE — the
+    // baseline every forecasting system must beat, evaluated entirely
+    // on the bounded daily rollup (one corpus scan).
+    "q_forecast_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(round(sum("value"), 4).as("actual"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      daily
+        .withColumn("forecast", lag("actual", 7).over(w))
+        .filter(col("forecast").isNotNull)
+        .withColumn("ape",
+          round(abs(col("actual") - col("forecast")) / col("actual"), 6))
+        .orderBy("d")
+    }),
+
     // Clickstream path mining: the top-10 3-step event-type paths
     // (two lead windows per user — one sort — then a partial-agg
     // count and TakeOrdered). The n-gram generalization of
@@ -1340,6 +1357,17 @@ object EventsQ {
         |  COUNT(*) AS n_purchases
         |FROM a WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY lag_hours""".stripMargin,
+
+    "q_forecast_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS actual
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT d, actual, lag(actual, 7) OVER (ORDER BY d) AS forecast
+        |  FROM daily)
+        |SELECT d, actual, forecast,
+        |  ROUND(abs(actual - forecast) / actual, 6) AS ape
+        |FROM f WHERE forecast IS NOT NULL ORDER BY d""".stripMargin,
 
     "q_path_mining" ->
       """WITH p AS (

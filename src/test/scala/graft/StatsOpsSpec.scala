@@ -612,6 +612,32 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(st((r.getString(0), r.getString(2)))))
   }
 
+  test("q_forecast_naive: forecast equals the actual seven days earlier") {
+    val rows = graft.queries.EventsQ.queries("q_forecast_naive")(spark, sf)
+      .collect()
+    val actualByDay = (rows.map(r => r.getDate(0).toLocalDate -> r.getAs[Double]("actual")) ++
+      Seq.empty).toMap
+    rows.foreach { r =>
+      val prior = r.getDate(0).toLocalDate.minusDays(7)
+      actualByDay.get(prior).foreach { a =>
+        assert(math.abs(r.getAs[Double]("forecast") - a) < 1e-9,
+          s"day ${r.getDate(0)}")
+      }
+      assert(r.getAs[Double]("ape") >= 0.0)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q_abc_xyz partitions all parts into the 3x3 matrix") {
+    val df = graft.queries.Analytics.queries("q_abc_xyz")(spark, sf)
+      .localCheckpoint(true)
+    val nParts = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(df.agg(sum("n_parts")).collect()(0).getLong(0) === nParts)
+    assert(df.filter(!col("abc").isin("A", "B", "C")
+      || !col("xyz").isin("X", "Y", "Z")).isEmpty)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
