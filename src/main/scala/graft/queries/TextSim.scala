@@ -500,6 +500,41 @@ object TextSim {
         .agg(sum("tf_raw").as("n"))
         .orderBy("lang", "wlen")),
 
+    // Dedup threshold-sensitivity sweep: pair volume and docs
+    // involved at τ ∈ {0.7, 0.8, 0.9} — the tuning audit run before
+    // committing a similarity cut. ONE SetSimJoin derivation at the
+    // loosest τ (memoized) serves all three bands: each stricter
+    // threshold is a filter over the same scored pair list, never a
+    // re-derivation.
+    "q_dedup_threshold_sweep" -> ((s, d) => {
+      val pairs = graft.operators.EdgeGraph.pairs(s, d, "token", 0.7)
+        .localCheckpoint(eager = true) // three consumers below
+      val taus = Seq(0.7, 0.8, 0.9)
+      taus.map { tau =>
+        val p = pairs.filter(col("jaccard") >= tau)
+        val docs = p.select(col("a_id").as("id"))
+          .unionAll(p.select(col("b_id").as("id"))).distinct()
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+          .select(lit(tau).as("tau"), col("n_pairs"), col("n_docs"))
+      }.reduce(_ unionAll _).orderBy("tau")
+    }),
+
+    // Stopword candidate detection (tokenizer/IDF prep): terms whose
+    // document frequency exceeds half the corpus — vocab-grain from
+    // the memoized term index, df share + per-occurrence mass out.
+    "q_stopword_detect" -> ((s, d) => {
+      val tf = graft.operators.EdgeGraph.termFreq(s, d)
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      tf.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), sum("tf_raw").as("occ"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") > col("nd") * 0.5)
+        .select(col("term"), col("df"), col("occ"),
+          round(col("df") / col("nd"), 6).as("df_share"))
+        .orderBy(col("df_share").desc, col("term"))
+    }),
+
     // Near-duplication rate per source — the q_dataset_card
     // complement at the NEAR-dup grain (its dup_rate is exact-hash):
     // share of each source's docs participating in at least one
@@ -759,6 +794,45 @@ object TextSim {
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |       w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subword
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_threshold_sweep" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT a_id, b_id,
+        |    i * 1.0 / (sa.n + sb.n - i) AS j,
+        |    ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jr
+        |  FROM inter
+        |  JOIN sz sa ON inter.a_id = sa.doc_id
+        |  JOIN sz sb ON inter.b_id = sb.doc_id),
+        |base AS (SELECT a_id, b_id, jr FROM sc WHERE j >= 0.7),
+        |t AS (SELECT CAST(unnest([0.7, 0.8, 0.9]) AS DOUBLE) AS tau)
+        |SELECT t.tau,
+        |  (SELECT COUNT(*) FROM base WHERE jr >= t.tau) AS n_pairs,
+        |  (SELECT COUNT(DISTINCT id) FROM (
+        |     SELECT a_id AS id FROM base WHERE jr >= t.tau
+        |     UNION ALL SELECT b_id FROM base WHERE jr >= t.tau))
+        |    AS n_docs
+        |FROM t ORDER BY tau""".stripMargin,
+
+    "q_stopword_detect" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |d AS (SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS occ
+        |      FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nd FROM documents)
+        |SELECT term, CAST(df AS BIGINT) AS df, CAST(occ AS BIGINT) AS occ,
+        |  ROUND(df * 1.0 / nd, 6) AS df_share
+        |FROM d CROSS JOIN n WHERE df > nd * 0.5
+        |ORDER BY df_share DESC, term""".stripMargin,
 
     "q_near_dup_rate" ->
       """WITH tok AS (

@@ -638,6 +638,28 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
       || !col("xyz").isin("X", "Y", "Z")).isEmpty)
   }
 
+  test("q_dedup_threshold_sweep is monotone and agrees with the 0.8 memo") {
+    val rows = graft.queries.TextSim.queries("q_dedup_threshold_sweep")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.7, 0.8, 0.9))
+    // stricter tau => fewer pairs and fewer docs
+    assert(rows.map(_._2).zip(rows.map(_._2).tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_._3).zip(rows.map(_._3).tail).forall { case (a, b) => a >= b })
+    // the 0.8 band must match the independently-derived 0.8 pair memo
+    val p08 = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.8).count()
+    assert(rows.find(_._1 == 0.8).get._2 === p08)
+  }
+
+  test("q_stopword_detect candidates exceed the df floor; occ >= df") {
+    val df = graft.queries.TextSim.queries("q_stopword_detect")(spark, sf)
+      .localCheckpoint(true)
+    val nd = graft.tables.Tables.documents(spark, sf).count()
+    assert(df.filter(col("df") <= nd * 0.5).isEmpty)
+    assert(df.filter(col("occ") < col("df")).isEmpty)
+    assert(df.filter(col("df_share") > 1.0).isEmpty)
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
