@@ -520,6 +520,49 @@ object TextSim {
       }.reduce(_ unionAll _).orderBy("tau")
     }),
 
+    // Term burstiness (Church–Gale): variance-to-mean ratio of
+    // per-doc counts (zeros included, via E[x²]−µ² from the sparse
+    // term index — no dense expansion) — VMR ≈ 1 is Poisson
+    // background, VMR ≫ 1 is topical. Top-20 bursty terms at df ≥ 10
+    // on the rounded grid; vocab-grain throughout.
+    "q_text_burstiness" -> ((s, d) => {
+      val tf = graft.operators.EdgeGraph.termFreq(s, d)
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      tf.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"), sum("tf_raw").as("s1"),
+          sum(col("tf_raw") * col("tf_raw")).as("s2"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= 10)
+        .withColumn("mu", col("s1") / col("nd").cast("double"))
+        .withColumn("vmr", round(
+          (col("s2") / col("nd") - col("mu") * col("mu")) / col("mu"), 6))
+        .select(col("term"), col("df"), col("s1").as("occ"), col("vmr"))
+        .orderBy(col("vmr").desc, col("term"))
+        .limit(20)
+    }),
+
+    // Vocabulary coverage curve: share of all token occurrences
+    // covered by the top-N most frequent terms, N ∈ {10, 100, 1000}
+    // — the tokenizer-budget curve (how much text a vocab of size N
+    // explains). Rank + cumsum over the vocab-grain frequency table.
+    "q_ngram_coverage" -> ((s, d) => {
+      val freq = graft.operators.EdgeGraph.termFreq(s, d)
+        .groupBy("term").agg(sum("tf_raw").as("n"))
+        .localCheckpoint(eager = true) // vocab-grain, referenced twice
+      val tot = freq.agg(sum("n").as("nn"))
+      val ranked = freq.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("term"))))
+      val cuts = s.range(1, 4).select(pow(lit(10), col("id")).cast("long").as("top_n"))
+      // conditional agg, not an rk = N join: a vocab smaller than the
+      // cut still yields its (saturated) coverage row
+      ranked.crossJoin(broadcast(cuts)).crossJoin(broadcast(tot))
+        .groupBy("top_n")
+        .agg(sum(when(col("rk") <= col("top_n"), 1L).otherwise(0L)).as("n_terms"),
+          round(sum(when(col("rk") <= col("top_n"), col("n")).otherwise(0L))
+            / min("nn").cast("double"), 6).as("coverage"))
+        .orderBy("top_n")
+    })
+  ,
     // Stopword candidate detection (tokenizer/IDF prep): terms whose
     // document frequency exceeds half the corpus — vocab-grain from
     // the memoized term index, df share + per-occurrence mass out.
@@ -821,6 +864,38 @@ object TextSim {
         |     UNION ALL SELECT b_id FROM base WHERE jr >= t.tau))
         |    AS n_docs
         |FROM t ORDER BY tau""".stripMargin,
+
+    "q_text_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS nd FROM documents),
+        |a AS (
+        |  SELECT term, COUNT(*) AS df, SUM(c) AS s1, SUM(c * c) AS s2
+        |  FROM tf GROUP BY 1)
+        |SELECT term, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS occ,
+        |  ROUND((s2 * 1.0 / nd - (s1 * 1.0 / nd) * (s1 * 1.0 / nd))
+        |    / (s1 * 1.0 / nd), 6) AS vmr
+        |FROM a CROSS JOIN n WHERE df >= 10
+        |ORDER BY vmr DESC, term LIMIT 20""".stripMargin,
+
+    "q_ngram_coverage" ->
+      """WITH f AS (
+        |  SELECT term, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM f),
+        |r AS (SELECT term, n,
+        |        row_number() OVER (ORDER BY n DESC, term) AS rk FROM f),
+        |c AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS top_n)
+        |SELECT c.top_n,
+        |  CAST(SUM(CASE WHEN r.rk <= c.top_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_terms,
+        |  ROUND(SUM(CASE WHEN r.rk <= c.top_n THEN r.n ELSE 0 END)
+        |    * 1.0 / MIN(t.nn), 6) AS coverage
+        |FROM r CROSS JOIN c CROSS JOIN t
+        |GROUP BY c.top_n ORDER BY top_n""".stripMargin,
 
     "q_stopword_detect" ->
       """WITH tf AS (

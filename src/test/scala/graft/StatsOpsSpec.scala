@@ -660,6 +660,39 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
     assert(df.filter(col("df_share") > 1.0).isEmpty)
   }
 
+  test("q_text_burstiness: VMR non-negative, sorted desc; one brute recount") {
+    val rows = graft.queries.TextSim.queries("q_text_burstiness")(spark, sf)
+      .collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val vs = rows.map(_.getAs[Double]("vmr"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+    assert(vs.forall(_ >= 0.0))
+    // brute recompute for the top term (zeros included)
+    val top = rows.head.getString(0)
+    val nd = graft.tables.Tables.documents(spark, sf).count().toDouble
+    val counts = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === top).groupBy("doc_id").count()
+      .collect().map(_.getLong(1).toDouble)
+    val s1 = counts.sum; val s2 = counts.map(x => x * x).sum
+    val mu = s1 / nd
+    val want = (s2 / nd - mu * mu) / mu
+    assert(math.abs(rows.head.getAs[Double]("vmr") - want) < 1e-5)
+  }
+
+  test("q_ngram_coverage is monotone in N and saturates at the vocab") {
+    val rows = graft.queries.TextSim.queries("q_ngram_coverage")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("top_n")).toSeq === Seq(10L, 100L, 1000L))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0 + 1e-9))
+    val vocab = graft.tables.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).distinct().count()
+    rows.foreach(r => assert(r.getAs[Long]("n_terms")
+      === math.min(r.getAs[Long]("top_n"), vocab)))
+  }
+
   test("q_acf yields one bounded point per lag with |acf| <= 1") {
     val rows = graft.queries.EventsQ.queries("q_acf")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("lag_n")).toSeq === (1 to 7))
