@@ -261,9 +261,14 @@ object Analytics {
         .withColumn("prev", lag("event_type", 1).over(w))
         .filter(col("prev").isNull || col("prev") =!= col("event_type"))
         .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        // Timestamps leave the engine as unix_micros longs (ntz-safe
+        // wire convention, q_funnel precedent): Spark writes session-tz
+        // parquet timestamps, the oracle writes ntz — longs are the
+        // only representation both agree on byte-for-byte.
         .select(col("user_id"), col("event_id").as("change_id"),
-          col("event_type"), col("ts").as("valid_from"),
-          col("valid_to"), col("valid_to").isNull.as("is_current"))
+          col("event_type"), unix_micros(col("ts")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "valid_from", "change_id")
     }),
 
@@ -320,8 +325,10 @@ object Analytics {
         .filter(col("ts") < t0)
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") === 1)
+        // since_ts as unix_micros long — same ntz-safe convention as
+        // q_scd2_dim's valid_from/valid_to.
         .select(col("user_id"), col("event_type").as("state"),
-          col("ts").as("since_ts"), col("event_id").as("change_id"))
+          unix_micros(col("ts")).as("since_ts"), col("event_id").as("change_id"))
         .orderBy("user_id")
     }),
 
@@ -1150,7 +1157,7 @@ object Analytics {
         |c AS (SELECT user_id, ts, event_id, event_type FROM m
         |      WHERE prev IS NULL OR prev <> event_type),
         |r AS (
-        |  SELECT user_id, event_type AS state, ts AS since_ts, event_id AS change_id,
+        |  SELECT user_id, event_type AS state, epoch_us(ts) AS since_ts, event_id AS change_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM c WHERE ts < TIMESTAMP '2024-01-16')
         |SELECT user_id, state, since_ts, change_id
@@ -1164,8 +1171,8 @@ object Analytics {
         |c AS (SELECT user_id, ts, event_id, event_type FROM m
         |      WHERE prev IS NULL OR prev <> event_type)
         |SELECT user_id, event_id AS change_id, event_type,
-        |  ts AS valid_from,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM c ORDER BY user_id, valid_from, change_id""".stripMargin,
 

@@ -640,21 +640,35 @@ object EventsQ {
     // deviation from the global mean, peak excursion flagged — the
     // changepoint complement to q_burst_detect (rate spikes) and
     // q_psi_drift (distribution drift). Corpus → bounded daily rollup
-    // → one ordered pass; peak equality is on the 4dp-rounded grid.
+    // → one ordered pass. Arithmetic is EXACT-INTEGER until the final
+    // projection (r6 fix): avg-of-doubles is partition-order-dependent
+    // and the 30-term cusum compounds the drift ~30×, so instead the
+    // daily mass is summed in floor'd µ-units (long), the daily mean
+    // snapped to the µ grid by integer division (identical in both
+    // engines for the non-negative value domain), and the cusum is the
+    // exact long N·cum_i − i·tot. Only the output projection divides —
+    // one IEEE division of identical longs, bit-equal across engines.
     "q_cusum_drift" -> ((s, d) => {
       val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("d")).agg(avg("value").as("m"))
-        .localCheckpoint(eager = true) // bounded, referenced via two windows
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("n"))
+        .withColumn("mmu", expr("s_mu div n")) // µ-grid daily mean, exact
+        .localCheckpoint(eager = true) // bounded daily series, reused twice
       val wAll = org.apache.spark.sql.expressions.Window
         .orderBy("d").rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val mu = daily.agg(avg("m").as("mu"))
-      val withCusum = daily.crossJoin(broadcast(mu))
-        .withColumn("cusum", round(sum(col("m") - col("mu")).over(wAll), 4))
-      val peak = withCusum.agg(max(abs(col("cusum"))).as("peak"))
+      val tot = daily.agg(sum("mmu").as("tot"), count(lit(1)).as("nd"))
+      val withCusum = daily.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("d")))
+        .withColumn("cum", sum("mmu").over(wAll))
+        .withColumn("cs", col("nd") * col("cum") - col("i") * col("tot"))
+      val peak = withCusum.agg(max(abs(col("cs"))).as("peak"))
       withCusum.crossJoin(broadcast(peak))
-        .select(col("d"), round(col("m"), 4).as("mean_v"), col("cusum"),
-          (abs(col("cusum")) === col("peak")).as("is_peak"))
+        .select(col("d"), round(col("mmu") / 1e6, 4).as("mean_v"),
+          round(col("cs") / (col("nd") * 1e6), 4).as("cusum"),
+          (abs(col("cs")) === col("peak")).as("is_peak"))
         .orderBy("d")
     }),
 
@@ -1313,17 +1327,24 @@ object EventsQ {
 
     "q_cusum_drift" ->
       """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d, AVG(value) AS m
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s_mu,
+        |    COUNT(*) AS n
         |  FROM events GROUP BY 1),
-        |mu AS (SELECT AVG(m) AS mu FROM daily),
-        |c AS (
-        |  SELECT d, m,
-        |    ROUND(SUM(m - mu) OVER (ORDER BY d
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cusum
-        |  FROM daily CROSS JOIN mu),
-        |p AS (SELECT MAX(abs(cusum)) AS peak FROM c)
-        |SELECT d, ROUND(m, 4) AS mean_v, cusum,
-        |  abs(cusum) = peak AS is_peak
+        |m AS (SELECT d, s_mu // n AS mmu FROM daily),
+        |acc AS (
+        |  SELECT d, mmu,
+        |    SUM(mmu) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    row_number() OVER (ORDER BY d) AS i,
+        |    SUM(mmu) OVER () AS tot,
+        |    COUNT(*) OVER () AS nd
+        |  FROM m),
+        |c AS (SELECT d, mmu, nd, nd * cum - i * tot AS cs FROM acc),
+        |p AS (SELECT MAX(abs(cs)) AS peak FROM c)
+        |SELECT d, ROUND(mmu / 1000000.0, 4) AS mean_v,
+        |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
+        |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
 
     "q_seasonality_profile" ->

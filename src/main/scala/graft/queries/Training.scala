@@ -668,7 +668,10 @@ object Training {
     // and cluster sizes, collisions by design. Per doc the sorted
     // index vector (the sparse-feature representation a downstream
     // trainer consumes); pure projection + one doc-grain agg, no
-    // shuffle wider than the output.
+    // shuffle wider than the output. The sorted index vector is
+    // emitted as a comma-joined STRING (q_map_funcs precedent): the
+    // driver's pandas comparator cannot sort array columns, so the
+    // array form stays internal and the wire format is scalar.
     "q_feature_hash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), explode(array(
@@ -677,7 +680,7 @@ object Training {
         .withColumn("idx",
           conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("int") % 64)
         .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("idx"))).as("fvec"))
+        .agg(array_join(sort_array(collect_list(col("idx"))), ",").as("fvec"))
         .orderBy("doc_id"))
 ,
     // Multinomial Naive Bayes language ID, trained and applied inside
@@ -854,7 +857,7 @@ object Training {
         |  FROM (SELECT doc_id,
         |          unnest(['lang=' || lang, 'src=' || source]) AS feat
         |        FROM documents))
-        |SELECT doc_id, list_sort(list(idx)) AS fvec
+        |SELECT doc_id, array_to_string(list_sort(list(idx)), ',') AS fvec
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_zipf_fit" ->

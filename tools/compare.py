@@ -17,6 +17,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Driver-faithful (r6 VERDICT task 2): tz-aware values are NOT
+    # normalized to naive — the driver compares schemas as-is, and a
+    # Spark session-tz timestamp vs a DuckDB ntz one is a real schema
+    # mismatch (q_scd2_* escaped the r6 local sweep through exactly
+    # this softening). Keep values as-is; tz diffs surface as typediff.
     if hasattr(v, "tolist"):
         v = v.tolist()
     if isinstance(v, float):
@@ -25,8 +30,6 @@ def norm(v):
         return v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
-    if hasattr(v, "tzinfo") and v.tzinfo is not None:  # datetime w/ tz
-        return v.replace(tzinfo=None)
     return v
 
 
@@ -69,10 +72,27 @@ def main():
             print(f"COLS     {name}: spark={s_cols} duck={d_cols}")
             nfail += 1
             continue
+        # Driver-faithful: the driver's pandas comparator dies in
+        # sort_values on list-typed columns (q_feature_hash, r6) —
+        # any array/list output column is a hard local failure so the
+        # class is caught BEFORE the driver sees it.
+        import pyarrow.types as pat
+        listy = [c for c in s_cols
+                 if pat.is_list(spark_t.schema.field(c).type)
+                 or pat.is_large_list(spark_t.schema.field(c).type)]
+        if listy:
+            print(f"ARRAY    {name}: list-typed output cols {listy} — the "
+                  f"driver comparator cannot sort these; emit array_join'd "
+                  f"strings instead")
+            nfail += 1
+            continue
         def tnorm(t):
             import re
-            t = t.replace(", tz=UTC", "")
-            # list field naming/nullability is engine-cosmetic
+            # NOTE: tz markers are NOT stripped (r6 VERDICT task 2) —
+            # tz-aware vs ntz must fail here exactly as the driver
+            # fails it. Only list field naming/nullability (engine-
+            # cosmetic) is normalized — moot while listy cols are
+            # rejected above, kept for non-top-level nesting.
             t = re.sub(r"list<\w+: ([^>]+?)( not null)?>", r"list<\1>", t)
             return t
         stypes = {c: tnorm(str(spark_t.schema.field(c).type)) for c in s_cols}
