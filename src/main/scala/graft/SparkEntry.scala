@@ -25,5 +25,5 @@ object SparkEntry {
     Relational.oracle ++ Joins.oracle ++ TpchExtra.oracle ++ TpchPartSupp.oracle ++ Subqueries.oracle ++ Aggs.oracle ++ Reshape.oracle ++ Windows.oracle ++
       SetOps.oracle ++ Scalars.oracle ++ EventsQ.oracle ++ EthOps.oracle ++
       LlmOps.oracle ++ TextSim.oracle ++ MultimodalQ.oracle ++ Sampling.oracle ++ Analytics.oracle ++
-      Training.oracle
+      Training.oracle ++ graft.streaming.StreamOps.oracle
 }

@@ -82,8 +82,14 @@ object Multimodal {
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     pngCache.computeIfAbsent((s.sparkContext, d), _ => {
       import s.implicits._
+      // repartition the 2-long-column scan BEFORE the CPU-bound encode:
+      // the corpus is one parquet file → one input partition, which
+      // would serialize every imageio encode onto a single core (the
+      // r6 bench-outlier root cause for the mm_* family). The shuffle
+      // moves 16 bytes/row; the encode it parallelizes costs ~10⁴×.
       Tables.documents(s, d)
         .select(col("doc_id"), octet_length(col("text")).as("n"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Int)]
         .mapPartitions(rows => rows.map { case (id, n) => (id, n, pngFor(id, n)) })
         .toDF("doc_id", "n_bytes", "png")
@@ -191,8 +197,11 @@ object Multimodal {
     * codec. */
   def decodeAudio(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // single-file scan → repartition before the CPU-bound WAV decode
+    // (see pngCorpus)
     Tables.documents(s, d)
       .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .mapPartitions { it =>
         it.map { case (id, n) =>
@@ -293,8 +302,11 @@ object Multimodal {
   def sampleVideoFrames(s: SparkSession, d: String, everyNth: Int,
                         maxFrames: Int): DataFrame = {
     import s.implicits._
+    // single-file scan → repartition before the CPU-bound container
+    // synthesis + frame decode (see pngCorpus)
     Tables.documents(s, d)
       .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
       .mapPartitions { it =>
         it.flatMap { case (id, n) =>

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, AttributeReference, Cast, CreateArray, Divide, EqualTo, Explode, Expression, Floor, GreaterThanOrEqual, LessThanOrEqual, Literal, PredicateHelper, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, Alias, And, AttributeReference, Cast, CreateArray, Divide, EqualTo, Explode, Expression, Floor, GreaterThanOrEqual, Greatest, Least, LessThanOrEqual, Literal, PredicateHelper, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -69,6 +69,17 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** The analyzer wraps integral operands in numeric widening casts
+    * (`cast(abs(a − b) AS double) <= 1000.0`), which hid the band
+    * shape from the matcher for exactly the long/decimal columns the
+    * clamp exists for — see through them. Membership is unaffected:
+    * the ORIGINAL (cast-bearing) condition always rides as the
+    * residual filter. */
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _: NumericType, _, _) => stripCast(c)
+    case _ => e
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !left.output.exists(_.name.startsWith("graft_band_bucket")) &&
@@ -78,24 +89,39 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
         x.dataType.isInstanceOf[NumericType] &&
           y.dataType.isInstanceOf[NumericType] &&
           x.deterministic && y.deterministic
-      // form 1: abs(x − y) <= w
-      val absForm = conjuncts.collectFirst {
-        case LessThanOrEqual(Abs(Subtract(x, y, _), _), wl)
-            if posLit(wl).isDefined && okTypes(x, y) =>
-          (x, y, posLit(wl).get)
-      }
+      // form 1: abs(x − y) <= w  (modulo widening casts)
+      val absForm = conjuncts.collectFirst(Function.unlift {
+        case LessThanOrEqual(lhs, wl) if posLit(wl).isDefined =>
+          stripCast(lhs) match {
+            case Abs(Subtract(x0, y0, _), _) =>
+              val (x, y) = (stripCast(x0), stripCast(y0))
+              if (okTypes(x, y)) Some((x, y, posLit(wl).get)) else None
+            case _ => None
+          }
+        case _ => None
+      })
       // form 2: the BETWEEN spelling — x >= y − w AND x <= y + w
       lazy val pairForm = {
-        val ges = conjuncts.collect {
-          case GreaterThanOrEqual(x, Subtract(y, wl, _))
-              if posLit(wl).isDefined && okTypes(x, y) =>
-            (x, y, posLit(wl).get)
-        }
-        val les = conjuncts.collect {
-          case LessThanOrEqual(x, Add(y, wl, _))
-              if posLit(wl).isDefined && okTypes(x, y) =>
-            (x, y, posLit(wl).get)
-        }
+        val ges = conjuncts.collect(Function.unlift {
+          case GreaterThanOrEqual(x0, rhs) =>
+            stripCast(rhs) match {
+              case Subtract(y0, wl, _) if posLit(wl).isDefined =>
+                val (x, y) = (stripCast(x0), stripCast(y0))
+                if (okTypes(x, y)) Some((x, y, posLit(wl).get)) else None
+              case _ => None
+            }
+          case _ => None
+        })
+        val les = conjuncts.collect(Function.unlift {
+          case LessThanOrEqual(x0, rhs) =>
+            stripCast(rhs) match {
+              case Add(y0, wl, _) if posLit(wl).isDefined =>
+                val (x, y) = (stripCast(x0), stripCast(y0))
+                if (okTypes(x, y)) Some((x, y, posLit(wl).get)) else None
+              case _ => None
+            }
+          case _ => None
+        })
         (for {
           g <- ges; l <- les
           if g._1.semanticEquals(l._1) && g._2.semanticEquals(l._2) &&
@@ -113,10 +139,28 @@ object RewriteBandJoin extends Rule[LogicalPlan] with PredicateHelper {
           else None
         oriented.map { case (lx, rx) =>
           val wLit = Literal(w, DoubleType)
-          val bl = Alias(Floor(Divide(Cast(lx, DoubleType), wLit)),
-            "graft_band_bucket_l")()
+          // Saturating bucketization (r6 ADVICE): the quotient x/w is
+          // clamped to ±2^50 BEFORE flooring. Inside the clamp range
+          // the double error in floor(x/w) is < 2^-2 buckets (quotient
+          // relative error 2^-53, plus the cast-of-x error, both
+          // ≤ |q|·2^-53 ≤ 2^-3), so the ±2 expansion is provably
+          // sufficient; outside it ALL values collapse into the two
+          // sentinel buckets ±2^50, where any band-mates meet by
+          // equality (a pair straddling the boundary differs by ≤ 1
+          // bucket). This keeps the rewrite EXACT for every numeric
+          // type and range — microsecond-epoch longs with a small w,
+          // wide decimals — instead of silently dropping matches once
+          // |x/w| outgrows double precision. The saturated buckets
+          // skew only if real data lives beyond 2^50·w, where the
+          // residual filter still decides membership.
+          val cap = Literal(1.125899906842624e15, DoubleType) // 2^50
+          val negCap = Literal(-1.125899906842624e15, DoubleType)
+          def clampedBucket(e: Expression): Expression =
+            Floor(Least(Seq(Greatest(Seq(
+              Divide(Cast(e, DoubleType), wLit), negCap)), cap)))
+          val bl = Alias(clampedBucket(lx), "graft_band_bucket_l")()
           val left2 = Project(left.output :+ bl, left)
-          val rBucket = Floor(Divide(Cast(rx, DoubleType), wLit))
+          val rBucket = clampedBucket(rx)
           val arr = CreateArray((-2 to 2).map(i =>
             Add(rBucket, Literal(i.toLong))))
           val gOut = AttributeReference("graft_band_bucket_r", LongType,

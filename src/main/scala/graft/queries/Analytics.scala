@@ -719,11 +719,14 @@ object Analytics {
     // lite): normalize → tokenize → sort → rejoin collapses word
     // order and duplicates, grouping name variants under one key.
     // One scalar projection + one partial agg; canonical member =
-    // lexicographic min (deterministic).
+    // lexicographic min (deterministic). Normalization order matters
+    // (r6 ADVICE): lower() FIRST, then strip — stripping before
+    // case-folding deletes uppercase letters instead of folding them,
+    // giving 'Foo Bar' and 'foo bar' different fingerprints.
     "q_string_cluster" -> ((s, d) =>
       Tables.part(s, d)
         .withColumn("fp", array_join(array_sort(array_distinct(
-          split(lower(regexp_replace(col("p_name"), "[^a-z0-9 ]", "")), " "))),
+          split(regexp_replace(lower(col("p_name")), "[^a-z0-9 ]", ""), " "))),
           " "))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_parts"),
@@ -1266,7 +1269,7 @@ object Analytics {
 
     "q_string_cluster" ->
       """SELECT list_aggr(list_sort(list_distinct(string_split(
-        |    lower(regexp_replace(p_name, '[^a-z0-9 ]', '', 'g')), ' '))),
+        |    regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g'), ' '))),
         |    'string_agg', ' ') AS fp,
         |  COUNT(*) AS n_parts,
         |  CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_variants,

@@ -593,7 +593,11 @@ object EventsQ {
       val tot = cells.agg(sum("n").as("nn"))
       val dense = cells.crossJoin(broadcast(tot))
         .filter(col("n") >= col("nn") * 0.002)
-        .withColumn("id", (col("cx").cast("long") * 1000 + col("cy")))
+        // bijective (cx, cy) → id packing (r6 ADVICE): high-32 | low-32
+        // — the previous cx*1000+cy collided for negative or ≥1000 cy
+        // (both engines shared the bug, so the oracle couldn't see it).
+        .withColumn("id",
+          expr("(CAST(cx AS BIGINT) << 32) | (CAST(cy AS BIGINT) & 4294967295)"))
         .localCheckpoint(eager = true) // vertices, referenced 3×
       val b = dense.select(col("id").as("b_id"), col("cx").as("bx"),
         col("cy").as("by"))
@@ -1287,7 +1291,9 @@ object EventsQ {
         |  FROM events GROUP BY 1, 2),
         |tot AS (SELECT SUM(n) AS nn FROM cells),
         |dense AS (
-        |  SELECT cx, cy, n, CAST(cx AS BIGINT) * 1000 + cy AS id
+        |  SELECT cx, cy, n,
+        |    xor(CAST(cx AS BIGINT) * 4294967296,
+        |        CAST(cy AS BIGINT) & 4294967295) AS id
         |  FROM cells CROSS JOIN tot WHERE n >= nn * 0.002),
         |sym AS (
         |  SELECT a.id AS src, b.id AS dst FROM dense a JOIN dense b

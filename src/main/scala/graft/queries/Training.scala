@@ -26,7 +26,11 @@ object Training {
     (org.apache.spark.SparkContext, String), Array[(Int, String, String, Long)]]()
 
   /** Session-memoized 10-round BPE merge table (EdgeGraph posture:
-    * learn and apply share one derivation per (session, sfDir)). Each
+    * learn and apply share one derivation per (session, sfDir)),
+    * learned in EXACT BATCHES (r7): each Spark job yields as many
+    * canonical merges as provably commute (see the selection proof
+    * inline), cutting the sequential argmax-job count — the latency
+    * floor of distributed BPE — by the mean batch size. Each
     * round is a pair-explode + partial agg over the word-TYPE table
     * weighted by freq — round cost ∝ distinct types, not tokens; the
     * per-round argmax is a bounded 1-ROW driver scalar (CC
@@ -37,6 +41,7 @@ object Training {
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     bpeCache.computeIfAbsent((s.sparkContext, d), _ => {
       val rounds = 10
+      val topM = 64
       var words = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
@@ -45,8 +50,14 @@ object Training {
           col("freq"))
         .localCheckpoint(true)
       val merges = Array.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val top = words
+      var done = 0
+      while (done < rounds) {
+        // ONE job per batch round: the sorted top-M of the pair-count
+        // table (bounded driver statistic, topM rows — CC convergence-
+        // counter precedent). The r6 shape took exactly one merge per
+        // job; batching amortizes the scheduling latency that
+        // dominates at any scale (VERDICT r6 task 7).
+        val rows = words
           .select(col("freq"), explode(expr(
             "transform(sequence(1, size(syms) - 1), i -> " +
             "named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"))
@@ -54,17 +65,92 @@ object Training {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum("freq").as("f"))
           .orderBy(col("f").desc, col("a"), col("b"))
-          .head() // bounded: exactly one row crosses to the driver
-        val (a, b) = (top.getString(0), top.getString(1))
-        merges += ((r, a, b, top.getLong(2)))
-        val (aV, bV, abV) = (lit(a), lit(b), lit(a + b))
+          .limit(topM)
+          .collect()
+          .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+        val tail = if (rows.length == topM) rows.last._3 else 0L
+
+        // EXACT batch selection: take the longest contiguous prefix of
+        // the sorted pair list whose merges provably reproduce the
+        // canonical one-at-a-time argmax sequence. Merging (a1,b1)
+        // only changes counts of pairs (x,a1) / (b1,y), removes
+        // (a1,b1), and creates (x,a1b1) / (a1b1,y) whose counts are
+        // bounded by the old (x,a1) / (b1,y) counts. So a later pick
+        // (a,b,f) is canon-next iff
+        //   (i)  it is count-invariant to every earlier pick:
+        //        b != a_i, a != b_i, and neither symbol equals an
+        //        earlier output string a_ib_i (nor outputs collide);
+        //   (ii) no NEW pair can overtake it: f strictly exceeds every
+        //        old count of a pair inheriting from an earlier pick
+        //        (second elem == a_i or first elem == b_i), and
+        //        strictly exceeds the top-M tail (pairs outside the
+        //        collected prefix are <= tail);
+        //   (iii) earlier outputs are FRESH symbols (don't pre-exist
+        //        in the type table), so created pairs never conflate
+        //        with old ones. Checked with one bounded job; skipped
+        //        when the tentative batch is a single merge (plain
+        //        sequential semantics need no freshness).
+        // Count-invariance also rules out overlapping occurrences
+        // (b==a_i / a==b_i), so one left-to-right fold pass applies
+        // the whole batch exactly as the sequential greedy would.
+        def select(existing: Option[Set[String]]): List[(String, String, Long)] = {
+          val sel = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+          var stop = false
+          for (p @ (a, b, f) <- rows if !stop && done + sel.size < rounds) {
+            if (sel.isEmpty) {
+              sel += p
+              // a conflating first output breaks the inheritance bound
+              // for later picks — close the batch at size 1
+              if (existing.exists(_.contains(a + b))) stop = true
+            } else {
+              val interacts = sel.exists { case (ai, bi, _) =>
+                b == ai || a == bi || a == ai + bi || b == ai + bi ||
+                  ai == a + b || bi == a + b || a + b == ai + bi
+              }
+              val bound = rows.iterator.filter { case (qa, qb, _) =>
+                sel.exists { case (ai, bi, _) =>
+                  (qb == ai || qa == bi) && (qa, qb) != (ai, bi)
+                }
+              }.map(_._3).foldLeft(tail)(math.max)
+              val fresh = existing.forall(ex => !ex.contains(a + b))
+              if (!interacts && fresh && f > bound) sel += p
+              else stop = true
+            }
+          }
+          sel.toList
+        }
+        val tentative = select(existing = None)
+        val batch =
+          if (tentative.size <= 1) tentative
+          else {
+            // freshness check for candidate outputs: one bounded job
+            val cands = rows.map(p => p._1 + p._2).distinct.toSeq
+            val existing = words
+              .select(explode(col("syms")).as("sym"))
+              .where(col("sym").isin(cands: _*))
+              .distinct().collect().map(_.getString(0)).toSet
+            select(Some(existing))
+          }
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          println(s"[bpe] batch of ${batch.size} after $done: " +
+            batch.map(p => p._1 + "+" + p._2).mkString(", "))
+        batch.zipWithIndex.foreach { case ((a, b, f), i) =>
+          merges += ((done + i + 1, a, b, f))
+        }
+        // apply the whole batch in ONE fold pass (+1 checkpoint job)
         words = words.withColumn("syms",
             aggregate(col("syms"), array().cast("array<string>"),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, lit(-1)) === aV && x === bV,
-                concat(slice(acc, lit(1), size(acc) - 1), array(abV)))
-                .otherwise(concat(acc, array(x)))))
+              (acc, x) => {
+                val base = concat(acc, array(x))
+                val lastEl = element_at(acc, lit(-1))
+                batch.foldRight(base) { case ((a, b, _), els) =>
+                  when(size(acc) > 0 && lastEl === lit(a) && x === lit(b),
+                    concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                    .otherwise(els)
+                }
+              }))
           .localCheckpoint(true)
+        done += batch.size
       }
       merges.result()
     })

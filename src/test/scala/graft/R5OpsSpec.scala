@@ -89,14 +89,16 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
   test("q_scd2_dim: intervals chain per user and change points differ from predecessors") {
     val out = SparkEntry.queries("q_scd2_dim")(spark, sf).collect()
     assert(out.nonEmpty)
+    // valid_from/valid_to are unix_micros longs (r7 ntz-safe wire
+    // convention)
     out.groupBy(_.getLong(0)).foreach { case (user, rows) =>
-      val sorted = rows.sortBy(r => (r.getTimestamp(3).getTime, r.getLong(1)))
+      val sorted = rows.sortBy(r => (r.getLong(3), r.getLong(1)))
       // exactly one open (current) interval per user, and it is last
       assert(sorted.count(_.getBoolean(5)) === 1)
       assert(sorted.last.getBoolean(5))
       sorted.sliding(2).foreach {
         case Array(a, b) =>
-          assert(a.getTimestamp(4) === b.getTimestamp(3),
+          assert(a.getLong(4) === b.getLong(3),
             s"user $user: valid_to of one interval must be the next valid_from")
           assert(a.getString(2) !== b.getString(2),
             s"user $user: consecutive intervals must change the attribute")
@@ -161,6 +163,42 @@ class R5OpsSpec extends AnyFunSuite with SparkFixture {
     val recall = recalled.toDouble / exactPairs.length
     info(f"LSH pair recall at sf0.01: $recall%.4f ($recalled/${exactPairs.length})")
     assert(recall >= 0.98, s"LSH pair recall $recall below the s-curve floor")
+  }
+
+  test("LSH banding recall sweep: s-curve floors at tau in {0.6, 0.7, 0.8} (8 bands x 4 rows)") {
+    // r6 VERDICT task 6: the single-tau floor couldn't catch a banding
+    // change that silently degrades recall at LOWER thresholds (e.g.
+    // 4x8 banding keeps tau=0.8 recall near 0.94 but collapses tau=0.6
+    // to ~0.07). Pin the whole operating curve: candidate recall of
+    // the 8-band x 4-row scheme against the exact tau-pairs must clear
+    // the worst-case per-pair s-curve probability 1-(1-tau^4)^8 at
+    // each tau (every true pair sits at J >= tau, so aggregate recall
+    // dominates the single-point floor; 0.05 slack for the finite
+    // sample).
+    graft.expr.Registry.ensure(spark)
+    val sigs = graft.operators.EdgeGraph.minhashSigs(spark, sf, 32)
+    val bands = sigs.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))"))
+      .as("bsig"))
+    val cands = bands.alias("a").join(bands.alias("b"),
+        col("a.lang") === col("b.lang") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (tau <- Seq(0.6, 0.7, 0.8)) {
+      val exact = graft.operators.EdgeGraph.pairs(spark, sf, "token", tau)
+        .select("a_id", "b_id").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1))))
+      assert(exact.nonEmpty, s"no exact pairs at tau=$tau — fixture too sparse")
+      val recall = exact.count(cands).toDouble / exact.length
+      val floor = 1.0 - math.pow(1.0 - math.pow(tau, 4), 8)
+      info(f"banding candidate recall at tau=$tau%.1f: $recall%.4f " +
+        f"(${exact.length} exact pairs, floor ${floor}%.3f)")
+      assert(recall >= floor - 0.05,
+        f"banding recall $recall%.4f at tau=$tau%.1f fell below the " +
+        f"s-curve floor $floor%.3f — banding scheme changed?")
+    }
   }
 
   test("bloom_agg: sized capacity argument works; wrong arity errors loudly") {

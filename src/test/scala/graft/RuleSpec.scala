@@ -98,6 +98,34 @@ class RuleSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("RewriteBandJoin stays exact when |x/w| exceeds double precision (clamped buckets)") {
+    // r6 ADVICE regression: epoch-µs-scale longs with a tiny band
+    // width push floor(x/w) past 2^52, where the old unclamped
+    // bucketization could drift by >2 buckets and silently drop true
+    // matches. The clamp saturates those quotients at ±2^50, so all
+    // such values share the sentinel bucket and the residual filter
+    // decides membership exactly.
+    Registry.ensure(spark)
+    import spark.implicits._
+    val base = 4611686018427387904L // 2^62 — quotient 4.6e18 >> 2^52
+    val a = Seq(base, base + 1, base + 500, base + 10000)
+      .toDF("av").withColumn("aid", monotonically_increasing_id())
+    val b = Seq(base + 2, base + 499, base + 9999, base - 700)
+      .toDF("bv").withColumn("bid", monotonically_increasing_id())
+    val joined = a.join(b, abs(col("av") - col("bv")) <= lit(1000.0))
+      .select("av", "bv")
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.contains("graft_band_bucket"), "rewrite must still fire\n" + p)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (for {
+      x <- Seq(base, base + 1, base + 500, base + 10000)
+      y <- Seq(base + 2, base + 499, base + 9999, base - 700)
+      if math.abs(x - y) <= 1000
+    } yield (x, y)).sorted
+    assert(got.toSeq === want.toSeq,
+      s"clamped band join dropped/invented pairs: got=${got.toSeq} want=$want")
+  }
+
   test("RewriteBandJoin leaves equi and non-band joins alone") {
     Registry.ensure(spark)
     val o = Tables.orders(spark, sf)

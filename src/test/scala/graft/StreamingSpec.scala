@@ -18,9 +18,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("s_stream_ingest equals batch decode") {
     val streamed = run("s_stream_ingest")
     val batch = Tables.events(spark, sf)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-      .withColumn("hour", date_trunc("hour", col("ts")))
-      .drop("props")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
