@@ -730,6 +730,52 @@ object EventsQ {
         .orderBy("lag_hours")
     }),
 
+    // Holt's double exponential smoothing (level + trend) over the
+    // daily series — the adaptive complement to q_forecast_naive and
+    // the trend view q_ewma lacks. The corpus collapses to the bounded
+    // daily rollup in exact integer µ-units (q_cusum_drift lesson), so
+    // the recursive (l, b) fold runs over IDENTICAL doubles in both
+    // engines; α=0.5, β=0.3; the fold itself is one aggregate() over
+    // the ≤|days| array — calendar-bounded, the sanctioned bounded-
+    // series shape (at 100 TB the daily rollup is still ≤ 36k rows a
+    // century). One-step-ahead forecast emitted per day (null on day
+    // 1, which seeds the state).
+    "q_holt_winters" -> ((s, d) => {
+      val v = "(CAST(x.su AS DOUBLE) / 1000000.0D)"
+      val lExpr = s"0.5D * $v + 0.5D * (acc.l + acc.b)"
+      val bExpr = s"0.3D * (($lExpr) - acc.l) + 0.7D * acc.b"
+      val v1 = "(CAST(element_at(arr, 1).su AS DOUBLE) / 1000000.0D)"
+      val v2 = "(CAST(element_at(arr, 2).su AS DOUBLE) / 1000000.0D)"
+      val fold =
+        s"""CASE WHEN size(arr) < 2 THEN
+           |  CAST(array() AS array<struct<d: date, v: double, l: double, tr: double, fc: double>>)
+           |ELSE
+           |  aggregate(
+           |    slice(arr, 2, size(arr) - 1),
+           |    named_struct(
+           |      'l', $v1, 'b', $v2 - $v1,
+           |      'out', array(named_struct('d', element_at(arr, 1).d,
+           |        'v', $v1, 'l', $v1, 'tr', $v2 - $v1,
+           |        'fc', CAST(NULL AS DOUBLE)))),
+           |    (acc, x) -> named_struct(
+           |      'l', $lExpr,
+           |      'b', $bExpr,
+           |      'out', concat(acc.out, array(named_struct('d', x.d,
+           |        'v', $v, 'l', $lExpr, 'tr', $bExpr,
+           |        'fc', acc.l + acc.b)))),
+           |    a -> a.out)
+           |END""".stripMargin
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("su"))
+        .agg(array_sort(collect_list(struct(col("d"), col("su")))).as("arr"))
+        .select(explode(expr(fold)).as("r"))
+        .select(col("r.d").as("d"), round(col("r.v"), 4).as("actual"),
+          round(col("r.l"), 4).as("level"), round(col("r.tr"), 4).as("trend"),
+          round(col("r.fc"), 4).as("forecast"))
+        .orderBy("d")
+    }),
+
     // Seasonal-naive forecast backtest: predict each day's total by
     // the same weekday one week earlier, score per-day APE — the
     // baseline every forecasting system must beat, evaluated entirely
@@ -1330,6 +1376,29 @@ object EventsQ {
         |    ROUND(1.358 * sqrt((t.n1 + t.n2) * 1.0 / (t.n1 * t.n2)), 6)
         |    AS reject
         |FROM acc CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin,
+
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS su
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT d, CAST(su AS DOUBLE) / 1000000.0 AS v,
+        |        row_number() OVER (ORDER BY d) AS t FROM daily),
+        |init AS (SELECT o1.d, o1.v, o1.v AS l, o2.v - o1.v AS b,
+        |           CAST(NULL AS DOUBLE) AS fc, 1 AS t
+        |         FROM o o1, o o2 WHERE o1.t = 1 AND o2.t = 2),
+        |hw AS (
+        |  SELECT * FROM init
+        |  UNION ALL
+        |  SELECT o.d, o.v,
+        |    0.5 * o.v + 0.5 * (hw.l + hw.b) AS l,
+        |    0.3 * ((0.5 * o.v + 0.5 * (hw.l + hw.b)) - hw.l) + 0.7 * hw.b AS b,
+        |    hw.l + hw.b AS fc,
+        |    o.t
+        |  FROM hw JOIN o ON o.t = hw.t + 1)
+        |SELECT d, ROUND(v, 4) AS actual, ROUND(l, 4) AS level,
+        |  ROUND(b, 4) AS trend, ROUND(fc, 4) AS forecast
+        |FROM hw ORDER BY d""".stripMargin,
 
     "q_cusum_drift" ->
       """WITH daily AS (

@@ -717,6 +717,119 @@ object LlmOps {
           round(avg(when(!col("intra"), col("cos"))), 6).as("mean_inter"))
         .withColumn("margin",
           round(col("mean_intra") - col("mean_inter"), 6))
+    }),
+
+    // Product quantization encode (Jégou et al. TPAMI'11 — the PQ half
+    // of IVF-PQ, completing q_sim_ivf's coarse quantizer): the 64-dim
+    // vector splits into m=4 16-dim subspaces; each learns its own
+    // k=8 codebook (seeds = subvectors of vec_id 1..8, one Lloyd
+    // round — the q_kmeans determinism recipe applied per subspace)
+    // and every vector encodes to 4 one-byte codes + its total
+    // reconstruction error. ALL subspaces train in one plan: the
+    // subvector table is (corpus × m) rows, codebooks stay a
+    // broadcast 32-row table, assignment is projection-only argmin
+    // (least over k structs, distances 6dp-rounded BEFORE the min so
+    // the argmin is grid-exact in both engines). At 100 TB this is
+    // the memory shape that matters: 64 floats → 4 bytes per vector,
+    // and the ADC distance tables are (m × k) per query — the
+    // standard billion-scale ANN layout.
+    "q_pq_encode" -> ((s, d) => {
+      val m = 4; val sub = 16; val k = 8
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val sv = e.select(col("vec_id"), explode(expr(
+          s"transform(sequence(0, ${m - 1}), j -> " +
+          s"named_struct('j', j, 's', slice(embedding, j * $sub + 1, $sub)))"))
+          .as("p"))
+        .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
+      def sqd(a: String, b: String): String =
+        s"round(aggregate(zip_with($a, $b, (x, y) -> " +
+        s"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        s"0D, (acc, v) -> acc + v), 6)"
+      // packed per-subspace codebook (m rows, each an array of k
+      // (cid, centroid) structs) — broadcast-joined on j
+      def packed(cb: DataFrame): DataFrame = cb
+        .groupBy("j").agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+      def assign(cb: DataFrame): DataFrame = {
+        val cand = (1 to k).map { i =>
+          struct(
+            coalesce(expr(sqd("s", s"try_element_at(cents, $i).c")),
+              lit(Double.MaxValue)).as("dist"),
+            coalesce(expr(s"try_element_at(cents, $i).cid"), lit(Long.MaxValue))
+              .as("cid"))
+        }
+        sv.join(broadcast(packed(cb)), Seq("j"))
+          .withColumn("best", least(cand: _*))
+          .select(col("vec_id"), col("j"), col("best.cid").as("cid"),
+            col("best.dist").as("err"), col("s"))
+      }
+      val seeds = sv.filter(col("vec_id").between(1, k))
+        .select(col("j"), col("vec_id").as("cid"), col("s").as("c"))
+      val cb1 = assign(seeds)
+        .select(col("j"), col("cid"), posexplode(col("s")).as(Seq("dim", "v")))
+        .groupBy("j", "cid", "dim").agg(avg(col("v").cast("double")).as("mv"))
+        .groupBy("j", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), p -> CAST(p.mv AS FLOAT))")
+          .as("c"))
+      assign(cb1)
+        .groupBy("vec_id")
+        .agg(
+          max(when(col("j") === 0, col("cid"))).as("c0"),
+          max(when(col("j") === 1, col("cid"))).as("c1"),
+          max(when(col("j") === 2, col("cid"))).as("c2"),
+          max(when(col("j") === 3, col("cid"))).as("c3"),
+          max(when(col("j") === 0, col("err"))).as("e0"),
+          max(when(col("j") === 1, col("err"))).as("e1"),
+          max(when(col("j") === 2, col("err"))).as("e2"),
+          max(when(col("j") === 3, col("err"))).as("e3"))
+        // explicit left-to-right sum of the four per-subspace errors —
+        // identical addition order in both engines, so the rounded
+        // total cannot drift
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("err"))
+        .orderBy("vec_id")
+    }),
+
+    // Embedding-space (semantic) decontamination: does a held-out eval
+    // vector have a near-duplicate in the training split? Eval = odd
+    // vec_ids, train = even; candidates are confined to a shared
+    // coarse cell (nearest of 4 seed centroids — the q_semdedup
+    // blocking, i.e. the IVF cell at scale) so the pair space is
+    // corpus²/cells, never corpus²; per eval vector the max train
+    // cosine within its cell decides contamination. Cosines round to
+    // 6dp BEFORE the max (grid-exact argmax in both engines); eval
+    // vectors whose cell holds no train vector surface with
+    // max_train_cos = -1 (still reported — silent omission would
+    // read as "clean").
+    "q_contamination_embed" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val kc = 4
+      val tau = 0.5
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val packed = e.filter(col("vec_id").between(1, kc))
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+      val cand = (1 to kc).map { i =>
+        struct(
+          round(expr(s"cosine_sim(embedding, try_element_at(cents, $i).c)"), 6).as("cs"),
+          (-expr(s"try_element_at(cents, $i).cid")).as("negcid"))
+      }
+      val assigned = e.crossJoin(broadcast(packed))
+        .withColumn("best", greatest(cand: _*))
+        .select(col("vec_id"), (-col("best.negcid")).as("cell"), col("embedding"))
+        .localCheckpoint(eager = true) // referenced as both sides
+      val eval = assigned.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("cell"), col("embedding").as("ev"))
+      val train = assigned.filter(col("vec_id") % 2 === 0)
+        .select(col("cell"), col("embedding").as("tv"))
+      eval.join(train, Seq("cell"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("tv").isNull, lit(-1.0))
+            .otherwise(round(expr("cosine_sim(ev, tv)"), 6)).as("cos"))
+        .groupBy("vec_id", "cell")
+        .agg(max("cos").as("max_train_cos"))
+        .select(col("vec_id"), col("cell"), col("max_train_cos"),
+          (col("max_train_cos") >= tau).as("contaminated"))
+        .orderBy("vec_id")
     })
   )
 
@@ -728,7 +841,66 @@ object LlmOps {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
+  /** Double-precision squared L2 distance in DuckDB SQL (q_pq_encode). */
+  private def duckSqd(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |  p -> (CAST(struct_extract(p, 1) AS DOUBLE) - CAST(struct_extract(p, 2) AS DOUBLE))
+       |     * (CAST(struct_extract(p, 1) AS DOUBLE) - CAST(struct_extract(p, 2) AS DOUBLE))))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_pq_encode" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |sv AS (SELECT vec_id, j, embedding[(j*16+1):(j*16+16)] AS s
+         |       FROM e CROSS JOIN js),
+         |c0 AS (SELECT j, vec_id AS cid, s AS c FROM sv WHERE vec_id BETWEEN 1 AND 8),
+         |d1 AS (SELECT sv.vec_id, sv.j, c0.cid, sv.s,
+         |         ROUND(${duckSqd("sv.s", "c0.c")}, 6) AS dist
+         |       FROM sv JOIN c0 ON sv.j = c0.j),
+         |a1 AS (SELECT vec_id, j, cid, s FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |           ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+         |dims AS (SELECT unnest(generate_series(1, 16)) AS i),
+         |m1 AS (SELECT j, cid, i, AVG(CAST(s[i] AS DOUBLE)) AS mv
+         |       FROM a1 CROSS JOIN dims GROUP BY 1, 2, 3),
+         |c1 AS (SELECT j, cid, list(CAST(mv AS FLOAT) ORDER BY i) AS c
+         |       FROM m1 GROUP BY 1, 2),
+         |d2 AS (SELECT sv.vec_id, sv.j, c1.cid,
+         |         ROUND(${duckSqd("sv.s", "c1.c")}, 6) AS dist
+         |       FROM sv JOIN c1 ON sv.j = c1.j),
+         |a2 AS (SELECT vec_id, j, cid, dist FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |           ORDER BY dist, cid) AS rn FROM d2) WHERE rn = 1)
+         |SELECT vec_id,
+         |  MAX(CASE WHEN j = 0 THEN cid END) AS c0,
+         |  MAX(CASE WHEN j = 1 THEN cid END) AS c1,
+         |  MAX(CASE WHEN j = 2 THEN cid END) AS c2,
+         |  MAX(CASE WHEN j = 3 THEN cid END) AS c3,
+         |  ROUND(MAX(CASE WHEN j = 0 THEN dist END)
+         |      + MAX(CASE WHEN j = 1 THEN dist END)
+         |      + MAX(CASE WHEN j = 2 THEN dist END)
+         |      + MAX(CASE WHEN j = 3 THEN dist END), 6) AS err
+         |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_contamination_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, embedding AS c FROM e
+         |          WHERE vec_id BETWEEN 1 AND 4),
+         |asg AS (SELECT vec_id, cid AS cell, embedding FROM (
+         |          SELECT e.vec_id, seeds.cid, e.embedding,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ROUND(${duckCos("e.embedding", "seeds.c")}, 6) DESC,
+         |                seeds.cid) AS rn
+         |          FROM e CROSS JOIN seeds) WHERE rn = 1),
+         |ev AS (SELECT vec_id, cell, embedding AS evv FROM asg WHERE vec_id % 2 = 1),
+         |tr AS (SELECT cell, embedding AS tvv FROM asg WHERE vec_id % 2 = 0),
+         |mx AS (SELECT ev.vec_id, ev.cell,
+         |         MAX(CASE WHEN tr.cell IS NULL THEN -1.0
+         |             ELSE ROUND(${duckCos("ev.evv", "tr.tvv")}, 6) END) AS max_train_cos
+         |       FROM ev LEFT JOIN tr ON ev.cell = tr.cell GROUP BY 1, 2)
+         |SELECT vec_id, cell, max_train_cos,
+         |  max_train_cos >= 0.5 AS contaminated
+         |FROM mx ORDER BY vec_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -915,6 +915,75 @@ object Training {
             / log(greatest(min("nl").cast("double"), lit(2.0))), 6)
             .as("norm_entropy"))
         .orderBy("source")
+    }),
+
+    // DSIR-style importance resampling (Xie et al., NeurIPS'23 —
+    // "Data Selection for Language Models via Importance Resampling"):
+    // score every raw document by how target-like its hashed-unigram
+    // distribution is. Features are md5-hashed token buckets (d=256,
+    // the hashing-trick posture of q_feature_hash); the target slice
+    // is lang='en'. Per-bucket log-likelihood-ratio under Laplace
+    // smoothing, snapped to an exact integer µ-unit grid (the
+    // q_cusum_drift lesson: the per-doc sum then runs over exact
+    // longs in any order), one final division per doc. Scale shape:
+    // token explode → 256-row model (broadcast) → doc-grain rollup —
+    // the model is O(d), never corpus-sized.
+    "q_importance_resample" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("b",
+          conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int") % 256)
+      val tgt = tok.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tt = tgt.agg(sum("ct").as("tt"))
+      val rt = raw.agg(sum("cr").as("rt"))
+      val model = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+        .select(col("b"),
+          round(log(((col("ct") + lit(1.0)) / (col("tt") + lit(256.0)))
+            / ((col("cr") + lit(1.0)) / (col("rt") + lit(256.0)))) * 1e6)
+            .cast("long").as("lr_u"))
+      tok.join(broadcast(model), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lr_u").as("su"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("su") / (col("n_tokens") * lit(1e6)), 4).as("dsir_score"),
+          (col("su") > 0).as("selected"))
+        .orderBy("doc_id")
+    }),
+
+    // Curriculum sharding: assign every document a difficulty tier
+    // (exact length quartiles via the distributed ExactQuantiles plan
+    // — NO global ntile window, which would funnel the corpus through
+    // one partition) and a deterministic md5 shard within the tier,
+    // then report the (tier, shard) manifest a curriculum-ordered
+    // training run consumes. Hash sharding instead of row_number means
+    // the assignment is embarrassingly parallel and stable under
+    // re-partitioning — the property a resumable data loader needs.
+    "q_curriculum_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .withColumn("g", lit(1))
+      val cuts = graft.operators.ExactQuantiles
+        .byGroup(docs, Seq("g"), "n_chars", Seq(0.25, 0.5, 0.75))
+        .groupBy("g").agg(
+          max(when(col("q") === 0.25, col("v"))).as("q1"),
+          max(when(col("q") === 0.5, col("v"))).as("q2"),
+          max(when(col("q") === 0.75, col("v"))).as("q3"))
+      docs.join(broadcast(cuts), "g")
+        .withColumn("tier", when(col("n_chars") <= col("q1"), 1)
+          .when(col("n_chars") <= col("q2"), 2)
+          .when(col("n_chars") <= col("q3"), 3).otherwise(4))
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 8)
+        .groupBy("tier", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("tier", "shard")
     })
   )
 
@@ -922,6 +991,46 @@ object Training {
     "CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "q_importance_resample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST('0x' || substring(md5(w), 1, 4) AS INT) % 256 AS INT) AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY 1),
+        |tt AS (SELECT SUM(ct) AS tt FROM tgt),
+        |rt AS (SELECT SUM(cr) AS rt FROM raw),
+        |model AS (
+        |  SELECT raw.b,
+        |    CAST(ROUND(ln(((COALESCE(tgt.ct, 0) + 1.0) / (tt.tt + 256.0))
+        |      / ((raw.cr + 1.0) / (rt.rt + 256.0))) * 1000000) AS BIGINT) AS lr_u
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tt CROSS JOIN rt),
+        |sc AS (
+        |  SELECT tok.doc_id, COUNT(*) AS n_tokens, SUM(model.lr_u) AS su
+        |  FROM tok JOIN model ON tok.b = model.b GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(su / (n_tokens * 1000000.0), 4) AS dsir_score,
+        |  su > 0 AS selected
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum_shards" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |c AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |        quantile_cont(n_chars, 0.5) AS q2,
+        |        quantile_cont(n_chars, 0.75) AS q3 FROM d),
+        |t AS (SELECT doc_id, n_chars,
+        |        CASE WHEN n_chars <= q1 THEN 1 WHEN n_chars <= q2 THEN 2
+        |             WHEN n_chars <= q3 THEN 3 ELSE 4 END AS tier,
+        |        CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |          AS INT) % 8 AS INT) AS shard
+        |      FROM d CROSS JOIN c)
+        |SELECT tier, shard, COUNT(*) AS n_docs,
+        |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM t GROUP BY 1, 2 ORDER BY tier, shard""".stripMargin,
+
     "q_hapax_ratio" ->
       """WITH tf AS (
         |  SELECT doc_id, lang, term, COUNT(*) AS tf_raw
