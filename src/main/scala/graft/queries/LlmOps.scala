@@ -789,6 +789,61 @@ object LlmOps {
         .orderBy("vec_id")
     }),
 
+    // Signed-random-projection LSH for cosine ANN candidates
+    // (Charikar STOC'02 — the embedding-space complement of minhash
+    // [Jaccard] and simhash [text]): 16 deterministic hyperplanes
+    // (md5-derived component grid, bit p = sign of ⟨emb, h_p⟩), 4
+    // bands × 4 bits → band-bucket equi-joins → exact cosine verify at
+    // τ=0.3. Banding tuned to THIS corpus's similarity regime (max
+    // pair cos ≈ 0.51): at cos=0.3 the s-curve gives ~0.42 candidate
+    // recall while pruning ~77% of the pair space — R7OpsSpec pins
+    // both ends. EVERYTHING is cross-engine exact: plane components
+    // are md5 arithmetic both engines compute identically, the dot
+    // runs in array order (fold), and the verify rounds to the 6dp
+    // grid before the τ compare — so unlike typical LSH this key
+    // hash-matches a DuckDB oracle, not just a recall floor. Scale
+    // shape: signatures are a projection (no shuffle), candidates come
+    // from four bucket equi-joins (never corpus²), verify touches
+    // candidates only.
+    "q_ann_rplsh" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val tau = 0.3
+      def planeVals(p: Int): Seq[Double] = (0 until 64).map { d0 =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${p}_${d0}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.take(8), 16) / 4294967295.0) * 2 - 1
+      }
+      def bit(p: Int) = {
+        val plane = array(planeVals(p).map(lit): _*)
+        aggregate(
+          zip_with(col("embedding"), plane,
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) >= 0.0
+      }
+      def band(lo: Int): org.apache.spark.sql.Column =
+        (lo until lo + 4).map(p =>
+          when(bit(p), lit(1 << (p - lo))).otherwise(lit(0)))
+          .reduce(_ + _)
+      val sig = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          band(0).as("b0"), band(4).as("b1"),
+          band(8).as("b2"), band(12).as("b3"))
+        .localCheckpoint(eager = true) // signatures reused by 4 band joins
+      def cands(bcol: String) = sig.select(col("vec_id").as("a_id"),
+          col(bcol).as("bk"), col("embedding").as("a_emb"))
+        .join(sig.select(col("vec_id").as("b_id"), col(bcol).as("bk"),
+          col("embedding").as("b_emb")), Seq("bk"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_emb", "b_emb")
+      Seq("b0", "b1", "b2", "b3").map(cands).reduce(_.unionByName(_))
+        .dropDuplicates("a_id", "b_id")
+        .withColumn("cos", round(expr("cosine_sim(a_emb, b_emb)"), 6))
+        .filter(col("cos") >= tau)
+        .select("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    }),
+
     // Embedding-space (semantic) decontamination: does a held-out eval
     // vector have a near-duplicate in the training split? Eval = odd
     // vec_ids, train = even; candidates are confined to a shared
@@ -881,6 +936,41 @@ object LlmOps {
          |      + MAX(CASE WHEN j = 2 THEN dist END)
          |      + MAX(CASE WHEN j = 3 THEN dist END), 6) AS err
          |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_ann_rplsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |planes AS (
+         |  SELECT p, list(CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' ||
+         |      CAST(d AS VARCHAR)), 1, 8) AS BIGINT) / 4294967295.0 * 2 - 1
+         |    ORDER BY d) AS h
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS p)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS d)
+         |  GROUP BY p),
+         |sig AS (
+         |  SELECT e.vec_id, planes.p,
+         |    CASE WHEN list_sum(list_transform(list_zip(e.embedding, planes.h),
+         |      z -> CAST(struct_extract(z, 1) AS DOUBLE) * struct_extract(z, 2)))
+         |      >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN planes),
+         |bands AS (
+         |  SELECT vec_id,
+         |    SUM(CASE WHEN p < 4 THEN bit * (1 << p) ELSE 0 END) AS b0,
+         |    SUM(CASE WHEN p >= 4 AND p < 8 THEN bit * (1 << (p - 4)) ELSE 0 END) AS b1,
+         |    SUM(CASE WHEN p >= 8 AND p < 12 THEN bit * (1 << (p - 8)) ELSE 0 END) AS b2,
+         |    SUM(CASE WHEN p >= 12 THEN bit * (1 << (p - 12)) ELSE 0 END) AS b3
+         |  FROM sig GROUP BY vec_id),
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1
+         |      OR a.b2 = b.b2 OR a.b3 = b.b3))
+         |SELECT c.a_id, c.b_id,
+         |  ROUND(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos
+         |FROM cands c
+         |JOIN e ea ON ea.vec_id = c.a_id
+         |JOIN e eb ON eb.vec_id = c.b_id
+         |WHERE ROUND(${duckCos("ea.embedding", "eb.embedding")}, 6) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_contamination_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -596,10 +596,77 @@ object TextSim {
           sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
         .withColumn("dup_rate", round(col("n_dup") / col("n_docs"), 6))
         .orderBy("source")
+    }),
+
+    // Asymmetric containment join (the quote/subset detector —
+    // C(A,B) = |A∩B|/|A| ≥ 0.9, vs the SYMMETRIC Jaccard of
+    // q_dedup_near_jaccard): finds documents whose BIGRAM-shingle set
+    // is nearly swallowed by another's, the relationship symmetric
+    // dedup misses when |B| ≫ |A|. Shingles, not unigrams: this
+    // corpus's per-lang vocabulary is small, so unigram containment
+    // is trivially dense (~80k pairs — measured), while word-order-
+    // sensitive bigrams keep containment meaning "contains the same
+    // PHRASING". Candidates via the containment prefix filter
+    // (pigeonhole: if |A∩B| ≥ ⌈t·|A|⌉ then B holds one of A's
+    // |A|−⌈t·|A|⌉+1 globally-rarest shingles), probing the FULL
+    // inverted index on the B side — exact, never all-pairs. All
+    // threshold comparisons are integer (10·i ≥ 9·|A| etc.), so the
+    // τ cut is grid-free and engine-exact; only the reported
+    // containment value divides.
+    "q_contain_join" -> ((s, d) => {
+      Registry.ensure(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr("bigram_hashes(split(text, ' '))").as("hs"))
+        .withColumn("sz", size(col("hs")))
+        .filter(col("sz") >= 1)
+        .localCheckpoint(eager = true) // probe + index + verify sides
+      val tok = docs.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+      val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      val prefix = tok.join(dfreq, "h")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("h"))))
+        .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+        .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("h"))
+      val index = tok.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("h"))
+      val cand = prefix.join(index, Seq("h"))
+        .filter(col("a_id") =!= col("b_id") &&
+          col("b_sz") * 10 >= col("a_sz") * 9)
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(docs.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+          col("sz").as("a_sz")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+        .withColumn("i", expr("sorted_intersect_count(a_hs, b_hs)"))
+        .filter(col("i") * 10 >= col("a_sz") * 9)
+        .select(col("a_id"), col("b_id"),
+          round(col("i").cast("double") / col("a_sz").cast("double"), 4)
+            .as("containment"))
+        .orderBy("a_id", "b_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_contain_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE len(l) >= 2),
+        |tok AS (SELECT doc_id, unnest(shingles) AS tk FROM sh),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  ROUND(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 4) AS containment
+        |FROM inter
+        |JOIN sz sa ON inter.a_id = sa.doc_id
+        |WHERE i * 10 >= sa.n * 9
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // three unrolled PageRank iterations over the τ=0.8 token-set
     // similarity graph (tok/sz/inter reproduce q_dedup_near_jaccard's
     // pair semantics exactly)
