@@ -734,43 +734,10 @@ object LlmOps {
     // and the ADC distance tables are (m × k) per query — the
     // standard billion-scale ANN layout.
     "q_pq_encode" -> ((s, d) => {
-      val m = 4; val sub = 16; val k = 8
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val sv = e.select(col("vec_id"), explode(expr(
-          s"transform(sequence(0, ${m - 1}), j -> " +
-          s"named_struct('j', j, 's', slice(embedding, j * $sub + 1, $sub)))"))
-          .as("p"))
-        .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
-      def sqd(a: String, b: String): String =
-        s"round(aggregate(zip_with($a, $b, (x, y) -> " +
-        s"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-        s"0D, (acc, v) -> acc + v), 6)"
-      // packed per-subspace codebook (m rows, each an array of k
-      // (cid, centroid) structs) — broadcast-joined on j
-      def packed(cb: DataFrame): DataFrame = cb
-        .groupBy("j").agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
-      def assign(cb: DataFrame): DataFrame = {
-        val cand = (1 to k).map { i =>
-          struct(
-            coalesce(expr(sqd("s", s"try_element_at(cents, $i).c")),
-              lit(Double.MaxValue)).as("dist"),
-            coalesce(expr(s"try_element_at(cents, $i).cid"), lit(Long.MaxValue))
-              .as("cid"))
-        }
-        sv.join(broadcast(packed(cb)), Seq("j"))
-          .withColumn("best", least(cand: _*))
-          .select(col("vec_id"), col("j"), col("best.cid").as("cid"),
-            col("best.dist").as("err"), col("s"))
-      }
-      val seeds = sv.filter(col("vec_id").between(1, k))
-        .select(col("j"), col("vec_id").as("cid"), col("s").as("c"))
-      val cb1 = assign(seeds)
-        .select(col("j"), col("cid"), posexplode(col("s")).as(Seq("dim", "v")))
-        .groupBy("j", "cid", "dim").agg(avg(col("v").cast("double")).as("mv"))
-        .groupBy("j", "cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), p -> CAST(p.mv AS FLOAT))")
-          .as("c"))
-      assign(cb1)
+      val sv = pqSubvecs(e)
+      val cb1 = pqCodebook(sv)
+      pqAssign(sv, cb1)
         .groupBy("vec_id")
         .agg(
           max(when(col("j") === 0, col("cid"))).as("c0"),
@@ -787,6 +754,86 @@ object LlmOps {
         .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
           round(col("e0") + col("e1") + col("e2") + col("e3"), 6).as("err"))
         .orderBy("vec_id")
+    }),
+
+    // End-to-end IVF-PQ ANN query (Jégou TPAMI'11 §IV — the billion-
+    // scale layout): coarse quantizer (4 cells, cosine argmax to the
+    // seed centroids) prunes the corpus to nprobe=2 probed cells; the
+    // PQ codebooks (shared derivation with q_pq_encode) turn every
+    // candidate into 4 one-byte codes; the query computes an ADC
+    // distance TABLE (m × k = 32 sub-distances per query, 6dp grid)
+    // and each candidate's approximate distance is 4 table lookups +
+    // an explicit-order sum — the candidate's raw floats are NEVER
+    // touched at query time. Top-5 per query by (adist, vec_id).
+    // Scale: dtab is queries × 32 rows (broadcast), candidates are
+    // probed-cells-only, lookups are 4 broadcast joins — the exact
+    // shape a vector store runs per query batch.
+    "q_ivf_pq_query" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val kc = 4; val nprobe = 2; val topk = 5
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // coarse cells: cosine argmax to seed centroids (vec_id 1..kc)
+      val packedCells = e.filter(col("vec_id").between(1, kc))
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+      val cellCand = (1 to kc).map { i =>
+        struct(
+          round(expr(s"cosine_sim(embedding, try_element_at(cents, $i).c)"), 6).as("cs"),
+          (-expr(s"try_element_at(cents, $i).cid")).as("negcid"))
+      }
+      val assigned = e.crossJoin(broadcast(packedCells))
+        .withColumn("best", greatest(cellCand: _*))
+        .select(col("vec_id"), (-col("best.negcid")).as("cell"))
+      // PQ codes for the whole corpus (shared codebook derivation)
+      val sv = pqSubvecs(e)
+      val cb1 = pqCodebook(sv).localCheckpoint(eager = true) // dtab + codes
+      val codes = pqAssign(sv, cb1)
+        .groupBy("vec_id")
+        .agg(max(when(col("j") === 0, col("cid"))).as("k0"),
+          max(when(col("j") === 1, col("cid"))).as("k1"),
+          max(when(col("j") === 2, col("cid"))).as("k2"),
+          max(when(col("j") === 3, col("cid"))).as("k3"))
+      // queries: vec_id 0..4; their per-subspace ADC distance tables
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qsv = pqSubvecs(queries.select(col("q_id").as("vec_id"),
+          col("q_emb").as("embedding")))
+        .select(col("vec_id").as("q_id"), col("j"), col("s").as("qs"))
+      val dtab = qsv.join(broadcast(cb1), Seq("j"))
+        .select(col("q_id"), col("j"), col("cid"),
+          expr(pqSqd("qs", "c")).as("dv"))
+        .localCheckpoint(eager = true) // 4 per-j broadcast lookups below
+      // probe the nprobe nearest cells per query
+      val probes = queries.crossJoin(broadcast(packedCells))
+        .select(col("q_id"), explode(expr(
+          s"transform(sequence(1, $kc), i -> named_struct(" +
+          "'cid', try_element_at(cents, i).cid, " +
+          "'cs', round(cosine_sim(q_emb, try_element_at(cents, i).c), 6)))"))
+          .as("p"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("p.cs").desc, col("p.cid"))))
+        .filter(col("rn") <= nprobe)
+        .select(col("q_id"), col("p.cid").as("cell"))
+      // candidates = vectors in probed cells (minus the query itself),
+      // ADC distance = 4 dtab lookups summed in explicit order
+      def look(j: Int, kcol: String) = dtab.filter(col("j") === j)
+        .select(col("q_id"), col("cid").as(kcol), col("dv").as(s"d$j"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(look(0, "k0")), Seq("q_id", "k0"))
+        .join(broadcast(look(1, "k1")), Seq("q_id", "k1"))
+        .join(broadcast(look(2, "k2")), Seq("q_id", "k2"))
+        .join(broadcast(look(3, "k3")), Seq("q_id", "k3"))
+        .withColumn("adist",
+          round(col("d0") + col("d1") + col("d2") + col("d3"), 6))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("adist"), col("vec_id"))))
+        .filter(col("rn") <= topk)
+        .select(col("q_id"), col("rn").as("rank"), col("vec_id"), col("adist"))
+        .orderBy("q_id", "rank")
     }),
 
     // Signed-random-projection LSH for cosine ANN candidates
@@ -896,6 +943,59 @@ object LlmOps {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
+  // ---- PQ building blocks (q_pq_encode + q_ivf_pq_query) ----------
+  // m=4 subspaces × 16 dims, k=8 codes per subspace; Lloyd round and
+  // argmin both on the 6dp distance grid so assignments are
+  // cross-engine exact.
+  private val PqM = 4; private val PqSub = 16; private val PqK = 8
+
+  /** (vec_id, j, s): the m per-subspace slices of each embedding. */
+  private def pqSubvecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), j -> " +
+        s"named_struct('j', j, 's', slice(embedding, j * $PqSub + 1, $PqSub)))"))
+        .as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.s").as("s"))
+
+  /** 6dp-rounded squared L2 between two float arrays, array-order fold. */
+  private def pqSqd(a: String, b: String): String =
+    s"round(aggregate(zip_with($a, $b, (x, y) -> " +
+    s"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+    s"0D, (acc, v) -> acc + v), 6)"
+
+  /** Argmin assignment of every subvector to its subspace codebook:
+    * (vec_id, j, cid, err, s). The packed codebook is a broadcast
+    * m-row table; try_element_at + coalesce guard clusters that
+    * emptied out during the Lloyd round. */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val packed = cb.groupBy("j")
+      .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
+    val cand = (1 to PqK).map { i =>
+      struct(
+        coalesce(expr(pqSqd("s", s"try_element_at(cents, $i).c")),
+          lit(Double.MaxValue)).as("dist"),
+        coalesce(expr(s"try_element_at(cents, $i).cid"), lit(Long.MaxValue))
+          .as("cid"))
+    }
+    sv.join(broadcast(packed), Seq("j"))
+      .withColumn("best", least(cand: _*))
+      .select(col("vec_id"), col("j"), col("best.cid").as("cid"),
+        col("best.dist").as("err"), col("s"))
+  }
+
+  /** Post-Lloyd per-subspace codebook (j, cid, c): seeds = subvectors
+    * of vec_id 1..k, one assignment + per-dim mean update. */
+  private def pqCodebook(sv: DataFrame): DataFrame = {
+    val seeds = sv.filter(col("vec_id").between(1, PqK))
+      .select(col("j"), col("vec_id").as("cid"), col("s").as("c"))
+    pqAssign(sv, seeds)
+      .select(col("j"), col("cid"), posexplode(col("s")).as(Seq("dim", "v")))
+      .groupBy("j", "cid", "dim").agg(avg(col("v").cast("double")).as("mv"))
+      .groupBy("j", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mv))), p -> CAST(p.mv AS FLOAT))")
+        .as("c"))
+  }
+
   /** Double-precision squared L2 distance in DuckDB SQL (q_pq_encode). */
   private def duckSqd(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
@@ -936,6 +1036,69 @@ object LlmOps {
          |      + MAX(CASE WHEN j = 2 THEN dist END)
          |      + MAX(CASE WHEN j = 3 THEN dist END), 6) AS err
          |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_ivf_pq_query" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, embedding AS c FROM e
+         |          WHERE vec_id BETWEEN 1 AND 4),
+         |asg AS (SELECT vec_id, cid AS cell FROM (
+         |          SELECT e.vec_id, seeds.cid,
+         |            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ROUND(${duckCos("e.embedding", "seeds.c")}, 6) DESC,
+         |                seeds.cid) AS rn
+         |          FROM e CROSS JOIN seeds) WHERE rn = 1),
+         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |sv AS (SELECT vec_id, j, embedding[(j*16+1):(j*16+16)] AS s
+         |       FROM e CROSS JOIN js),
+         |pc0 AS (SELECT j, vec_id AS cid, s AS c FROM sv WHERE vec_id BETWEEN 1 AND 8),
+         |pd1 AS (SELECT sv.vec_id, sv.j, pc0.cid, sv.s,
+         |         ROUND(${duckSqd("sv.s", "pc0.c")}, 6) AS dist
+         |       FROM sv JOIN pc0 ON sv.j = pc0.j),
+         |pa1 AS (SELECT vec_id, j, cid, s FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |           ORDER BY dist, cid) AS rn FROM pd1) WHERE rn = 1),
+         |dims AS (SELECT unnest(generate_series(1, 16)) AS i),
+         |pm1 AS (SELECT j, cid, i, AVG(CAST(s[i] AS DOUBLE)) AS mv
+         |       FROM pa1 CROSS JOIN dims GROUP BY 1, 2, 3),
+         |pc1 AS (SELECT j, cid, list(CAST(mv AS FLOAT) ORDER BY i) AS c
+         |       FROM pm1 GROUP BY 1, 2),
+         |pd2 AS (SELECT sv.vec_id, sv.j, pc1.cid,
+         |         ROUND(${duckSqd("sv.s", "pc1.c")}, 6) AS dist
+         |       FROM sv JOIN pc1 ON sv.j = pc1.j),
+         |codes AS (SELECT vec_id, j, cid FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |           ORDER BY dist, cid) AS rn FROM pd2) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 5),
+         |qsv AS (SELECT q_id, j, q_emb[(j*16+1):(j*16+16)] AS qs
+         |        FROM q CROSS JOIN js),
+         |dtab AS (SELECT q_id, qsv.j, pc1.cid,
+         |          ROUND(${duckSqd("qsv.qs", "pc1.c")}, 6) AS dv
+         |        FROM qsv JOIN pc1 ON qsv.j = pc1.j),
+         |probes AS (SELECT q_id, cid AS cell FROM (
+         |          SELECT q.q_id, seeds.cid,
+         |            ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |              ORDER BY ROUND(${duckCos("q.q_emb", "seeds.c")}, 6) DESC,
+         |                seeds.cid) AS rn
+         |          FROM q CROSS JOIN seeds) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id FROM probes p JOIN asg a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |ad AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    ROUND(t0.dv + t1.dv + t2.dv + t3.dv, 6) AS adist
+         |  FROM cand c
+         |  JOIN codes k0 ON k0.vec_id = c.vec_id AND k0.j = 0
+         |  JOIN codes k1 ON k1.vec_id = c.vec_id AND k1.j = 1
+         |  JOIN codes k2 ON k2.vec_id = c.vec_id AND k2.j = 2
+         |  JOIN codes k3 ON k3.vec_id = c.vec_id AND k3.j = 3
+         |  JOIN dtab t0 ON t0.q_id = c.q_id AND t0.j = 0 AND t0.cid = k0.cid
+         |  JOIN dtab t1 ON t1.q_id = c.q_id AND t1.j = 1 AND t1.cid = k1.cid
+         |  JOIN dtab t2 ON t2.q_id = c.q_id AND t2.j = 2 AND t2.cid = k2.cid
+         |  JOIN dtab t3 ON t3.q_id = c.q_id AND t3.j = 3 AND t3.cid = k3.cid)
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, adist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY adist, vec_id) AS rank FROM ad)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q_ann_rplsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -955,6 +955,49 @@ object Training {
         .orderBy("doc_id")
     }),
 
+    // In-engine logistic-regression training (the quality-classifier
+    // fit a curation pipeline runs — CCNet/DSIR both gate on one):
+    // 2 full-batch gradient steps on (length, token-count) features
+    // predicting the target slice (lang='en'), then the training
+    // accuracy. The distributed gradient is the classic order-
+    // dependent double sum, so each row's contribution is snapped to
+    // an exact integer µ-grid BEFORE the sum (q_cusum_drift recipe) —
+    // the weight trajectory is bit-identical across engines and
+    // cluster sizes, which is what makes this oracled rather than
+    // "approximately converged". The per-step weights are 3 bounded
+    // driver scalars (BPE-argmax posture); everything row-grain stays
+    // distributed.
+    "q_logreg_quality" -> ((s, d) => {
+      val feat = Tables.documents(s, d).select(
+          col("doc_id"),
+          (col("n_chars") / lit(300.0)).as("x1"),
+          (size(split(col("text"), " ")) / lit(50.0)).as("x2"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .localCheckpoint(eager = true) // reused across steps
+      val n = feat.count() // bounded scalar: corpus row count
+      def margin(w: (Double, Double, Double)) =
+        lit(w._1) * col("x1") + lit(w._2) * col("x2") + lit(w._3)
+      def p(w: (Double, Double, Double)) =
+        lit(1.0) / (lit(1.0) + exp(-margin(w)))
+      var w = (0.0, 0.0, 0.0)
+      for (_ <- 1 to 2) {
+        def g(x: org.apache.spark.sql.Column) =
+          sum(round(((p(w) - col("y")) * x) * lit(1e6)).cast("long"))
+        val r = feat.agg(g(col("x1")).as("g1"), g(col("x2")).as("g2"),
+          g(lit(1.0)).as("g3")).head() // bounded: 3 longs
+        w = (w._1 - 0.1 * ((r.getLong(0) / 1e6) / n),
+          w._2 - 0.1 * ((r.getLong(1) / 1e6) / n),
+          w._3 - 0.1 * ((r.getLong(2) / 1e6) / n))
+      }
+      feat.agg(
+          count(lit(1)).as("n"),
+          round(lit(w._1), 6).as("w1"),
+          round(lit(w._2), 6).as("w2"),
+          round(lit(w._3), 6).as("w3"),
+          round(sum(when((margin(w) > 0) === (col("y") === 1.0), 1L)
+            .otherwise(0L)).cast("double") / n.toDouble, 6).as("accuracy"))
+    }),
+
     // Curriculum sharding: assign every document a difficulty tier
     // (exact length quartiles via the distributed ExactQuantiles plan
     // — NO global ntile window, which would funnel the corpus through
@@ -1014,6 +1057,38 @@ object Training {
         |  ROUND(su / (n_tokens * 1000000.0), 4) AS dsir_score,
         |  su > 0 AS selected
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_logreg_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars / 300.0 AS x1,
+        |    len(string_split(text, ' ')) / 50.0 AS x2,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM f),
+        |g1 AS (SELECT
+        |    SUM(CAST(ROUND((((1.0 / (1.0 + exp(-(0.0 * x1 + 0.0 * x2 + 0.0)))) - y) * x1) * 1000000) AS BIGINT)) AS ga,
+        |    SUM(CAST(ROUND((((1.0 / (1.0 + exp(-(0.0 * x1 + 0.0 * x2 + 0.0)))) - y) * x2) * 1000000) AS BIGINT)) AS gb,
+        |    SUM(CAST(ROUND((((1.0 / (1.0 + exp(-(0.0 * x1 + 0.0 * x2 + 0.0)))) - y) * 1.0) * 1000000) AS BIGINT)) AS gc
+        |  FROM f),
+        |w1 AS (SELECT 0.0 - 0.1 * ((ga / 1000000.0) / n) AS wa,
+        |         0.0 - 0.1 * ((gb / 1000000.0) / n) AS wb,
+        |         0.0 - 0.1 * ((gc / 1000000.0) / n) AS wc
+        |       FROM g1 CROSS JOIN nn),
+        |g2 AS (SELECT
+        |    SUM(CAST(ROUND((((1.0 / (1.0 + exp(-(wa * x1 + wb * x2 + wc)))) - y) * x1) * 1000000) AS BIGINT)) AS ga,
+        |    SUM(CAST(ROUND((((1.0 / (1.0 + exp(-(wa * x1 + wb * x2 + wc)))) - y) * x2) * 1000000) AS BIGINT)) AS gb,
+        |    SUM(CAST(ROUND((((1.0 / (1.0 + exp(-(wa * x1 + wb * x2 + wc)))) - y) * 1.0) * 1000000) AS BIGINT)) AS gc
+        |  FROM f CROSS JOIN w1),
+        |w2 AS (SELECT wa - 0.1 * ((ga / 1000000.0) / n) AS wa,
+        |         wb - 0.1 * ((gb / 1000000.0) / n) AS wb,
+        |         wc - 0.1 * ((gc / 1000000.0) / n) AS wc
+        |       FROM g2 CROSS JOIN w1 CROSS JOIN nn)
+        |SELECT nn.n AS n, ROUND(w2.wa, 6) AS w1, ROUND(w2.wb, 6) AS w2,
+        |  ROUND(w2.wc, 6) AS w3,
+        |  ROUND(CAST(SUM(CASE WHEN (w2.wa * x1 + w2.wb * x2 + w2.wc > 0) = (y = 1.0)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS accuracy
+        |FROM f CROSS JOIN w2 CROSS JOIN nn
+        |GROUP BY nn.n, w2.wa, w2.wb, w2.wc""".stripMargin,
 
     "q_curriculum_shards" ->
       """WITH d AS (SELECT doc_id, n_chars FROM documents),

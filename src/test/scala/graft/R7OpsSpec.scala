@@ -152,6 +152,56 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(mirrored.nonEmpty || rows.nonEmpty)
   }
 
+  test("q_ivf_pq_query: 5 ranked rows per query and ADC top-5 beats random on TRUE distance") {
+    val got = SparkEntry.queries("q_ivf_pq_query")(spark, sf).collect()
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 5)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(1 to 5), s"query $q ranks")
+      // adist non-decreasing with rank
+      sorted.map(_.getAs[Double]("adist")).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-9, s"query $q adist ordering")
+        case _ =>
+      }
+      assert(!sorted.exists(_.getAs[Long]("vec_id") == q), "query must not match itself")
+    }
+    // the asymmetric-distance ranking is informative: per query, the
+    // TRUE squared L2 of the ADC top-5 must beat the corpus average
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    byQ.foreach { case (q, rows) =>
+      val qv = e(q)
+      val topTrue = rows.map(r => l2(qv, e(r.getAs[Long]("vec_id"))))
+      val allTrue = e.collect { case (id, v) if id != q => l2(qv, v) }
+      assert(topTrue.sum / topTrue.length < allTrue.sum / allTrue.size,
+        s"query $q: ADC top-5 no better than random")
+    }
+  }
+
+  test("q_logreg_quality: gradient steps move weights and accuracy beats the trivial all-negative floor is reported") {
+    val r = SparkEntry.queries("q_logreg_quality")(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val docs = graft.tables.Tables.documents(spark, sf).count()
+    assert(row.getAs[Long]("n") === docs)
+    // two non-degenerate gradient steps: weights moved off zero
+    assert(Seq("w1", "w2", "w3").exists(c => math.abs(row.getAs[Double](c)) > 1e-9))
+    val acc = row.getAs[Double]("accuracy")
+    assert(acc >= 0.0 && acc <= 1.0)
+    // after 2 steps from w=0 the model must at least match predicting
+    // the majority class (it can't do worse: w=0 predicts all-negative
+    // and the gradient moves toward the data)
+    val en = graft.tables.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    val majority = math.max(en, docs - en).toDouble / docs
+    assert(acc >= math.min(majority, 1.0 - majority),
+      s"accuracy $acc below the minority-class floor")
+  }
+
   test("q_curriculum_shards: shards partition the corpus and tiers are balanced quartiles") {
     val got = SparkEntry.queries("q_curriculum_shards")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf).count()
