@@ -955,6 +955,40 @@ object Training {
         .orderBy("doc_id")
     }),
 
+    // Greedy max-coverage data selection (submodular facility-location
+    // family — the "pick the k docs that together cover the most
+    // vocabulary" coreset selector): k=5 rounds, each picking the doc
+    // with the largest NEW-token gain against the accumulated covered
+    // set, ties by doc_id. The covered set is VOCABULARY-bounded (a
+    // production selector hashes features to bound it), so carrying it
+    // driver-side between rounds is the sanctioned bounded-statistic
+    // posture (BPE-argmax precedent); each round's gain scan stays
+    // distributed. Integer gains → the greedy sequence is exactly
+    // reproducible, and the oracle unrolls the same 5 rounds.
+    "q_select_coverage" -> ((s, d) => {
+      val k = 5
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tk"))
+        .localCheckpoint(eager = true) // scanned once per round
+      var covered = Set.empty[String]
+      var picked = Vector.empty[(Int, Long, Int, Int)]
+      for (r <- 1 to k) {
+        val covArr =
+          if (covered.isEmpty) array().cast("array<string>")
+          else array(covered.toSeq.sorted.map(lit): _*)
+        val cand = docs
+          .filter(if (picked.isEmpty) lit(true)
+            else !col("doc_id").isin(picked.map(_._2): _*))
+          .withColumn("gain", size(array_except(col("tk"), covArr)))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).head() // bounded 1-row driver argmax per round
+        covered ++= cand.getSeq[String](1)
+        picked :+= ((r, cand.getLong(0), cand.getInt(2), covered.size))
+      }
+      import s.implicits._
+      picked.toDF("rank", "doc_id", "gain", "covered_total")
+    }),
+
     // In-engine logistic-regression training (the quality-classifier
     // fit a curation pipeline runs — CCNet/DSIR both gate on one):
     // 2 full-batch gradient steps on (length, token-count) features
@@ -1057,6 +1091,26 @@ object Training {
         |  ROUND(su / (n_tokens * 1000000.0), 4) AS dsir_score,
         |  su > 0 AS selected
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_select_coverage" -> {
+      // unrolled 5-round greedy: pN = round-N pick, cN = covered set
+      val sb = new StringBuilder
+      sb ++= "WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents),\n"
+      sb ++= "p1 AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS gain FROM d ORDER BY gain DESC, doc_id LIMIT 1),\n"
+      sb ++= "c1 AS (SELECT tk AS cov FROM p1)"
+      for (r <- 2 to 5) {
+        val excl = (1 until r).map(i => s"SELECT doc_id FROM p$i").mkString(" UNION ALL ")
+        sb ++= s",\np$r AS (SELECT doc_id, tk, CAST(len(list_filter(tk, t -> NOT list_contains(c${r - 1}.cov, t))) AS INT) AS gain" +
+          s" FROM d CROSS JOIN c${r - 1} WHERE doc_id NOT IN ($excl) ORDER BY gain DESC, doc_id LIMIT 1)"
+        sb ++= s",\nc$r AS (SELECT list_distinct(list_concat(c${r - 1}.cov, p$r.tk)) AS cov FROM c${r - 1} CROSS JOIN p$r)"
+      }
+      sb ++= "\n" + (1 to 5).map(r =>
+        s"SELECT CAST($r AS INT) AS rank, p$r.doc_id, p$r.gain, " +
+        s"CAST(len(c$r.cov) AS INT) AS covered_total FROM p$r CROSS JOIN c$r")
+        .mkString("\nUNION ALL\n")
+      sb ++= "\nORDER BY rank"
+      sb.toString
+    },
 
     "q_logreg_quality" ->
       """WITH f AS (

@@ -554,6 +554,28 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("r7 ANN/LSH keys: codebooks and distance tables broadcast, no cartesian candidates") {
+    // q_pq_encode: the packed codebook is a broadcast m-row table —
+    // the corpus-side assign must never shuffle on it
+    val pq = plan("q_pq_encode")
+    assert(pq.contains("BroadcastExchange"), "PQ codebook must broadcast\n" + pq)
+    assert(!pq.contains("CartesianProduct"), "q_pq_encode cartesian\n" + pq)
+    // q_ivf_pq_query: dtab lookups broadcast; only the sanctioned
+    // 1-row packed-centroid crossJoins may appear
+    val ivf = plan("q_ivf_pq_query")
+    assert(ivf.contains("BroadcastExchange"), "ADC dtab must broadcast\n" + ivf)
+    assert(!ivf.contains("CartesianProduct"), "q_ivf_pq_query cartesian\n" + ivf)
+    // q_ann_rplsh: candidates come from bucket EQUI-joins, never a
+    // nested-loop pair scan
+    val rp = plan("q_ann_rplsh")
+    assert(!rp.contains("BroadcastNestedLoopJoin") && !rp.contains("CartesianProduct"),
+      "RP-LSH must join on band buckets\n" + rp)
+    // q_contain_join: prefix-filtered inverted-index equi-join
+    val cj = plan("q_contain_join")
+    assert(!cj.contains("BroadcastNestedLoopJoin") && !cj.contains("CartesianProduct"),
+      "containment must probe the inverted index\n" + cj)
+  }
+
   test("bounded-grid stats keys aggregate BEFORE their global window") {
     // the q_auc collapse shape: the un-partitioned window must consume
     // an aggregated grid, so a HashAggregate appears below the Window

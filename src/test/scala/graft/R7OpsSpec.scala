@@ -202,6 +202,25 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       s"accuracy $acc below the minority-class floor")
   }
 
+  test("q_select_coverage: greedy gains are non-increasing and covered_total is the running union") {
+    val rows = SparkEntry.queries("q_select_coverage")(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.length === 5)
+    // submodularity: marginal gains never increase along the greedy
+    rows.map(_.getAs[Int]("gain")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "greedy gain increased — selection broken")
+      case _ =>
+    }
+    // covered_total is the cumulative sum of gains (each pick adds
+    // exactly its gain of NEW tokens)
+    var cum = 0
+    rows.foreach { r =>
+      cum += r.getAs[Int]("gain")
+      assert(r.getAs[Int]("covered_total") === cum)
+    }
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 5)
+  }
+
   test("q_curriculum_shards: shards partition the corpus and tiers are balanced quartiles") {
     val got = SparkEntry.queries("q_curriculum_shards")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf).count()
