@@ -1037,6 +1037,81 @@ object LlmOps {
          |      + MAX(CASE WHEN j = 3 THEN dist END), 6) AS err
          |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // r7: q_dedup_keep_best converts from OMIT to oracled — the
+    // components labeling has an exact recursive-CTE twin
+    // (q_dedup_components precedent), and the keep-best argmax is a
+    // plain window on top of it.
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(l) - 1),
+        |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+        |  WHERE len(l) >= 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))) AS j
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.3),
+        |sym AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION
+        |  SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |lab AS (SELECT src AS doc_id, MIN(dst) AS label FROM reach GROUP BY src),
+        |jq AS (SELECT lab.label, lab.doc_id, d.n_chars AS quality
+        |       FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
+        |rk AS (SELECT label, doc_id, quality,
+        |        ROW_NUMBER() OVER (PARTITION BY label
+        |          ORDER BY quality DESC, doc_id) AS rk,
+        |        COUNT(*) OVER (PARTITION BY label) AS n_members
+        |       FROM jq)
+        |SELECT label AS cluster_id, doc_id AS kept_doc, n_members,
+        |  quality AS best_quality
+        |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+    // r7: q_mmr_select converts from OMIT to oracled — the greedy is
+    // unrolled into 5 pick CTEs over the bounded top-20 candidate
+    // set; (1 - 0.7) is written as the SQL expression (not 0.3) so
+    // both engines use the identical double 0.30000000000000004.
+    "q_mmr_select" -> {
+      val picks = new StringBuilder
+      picks ++=
+        """p1 AS (SELECT vec_id, rel, rel AS m FROM cand
+          |       ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin
+      for (r <- 2 to 5) {
+        val prev = (1 until r).map(i => s"SELECT vec_id FROM p$i").mkString(" UNION ALL ")
+        picks ++= s""",
+          |p$r AS (SELECT c.vec_id, c.rel,
+          |       ROUND(0.7 * c.rel - (1 - 0.7) * (
+          |         SELECT MAX(s.s) FROM sim s
+          |         WHERE s.ai = c.vec_id AND s.bi IN ($prev)), 6) AS m
+          |       FROM cand c WHERE c.vec_id NOT IN ($prev)
+          |       ORDER BY m DESC, c.vec_id LIMIT 1)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT embedding AS q_emb FROM e WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, embedding,
+         |           ROUND(${duckCos("embedding", "q_emb")}, 6) AS rel
+         |         FROM e CROSS JOIN q WHERE vec_id <> 0
+         |         ORDER BY rel DESC, vec_id LIMIT 20),
+         |sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |          ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS s
+         |        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |$picks
+         |""".stripMargin +
+        (1 to 5).map(r =>
+          s"SELECT CAST($r AS INT) AS sel_order, vec_id, rel, m AS mmr_score FROM p$r")
+          .mkString("\nUNION ALL\n") +
+        "\nORDER BY sel_order"
+    },
+
     "q_ivf_pq_query" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |seeds AS (SELECT vec_id AS cid, embedding AS c FROM e

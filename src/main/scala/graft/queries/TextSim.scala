@@ -647,6 +647,32 @@ object TextSim {
   )
 
   val oracle: Map[String, String] = Map(
+    // r7: q_sim_ivf converts from OMIT to oracled — centroids are the
+    // per-label dim means (kmeans float-snap recipe), probes the top-4
+    // lists by centroid cosine, final top-10 on the 6dp grid.
+    "q_sim_ivf" -> {
+      def cos(a: String, b: String): String =
+        s"""(list_sum(list_transform(list_zip($a, $b),
+           |   p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |cm AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+         |       FROM e CROSS JOIN dims GROUP BY 1, 2),
+         |cl AS (SELECT label, list(CAST(m AS FLOAT) ORDER BY i) AS c
+         |       FROM cm GROUP BY label),
+         |q AS (SELECT embedding AS q_emb FROM e WHERE vec_id = 0),
+         |pr AS (SELECT label FROM (
+         |         SELECT cl.label, ${cos("cl.c", "q.q_emb")} AS cs
+         |         FROM cl CROSS JOIN q)
+         |       ORDER BY cs DESC, label LIMIT 4)
+         |SELECT vec_id, ROUND(${cos("e.embedding", "q.q_emb")}, 6) AS cos
+         |FROM e JOIN pr USING (label) CROSS JOIN q
+         |WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     "q_contain_join" ->
       """WITH sh AS (
         |  SELECT doc_id,
