@@ -1061,6 +1061,87 @@ object Training {
           round(avg(col("n_chars").cast("double")), 4).as("avg_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("tier", "shard")
+    }),
+
+    // Gopher-style quality rule suite (Rae et al. 2021 §A1.1 — the
+    // standard pre-training hygiene gate). Per document: word count,
+    // mean word length, distinct-word ratio (1 − Gopher's duplicated-
+    // content fraction), top-bigram occupancy (its repetition signal),
+    // and stopword presence, each with a boolean verdict. Bounds are
+    // Gopher's canonical ones where this corpus exercises them
+    // (3 ≤ mwl ≤ 10) and re-calibrated where the synthetic text is
+    // outside Gopher's regime (word floor 40 vs 50, top-bigram cap
+    // 0.08 vs 0.20 — measured p90 on this corpus; the thresholds are
+    // data, not architecture). Scale shape: the only shuffle is the
+    // doc-grain bigram rollup (explode → partial-agg count → per-doc
+    // max/sum), everything else is a codegen'd projection; every
+    // ratio is an exact-integer division, so the flags cannot flap
+    // cross-engine at the boundary.
+    "q_gopher_rules" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .withColumn("n_words", size(col("l")))
+      val topBg = base.filter(col("n_words") >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 2)," +
+            " i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
+          .as("bgm"))
+        .groupBy("doc_id", "bgm").agg(count(lit(1)).as("nb"))
+        .groupBy("doc_id")
+        .agg((max("nb").cast("double") / sum("nb")).as("top_bg"))
+      base.join(topBg, Seq("doc_id"), "left")
+        .withColumn("mwl", expr(
+          "aggregate(l, 0L, (acc, x) -> acc + length(x))").cast("double")
+          / col("n_words"))
+        .withColumn("dr",
+          size(array_distinct(col("l"))).cast("double") / col("n_words"))
+        .withColumn("tb", coalesce(col("top_bg"), lit(0.0)))
+        .withColumn("has_stopword", arrays_overlap(col("l"),
+          array(lit("the"), lit("a"), lit("of"), lit("and"), lit("in"))))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mwl"), 6).as("mean_word_len"),
+          round(col("dr"), 6).as("distinct_ratio"),
+          round(col("tb"), 6).as("top_bigram_frac"),
+          col("has_stopword"),
+          (col("n_words") >= 40).as("ok_words"),
+          (col("mwl") >= 3.0 && col("mwl") <= 10.0).as("ok_mwl"),
+          (col("dr") >= 0.4).as("ok_dup"),
+          (col("tb") <= 0.08).as("ok_rep"),
+          (col("n_words") >= 40 && col("mwl") >= 3.0 && col("mwl") <= 10.0
+            && col("dr") >= 0.4 && col("tb") <= 0.08
+            && col("has_stopword")).as("pass"))
+        .orderBy("doc_id")
+    }),
+
+    // Moving-average type-token ratio (Covington & McFall 2010 —
+    // MATTR): lexical diversity without TTR's document-length bias.
+    // Windows of 25 tokens at stride 5 (stride amortizes cost; MATTR's
+    // estimate is stride-insensitive for stationary text); each
+    // window's TTR is distinct/25, MATTR their mean; docs shorter than
+    // one window fall back to whole-doc TTR. One generator projection
+    // per document — zero shuffles before the final order: the window
+    // TTRs are computed INSIDE the row via sequence → slice →
+    // array_distinct, and each is an exact-integer division, so the
+    // left-to-right fold that averages them is bit-identical in any
+    // engine. At 100 TB this is a pure map stage.
+    "q_ttr_mattr" -> ((s, d) => {
+      val W = 25; val S = 5
+      Tables.documents(s, d)
+        .withColumn("l", split(col("text"), " "))
+        .withColumn("n_words", size(col("l")))
+        .withColumn("ttrs", when(col("n_words") < W,
+            array(size(array_distinct(col("l"))).cast("double")
+              / col("n_words")))
+          .otherwise(expr(
+            s"transform(sequence(0, size(l) - $W, $S)," +
+              s" st -> cast(size(array_distinct(slice(l, st + 1, $W))) as double) / $W.0D)")))
+        .select(col("doc_id"), col("n_words"),
+          round(size(array_distinct(col("l"))).cast("double")
+            / col("n_words"), 6).as("ttr"),
+          round(expr("aggregate(ttrs, 0.0D, (acc, x) -> acc + x)")
+            / size(col("ttrs")), 6).as("mattr"),
+          size(col("ttrs")).as("n_windows"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1637,6 +1718,51 @@ object Training {
         |  ROUND(-SUM((c.n * 1.0 / t.nt) * ln(c.n * 1.0 / t.nt))
         |    / ln(GREATEST(MIN(t.nl) * 1.0, 2.0)), 6) AS norm_entropy
         |FROM c JOIN t USING (source)
-        |GROUP BY c.source ORDER BY source""".stripMargin
+        |GROUP BY c.source ORDER BY source""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l, len(l) AS n_words,
+        |        list_sum(list_transform(l, x -> CAST(length(x) AS BIGINT))) AS cl,
+        |        len(list_distinct(l)) AS nd,
+        |        len(list_intersect(l, ['the','a','of','and','in'])) > 0
+        |          AS has_stopword
+        |      FROM w),
+        |bg AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bgm
+        |       FROM b, unnest(generate_series(1, n_words - 1)) AS t(i)
+        |       WHERE n_words >= 2),
+        |bc AS (SELECT doc_id, bgm, COUNT(*) AS nb FROM bg GROUP BY 1, 2),
+        |bf AS (SELECT doc_id, MAX(nb) * 1.0 / SUM(nb) AS top_bg
+        |       FROM bc GROUP BY 1)
+        |SELECT b.doc_id, CAST(n_words AS INT) AS n_words,
+        |  ROUND(cl * 1.0 / n_words, 6) AS mean_word_len,
+        |  ROUND(nd * 1.0 / n_words, 6) AS distinct_ratio,
+        |  ROUND(COALESCE(top_bg, 0.0), 6) AS top_bigram_frac,
+        |  has_stopword,
+        |  n_words >= 40 AS ok_words,
+        |  cl * 1.0 / n_words BETWEEN 3.0 AND 10.0 AS ok_mwl,
+        |  nd * 1.0 / n_words >= 0.4 AS ok_dup,
+        |  COALESCE(top_bg, 0.0) <= 0.08 AS ok_rep,
+        |  (n_words >= 40 AND cl * 1.0 / n_words BETWEEN 3.0 AND 10.0
+        |   AND nd * 1.0 / n_words >= 0.4 AND COALESCE(top_bg, 0.0) <= 0.08
+        |   AND has_stopword) AS pass
+        |FROM b LEFT JOIN bf USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_ttr_mattr" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l, len(l) AS n_words,
+        |        len(list_distinct(l)) AS nd FROM w),
+        |t AS (SELECT doc_id, n_words, nd,
+        |  CASE WHEN n_words < 25
+        |    THEN [nd * 1.0 / n_words]
+        |    ELSE list_transform(generate_series(0, n_words - 25, 5),
+        |           st -> len(list_distinct(l[st + 1 : st + 25])) * 1.0 / 25.0)
+        |  END AS ttrs
+        |  FROM b)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  ROUND(nd * 1.0 / n_words, 6) AS ttr,
+        |  ROUND(list_sum(ttrs) / len(ttrs), 6) AS mattr,
+        |  CAST(len(ttrs) AS INT) AS n_windows
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -234,4 +234,58 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(n - docs / 4.0) <= docs * 0.1,
         s"tier sizes $perTier far from quartiles"))
   }
+
+  test("q_gopher_rules: flags agree with a per-row recomputation and pass = AND of parts") {
+    val got = SparkEntry.queries("q_gopher_rules")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length === docs.size)
+    val stop = Set("the", "a", "of", "and", "in")
+    got.foreach { r =>
+      val words = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(r.getAs[Int]("n_words") === words.length)
+      val mwl = words.map(_.length).sum.toDouble / words.length
+      assert(math.abs(r.getAs[Double]("mean_word_len") - mwl) < 1e-6)
+      val dr = words.distinct.length.toDouble / words.length
+      assert(math.abs(r.getAs[Double]("distinct_ratio") - dr) < 1e-6)
+      val tb = if (words.length < 2) 0.0 else {
+        val bgs = words.sliding(2).map(_.mkString(" ")).toSeq
+        bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size
+      }
+      assert(math.abs(r.getAs[Double]("top_bigram_frac") - tb) < 1e-6)
+      assert(r.getAs[Boolean]("has_stopword") === words.exists(stop))
+      assert(r.getAs[Boolean]("pass") ===
+        (r.getAs[Boolean]("ok_words") && r.getAs[Boolean]("ok_mwl") &&
+          r.getAs[Boolean]("ok_dup") && r.getAs[Boolean]("ok_rep") &&
+          r.getAs[Boolean]("has_stopword")))
+    }
+    // the rule suite must discriminate on this corpus — a constant
+    // flag means the threshold is calibrated into a dead zone
+    assert(got.map(_.getAs[Boolean]("pass")).distinct.length === 2,
+      "pass flag is constant — thresholds don't discriminate")
+  }
+
+  test("q_ttr_mattr: window TTRs match a scala re-slice and mattr is their mean") {
+    val got = SparkEntry.queries("q_ttr_mattr")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val words = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      val n = words.length
+      val ttrs =
+        if (n < 25) Seq(words.distinct.length.toDouble / n)
+        else (0 to (n - 25) by 5).map(st =>
+          words.slice(st, st + 25).distinct.length.toDouble / 25.0)
+      assert(r.getAs[Int]("n_windows") === ttrs.length)
+      assert(math.abs(r.getAs[Double]("mattr") - ttrs.sum / ttrs.length) < 1e-6)
+      assert(math.abs(r.getAs[Double]("ttr")
+        - words.distinct.length.toDouble / n) < 1e-6)
+      // MATTR is bounded by the most and least diverse window (± the
+      // wire rounding: mattr ships at 6dp, the bounds are unrounded)
+      assert(r.getAs[Double]("mattr") <= ttrs.max + 1e-6)
+      assert(r.getAs[Double]("mattr") >= ttrs.min - 1e-6)
+    }
+  }
 }
