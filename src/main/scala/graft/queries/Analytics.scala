@@ -979,6 +979,114 @@ object Analytics {
           round(col("n") / col("nn")
             - log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("excess"))
         .orderBy("digit")
+    }),
+
+    // Weight-of-evidence / information-value binning — the credit-
+    // scoring feature screen: equi-width value bins vs the binary
+    // purchase label, WoE_i = ln((pos_i/P)/(neg_i/N)) with 0.5
+    // smoothing, IV = Σ (pos_i/P − neg_i/N)·WoE_i. One partial agg to
+    // the 10-row bin table, broadcast scalar totals, window-sum for
+    // the running IV — the per-bin table is O(bins) regardless of
+    // corpus size. Counts stay exact longs until the ln.
+    "q_woe_binning" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("bin").rowsBetween(Long.MinValue, 0)
+      val bins = Tables.events(s, d)
+        .withColumn("bin", least(floor(col("value") / 50), lit(9L)).cast("int"))
+        .withColumn("pos", when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+        .localCheckpoint(eager = true) // bounded 10-row bin table
+      val tot = bins.agg(sum("n_pos").as("tp"), sum("n_neg").as("tn"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("woe_raw",
+          log(((col("n_pos") + lit(0.5)) / (col("tp") + lit(0.5)))
+            / ((col("n_neg") + lit(0.5)) / (col("tn") + lit(0.5)))))
+        .withColumn("iv_term",
+          ((col("n_pos") + lit(0.5)) / (col("tp") + lit(0.5))
+            - (col("n_neg") + lit(0.5)) / (col("tn") + lit(0.5))) * col("woe_raw"))
+        .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          round(col("woe_raw"), 6).as("woe"),
+          round(col("iv_term"), 6).as("iv_term"),
+          round(sum("iv_term").over(w), 6).as("iv_cum"))
+        .orderBy("bin")
+    }),
+
+    // Differentially-private count release (Dwork et al., ε = 1):
+    // per-(lang, source) counts plus Laplace(1/ε) noise drawn
+    // DETERMINISTICALLY from the cell's md5 — u = (bucket + 0.5)/10⁴
+    // − 0.5 ∈ (−½, ½), noise = −sign(u)·ln(1 − 2|u|)/ε — so the
+    // release is reproducible across engines and re-runs (the
+    // md5-bucket posture every sampler here uses; a production
+    // release would swap in a calibrated RNG, same plan). One partial
+    // agg; the noise projection is codegen'd scalar math on the
+    // bounded cell table.
+    "q_dp_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("true_n"))
+        .withColumn("b",
+          conv(substring(md5(concat_ws("|", col("lang"), col("source"))), 1, 4),
+            16, 10).cast("int") % 10000)
+        .withColumn("u", (col("b") + lit(0.5)) / lit(10000.0) - lit(0.5))
+        .withColumn("noise", -signum(col("u"))
+          * log(lit(1.0) - lit(2.0) * abs(col("u"))))
+        .select(col("lang"), col("source"), col("true_n"),
+          round(col("noise"), 4).as("noise"),
+          greatest(round(col("true_n") + col("noise"), 0).cast("long"), lit(0L))
+            .as("dp_n"))
+        .orderBy("lang", "source")),
+
+    // Poisson bootstrap CI for the per-language mean document length —
+    // THE bootstrap that scales (each row draws an independent
+    // Poisson(1) replicate weight, so no sampling-with-replacement
+    // pass over the corpus is ever needed; the classic distributed-
+    // systems formulation). B = 50 replicates via one explode; the
+    // weight is the md5-bucket inverse-CDF (thresholds at 10⁴·F(k),
+    // integer-crisp), each replicate mean is an exact-integer ratio
+    // snapped to the µ-unit grid (the q_cusum_drift lesson) so the
+    // replicate aggregation is exact-long arithmetic; the normal-
+    // approximation CI (±1.96·se) comes off two exact sums.
+    "q_bootstrap_ci" -> ((s, d) => {
+      val B = 50
+      val reps = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(expr(s"sequence(1, $B)")).as("rep"))
+        .withColumn("bkt",
+          conv(substring(md5(concat_ws("|", col("doc_id"), col("rep"))), 1, 4),
+            16, 10).cast("int") % 10000)
+        // Poisson(1) inverse CDF on the 1e-4 grid: F(0)=.3679 F(1)=.7358
+        // F(2)=.9197 F(3)=.9810 F(4)=.9963, capped at 5
+        .withColumn("w", when(col("bkt") < 3679, 0L).when(col("bkt") < 7358, 1L)
+          .when(col("bkt") < 9197, 2L).when(col("bkt") < 9810, 3L)
+          .when(col("bkt") < 9963, 4L).otherwise(5L))
+      val repMeans = reps.groupBy("lang", "rep")
+        .agg(sum(col("w") * col("n_chars")).as("sx"), sum("w").as("sw"))
+        .filter(col("sw") > 0)
+        // snap each replicate mean to the exact integer MILLI-unit
+        // grid: identical long division in both engines, and both the
+        // sum and the sum-of-squares stay exact longs (m ≤ 2e6 milli
+        // ⇒ m² ≤ 4e12, ×B well under 2⁵³ — the µ-grid would overflow
+        // double's exact-integer range in the squares)
+        .withColumn("m_m", round(col("sx") * lit(1e3) / col("sw")).cast("long"))
+      val base = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          avg(col("n_chars").cast("double")).as("point_mean"))
+      repMeans.groupBy("lang")
+        .agg(count(lit(1)).as("n_reps"), sum("m_m").as("s1"),
+          sum(col("m_m") * col("m_m")).as("s2"))
+        .withColumn("bm", col("s1") / lit(1e3) / col("n_reps"))
+        .withColumn("se", sqrt(greatest(
+          (col("s2") - col("s1").cast("double") * col("s1") / col("n_reps"))
+            / (col("n_reps") - 1), lit(0.0))) / lit(1e3))
+        .join(broadcast(base), "lang")
+        .select(col("lang"), col("n_docs"), col("n_reps"),
+          round(col("point_mean"), 4).as("point_mean"),
+          round(col("bm"), 4).as("boot_mean"),
+          round(col("se"), 4).as("boot_se"),
+          round(col("bm") - lit(1.96) * col("se"), 4).as("ci_lo"),
+          round(col("bm") + lit(1.96) * col("se"), 4).as("ci_hi"))
+        .orderBy("lang")
     })
   )
 
@@ -1492,6 +1600,82 @@ object Analytics {
         |SELECT digit, n, ROUND(n * 1.0 / nn, 6) AS share,
         |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford,
         |  ROUND(n * 1.0 / nn - log10(1.0 + 1.0 / digit), 6) AS excess
-        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q_woe_binning" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(FLOOR(value / 50), 9) AS INT) AS bin,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos
+        |  FROM events GROUP BY 1),
+        |b2 AS (SELECT bin, n, n_pos, n - n_pos AS n_neg FROM b),
+        |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+        |        CAST(SUM(n_neg) AS BIGINT) AS tn FROM b2),
+        |sc AS (SELECT bin, n, n_pos, n_neg,
+        |  ln(((n_pos + 0.5) / (tp + 0.5)) / ((n_neg + 0.5) / (tn + 0.5)))
+        |    AS woe_raw,
+        |  ((n_pos + 0.5) / (tp + 0.5) - (n_neg + 0.5) / (tn + 0.5))
+        |    * ln(((n_pos + 0.5) / (tp + 0.5)) / ((n_neg + 0.5) / (tn + 0.5)))
+        |    AS iv_t
+        |  FROM b2 CROSS JOIN t)
+        |SELECT bin, n, n_pos, n_neg, ROUND(woe_raw, 6) AS woe,
+        |  ROUND(iv_t, 6) AS iv_term,
+        |  ROUND(SUM(iv_t) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING), 6)
+        |    AS iv_cum
+        |FROM sc ORDER BY bin""".stripMargin,
+
+    "q_dp_count" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS true_n
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT lang, source, true_n,
+        |  CAST(CAST('0x' || substring(md5(lang || '|' || source), 1, 4)
+        |    AS INT) % 10000 AS INT) AS b
+        |  FROM c),
+        |x AS (SELECT lang, source, true_n,
+        |        (b + 0.5) / 10000.0 - 0.5 AS u FROM n)
+        |SELECT lang, source, true_n,
+        |  ROUND(-sign(u) * ln(1.0 - 2.0 * abs(u)), 4) AS noise,
+        |  GREATEST(CAST(ROUND(true_n + (-sign(u) * ln(1.0 - 2.0 * abs(u))), 0)
+        |    AS BIGINT), 0) AS dp_n
+        |FROM x ORDER BY lang, source""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT doc_id, lang, n_chars, r AS rep
+        |  FROM documents, unnest(generate_series(1, 50)) AS t(r)),
+        |wb AS (SELECT lang, rep, n_chars,
+        |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+        |    || CAST(rep AS VARCHAR)), 1, 4) AS INT) % 10000 AS INT) AS bkt
+        |  FROM reps),
+        |w2 AS (SELECT lang, rep, n_chars,
+        |  CASE WHEN bkt < 3679 THEN 0 WHEN bkt < 7358 THEN 1
+        |       WHEN bkt < 9197 THEN 2 WHEN bkt < 9810 THEN 3
+        |       WHEN bkt < 9963 THEN 4 ELSE 5 END AS w
+        |  FROM wb),
+        |rm AS (SELECT lang, rep, CAST(SUM(w * n_chars) AS BIGINT) AS sx,
+        |         CAST(SUM(w) AS BIGINT) AS sw
+        |       FROM w2 GROUP BY 1, 2 HAVING SUM(w) > 0),
+        |mm AS (SELECT lang, rep,
+        |         CAST(ROUND(sx * 1e3 / sw) AS BIGINT) AS m_m FROM rm),
+        |ag AS (SELECT lang, COUNT(*) AS n_reps,
+        |         CAST(SUM(m_m) AS BIGINT) AS s1,
+        |         CAST(SUM(m_m * m_m) AS BIGINT) AS s2
+        |       FROM mm GROUP BY 1),
+        |base AS (SELECT lang, COUNT(*) AS n_docs,
+        |           AVG(n_chars * 1.0) AS point_mean
+        |         FROM documents GROUP BY 1),
+        |fin AS (SELECT lang, n_reps, s1 / 1e3 / n_reps AS bm,
+        |  sqrt(GREATEST((s2 - CAST(s1 AS DOUBLE) * s1 / n_reps)
+        |    / (n_reps - 1), 0.0)) / 1e3 AS se
+        |  FROM ag)
+        |SELECT base.lang, n_docs, n_reps,
+        |  ROUND(point_mean, 4) AS point_mean,
+        |  ROUND(bm, 4) AS boot_mean,
+        |  ROUND(se, 4) AS boot_se,
+        |  ROUND(bm - 1.96 * se, 4) AS ci_lo,
+        |  ROUND(bm + 1.96 * se, 4) AS ci_hi
+        |FROM fin JOIN base USING (lang) ORDER BY lang""".stripMargin
   )
 }

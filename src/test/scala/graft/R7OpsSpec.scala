@@ -288,4 +288,55 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("mattr") >= ttrs.min - 1e-6)
     }
   }
+
+  test("q_woe_binning: counts partition events, iv terms are non-negative, iv_cum monotone") {
+    val got = SparkEntry.queries("q_woe_binning")(spark, sf).collect()
+    val events = graft.tables.Tables.events(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n")).sum === events)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") === r.getAs[Long]("n"))
+      // (a-b)·ln(a/b) >= 0 for any smoothed shares a, b
+      assert(r.getAs[Double]("iv_term") >= -1e-9)
+    }
+    val cums = got.sortBy(_.getAs[Int]("bin")).map(_.getAs[Double]("iv_cum"))
+    cums.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9, "iv_cum decreased")
+      case _ =>
+    }
+  }
+
+  test("q_dp_count: release covers every cell, clamps at zero, noise within the md5-grid envelope") {
+    val got = SparkEntry.queries("q_dp_count")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf).count()
+    assert(got.map(_.getAs[Long]("true_n")).sum === docs)
+    got.foreach { r =>
+      assert(r.getAs[Long]("dp_n") >= 0L)
+      val noise = r.getAs[Double]("noise")
+      // the md5 grid's extreme cell (b=9999) gives |noise| = -ln(1e-4)
+      assert(math.abs(noise) <= -math.log(1e-4) + 1e-9, s"noise $noise out of envelope")
+      val expected = math.max(math.round(r.getAs[Long]("true_n") + noise), 0L)
+      assert(math.abs(r.getAs[Long]("dp_n") - expected) <= 1L,
+        "dp_n is not the clamped rounded release") // ±1: noise ships at 4dp
+    }
+    // ε=1 Laplace: most mass within |noise| <= 3 (P ≈ 95%)
+    val within = got.count(r => math.abs(r.getAs[Double]("noise")) <= 3.0)
+    assert(within >= got.length * 3 / 4, "noise distribution far from Laplace(1)")
+  }
+
+  test("q_bootstrap_ci: 50 replicates per lang, CI brackets the bootstrap mean near the point mean") {
+    val got = SparkEntry.queries("q_bootstrap_ci")(spark, sf).collect()
+    val langs = graft.tables.Tables.documents(spark, sf)
+      .select("lang").distinct().count()
+    assert(got.length === langs)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_reps") === 50L)
+      val (bm, se) = (r.getAs[Double]("boot_mean"), r.getAs[Double]("boot_se"))
+      assert(se >= 0.0)
+      assert(r.getAs[Double]("ci_lo") <= bm && bm <= r.getAs[Double]("ci_hi"))
+      // Poisson bootstrap is unbiased: the replicate mean stays within
+      // a few standard errors of the point estimate
+      assert(math.abs(bm - r.getAs[Double]("point_mean")) <= 4.0 * se + 0.01,
+        s"bootstrap mean $bm far from point ${r.getAs[Double]("point_mean")} (se $se)")
+    }
+  }
 }
