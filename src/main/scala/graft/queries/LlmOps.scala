@@ -34,6 +34,34 @@ object LlmOps {
   private def arrSum(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x)
 
+  private val topkCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+
+  /** Session-memoized all-queries ranked top-10 neighbor table
+    * (a_id, a_lab, b_id, b_lab, cos, rn) — the shared derivation
+    * behind q_precision_recall_k and q_ndcg (EdgeGraph posture: one
+    * broadcast-cross + window per (session, sfDir), materialized via
+    * localCheckpoint so each metric key pays only its own rollup). */
+  private def rankedTop10(s: SparkSession, d: String): DataFrame = {
+    val it = topkCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    topkCache.computeIfAbsent((s.sparkContext, d), _ => {
+      graft.expr.Registry.ensure(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_lab"),
+        col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_lab"),
+        col("embedding").as("b_emb"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("a_lab"), col("b_lab"),
+          round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"), col("b_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .localCheckpoint(eager = true)
+    })
+  }
+
   private def dotD(a: Column, b: Column): Column =
     arrSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
@@ -652,23 +680,51 @@ object LlmOps {
     // routes through the IVF cells (q_sim_ivf) and this same scoring
     // tail runs unchanged on the probed candidates.
     "q_precision_recall_k" -> ((s, d) => {
-      graft.expr.Registry.ensure(s)
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_lab"),
-        col("embedding").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_lab"),
-        col("embedding").as("b_emb"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
-      a.join(broadcast(b), col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("a_lab"), col("b_lab"),
-          round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"), col("b_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      rankedTop10(s, d)
         .groupBy("a_id", "a_lab")
         .agg(sum(when(col("b_lab") === col("a_lab"), 1L).otherwise(0L)).as("hits"))
         .groupBy(col("a_lab").as("label"))
         .agg(count(lit(1)).as("n_queries"),
           round(avg(col("hits") / 10.0), 6).as("p_at_10"))
+        .orderBy("label")
+    }),
+
+    // Ranking-quality metrics for the retrieval index: NDCG@10 and MRR
+    // per label, treating every vector as a query and same-label
+    // neighbors as relevant (the q_precision_recall_k candidate shape:
+    // broadcast the corpus, rank by 6dp cosine + id tiebreak). Every
+    // per-rank gain term is snapped to the integer µ-unit grid BEFORE
+    // any aggregation (round(1e6/log2(rank+1)) — the cusum lesson:
+    // sums of inexact doubles are partial-agg-order-dependent, sums of
+    // longs are not), the per-query NDCG is one long ratio against the
+    // label's ideal-DCG (itself a sum of the same µ-snapped terms,
+    // truncated at the label's relevant-count), and MRR max-folds
+    // µ-snapped reciprocal ranks. At scale the broadcast side becomes
+    // the ANN candidate set; the metric plumbing is unchanged.
+    "q_ndcg" -> ((s, d) => {
+      val labCnt = Tables.embeddings(s, d)
+        .groupBy(col("label").as("a_lab"))
+        .agg(count(lit(1)).as("n_lab"))
+      def gainU(rank: Column): Column =
+        round(lit(1e6) / log2(rank.cast("double") + lit(1.0))).cast("long")
+      val perQuery = rankedTop10(s, d)
+        .withColumn("rel", (col("b_lab") === col("a_lab")).cast("long"))
+        .groupBy("a_id", "a_lab")
+        .agg(sum(col("rel") * gainU(col("rn"))).as("dcg_u"),
+          max(col("rel") * round(lit(1e6) / col("rn")).cast("long")).as("rr_u"))
+      // ideal DCG: the first min(10, n_lab - 1) ranks all relevant —
+      // the same µ-snapped constants, truncated per label
+      val idcg = (1 to 10).map(i =>
+        when(lit(i) <= least(lit(10L), col("n_lab") - 1),
+          lit(math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))))
+          .otherwise(lit(0L))).reduce(_ + _)
+      perQuery.join(broadcast(labCnt), "a_lab")
+        .withColumn("ndcg_u",
+          round(col("dcg_u") * lit(1e6) / idcg).cast("long"))
+        .groupBy(col("a_lab").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum("ndcg_u") / count(lit(1)) / lit(1e6), 6).as("ndcg_at_10"),
+          round(sum("rr_u") / count(lit(1)) / lit(1e6), 6).as("mrr"))
         .orderBy("label")
     }),
 
@@ -1468,6 +1524,41 @@ object LlmOps {
          |SELECT a_lab AS label, COUNT(*) AS n_queries,
          |  ROUND(AVG(hits / 10.0), 6) AS p_at_10
          |FROM pq GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q_ndcg" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |lc AS (SELECT label, COUNT(*) AS n_lab FROM e GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, a.label AS a_lab, b.label AS b_lab,
+         |    b.vec_id AS b_id,
+         |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |top AS (
+         |  SELECT a_id, a_lab, rn,
+         |    CASE WHEN b_lab = a_lab THEN 1 ELSE 0 END AS rel
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+         |          ORDER BY cos DESC, b_id) AS rn FROM pairs)
+         |  WHERE rn <= 10),
+         |pq AS (
+         |  SELECT a_id, a_lab,
+         |    CAST(SUM(rel * CAST(ROUND(1e6 / log2(rn + 1.0)) AS BIGINT))
+         |      AS BIGINT) AS dcg_u,
+         |    CAST(MAX(rel * CAST(ROUND(1e6 / rn) AS BIGINT)) AS BIGINT) AS rr_u
+         |  FROM top GROUP BY 1, 2),
+         |ideal AS (
+         |  SELECT label, CAST(list_sum(list_transform(
+         |    generate_series(1, CAST(LEAST(10, n_lab - 1) AS INT)),
+         |    i -> CAST(ROUND(1e6 / log2(i + 1.0)) AS BIGINT))) AS BIGINT)
+         |    AS idcg_u
+         |  FROM lc),
+         |nd AS (
+         |  SELECT a_lab, rr_u,
+         |    CAST(ROUND(dcg_u * 1e6 / idcg_u) AS BIGINT) AS ndcg_u
+         |  FROM pq JOIN ideal ON ideal.label = pq.a_lab)
+         |SELECT a_lab AS label, COUNT(*) AS n_queries,
+         |  ROUND(SUM(ndcg_u) / COUNT(*) / 1e6, 6) AS ndcg_at_10,
+         |  ROUND(SUM(rr_u) / COUNT(*) / 1e6, 6) AS mrr
+         |FROM nd GROUP BY 1 ORDER BY label""".stripMargin,
 
     "q_embed_outlier" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),

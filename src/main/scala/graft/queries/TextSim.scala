@@ -395,6 +395,56 @@ object TextSim {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")),
 
+    // Classification report for the langid heuristic — the sklearn
+    // classification_report shape: per-class support / predicted /
+    // TP / precision / recall / F1 off the confusion cells, plus a
+    // '~macro' summary row ('~' sorts after every class name in both
+    // engines' binary collation). Everything derives from ONE partial
+    // agg to the bounded |classes|² cell table; per-class ratios are
+    // exact-integer divisions, and the macro averages aggregate
+    // µ-snapped longs (the cusum lesson) so the cross-class sum is
+    // order-free. At 100 TB the cell table is still |classes|² rows.
+    "q_classifier_report" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("lang"), langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true) // bounded: |classes|² cells
+      val byTrue = cells.groupBy(col("lang").as("cls"))
+        .agg(sum("n").as("support"))
+      val byPred = cells.groupBy(col("pred").as("cls"))
+        .agg(sum("n").as("pred_n"))
+      val tp = cells.filter(col("lang") === col("pred"))
+        .select(col("lang").as("cls"), col("n").as("tp"))
+      val per = byTrue.join(byPred, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left")
+        .na.fill(0L, Seq("support", "pred_n", "tp"))
+        .withColumn("p_raw",
+          when(col("pred_n") > 0, col("tp") / col("pred_n")).otherwise(lit(0.0)))
+        .withColumn("r_raw",
+          when(col("support") > 0, col("tp") / col("support")).otherwise(lit(0.0)))
+        .withColumn("f_raw", when(col("p_raw") + col("r_raw") > 0,
+          lit(2.0) * col("p_raw") * col("r_raw") / (col("p_raw") + col("r_raw")))
+          .otherwise(lit(0.0)))
+        .localCheckpoint(eager = true) // bounded; feeds rows + macro
+      val macroRow = per.agg(count(lit(1)).as("nc"),
+          sum("support").as("support"), sum("pred_n").as("pred_n"),
+          sum("tp").as("tp"),
+          sum(round(col("p_raw") * 1e6).cast("long")).as("sp"),
+          sum(round(col("r_raw") * 1e6).cast("long")).as("sr"),
+          sum(round(col("f_raw") * 1e6).cast("long")).as("sf"))
+        .select(lit("~macro").as("cls"), col("support"), col("pred_n"),
+          col("tp"),
+          round(col("sp") / col("nc") / lit(1e6), 6).as("precision"),
+          round(col("sr") / col("nc") / lit(1e6), 6).as("recall"),
+          round(col("sf") / col("nc") / lit(1e6), 6).as("f1"))
+      per.select(col("cls"), col("support"), col("pred_n"), col("tp"),
+          round(col("p_raw"), 6).as("precision"),
+          round(col("r_raw"), 6).as("recall"),
+          round(col("f_raw"), 6).as("f1"))
+        .unionByName(macroRow)
+        .orderBy("cls")
+    }),
+
     // Intra-document repetition ratio (Gopher/RefinedWeb-style quality
     // rule): share of bigram occurrences that are repeats of an
     // earlier bigram in the same doc. 0 = no repeated word pair;
@@ -902,6 +952,45 @@ object TextSim {
          |  SELECT lang, $langPredCaseSql AS pred FROM documents)
          |SELECT lang, pred, COUNT(*) AS n
          |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+
+    "q_classifier_report" ->
+      s"""WITH p AS (
+         |  SELECT lang, $langPredCaseSql AS pred FROM documents),
+         |cells AS (SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+         |bt AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS support
+         |       FROM cells GROUP BY 1),
+         |bp AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS pred_n
+         |       FROM cells GROUP BY 1),
+         |tpc AS (SELECT lang AS cls, n AS tp FROM cells WHERE lang = pred),
+         |per AS (SELECT COALESCE(bt.cls, bp.cls) AS cls,
+         |  COALESCE(support, 0) AS support, COALESCE(pred_n, 0) AS pred_n,
+         |  COALESCE(tp, 0) AS tp
+         |  FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls
+         |  LEFT JOIN tpc ON tpc.cls = COALESCE(bt.cls, bp.cls)),
+         |sc AS (SELECT cls, support, pred_n, tp,
+         |  CASE WHEN pred_n > 0 THEN tp * 1.0 / pred_n ELSE 0.0 END AS p_raw,
+         |  CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END AS r_raw
+         |  FROM per),
+         |sc2 AS (SELECT *, CASE WHEN p_raw + r_raw > 0
+         |    THEN 2.0 * p_raw * r_raw / (p_raw + r_raw) ELSE 0.0 END AS f_raw
+         |  FROM sc),
+         |mac AS (SELECT '~macro' AS cls,
+         |  CAST(SUM(support) AS BIGINT) AS support,
+         |  CAST(SUM(pred_n) AS BIGINT) AS pred_n,
+         |  CAST(SUM(tp) AS BIGINT) AS tp,
+         |  ROUND(SUM(CAST(ROUND(p_raw * 1e6) AS BIGINT)) / COUNT(*) / 1e6, 6)
+         |    AS "precision",
+         |  ROUND(SUM(CAST(ROUND(r_raw * 1e6) AS BIGINT)) / COUNT(*) / 1e6, 6)
+         |    AS recall,
+         |  ROUND(SUM(CAST(ROUND(f_raw * 1e6) AS BIGINT)) / COUNT(*) / 1e6, 6)
+         |    AS f1
+         |  FROM sc2)
+         |SELECT cls, support, pred_n, tp,
+         |  ROUND(p_raw, 6) AS "precision", ROUND(r_raw, 6) AS recall,
+         |  ROUND(f_raw, 6) AS f1
+         |FROM sc2
+         |UNION ALL SELECT * FROM mac
+         |ORDER BY cls""".stripMargin,
 
     "q_text_repetition" ->
       """SELECT doc_id,

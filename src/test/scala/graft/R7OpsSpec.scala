@@ -339,4 +339,51 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
         s"bootstrap mean $bm far from point ${r.getAs[Double]("point_mean")} (se $se)")
     }
   }
+
+  test("q_ndcg: metrics in [0,1], and a label's NDCG@10 >= its P@10 baseline relation holds") {
+    val ndcg = SparkEntry.queries("q_ndcg")(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val prk = SparkEntry.queries("q_precision_recall_k")(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("p_at_10")).toMap
+    assert(ndcg.keySet === prk.keySet)
+    ndcg.foreach { case (lab, r) =>
+      val (n, m) = (r.getAs[Double]("ndcg_at_10"), r.getAs[Double]("mrr"))
+      assert(n >= 0.0 && n <= 1.0 + 1e-9, s"ndcg $n out of range")
+      assert(m >= 0.0 && m <= 1.0 + 1e-9, s"mrr $m out of range")
+      // DCG weights early hits more than the flat P@10 — for rankings
+      // better than random (cosine to same-label), NDCG >= P@10 - eps
+      assert(n >= prk(lab) - 0.05,
+        s"label $lab: ndcg $n far below p@10 ${prk(lab)} — gain accounting broken")
+      // mrr >= ndcg's first-hit contribution floor: if ndcg > 0 a
+      // relevant doc exists in top-10, so mrr > 0
+      if (n > 0.0) assert(m > 0.0)
+    }
+  }
+
+  test("q_classifier_report: per-class metrics recompute from q_lang_confusion cells; macro row last") {
+    val rep = SparkEntry.queries("q_classifier_report")(spark, sf).collect()
+    val cells = SparkEntry.queries("q_lang_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val macroRow = rep.last
+    assert(macroRow.getAs[String]("cls") === "~macro", "macro row must sort last")
+    val per = rep.dropRight(1)
+    per.foreach { r =>
+      val c = r.getAs[String]("cls")
+      val support = cells.collect { case ((t, _), n) if t == c => n }.sum
+      val predN = cells.collect { case ((_, p), n) if p == c => n }.sum
+      val tp = cells.getOrElse((c, c), 0L)
+      assert(r.getAs[Long]("support") === support)
+      assert(r.getAs[Long]("pred_n") === predN)
+      assert(r.getAs[Long]("tp") === tp)
+      val p = if (predN > 0) tp.toDouble / predN else 0.0
+      val rc = if (support > 0) tp.toDouble / support else 0.0
+      assert(math.abs(r.getAs[Double]("precision") - p) < 1e-6)
+      assert(math.abs(r.getAs[Double]("recall") - rc) < 1e-6)
+      val f1 = if (p + rc > 0) 2 * p * rc / (p + rc) else 0.0
+      assert(math.abs(r.getAs[Double]("f1") - f1) < 1e-6)
+    }
+    // macro = unweighted mean of the per-class metrics
+    val mf = per.map(_.getAs[Double]("f1")).sum / per.length
+    assert(math.abs(macroRow.getAs[Double]("f1") - mf) < 1e-5)
+  }
 }
