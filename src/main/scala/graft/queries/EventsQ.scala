@@ -676,6 +676,53 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // Single-changepoint detection by binary segmentation (Scott &
+    // Knott / the first CBS split): for every admissible split k of
+    // the daily-mean series, the SSE reduction vs the unsplit series,
+    // computed entirely from exact-long prefix sums of the µ-grid
+    // daily means (q_cusum_drift's mmu — sums and sums-of-squares of
+    // 30 longs stay far inside exact-long range, so every candidate's
+    // score is bit-identical in any engine); the winner is an exact
+    // long-unit argmax with earliest-day tiebreak. Min segment 3.
+    // Scale: the series is date-grain bounded — the corpus-sized work
+    // is the one partial agg that builds it.
+    "q_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("n"))
+        .withColumn("mmu", expr("s_mu div n"))
+        .localCheckpoint(eager = true) // bounded daily series
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy("d").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = daily.agg(sum("mmu").as("st"),
+        sum(col("mmu") * col("mmu")).as("qt"), count(lit(1)).as("nd"))
+      val pre = daily.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("d")))
+        .withColumn("sl", sum("mmu").over(wAll))
+        .withColumn("ql", sum(col("mmu") * col("mmu")).over(wAll))
+        // SSE(seg) = Σx² − (Σx)²/n; reduction = SSE_tot − SSE_L − SSE_R.
+        // The Σx² terms cancel, leaving only the exact-long (Σx)² ratios.
+        .withColumn("red_raw", when(
+          col("i") >= 3 && col("i") <= col("nd") - 3,
+          col("sl").cast("double") * col("sl") / col("i")
+            + (col("st") - col("sl")).cast("double") * (col("st") - col("sl"))
+              / (col("nd") - col("i"))
+            - col("st").cast("double") * col("st") / col("nd")))
+        .withColumn("red_u", round(col("red_raw") / lit(1e6)).cast("long"))
+        .localCheckpoint(eager = true) // bounded; feeds rows + argmax
+      val best = pre.filter(col("red_u").isNotNull)
+        .orderBy(col("red_u").desc, col("d")).limit(1)
+        .select(col("d").as("best_d"))
+      pre.crossJoin(broadcast(best))
+        .select(col("d"), round(col("mmu") / 1e6, 4).as("mean_v"),
+          round(col("red_u") / lit(1e6), 4).as("sse_reduction"),
+          (col("d") === col("best_d")).as("is_changepoint"))
+        .orderBy("d")
+    }),
+
     // Hour-of-day × day-of-week seasonality heatmap per the session's
     // UTC clock — one partial agg, bounded 168-cell output. (Spark's
     // dayofweek is 1-based Sun..Sat; emitted 0-based to match the
@@ -1421,6 +1468,37 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s_mu,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT d, CAST(s_mu // n AS BIGINT) AS mmu FROM daily),
+        |acc AS (
+        |  SELECT d, mmu,
+        |    CAST(SUM(mmu) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sl,
+        |    row_number() OVER (ORDER BY d) AS i,
+        |    CAST(SUM(mmu) OVER () AS BIGINT) AS st,
+        |    COUNT(*) OVER () AS nd
+        |  FROM m),
+        |red AS (
+        |  SELECT d, mmu,
+        |    CASE WHEN i >= 3 AND i <= nd - 3 THEN
+        |      CAST(ROUND((CAST(sl AS DOUBLE) * sl / i
+        |        + CAST(st - sl AS DOUBLE) * (st - sl) / (nd - i)
+        |        - CAST(st AS DOUBLE) * st / nd) / 1e6) AS BIGINT)
+        |    END AS red_u
+        |  FROM acc),
+        |b AS (SELECT d AS best_d FROM red WHERE red_u IS NOT NULL
+        |      ORDER BY red_u DESC, d LIMIT 1)
+        |SELECT d, ROUND(mmu / 1000000.0, 4) AS mean_v,
+        |  ROUND(red_u / 1e6, 4) AS sse_reduction,
+        |  d = best_d AS is_changepoint
+        |FROM red CROSS JOIN b ORDER BY d""".stripMargin,
 
     "q_seasonality_profile" ->
       """SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr,

@@ -179,6 +179,39 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // Link prediction on the near-dup graph (common-neighbors /
+    // neighborhood-Jaccard — the classic Liben-Nowell–Kleinberg
+    // scores): for every 2-hop pair NOT directly connected, count the
+    // shared neighbors and score |N(u)∩N(v)| / |N(u)∪N(v)|; top-20
+    // via TakeOrdered. The candidate set is the WEDGE join (edges
+    // joined on the shared midpoint), never an all-pairs cross — at
+    // corpus scale wedge count is Σ deg², bounded on this graph
+    // because τ=0.95 keeps clusters tight (the q_graph_triangles
+    // edge layer, already session-checkpointed). Exact-integer
+    // degree/count ratios → deterministic ranking.
+    "q_link_pred" -> ((s, d) => {
+      Registry.ensure(s)
+      val e = graft.operators.EdgeGraph.pairs(s, d, "token", 0.95)
+        .select("a_id", "b_id")
+      val sym = e.union(e.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst")
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val wedges = sym.select(col("src").as("u"), col("dst").as("w"))
+        .join(sym.select(col("src").as("w"), col("dst").as("v")), "w")
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      wedges
+        .join(e.select(col("a_id").as("u"), col("b_id").as("v")),
+          Seq("u", "v"), "left_anti")
+        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+        .select(col("u").as("a_id"), col("v").as("b_id"), col("cn"),
+          round(col("cn") / (col("du") + col("dv") - col("cn")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    }),
+
     // Recursive-CTE SQL surface (Spark 4's WITH RECURSIVE): depth-
     // limited BFS over the near-dup graph from the smallest doc that
     // participates in any edge — min hop count per reached doc. The
@@ -872,6 +905,41 @@ object TextSim {
         |u AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
         |SELECT doc_id, COUNT(*) AS n_triangles
         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical τ=0.95 edge derivation, then wedge join + degree Jaccard
+    "q_link_pred" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.95),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+        |        UNION ALL SELECT b_id, a_id FROM e),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+        |wedges AS (
+        |  SELECT s1.src AS u, s2.dst AS v, COUNT(*) AS cn
+        |  FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+        |  WHERE s1.src < s2.dst GROUP BY 1, 2),
+        |cand AS (SELECT u, v, cn FROM wedges
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.a_id = wedges.u AND e.b_id = wedges.v))
+        |SELECT u AS a_id, v AS b_id, cn,
+        |  ROUND(cn * 1.0 / (du.deg + dv.deg - cn), 6) AS jaccard
+        |FROM cand
+        |JOIN deg du ON cand.u = du.id
+        |JOIN deg dv ON cand.v = dv.id
+        |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin,
 
     // identical BFS recursion over the SQL-derived pair list
     "q_cte_recursive" ->

@@ -386,4 +386,63 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     val mf = per.map(_.getAs[Double]("f1")).sum / per.length
     assert(math.abs(macroRow.getAs[Double]("f1") - mf) < 1e-5)
   }
+
+  test("q_link_pred: predictions are non-edges with shared neighbors, ranked by jaccard") {
+    val got = SparkEntry.queries("q_link_pred")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val edges = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.95)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scores = got.map(_.getAs[Double]("jaccard"))
+    scores.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "ranking not by jaccard desc")
+      case _ =>
+    }
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(a < b, "pair not canonicalized")
+      assert(!edges.contains((a, b)), s"($a,$b) is an existing edge — anti-join broken")
+      assert(r.getAs[Long]("cn") >= 1L)
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_changepoint: exactly one flagged split, and it maximizes the recomputed SSE reduction") {
+    val got = SparkEntry.queries("q_changepoint")(spark, sf).collect()
+    assert(got.count(_.getAs[Boolean]("is_changepoint")) === 1)
+    // recompute the reduction series from the raw events
+    val daily = graft.tables.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("mmu", expr("s div n"))
+      .orderBy("d").collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("mmu"))
+    val mmus = daily.map(_._2)
+    val nd = mmus.length
+    val st = mmus.sum
+    val red = (1 to nd).map { i =>
+      if (i >= 3 && i <= nd - 3) {
+        val sl = mmus.take(i).sum
+        Some(sl.toDouble * sl / i + (st - sl).toDouble * (st - sl) / (nd - i)
+          - st.toDouble * st / nd)
+      } else None
+    }
+    val bestIdx = red.zipWithIndex.collect { case (Some(v), i) => (v, i) }
+      .maxBy(t => (t._1, -t._2))._2
+    val flagged = got.filter(_.getAs[Boolean]("is_changepoint")).head
+    assert(flagged.getDate(0).toString === daily(bestIdx)._1,
+      "flagged day is not the recomputed argmax split")
+    // per-day reductions match the recomputation at wire precision
+    got.zipWithIndex.foreach { case (r, i) =>
+      (Option(r.get(2)), red(i)) match {
+        case (Some(v: Double), Some(exp)) =>
+          assert(math.abs(v - exp / 1e12) < 1e-3,
+            s"day $i reduction $v vs recomputed ${exp / 1e12}")
+        case (None, None) =>
+        case other => fail(s"day $i reduction mismatch shape: $other")
+      }
+    }
+  }
 }
