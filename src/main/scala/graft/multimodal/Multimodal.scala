@@ -338,6 +338,192 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "width", "height", "px_r", "px_g", "px_b")
   }
 
+  /** Deterministic PATTERNED PNG for perceptual-hash work (the
+    * [[pngFor]] constant-color fixture is degenerate under a DCT):
+    * a 64×64 grayscale interference pattern keyed on
+    * base = docId − docId % 2, so every even/odd doc pair shares a
+    * base image; odd docs overlay a ±8 pixel-level checkerboard — a
+    * pure Nyquist-frequency perturbation that is VISIBLE in the
+    * bytes (the PNGs differ) but cancels exactly under pHash's 2×2
+    * average pooling: precisely the high-frequency-noise invariance
+    * pHash exists to provide. The base range [16, 239] keeps the
+    * overlay clamp-free, so the cancellation (and hence intra-pair
+    * hamming 0, pinned in R7OpsSpec) is exact; different bases
+    * produce unrelated patterns (hamming ≈ 32). */
+  private[graft] def patternPngFor(docId: Long): Array[Byte] = {
+    val base = docId - (docId % 2)
+    val fa = (base * 7919 % 251 + 3).toInt
+    val fb = (base * 104729 % 241 + 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val odd = docId % 2 == 1
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        var g = 16 + (((x * fa + y * fb + ((x * y) & 31)) % 224 + 224) % 224)
+        if (odd) g += (if (((x + y) & 1) == 0) 8 else -8)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit DCT perceptual hash of a decoded image (the standard
+    * pHash recipe): grayscale → 32×32 average-pool → 2-D DCT-II →
+    * keep the 8×8 low-frequency block → bit = coefficient > median.
+    * Pure JVM double math — deterministic on identical pixel input. */
+  private[graft] def phash64(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val px = Array.ofDim[Double](N, N)
+    val sx = img.getWidth / N; val sy = img.getHeight / N
+    var y = 0
+    while (y < N) {
+      var x = 0
+      while (x < N) {
+        var s = 0L; var dy = 0
+        while (dy < sy) {
+          var dx = 0
+          while (dx < sx) {
+            s += img.getRGB(x * sx + dx, y * sy + dy) & 0xff; dx += 1
+          }
+          dy += 1
+        }
+        px(y)(x) = s.toDouble / (sx * sy); x += 1
+      }
+      y += 1
+    }
+    val c = Array.ofDim[Double](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0; var yy = 0
+        while (yy < N) {
+          var xx = 0
+          while (xx < N) {
+            acc += px(yy)(xx) *
+              math.cos(math.Pi * (2 * xx + 1) * u / (2.0 * N)) *
+              math.cos(math.Pi * (2 * yy + 1) * v / (2.0 * N))
+            xx += 1
+          }
+          yy += 1
+        }
+        c(u)(v) = acc; v += 1
+      }
+      u += 1
+    }
+    val flat = c.flatten
+    val sorted = flat.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var h = 0L; var i = 0
+    while (i < 64) { if (flat(i) > median) h |= 1L << i; i += 1 }
+    h
+  }
+
+  private val phashCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+
+  /** Session-memoized (doc_id, phash) table: encode the patterned
+    * PNG, DECODE it back with imageio (the real-decode contract of
+    * this layer), and hash the decoded pixels. Partition-parallel;
+    * repartitioned before the CPU-bound encode+decode+DCT (see
+    * [[pngCorpus]]). */
+  def imagePhash(s: SparkSession, d: String): DataFrame = {
+    val it = phashCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    phashCache.computeIfAbsent((s.sparkContext, d), _ => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(patternPngFor(id)))
+          (id, phash64(img))
+        })
+        .toDF("doc_id", "phash")
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Deterministic VAD WAV (the [[wavFor]] analog with SILENCE):
+    * PCM16 mono 8 kHz, 256 + n % 1024 samples, 80-sample segments;
+    * segment w is voiced iff (docId + w) % 3 ≠ 0 (square wave of
+    * doc-keyed amplitude ≥ 1000), silent otherwise (exact zeros) —
+    * so energy-threshold VAD at a global cut of 500 recovers the
+    * segment pattern exactly, and the oracle can compute every
+    * statistic in closed form from (doc_id, strlen(text)). */
+  private[graft] def vadWavFor(docId: Long, nBytes: Int): Array[Byte] = {
+    val nFrames = 256 + (nBytes % 1024)
+    val amp = (docId % 30000).toInt + 1000
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val voiced = (docId + i / 80) % 3 != 0
+      val v = if (!voiced) 0 else if ((i / 8) % 2 == 0) amp else -amp
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL energy-threshold voice-activity detection: parse the WAV
+    * with javax.sound.sampled, frame the MEASURED samples into
+    * 80-sample windows (10 ms at 8 kHz), mark a window active when
+    * its mean |amplitude| exceeds the global 500 cut, and report the
+    * per-document activity profile (count, ratio, longest run,
+    * first/last active window — the segmentation stats a speech-data
+    * curation pass keys on). Incomplete tail windows are dropped
+    * (standard framing). Partition-parallel decode. */
+  def voiceActivity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(vadWavFor(id, n)))
+        val all = ais.readAllBytes()
+        val nSamples = all.length / 2
+        val w = nSamples / 80
+        var first = -1; var last = -1; var active = 0
+        var run = 0; var longest = 0
+        var wi = 0
+        while (wi < w) {
+          var s0 = 0L; var j = 0
+          while (j < 80) {
+            val k = (wi * 80 + j) * 2
+            val v = (((all(k + 1) & 0xff) << 8) | (all(k) & 0xff)).toShort.toInt
+            s0 += math.abs(v); j += 1
+          }
+          if (s0 / 80.0 > 500.0) {
+            active += 1; run += 1
+            if (run > longest) longest = run
+            if (first < 0) first = wi
+            last = wi
+          } else run = 0
+          wi += 1
+        }
+        (id, nSamples, w, active,
+          math.rint(active.toDouble / w * 1e6) / 1e6, longest, first, last)
+      })
+      .toDF("doc_id", "n_samples", "n_windows", "n_active",
+        "voice_ratio", "longest_run", "first_active", "last_active")
+  }
+
   /** STUB frame-sample: every-nth-frame selection for a video payload.
     * Frame count is derived deterministically from the payload length
     * (stub); the selection arithmetic (frame indices at a stride, cap

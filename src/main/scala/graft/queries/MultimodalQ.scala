@@ -88,7 +88,45 @@ object MultimodalQ {
     // of the sampled ones.
     "q_mm_video_frames" -> ((s, d) =>
       Multimodal.sampleVideoFrames(s, d, everyNth = 2, maxFrames = 4)
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Perceptual-hash image dedup (pHash: 32×32 DCT, 64-bit median
+    // threshold — the image analog of q_simhash_dedup): hash the
+    // DECODED patterned fixtures, band the 64 bits 4×16 (pigeonhole:
+    // any pair at hamming ≤ 3 shares a band), equi-join per band,
+    // verify candidates with codegen'd bit_count on the XOR. The
+    // oracle is the planted near-dup structure (every even/odd doc
+    // pair shares a base image; cross-base hamming ≈ 32, pinned in
+    // R7OpsSpec) — recovering EXACTLY those pairs proves decode,
+    // DCT, banding and verify end to end. Scale shape: band buckets
+    // bound candidates; no all-pairs cross.
+    "q_mm_phash" -> ((s, d) => {
+      val h = Multimodal.imagePhash(s, d)
+      val bands = h.select(col("doc_id"), col("phash"),
+          explode(expr(
+            "transform(sequence(0, 3)," +
+              " b -> struct(b as band, pmod(shiftright(phash, b * 16)," +
+              " 65536) as key))")).as("bk"))
+        .select(col("doc_id"), col("phash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.select(col("band"), col("key"),
+          col("doc_id").as("a_id"), col("phash").as("a_h"))
+        .join(bands.select(col("band"), col("key"),
+          col("doc_id").as("b_id"), col("phash").as("b_h")), Seq("band", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_h", "b_h").distinct()
+      cand.filter(bit_count(expr("a_h ^ b_h")) <= 3)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // REAL voice-activity detection over the silence-bearing WAV
+    // fixtures: decode → 80-sample energy windows → global 500 cut.
+    // The oracle computes every statistic in closed form from the
+    // planted (doc_id + window) % 3 voicing pattern — equality proves
+    // the WAV parse, framing and thresholding did real signal work.
+    "q_mm_vad" -> ((s, d) =>
+      Multimodal.voiceActivity(s, d).orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +215,52 @@ object MultimodalQ {
         |  FROM documents)
         |SELECT doc_id, n_frames, CAST(unnest(
         |    list_slice(generate_series(0, n_frames - 1, 10), 1, 8)) AS INT) AS frame_idx
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the planted near-dup structure: every even/odd doc pair shares
+    // a base pattern (odd = +16-gray 2-pixel perturbation, hamming
+    // ≤ 3 pinned in R7OpsSpec); recovering exactly these pairs
+    // proves the decode→DCT→band→verify chain end to end
+    "q_mm_phash" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY a_id""".stripMargin,
+
+    // closed forms from the planted voicing pattern: samples
+    // 256 + n % 1024, 80-sample windows (tail dropped), window w
+    // voiced iff (doc_id + w) % 3 != 0; longest run via
+    // gaps-and-islands over the voiced windows
+    "q_mm_vad" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(256 + strlen(text) % 1024 AS INT) AS n_samples,
+        |    CAST((256 + strlen(text) % 1024) // 80 AS INT) AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, n_samples, w,
+        |    CAST(unnest(generate_series(0, w - 1)) AS INT) AS wi
+        |  FROM base),
+        |act AS (SELECT doc_id, wi FROM wins WHERE (doc_id + wi) % 3 != 0),
+        |isl AS (SELECT doc_id, wi,
+        |          wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi)
+        |            AS grp
+        |        FROM act),
+        |runs AS (SELECT doc_id, COUNT(*) AS run
+        |         FROM isl GROUP BY doc_id, grp),
+        |longest AS (SELECT doc_id, CAST(MAX(run) AS INT) AS longest_run
+        |            FROM runs GROUP BY doc_id),
+        |stats AS (SELECT doc_id, COUNT(*) AS n_active,
+        |            CAST(MIN(wi) AS INT) AS first_active,
+        |            CAST(MAX(wi) AS INT) AS last_active
+        |          FROM act GROUP BY doc_id)
+        |SELECT base.doc_id, n_samples, w AS n_windows,
+        |  CAST(n_active AS INT) AS n_active,
+        |  ROUND(n_active * 1.0 / w, 6) AS voice_ratio,
+        |  longest_run, first_active, last_active
+        |FROM base
+        |JOIN stats USING (doc_id)
+        |JOIN longest USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

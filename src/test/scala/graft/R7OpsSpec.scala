@@ -445,4 +445,52 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("pHash: checkerboard perturbation is invariant (hamming 0) and cross-base images are distant") {
+    import graft.multimodal.Multimodal
+    def hash(id: Long): Long = Multimodal.phash64(
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.patternPngFor(id))))
+    val bases = (0L until 40L by 2)
+    bases.foreach { b =>
+      assert(hash(b) === hash(b + 1),
+        s"base $b: pooled checkerboard must cancel exactly — hamming > 0")
+    }
+    // cross-base pairs stay far outside the tau=3 verify
+    val hs = bases.map(hash).toArray
+    for (i <- hs.indices; j <- (i + 1) until hs.length) {
+      val ham = java.lang.Long.bitCount(hs(i) ^ hs(j))
+      assert(ham > 3, s"bases ${bases(i)} vs ${bases(j)}: hamming $ham <= 3 — patterns collide")
+    }
+    // and the hash is non-degenerate: roughly half the bits set
+    hs.foreach { h =>
+      val pop = java.lang.Long.bitCount(h)
+      assert(pop >= 16 && pop <= 48, s"degenerate hash popcount $pop")
+    }
+  }
+
+  test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
+    val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "octet_length(text) as n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nSamples = 256 + docs(id) % 1024
+      val w = nSamples / 80
+      val pattern = (0 until w).map(wi => (id + wi) % 3 != 0)
+      assert(r.getAs[Int]("n_samples") === nSamples)
+      assert(r.getAs[Int]("n_windows") === w)
+      assert(r.getAs[Int]("n_active") === pattern.count(identity))
+      val runs = pattern.foldLeft(List.empty[Int]) {
+        case (acc, true) => (acc.headOption.getOrElse(0) + 1) ::
+          (if (acc.isEmpty) Nil else acc.tail)
+        case (acc, false) => 0 :: acc
+      }
+      assert(r.getAs[Int]("longest_run") === (0 :: runs).max)
+      assert(r.getAs[Int]("first_active") === pattern.indexOf(true))
+      assert(r.getAs[Int]("last_active") === pattern.lastIndexOf(true))
+    }
+  }
 }
