@@ -1037,6 +1037,55 @@ object Analytics {
             .as("dp_n"))
         .orderBy("lang", "source")),
 
+    // Split-conformal prediction intervals (Vovk; the distribution-
+    // free ML-eval wrapper): md5-deterministic 50/50 calibration/test
+    // split per event_type, point model = calibration mean (exact
+    // centi-unit integer division), nonconformity = |value − ŷ| as an
+    // exact centi-long, q̂ = the ⌈(n_cal+1)(1−α)⌉-th order statistic
+    // (α = 0.1) picked by a rank window with event_id tiebreak, and
+    // the guaranteed-coverage check on the held-out half — every
+    // comparison is exact-integer, so the interval and the coverage
+    // are bit-identical across engines. Scale: the rank window
+    // partitions by event_type (bounded cardinality ⇒ salting would
+    // apply at extreme skew); everything else is partial aggs.
+    "q_conformal_interval" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .withColumn("is_cal",
+          conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 2 === 0)
+        .localCheckpoint(eager = true) // feeds model, ranks, coverage
+      val model = ev.filter(col("is_cal"))
+        .groupBy("event_type")
+        .agg(sum("v_c").as("sv"), count(lit(1)).as("n_cal"))
+        .withColumn("yhat_c", expr("sv div n_cal"))
+      val resid = ev.filter(col("is_cal"))
+        .join(broadcast(model), "event_type")
+        .withColumn("r_c", abs(col("v_c") - col("yhat_c")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("r_c"), col("event_id"))
+      val qhat = resid
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === ceil((col("n_cal") + 1) * lit(0.9)).cast("int"))
+        .select(col("event_type"), col("r_c").as("qhat_c"))
+      val test = ev.filter(!col("is_cal"))
+        .join(broadcast(model), "event_type")
+        .join(broadcast(qhat), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("v_c") - col("yhat_c")) <= col("qhat_c"), 1L)
+            .otherwise(0L)).as("covered"),
+          min(col("n_cal")).as("n_cal"),
+          min(col("yhat_c")).as("yc"), min(col("qhat_c")).as("qc"))
+      test.select(col("event_type"), col("n_cal"), col("n_test"),
+          round(col("yc") / 100.0, 2).as("y_hat"),
+          round(col("qc") / 100.0, 2).as("q_hat"),
+          round(col("covered") / col("n_test").cast("double"), 6)
+            .as("coverage"))
+        .orderBy("event_type")
+    }),
+
     // Poisson bootstrap CI for the per-language mean document length —
     // THE bootstrap that scales (each row draws an independent
     // Poisson(1) replicate weight, so no sampling-with-replacement
@@ -1601,6 +1650,38 @@ object Analytics {
         |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford,
         |  ROUND(n * 1.0 / nn - log10(1.0 + 1.0 / digit), 6) AS excess
         |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q_conformal_interval" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+        |    CAST(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+        |      AS INT) % 2 AS INT) = 0 AS is_cal
+        |  FROM events),
+        |model AS (
+        |  SELECT event_type, COUNT(*) AS n_cal,
+        |    CAST(CAST(SUM(v_c) AS BIGINT) // COUNT(*) AS BIGINT) AS yhat_c
+        |  FROM ev WHERE is_cal GROUP BY 1),
+        |resid AS (
+        |  SELECT e.event_type, e.event_id, abs(e.v_c - m.yhat_c) AS r_c,
+        |    m.n_cal
+        |  FROM ev e JOIN model m USING (event_type) WHERE e.is_cal),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY r_c, event_id) AS rk FROM resid),
+        |qh AS (SELECT event_type, r_c AS qhat_c FROM rk
+        |       WHERE rk = CAST(CEIL((n_cal + 1) * 0.9) AS INT)),
+        |test AS (
+        |  SELECT e.event_type, COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN abs(e.v_c - m.yhat_c) <= q.qhat_c
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        |    MIN(m.n_cal) AS n_cal, MIN(m.yhat_c) AS yc, MIN(q.qhat_c) AS qc
+        |  FROM ev e JOIN model m USING (event_type) JOIN qh q USING (event_type)
+        |  WHERE NOT is_cal GROUP BY 1)
+        |SELECT event_type, n_cal, n_test,
+        |  ROUND(yc / 100.0, 2) AS y_hat,
+        |  ROUND(qc / 100.0, 2) AS q_hat,
+        |  ROUND(covered * 1.0 / n_test, 6) AS coverage
+        |FROM test ORDER BY event_type""".stripMargin,
 
     "q_woe_binning" ->
       """WITH b AS (

@@ -1113,6 +1113,103 @@ object Training {
         .orderBy("doc_id")
     }),
 
+    // ROUGE-L scoring of candidate/reference pairs (Lin 2004) via the
+    // codegen'd `lcs_len` expression (expr/LcsLen.scala — O(n·m) DP,
+    // rolling buffer, UTF8 byte equality): adjacent doc pairs stand in
+    // for (candidate, reference); precision/recall/F derive from the
+    // LCS and the exact-integer lengths. One equi-join on the pair id
+    // then a pure codegen'd projection — the eval harness shape a
+    // summarization pipeline scores millions of pairs with. OMIT
+    // (custom expression DuckDB lacks); pinned in R7OpsSpec against a
+    // pure-Scala DP reference.
+    "q_rouge_l" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val cand = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val ref = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("a_id"), col("toks").as("b_toks"))
+      cand.join(ref, "a_id")
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"),
+          size(col("a_toks")).as("len_a"), size(col("b_toks")).as("len_b"),
+          expr("lcs_len(a_toks, b_toks)").as("lcs"))
+        .withColumn("rouge_p", round(col("lcs") / col("len_a"), 6))
+        .withColumn("rouge_r", round(col("lcs") / col("len_b"), 6))
+        .withColumn("rouge_f", round(when(col("lcs") > 0,
+          lit(2.0) * col("lcs") * col("lcs")
+            / (col("len_a") * col("lcs") + col("len_b") * col("lcs")))
+          .otherwise(lit(0.0)), 6))
+        .orderBy("a_id")
+    }),
+
+    // Corpus-drift monitor: Jensen-Shannon divergence between each
+    // source's token distribution and the corpus distribution — the
+    // "which ingest feed changed" alarm a production pipeline runs per
+    // batch. p, q are exact-count ratios; each KL term is µ-snapped to
+    // a 1e-12 grid long BEFORE the vocabulary sum (the cusum lesson —
+    // vocab-order partial aggregation must not move the total), one
+    // final division at output. Scale shape: token explode → (source,
+    // token) partial agg → vocab-grain join against the broadcast
+    // corpus distribution; the per-source rollup is |vocab|-bounded.
+    "q_drift_jsd" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint(eager = true) // feeds per-source and corpus counts
+      val bySrc = tok.groupBy("source", "w").agg(count(lit(1)).as("ns"))
+      val srcTot = bySrc.groupBy("source").agg(sum("ns").as("ts"))
+      val corpus = tok.groupBy("w").agg(count(lit(1)).as("nc"))
+      val corpTot = corpus.agg(sum("nc").as("tc"))
+      val terms = bySrc.join(broadcast(srcTot), "source")
+        .join(corpus, "w").crossJoin(broadcast(corpTot))
+        .withColumn("p", col("ns") / col("ts"))
+        .withColumn("q", col("nc") / col("tc"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        // vocab terms with p=0 contribute only on the q side; every
+        // (source, w) row here has p>0, so add q-only mass separately
+        .withColumn("t_u",
+          round((col("p") * log(col("p") / col("m"))
+            + col("q") * log(col("q") / col("m"))) * lit(1e12)).cast("long"))
+      // tokens absent from a source: p=0 ⇒ m=q/2 ⇒ term = q·ln2
+      val seen = terms.groupBy("source")
+        .agg(sum("t_u").as("seen_u"), sum(col("nc")).as("nc_seen"))
+      seen.crossJoin(broadcast(corpTot))
+        .withColumn("absent_u",
+          round((lit(1.0) - col("nc_seen") / col("tc")) * log(lit(2.0))
+            * lit(1e12)).cast("long"))
+        .select(col("source"),
+          round((col("seen_u") + col("absent_u")) / lit(2e12), 6).as("jsd"))
+        .orderBy("source")
+    }),
+
+    // Source-vocabulary overlap matrix: pairwise Jaccard of the
+    // distinct-token sets of every source pair — the redundancy map a
+    // corpus-composition pass reads before mixing feeds. Inverted-
+    // index shape: (token → sources) join produces only co-occurring
+    // pairs; set sizes join back broadcast (|sources| is bounded).
+    "q_source_overlap" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("source"), explode(array_distinct(split(col("text"), " ")))
+          .as("w"))
+        .distinct()
+        .localCheckpoint(eager = true) // feeds sizes + the pair join
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+      val pairs = vocab.join(
+          vocab.select(col("source").as("source_b"), col("w")), "w")
+        .filter(col("source") < col("source_b"))
+        .groupBy("source", "source_b").agg(count(lit(1)).as("inter"))
+      pairs
+        .join(broadcast(sizes), "source")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("nv").as("nv_b"))), "source_b")
+        .select(col("source").as("source_a"), col("source_b"),
+          col("inter"),
+          round(col("inter") / (col("nv") + col("nv_b") - col("inter")), 6)
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Moving-average type-token ratio (Covington & McFall 2010 —
     // MATTR): lexical diversity without TTR's document-length bias.
     // Windows of 25 tokens at stride 5 (stride amortizes cost; MATTR's
@@ -1719,6 +1816,54 @@ object Training {
         |    / ln(GREATEST(MIN(t.nl) * 1.0, 2.0)), 6) AS norm_entropy
         |FROM c JOIN t USING (source)
         |GROUP BY c.source ORDER BY source""".stripMargin,
+
+    "q_drift_jsd" ->
+      """WITH tok AS (
+        |  SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0),
+        |bs AS (SELECT source, w, COUNT(*) AS ns FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(ns) AS BIGINT) AS ts
+        |       FROM bs GROUP BY 1),
+        |cw AS (SELECT w, COUNT(*) AS nc FROM tok GROUP BY 1),
+        |ct AS (SELECT CAST(SUM(nc) AS BIGINT) AS tc FROM cw),
+        |pq AS (SELECT bs.source, bs.ns * 1.0 / st.ts AS p,
+        |         cw.nc * 1.0 / ct.tc AS q,
+        |         (bs.ns * 1.0 / st.ts + cw.nc * 1.0 / ct.tc) / 2 AS m,
+        |         cw.nc
+        |       FROM bs JOIN st USING (source)
+        |       JOIN cw USING (w) CROSS JOIN ct),
+        |terms AS (
+        |  SELECT source,
+        |    CAST(ROUND((p * ln(p / m) + q * ln(q / m)) * 1e12) AS BIGINT)
+        |      AS t_u,
+        |    nc
+        |  FROM pq),
+        |seen AS (SELECT source, CAST(SUM(t_u) AS BIGINT) AS seen_u,
+        |           CAST(SUM(nc) AS BIGINT) AS nc_seen
+        |         FROM terms GROUP BY 1)
+        |SELECT source,
+        |  ROUND((seen_u + CAST(ROUND((1.0 - nc_seen * 1.0 / tc) * ln(2.0)
+        |    * 1e12) AS BIGINT)) / 2e12, 6) AS jsd
+        |FROM seen CROSS JOIN ct ORDER BY source""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(string_split(text, ' ')))
+        |    AS w
+        |  FROM documents),
+        |sz AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        COUNT(*) AS inter
+        |      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, inter,
+        |  ROUND(inter * 1.0 / (sa.nv + sb.nv - inter), 6) AS jaccard
+        |FROM p
+        |JOIN sz sa ON p.source_a = sa.source
+        |JOIN sz sb ON p.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q_gopher_rules" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -469,6 +469,70 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_rouge_l: lcs_len matches a pure-Scala DP and the F-score is the P/R harmonic mean") {
+    val got = SparkEntry.queries("q_rouge_l")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(got.nonEmpty)
+    def lcsRef(a: Array[String], b: Array[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    got.foreach { r =>
+      val (a, b) = (docs(r.getAs[Long]("a_id")), docs(r.getAs[Long]("b_id")))
+      val lcs = lcsRef(a, b)
+      assert(r.getAs[Int]("lcs") === lcs,
+        s"pair ${r.getAs[Long]("a_id")}: codegen LCS ${r.getAs[Int]("lcs")} != DP $lcs")
+      val (p, rc) = (lcs.toDouble / a.length, lcs.toDouble / b.length)
+      val f = if (lcs > 0) 2 * p * rc / (p + rc) else 0.0
+      assert(math.abs(r.getAs[Double]("rouge_f") - f) < 1e-6)
+    }
+  }
+
+  test("q_drift_jsd: divergences bounded by ln 2 and non-negative") {
+    val got = SparkEntry.queries("q_drift_jsd")(spark, sf).collect()
+    val sources = graft.tables.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(got.length === sources)
+    got.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= -1e-9 && j <= math.log(2.0) + 1e-9, s"jsd $j out of [0, ln 2]")
+    }
+  }
+
+  test("q_source_overlap: full pair matrix, jaccard in (0,1], intersection bounded by vocab sizes") {
+    val got = SparkEntry.queries("q_source_overlap")(spark, sf).collect()
+    val n = graft.tables.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    // the shared synthetic vocabulary makes every pair intersect
+    assert(got.length === n * (n - 1) / 2)
+    got.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_conformal_interval: split-conformal coverage lands near the 90% guarantee") {
+    val got = SparkEntry.queries("q_conformal_interval")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      // finite-sample: the 90% guarantee holds in expectation over the
+      // split; a single held-out estimate at unit-test scale swings by
+      // a few sigma (sd ≈ sqrt(.09/n)), so the per-type floor is loose
+      assert(cov >= 0.75 && cov <= 1.0,
+        s"${r.getAs[String]("event_type")}: coverage $cov far from the 0.9 target")
+      assert(r.getAs[Double]("q_hat") >= 0.0)
+      assert(r.getAs[Long]("n_cal") > 0 && r.getAs[Long]("n_test") > 0)
+    }
+    val mean = got.map(_.getAs[Double]("coverage")).sum / got.length
+    assert(mean >= 0.82, s"mean coverage $mean — conformal quantile off target")
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
