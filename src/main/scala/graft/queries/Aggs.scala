@@ -252,10 +252,57 @@ object Aggs {
         .groupBy("l_returnflag")
         .agg(round(gm(col("l_extendedprice")), 4).as("gmean_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // Count-min sketch (Cormode & Muthukrishnan) — the mergeable
+    // frequency sketch, built with DETERMINISTIC md5 row hashes so
+    // the 4×256 counter array is a pure function of the data and the
+    // DuckDB twin rebuilds it exactly: the ORACLED counterpoint to
+    // the engine-internal OMIT sketches (kll/hll). Counters derive
+    // from the session-memoized term table (counter = Σ counts of the
+    // terms hashing into it — identical to streaming the tokens);
+    // per-term estimate = min over its 4 counters, which can only
+    // overcount. Output: the 20 true-heaviest terms with estimate and
+    // overcount. Scale shape: vocab-grain rows + a broadcast 1024-row
+    // counter table; the corpus-sized work is the one memoized
+    // explode.
+    "q_count_min" -> ((s, d) => {
+      val terms = graft.operators.EdgeGraph.termFreq(s, d)
+        .groupBy("term").agg(sum("tf_raw").as("n"))
+      val rows = terms
+        .select(col("term"), col("n"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("bkt",
+          conv(substring(md5(concat(col("r").cast("string"), lit("|"),
+            col("term"))), 1, 4), 16, 10).cast("int") % 256)
+        .localCheckpoint(eager = true) // vocab-bounded; feeds counters + probe
+      val counters = rows.groupBy("r", "bkt").agg(sum("n").as("c"))
+      rows.join(broadcast(counters), Seq("r", "bkt"))
+        .groupBy("term", "n").agg(min("c").as("est"))
+        .select(col("term"), col("n").as("true_n"), col("est").as("est_n"),
+          (col("est") - col("n")).as("overcount"))
+        .orderBy(col("true_n").desc, col("term")).limit(20)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_count_min" ->
+      """WITH tc AS (
+        |  SELECT w AS term, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |rws AS (
+        |  SELECT term, n, r,
+        |    CAST(CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || term),
+        |      1, 4) AS INT) % 256 AS INT) AS bkt
+        |  FROM tc, unnest(generate_series(0, 3)) AS t(r)),
+        |counters AS (SELECT r, bkt, CAST(SUM(n) AS BIGINT) AS c
+        |             FROM rws GROUP BY 1, 2),
+        |est AS (SELECT term, n, MIN(c) AS est
+        |        FROM rws JOIN counters USING (r, bkt) GROUP BY 1, 2)
+        |SELECT term, n AS true_n, CAST(est AS BIGINT) AS est_n,
+        |  CAST(est - n AS BIGINT) AS overcount
+        |FROM est ORDER BY true_n DESC, term LIMIT 20""".stripMargin,
+
     // full-scratch aggregate — equality proves the partial-state merge
     "q_incremental_agg" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -723,6 +723,40 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // Difference-in-differences estimator (the canonical natural-
+    // experiment readout): treatment = even user_id, post-period =
+    // timestamps past the exact µs midpoint of the observed span, the
+    // four (group, period) cell means in exact centi-long/count
+    // ratios, and DiD = (T̄post − T̄pre) − (C̄post − C̄pre) written in
+    // one fixed association so both engines evaluate the identical
+    // double sequence. One partial agg to 4 cells; the scalar span
+    // row broadcasts.
+    "q_did_estimator" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          round(col("value") * 100).cast("long").as("v_c"))
+      val span = ev.agg(min("t_us").as("mn"), max("t_us").as("mx"))
+        .withColumn("mid", expr("(mn + mx) div 2"))
+      val cells = ev.crossJoin(broadcast(span))
+        .withColumn("treated", col("user_id") % 2 === 0)
+        .withColumn("post", col("t_us") >= col("mid"))
+        .groupBy("treated", "post")
+        .agg(count(lit(1)).as("n"), sum("v_c").as("sc"))
+        .withColumn("mean_raw", col("sc") / col("n") / lit(100.0))
+        .localCheckpoint(eager = true) // 4 cells; feeds rows + the scalar
+      val did = cells.agg(
+        ((max(when(col("treated") && col("post"), col("mean_raw")))
+          - max(when(col("treated") && !col("post"), col("mean_raw"))))
+          - (max(when(!col("treated") && col("post"), col("mean_raw")))
+            - max(when(!col("treated") && !col("post"), col("mean_raw")))))
+          .as("did_raw"))
+      cells.crossJoin(broadcast(did))
+        .select(col("treated"), col("post"), col("n"),
+          round(col("mean_raw"), 4).as("mean_v"),
+          round(col("did_raw"), 4).as("did"))
+        .orderBy("treated", "post")
+    }),
+
     // Hour-of-day × day-of-week seasonality heatmap per the session's
     // UTC clock — one partial agg, bounded 168-cell output. (Spark's
     // dayofweek is 1-based Sun..Sat; emitted 0-based to match the
@@ -1468,6 +1502,29 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_did_estimator" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |span AS (SELECT CAST((MIN(t_us) + MAX(t_us)) // 2 AS BIGINT) AS mid
+        |         FROM ev),
+        |cells AS (
+        |  SELECT user_id % 2 = 0 AS treated, t_us >= mid AS post,
+        |    COUNT(*) AS n, CAST(SUM(v_c) AS BIGINT) AS sc
+        |  FROM ev CROSS JOIN span GROUP BY 1, 2),
+        |m AS (SELECT treated, post, n, sc / n / 100.0 AS mean_raw FROM cells),
+        |did AS (
+        |  SELECT ((MAX(CASE WHEN treated AND post THEN mean_raw END)
+        |    - MAX(CASE WHEN treated AND NOT post THEN mean_raw END))
+        |    - (MAX(CASE WHEN NOT treated AND post THEN mean_raw END)
+        |      - MAX(CASE WHEN NOT treated AND NOT post THEN mean_raw END)))
+        |    AS did_raw
+        |  FROM m)
+        |SELECT treated, post, n, ROUND(mean_raw, 4) AS mean_v,
+        |  ROUND(did_raw, 4) AS did
+        |FROM m CROSS JOIN did ORDER BY treated, post""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (

@@ -269,6 +269,32 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // NEAREST-direction as-of (the third member of the family: backward
+    // = q_join_asof, forward = q_join_asof_fwd): each purchase matches
+    // the view with the smallest |Δt| in either direction, ties to the
+    // earlier view. The argmin folds as min(struct(delta, ts)) inside
+    // the same grouped aggregation the siblings use — no window, no
+    // second pass; purchases with no views keep a null match (min
+    // ignores the null-guarded struct). Exact-µs integer deltas.
+    "q_join_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("user_id") === col("v_user"), "left")
+        .withColumn("delta",
+          abs(unix_micros(col("v_ts")) - unix_micros(col("ts"))))
+        .groupBy("event_id", "user_id", "ts")
+        .agg(min(when(col("v_ts").isNotNull,
+          struct(col("delta"), col("v_ts")))).as("m"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("m.v_ts").cast("timestamp_ntz").as("nearest_view_ts"),
+          col("m.delta").as("delta_us"))
+        .orderBy("event_id")
+    }),
+
     // Explicit bloom-filter semi-join pre-filter — the sketch-then-
     // verify JOIN shape: the build side aggregates into one bloom blob
     // (Spark's internal BloomFilterAggregate, surfaced via Registry),
@@ -829,6 +855,20 @@ object Joins {
         |  AS next_view_ts
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS v_user, ts AS v_ts FROM events
+        |      WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, v.v_ts,
+        |        abs(epoch_us(v.v_ts) - epoch_us(p.ts)) AS delta
+        |      FROM p LEFT JOIN v ON p.user_id = v.v_user),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |         ORDER BY delta NULLS LAST, v_ts) AS rn FROM j)
+        |SELECT event_id, user_id, ts, v_ts AS nearest_view_ts,
+        |  delta AS delta_us
+        |FROM rk WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

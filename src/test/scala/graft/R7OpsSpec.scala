@@ -533,6 +533,62 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(mean >= 0.82, s"mean coverage $mean — conformal quantile off target")
   }
 
+  test("q_count_min: estimates never undercount and heavy hitters carry exact true counts") {
+    val got = SparkEntry.queries("q_count_min")(spark, sf).collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    val truth = graft.tables.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    got.foreach { r =>
+      val t = r.getAs[Long]("true_n")
+      assert(t === truth(r.getAs[String]("term")))
+      assert(r.getAs[Long]("est_n") >= t, "CMS undercounted — impossible by construction")
+      assert(r.getAs[Long]("overcount") === r.getAs[Long]("est_n") - t)
+    }
+    // the output is the true top-20 (ties by term)
+    val expected = truth.toSeq.sortBy { case (w, n) => (-n, w) }.take(got.length)
+    assert(got.map(r => (r.getAs[String]("term"), r.getAs[Long]("true_n"))).toSeq
+      === expected)
+  }
+
+  test("q_join_asof_nearest: picks the view minimizing |delta|, ties to the earlier view") {
+    val got = SparkEntry.queries("q_join_asof_nearest")(spark, sf).collect()
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as t")
+      .collect()
+    val views = ev.filter(_.getString(2) == "view")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(3)).sorted).toMap
+    val purchases = ev.filter(_.getString(2) == "purchase")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got.length === purchases.size)
+    got.foreach { r =>
+      val (user, t) = purchases(r.getAs[Long]("event_id"))
+      views.get(user).filter(_.nonEmpty) match {
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("nearest_view_ts")))
+        case Some(vs) =>
+          val best = vs.map(v => (math.abs(v - t), v)).min
+          assert(r.getAs[Long]("delta_us") === best._1,
+            s"event ${r.getAs[Long]("event_id")}: delta ${r.getAs[Long]("delta_us")} != ${best._1}")
+      }
+    }
+  }
+
+  test("q_did_estimator: DiD equals the 4-cell combination and cells partition the events") {
+    val got = SparkEntry.queries("q_did_estimator")(spark, sf).collect()
+    assert(got.length === 4)
+    val events = graft.tables.Tables.events(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n")).sum === events)
+    val cells = got.map(r =>
+      (r.getAs[Boolean]("treated"), r.getAs[Boolean]("post")) -> r.getAs[Double]("mean_v")).toMap
+    val did = (cells((true, true)) - cells((true, false))) -
+      (cells((false, true)) - cells((false, false)))
+    val gotDid = got.head.getAs[Double]("did")
+    assert(math.abs(gotDid - did) < 1e-3, s"did $gotDid vs recomputed $did")
+    assert(got.map(_.getAs[Double]("did")).distinct.length === 1)
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
