@@ -34,6 +34,7 @@ object Registry {
     "ngrams" -> ((es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n"))),
     "jaro_winkler" -> ((es: Seq[Expression]) => JaroWinklerSim(es(0), es(1))),
     "zorder2" -> ((es: Seq[Expression]) => ZOrderKey.withCasts(es(0), es(1))),
+    "hilbert2" -> ((es: Seq[Expression]) => HilbertKey.withCasts(es(0), es(1))),
     // Spark's internal runtime-filter bloom expressions, surfaced as
     // SQL functions (4.x registers neither publicly): the explicit
     // sketch-then-verify join pre-filter (q_join_bloom_prefilter).

@@ -376,6 +376,34 @@ object Relational {
         .orderBy("bucket")
     }),
 
+    // Hilbert-curve layout — the q_zorder_layout twin on the strictly
+    // more local space-filling curve (unit curve steps always move one
+    // cell in ONE dimension; Morton jumps diagonally at power-of-two
+    // boundaries — the reason Delta's OPTIMIZE default moved to
+    // Hilbert). Same masked 16-bit dimensions, same ntile(16) file
+    // buckets, same per-bucket min/max envelope — so the two keys'
+    // outputs directly compare how tight each curve keeps the parquet
+    // footer stats. `hilbert2` is the codegen'd expr/Hilbert.scala
+    // expression; the oracle unrolls the same 16 rotate/flip levels as
+    // chained CTEs (locality + bijectivity pinned in R7OpsSpec).
+    "q_hilbert_layout" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val z = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("xk"),
+          pmod(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long"), lit(65536L)).as("yk"))
+        .withColumn("hkey", expr("hilbert2(xk, yk)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("hkey"), col("o_orderkey"))
+      z.withColumn("bucket", ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("xk").as("x_min"), max("xk").as("x_max"),
+          min("yk").as("y_min"), max("yk").as("y_max"))
+        .orderBy("bucket")
+    }),
+
     "q_scan_pruned" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
@@ -730,6 +758,46 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-06-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the same 16 rotate/flip levels as expr/Hilbert.scala's xy2d,
+    // unrolled as chained CTEs (level-indexed columns so no alias
+    // shadows an input; the q_mmr_select generated-CTE posture)
+    "q_hilbert_layout" -> {
+      val chain = (0 until 16).map { k =>
+        val b = 15 - k
+        val s2 = (1L << b) * (1L << b)
+        s"""h${k + 1} AS (
+           |  SELECT o_orderkey, xk, yk,
+           |    d$k + $s2 * xor(3 * ((x$k >> $b) & 1), (y$k >> $b) & 1)
+           |      AS d${k + 1},
+           |    CASE WHEN ((y$k >> $b) & 1) = 0 THEN
+           |      (CASE WHEN ((x$k >> $b) & 1) = 1 THEN 65535 - y$k ELSE y$k END)
+           |    ELSE x$k END AS x${k + 1},
+           |    CASE WHEN ((y$k >> $b) & 1) = 0 THEN
+           |      (CASE WHEN ((x$k >> $b) & 1) = 1 THEN 65535 - x$k ELSE x$k END)
+           |    ELSE y$k END AS y${k + 1}
+           |  FROM h$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+         |  SELECT o_orderkey,
+         |    o_custkey % 65536 AS xk,
+         |    ((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         |      % 65536) + 65536) % 65536 AS yk,
+         |    o_custkey % 65536 AS x0,
+         |    ((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         |      % 65536) + 65536) % 65536 AS y0,
+         |    CAST(0 AS BIGINT) AS d0
+         |  FROM orders),
+         |$chain,
+         |b AS (
+         |  SELECT o_orderkey, xk, yk,
+         |    ntile(16) OVER (ORDER BY d16, o_orderkey) AS bucket
+         |  FROM h16)
+         |SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+         |  MIN(xk) AS x_min, MAX(xk) AS x_max,
+         |  MIN(yk) AS y_min, MAX(yk) AS y_max
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     // the oracle reproduces the two generations with a CASE over the
     // ORIGINAL table — equality proves the merged-schema read saw

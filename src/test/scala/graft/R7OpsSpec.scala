@@ -589,6 +589,54 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_.getAs[Double]("did")).distinct.length === 1)
   }
 
+  test("HilbertKey: bijective on the grid, unit-step locality, inverse round-trips") {
+    import graft.expr.HilbertKey
+    // bijectivity on a 64x64 corner of the grid
+    val ds = for (x <- 0L until 64L; y <- 0L until 64L) yield HilbertKey.xy2d(x, y)
+    assert(ds.distinct.size === 64 * 64)
+    // d2xy inverts xy2d across scattered points of the full domain
+    for (x <- Seq(0L, 1L, 255L, 4095L, 65535L); y <- Seq(0L, 17L, 1024L, 65535L)) {
+      assert(HilbertKey.d2xy(HilbertKey.xy2d(x, y)) === ((x, y)))
+    }
+    // THE Hilbert property: consecutive curve positions are grid
+    // neighbors (|dx| + |dy| = 1) — Morton order violates this at
+    // every power-of-two boundary
+    var d = 0L
+    var (px, py) = HilbertKey.d2xy(0L)
+    while (d < 4096L) {
+      d += 1
+      val (x, y) = HilbertKey.d2xy(d)
+      assert(math.abs(x - px) + math.abs(y - py) === 1L,
+        s"curve jumped at d=$d: ($px,$py) -> ($x,$y)")
+      px = x; py = y
+    }
+  }
+
+  test("q_hilbert_layout: buckets cover the table; dense curve ranges bound tighter than Morton") {
+    val h = SparkEntry.queries("q_hilbert_layout")(spark, sf).collect()
+    val orders = graft.tables.Tables.orders(spark, sf).count()
+    assert(h.map(_.getAs[Long]("n")).sum === orders)
+    assert(h.length === 16)
+    // the locality claim that justifies the operator, tested where it
+    // is decidable: over NON-power-of-two-aligned dense curve ranges
+    // (the file-boundary case a real layout produces), the mean
+    // Hilbert bounding box is tighter than the Morton one. (On the
+    // sparse fixture table both curves' buckets are sampling noise,
+    // so the comparison runs on the curves themselves.)
+    import graft.expr.{HilbertKey, ZOrderKey}
+    def bboxArea(points: Seq[(Long, Long)]): Double = {
+      val (xs, ys) = points.unzip
+      ((xs.max - xs.min + 1) * (ys.max - ys.min + 1)).toDouble
+    }
+    val offsets = Seq(137L, 999L, 5003L, 10007L, 30011L, 50021L)
+    val hArea = offsets.map(o =>
+      bboxArea((o until o + 1024L).map(HilbertKey.d2xy))).sum / offsets.size
+    val zArea = offsets.map(o =>
+      bboxArea((o until o + 1024L).map(ZOrderKey.deinterleave16))).sum / offsets.size
+    assert(hArea < zArea,
+      s"hilbert mean dense-range bbox $hArea not tighter than morton $zArea")
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
