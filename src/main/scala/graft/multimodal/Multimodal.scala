@@ -425,6 +425,56 @@ object Multimodal {
     h
   }
 
+  /** Whole-image pixel statistics over the REAL decode of the
+    * patterned fixtures: mean gray in exact integer units, distinct
+    * gray levels, min/max, and the gray-histogram entropy µ-snapped —
+    * every pixel of the decoded raster contributes, so the closed-form
+    * oracle (the same stats recomputed from the generator formula in
+    * SQL) proves the PNG round-trip is faithful across the WHOLE
+    * image, not just a probe pixel. The ODD (checkerboard-overlaid)
+    * images are excluded: their stats are decode-provable too, but
+    * keeping the oracle to the base formula keeps the SQL honest. */
+  def imageStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 2 === 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(patternPngFor(id)))
+        val hist = new Array[Long](256)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val g = img.getRGB(x, y) & 0xff
+            hist(g) += 1; sum += g; x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        var distinct = 0; var mn = 255; var mx = 0
+        var entU = 0L
+        var g = 0
+        while (g < 256) {
+          if (hist(g) > 0) {
+            distinct += 1
+            if (g < mn) mn = g
+            if (g > mx) mx = g
+            val p = hist(g).toDouble / n
+            // HALF_UP to match DuckDB ROUND on the positive terms
+            entU += math.floor(-p * math.log(p) * 1e6 + 0.5).toLong
+          }
+          g += 1
+        }
+        (id, n, sum, distinct, mn, mx, entU / 1e6)
+      })
+      .toDF("doc_id", "n_px", "gray_sum", "n_levels", "g_min", "g_max",
+        "entropy")
+  }
+
   private val phashCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), DataFrame]()
 

@@ -126,7 +126,16 @@ object MultimodalQ {
     // planted (doc_id + window) % 3 voicing pattern — equality proves
     // the WAV parse, framing and thresholding did real signal work.
     "q_mm_vad" -> ((s, d) =>
-      Multimodal.voiceActivity(s, d).orderBy("doc_id"))
+      Multimodal.voiceActivity(s, d).orderBy("doc_id")),
+
+    // Whole-image statistics over the REAL decode (every pixel of the
+    // decoded raster feeds the histogram/mean/entropy): the oracle
+    // recomputes the same stats from the generator formula in SQL, so
+    // equality proves the PNG round-trip is faithful across the
+    // entire image — the q_mm_decode probe-pixel check, strengthened
+    // to full-raster fidelity.
+    "q_mm_image_stats" -> ((s, d) =>
+      Multimodal.imageStats(s, d).orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -261,6 +270,35 @@ object MultimodalQ {
         |FROM base
         |JOIN stats USING (doc_id)
         |JOIN longest USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the generator formula recomputed per pixel in SQL — full-raster
+    // decode fidelity (mean, levels, extrema, µ-snapped histogram
+    // entropy must all match the decoded bytes)
+    "q_mm_image_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id * 7919 % 251 + 3 AS BIGINT) AS fa,
+        |    CAST(doc_id * 104729 % 241 + 5 AS BIGINT) AS fb
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (
+        |  SELECT doc_id,
+        |    16 + (((x * fa + y * fb + ((x * y) & 31)) % 224 + 224) % 224) AS g
+        |  FROM d,
+        |    unnest(generate_series(0, 63)) tx(x),
+        |    unnest(generate_series(0, 63)) ty(y)),
+        |hist AS (SELECT doc_id, g, COUNT(*) AS c FROM px GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_px,
+        |    CAST(SUM(g * c) AS BIGINT) AS gray_sum,
+        |    CAST(COUNT(*) AS INT) AS n_levels,
+        |    CAST(MIN(g) AS INT) AS g_min, CAST(MAX(g) AS INT) AS g_max,
+        |    CAST(SUM(CAST(ROUND(-(c * 1.0 / 4096) * ln(c * 1.0 / 4096) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS ent_u
+        |  FROM hist GROUP BY doc_id)
+        |SELECT doc_id, n_px, gray_sum, n_levels, g_min, g_max,
+        |  ent_u / 1e6 AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }

@@ -1113,6 +1113,43 @@ object Training {
         .orderBy("doc_id")
     }),
 
+    // T5-style span corruption planner (Raffel et al.): deterministic
+    // mask spans — n/20 spans of mean length 3 for the canonical 15%
+    // mask ratio — with md5-seeded starts, overlapping spans merged
+    // into sentinel islands exactly as the objective concatenates
+    // them. Reports per doc the planned corruption profile (span
+    // count, masked-token count, realized ratio, sentinel count). One
+    // generator explode + one per-doc window; everything is exact
+    // integer arithmetic on the md5 grid, so the plan is reproducible
+    // across engines and cluster sizes — the property a resumable
+    // pretraining data loader needs.
+    "q_span_corruption" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+        .withColumn("n_spans", expr("greatest(1, (n + 10) div 20)"))
+      val pos = base
+        .select(col("doc_id"), col("n"), col("n_spans"),
+          explode(expr("sequence(1, n_spans)")).as("k"))
+        .withColumn("st",
+          conv(substring(md5(concat_ws("|", col("doc_id"), col("k"))), 1, 4),
+            16, 10).cast("int") % col("n"))
+        .select(col("doc_id"), col("n"), col("n_spans"),
+          explode(expr("sequence(st, least(st + 2, n - 1))")).as("p"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      pos.withColumn("prev", lag("p", 1).over(w))
+        .withColumn("head",
+          (col("prev").isNull || col("p") =!= col("prev") + 1).cast("long"))
+        .groupBy("doc_id", "n", "n_spans")
+        .agg(count(lit(1)).as("n_masked"), sum("head").as("n_sentinels"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("n_spans").cast("long").as("n_spans"), col("n_masked"),
+          round(col("n_masked") / col("n"), 6).as("mask_ratio"),
+          col("n_sentinels"))
+        .orderBy("doc_id")
+    }),
+
     // ROUGE-L scoring of candidate/reference pairs (Lin 2004) via the
     // codegen'd `lcs_len` expression (expr/LcsLen.scala — O(n·m) DP,
     // rolling buffer, UTF8 byte equality): adjacent doc pairs stand in
@@ -1816,6 +1853,35 @@ object Training {
         |    / ln(GREATEST(MIN(t.nl) * 1.0, 2.0)), 6) AS norm_entropy
         |FROM c JOIN t USING (source)
         |GROUP BY c.source ORDER BY source""".stripMargin,
+
+    "q_span_corruption" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    GREATEST(1, (CAST(len(string_split(text, ' ')) AS BIGINT) + 10)
+        |      // 20) AS n_spans
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, n, n_spans,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|'
+        |      || CAST(k AS VARCHAR)), 1, 4) AS INT) % n AS BIGINT) AS st
+        |  FROM base, unnest(generate_series(1, CAST(n_spans AS INT))) t(k)),
+        |pos AS (
+        |  SELECT DISTINCT doc_id, n, n_spans, p
+        |  FROM sp, unnest(generate_series(st, LEAST(st + 2, n - 1))) tp(p)),
+        |wd AS (SELECT *, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |       FROM pos),
+        |ag AS (
+        |  SELECT doc_id, n, n_spans, COUNT(*) AS n_masked,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR p != prev + 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_sentinels
+        |  FROM wd GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(n_masked AS BIGINT) AS n_masked,
+        |  ROUND(n_masked * 1.0 / n, 6) AS mask_ratio,
+        |  n_sentinels
+        |FROM ag ORDER BY doc_id""".stripMargin,
 
     "q_drift_jsd" ->
       """WITH tok AS (

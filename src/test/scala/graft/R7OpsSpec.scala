@@ -637,6 +637,60 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       s"hilbert mean dense-range bbox $hArea not tighter than morton $zArea")
   }
 
+  test("q_span_corruption: masked positions recompute from the md5 seeds; sentinels merge overlaps") {
+    val got = SparkEntry.queries("q_span_corruption")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length).toMap
+    assert(got.length === docs.size)
+    def bucket(key: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val n = docs(id)
+      assert(r.getAs[Int]("n_tokens") === n)
+      val spans = math.max(1L, (n + 10) / 20)
+      assert(r.getAs[Long]("n_spans") === spans)
+      val covered = (1L to spans).flatMap { k =>
+        val st = bucket(s"$id|$k") % n
+        st until math.min(st + 3, n)
+      }.distinct.sorted
+      assert(r.getAs[Long]("n_masked") === covered.length.toLong)
+      val sentinels = covered.headOption.map(_ => 1 +
+        covered.sliding(2).count { case Seq(a, b) => b != a + 1; case _ => false }).getOrElse(0)
+      assert(r.getAs[Long]("n_sentinels") === sentinels.toLong)
+      // realized ratio stays in the T5 ballpark for long-enough docs
+      if (n >= 40)
+        assert(r.getAs[Double]("mask_ratio") >= 0.05 &&
+          r.getAs[Double]("mask_ratio") <= 0.30)
+    }
+  }
+
+  test("q_mm_image_stats: decoded whole-raster stats equal the generator closed form") {
+    val got = SparkEntry.queries("q_mm_image_stats")(spark, sf).collect()
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 2 === 0L)
+      assert(r.getAs[Long]("n_px") === 4096L)
+      // recompute from the pattern formula (NOT through imageio — the
+      // query side already decodes; this pins generator agreement)
+      val fa = (id * 7919 % 251 + 3).toInt
+      val fb = (id * 104729 % 241 + 5).toInt
+      var sum = 0L; val seen = scala.collection.mutable.Set.empty[Int]
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g = 16 + (((x * fa + y * fb + ((x * y) & 31)) % 224 + 224) % 224)
+        sum += g; seen += g
+      }
+      assert(r.getAs[Long]("gray_sum") === sum)
+      assert(r.getAs[Int]("n_levels") === seen.size)
+      assert(r.getAs[Int]("g_min") === seen.min)
+      assert(r.getAs[Int]("g_max") === seen.max)
+      assert(r.getAs[Double]("entropy") >= 0.0)
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
