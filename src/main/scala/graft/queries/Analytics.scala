@@ -981,6 +981,36 @@ object Analytics {
         .orderBy("digit")
     }),
 
+    // End-to-end entity resolution (the full ER pipeline as ONE
+    // operator): sorted-neighborhood blocking → Jaro-Winkler ≥ 0.92
+    // verify (both reused from q_sorted_neighborhood) → connected-
+    // component resolution (operators/ConnectedComponents — the
+    // dedup-graph machinery applied to entities) → per-entity
+    // canonical record (min name, member envelope). Only multi-member
+    // entities ship — the "what merged" report a master-data pass
+    // reviews. Scale posture: blocking bounds candidates to 2 per
+    // record, CC is the localCheckpoint-bounded label propagation.
+    "q_er_resolve" -> ((s, d) => {
+      val pairs = queries("q_sorted_neighborhood")(s, d)
+        .select("a_id", "b_id")
+      val nodes = Tables.part(s, d).select(col("p_partkey").as("doc_id"))
+      // name-sorted blocking chains transitively (diameter ≈ |block|,
+      // thousands at sf0.1) — pointer jumping is REQUIRED here, unlike
+      // the shallow near-dup clusters the other CC consumers resolve
+      graft.operators.ConnectedComponents
+        .components(s, nodes, pairs, maxIter = 60, jump = true)
+        .join(Tables.part(s, d)
+          .select(col("p_partkey").as("doc_id"), col("p_name")), "doc_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_members"),
+          min("p_name").as("canonical_name"),
+          max("doc_id").as("max_member"))
+        .filter(col("n_members") >= 2)
+        .select(col("label").as("entity_id"), col("n_members"),
+          col("canonical_name"), col("max_member"))
+        .orderBy("entity_id")
+    }),
+
     // Weight-of-evidence / information-value binning — the credit-
     // scoring feature screen: equi-width value bins vs the binary
     // purchase label, WoE_i = ln((pos_i/P)/(neg_i/N)) with 0.5
@@ -1423,6 +1453,53 @@ object Analytics {
         |  FROM s WHERE k2 IS NOT NULL)
         |SELECT a_id, b_id, jw FROM c WHERE jw >= 0.92
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the q_sorted_neighborhood pair derivation, then UNROLLED
+    // Shiloach-Vishkin rounds (hook = neighbor min, compress =
+    // label-of-label) instead of a reach closure — the blocking
+    // chains make components thousands deep, so transitive closure
+    // would be quadratic in the chain length while pointer jumping
+    // converges in log₂(diameter) rounds (24 covers 2²³ nodes)
+    "q_er_resolve" -> {
+      val rounds = 24
+      val chain = (0 until rounds).map { k =>
+        s"""l${k + 1} AS MATERIALIZED (
+           |  SELECT v, MIN(l) AS l FROM (
+           |    SELECT v, l FROM l$k
+           |    UNION ALL
+           |    SELECT a.v, b.l FROM l$k a JOIN l$k b ON a.l = b.v
+           |    UNION ALL
+           |    SELECT s2.src AS v, x.l FROM sym s2 JOIN l$k x ON s2.dst = x.v
+           |  ) GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT p_partkey, p_name,
+         |    lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS m1,
+         |    lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS m2
+         |  FROM part WINDOW w AS (ORDER BY p_name, p_partkey)),
+         |c AS (
+         |  SELECT p_partkey AS a_id, k1 AS b_id,
+         |    ROUND(jaro_winkler_similarity(p_name, m1), 6) AS jw
+         |  FROM s WHERE k1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT p_partkey, k2,
+         |    ROUND(jaro_winkler_similarity(p_name, m2), 6)
+         |  FROM s WHERE k2 IS NOT NULL),
+         |e AS MATERIALIZED (SELECT a_id, b_id FROM c WHERE jw >= 0.92),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+         |        UNION SELECT b_id, a_id FROM e),
+         |l0 AS (SELECT p_partkey AS v, p_partkey AS l FROM part),
+         |$chain,
+         |lab AS (SELECT v AS doc_id, l AS label FROM l$rounds),
+         |g AS (
+         |  SELECT label, COUNT(*) AS n_members,
+         |    MIN(p.p_name) AS canonical_name,
+         |    CAST(MAX(lab.doc_id) AS BIGINT) AS max_member
+         |  FROM lab JOIN part p ON p.p_partkey = lab.doc_id
+         |  GROUP BY label)
+         |SELECT label AS entity_id, n_members, canonical_name, max_member
+         |FROM g WHERE n_members >= 2 ORDER BY entity_id""".stripMargin
+    },
 
     "q_string_cluster" ->
       """SELECT list_aggr(list_sort(list_distinct(string_split(

@@ -723,6 +723,82 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // Sequential A/B monitoring (group-sequential testing, Pocock-
+    // style constant boundary): per calendar day, the CUMULATIVE
+    // treated/control sample stats (exact centi-long sums and
+    // sums-of-squares via a running window), the pooled-variance z
+    // statistic, and whether the trajectory has crossed the
+    // 30-look Pocock boundary 2.89 — the peeking-safe readout a
+    // continuously-monitored experiment dashboard shows. Every
+    // cumulative input is an exact long, so the daily z values are
+    // bit-identical across engines. v² sums stay far inside exact-
+    // long range (≤ 2.4e9 per row).
+    "q_sequential_ab" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("d"),
+          (col("user_id") % 2 === 0).as("t"),
+          round(col("value") * 100).cast("long").as("v_c"))
+      val daily = ev.groupBy("d")
+        .agg(sum(when(col("t"), 1L).otherwise(0L)).as("dn_t"),
+          sum(when(col("t"), col("v_c")).otherwise(0L)).as("ds_t"),
+          sum(when(col("t"), col("v_c") * col("v_c")).otherwise(0L)).as("dq_t"),
+          sum(when(!col("t"), 1L).otherwise(0L)).as("dn_c"),
+          sum(when(!col("t"), col("v_c")).otherwise(0L)).as("ds_c"),
+          sum(when(!col("t"), col("v_c") * col("v_c")).otherwise(0L)).as("dq_c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily
+        .withColumn("nt", sum("dn_t").over(w)).withColumn("st", sum("ds_t").over(w))
+        .withColumn("qt", sum("dq_t").over(w)).withColumn("nc", sum("dn_c").over(w))
+        .withColumn("sc", sum("ds_c").over(w)).withColumn("qc", sum("dq_c").over(w))
+        .withColumn("mt", col("st") / col("nt"))
+        .withColumn("mc", col("sc") / col("nc"))
+        .withColumn("s2",
+          ((col("qt") - col("st").cast("double") * col("st") / col("nt"))
+            + (col("qc") - col("sc").cast("double") * col("sc") / col("nc")))
+            / (col("nt") + col("nc") - 2))
+        .withColumn("z", (col("mt") - col("mc"))
+          / sqrt(col("s2") * (lit(1.0) / col("nt") + lit(1.0) / col("nc"))))
+        .select(col("d"), col("nt"), col("nc"),
+          round(col("mt") / 100.0, 4).as("mean_t"),
+          round(col("mc") / 100.0, 4).as("mean_c"),
+          round(col("z"), 4).as("z"),
+          (abs(col("z")) > 2.89).as("crossed"))
+        .orderBy("d")
+    }),
+
+    // Shapley-value channel attribution for the touch-count game
+    // (v(S) = converted users reached through S): for THIS game the
+    // Shapley value has the exact closed form credit(channel) =
+    // Σ_converted-users 1/|channels touched| — each user's unit of
+    // credit splits evenly over their distinct non-purchase
+    // touchpoints (the uniform split IS the Shapley solution, not an
+    // approximation). Per-user shares are µ-snapped longs so the
+    // channel rollup is order-free. One user-grain agg (collect_set
+    // bounded by |event types|), one channel rollup.
+    "q_shapley_attrib" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(when(col("event_type") =!= "purchase",
+            col("event_type")))).as("channels"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .filter(col("converted") === 1 && size(col("channels")) > 0)
+        .withColumn("share_u",
+          round(lit(1e6) / size(col("channels"))).cast("long"))
+      val credit = users
+        .select(explode(col("channels")).as("channel"), col("share_u"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_users"), sum("share_u").as("cr_u"))
+        .localCheckpoint(eager = true) // bounded |channels| rows
+      val tot = credit.agg(sum("cr_u").as("tot_u"))
+      credit.crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_users"),
+          round(col("cr_u") / lit(1e6), 4).as("credit"),
+          round(col("cr_u") / col("tot_u"), 6).as("share"))
+        .orderBy("channel")
+    }),
+
     // Difference-in-differences estimator (the canonical natural-
     // experiment readout): treatment = even user_id, post-period =
     // timestamps past the exact µs midpoint of the observed span, the
@@ -1502,6 +1578,63 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_sequential_ab" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS d, user_id % 2 = 0 AS t,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |daily AS (
+        |  SELECT d,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS dn_t,
+        |    CAST(SUM(CASE WHEN t THEN v_c ELSE 0 END) AS BIGINT) AS ds_t,
+        |    CAST(SUM(CASE WHEN t THEN v_c * v_c ELSE 0 END) AS BIGINT) AS dq_t,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS dn_c,
+        |    CAST(SUM(CASE WHEN NOT t THEN v_c ELSE 0 END) AS BIGINT) AS ds_c,
+        |    CAST(SUM(CASE WHEN NOT t THEN v_c * v_c ELSE 0 END) AS BIGINT)
+        |      AS dq_c
+        |  FROM ev GROUP BY 1),
+        |cum AS (
+        |  SELECT d,
+        |    CAST(SUM(dn_t) OVER win AS BIGINT) AS nt,
+        |    CAST(SUM(ds_t) OVER win AS BIGINT) AS st,
+        |    CAST(SUM(dq_t) OVER win AS BIGINT) AS qt,
+        |    CAST(SUM(dn_c) OVER win AS BIGINT) AS nc,
+        |    CAST(SUM(ds_c) OVER win AS BIGINT) AS sc,
+        |    CAST(SUM(dq_c) OVER win AS BIGINT) AS qc
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+        |fin AS (
+        |  SELECT d, nt, nc, st / nt AS mt, sc / nc AS mc,
+        |    ((qt - CAST(st AS DOUBLE) * st / nt)
+        |      + (qc - CAST(sc AS DOUBLE) * sc / nc)) / (nt + nc - 2) AS s2
+        |  FROM cum),
+        |z AS (SELECT d, nt, nc, mt, mc,
+        |        (mt - mc) / sqrt(s2 * (1.0 / nt + 1.0 / nc)) AS z
+        |      FROM fin)
+        |SELECT d, nt, nc,
+        |  ROUND(mt / 100.0, 4) AS mean_t, ROUND(mc / 100.0, 4) AS mean_c,
+        |  ROUND(z, 4) AS z, abs(z) > 2.89 AS crossed
+        |FROM z ORDER BY d""".stripMargin,
+
+    "q_shapley_attrib" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    list_sort(list_distinct(list(event_type)
+        |      FILTER (WHERE event_type != 'purchase'))) AS channels,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT user_id, channels,
+        |        CAST(ROUND(1e6 / len(channels)) AS BIGINT) AS share_u
+        |      FROM u WHERE conv = 1 AND len(channels) > 0),
+        |c AS (SELECT unnest(channels) AS channel, share_u FROM f),
+        |g AS (SELECT channel, COUNT(*) AS n_users,
+        |        CAST(SUM(share_u) AS BIGINT) AS cr_u
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cr_u) AS BIGINT) AS tot_u FROM g)
+        |SELECT channel, n_users, ROUND(cr_u / 1e6, 4) AS credit,
+        |  ROUND(cr_u / tot_u, 6) AS share
+        |FROM g CROSS JOIN t ORDER BY channel""".stripMargin,
 
     "q_did_estimator" ->
       """WITH ev AS (

@@ -546,12 +546,18 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
       "a fresh lineitem scan means the memo was bypassed\n" + p)
   }
 
-  test("q_embed_outlier and q_precision_recall_k broadcast their probe side") {
-    for (k <- Seq("q_embed_outlier", "q_precision_recall_k")) {
-      val p = plan(k)
-      assert(p.contains("BroadcastExchange"), s"$k must broadcast\n" + p)
-      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian\n" + p)
-    }
+  test("q_embed_outlier broadcasts its probe side; q_precision_recall_k reads the rank memo") {
+    val p = plan("q_embed_outlier")
+    assert(p.contains("BroadcastExchange"), s"q_embed_outlier must broadcast\n" + p)
+    assert(!p.contains("CartesianProduct"), s"q_embed_outlier plans a cartesian\n" + p)
+    // r7: q_precision_recall_k consumes the session-memoized ranked
+    // top-10 table (LlmOps.rankedTop10 — the broadcast cross + window
+    // now runs once per session, shared with q_ndcg); the consumer
+    // plan must read the checkpointed memo, not re-derive the cross
+    val prk = plan("q_precision_recall_k")
+    assert(prk.contains("Scan ExistingRDD"),
+      "q_precision_recall_k must read the rank memo, not re-derive\n" + prk)
+    assert(!prk.contains("CartesianProduct"), "cartesian in the memo consumer\n" + prk)
   }
 
   test("r7 ANN/LSH keys: codebooks and distance tables broadcast, no cartesian candidates") {

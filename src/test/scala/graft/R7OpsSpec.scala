@@ -691,6 +691,71 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_sequential_ab: final-day z recomputes from raw events; crossed flag consistent") {
+    val got = SparkEntry.queries("q_sequential_ab")(spark, sf).collect()
+      .sortBy(_.getDate(0).toString)
+    assert(got.nonEmpty)
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id % 2 = 0 as t", "cast(round(value * 100) as long) as v")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    def stats(rows: Seq[Long]) = {
+      val n = rows.length.toLong
+      (n, rows.sum, rows.map(v => v * v).sum)
+    }
+    val (nt, st, qt) = stats(ev.filter(_._1).map(_._2).toSeq)
+    val (nc, sc, qc) = stats(ev.filterNot(_._1).map(_._2).toSeq)
+    val last = got.last
+    assert(last.getAs[Long]("nt") === nt && last.getAs[Long]("nc") === nc)
+    val (mt, mc) = (st.toDouble / nt, sc.toDouble / nc)
+    val s2 = ((qt - st.toDouble * st / nt) + (qc - sc.toDouble * sc / nc)) / (nt + nc - 2)
+    val z = (mt - mc) / math.sqrt(s2 * (1.0 / nt + 1.0 / nc))
+    assert(math.abs(last.getAs[Double]("z") - z) < 1e-3,
+      s"final z ${last.getAs[Double]("z")} vs recomputed $z")
+    got.foreach(r =>
+      assert(r.getAs[Boolean]("crossed") === (math.abs(r.getAs[Double]("z")) > 2.89)))
+  }
+
+  test("q_shapley_attrib: credits are an exact efficiency split over converted users") {
+    val got = SparkEntry.queries("q_shapley_attrib")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // efficiency: total credit = number of converted users with >= 1
+    // non-purchase touch (each distributes exactly one unit)
+    val eligible = graft.tables.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("c"),
+        countDistinct(when(col("event_type") =!= "purchase", col("event_type")))
+          .as("k"))
+      .filter(col("c") === 1 && col("k") > 0).count()
+    val totalCredit = got.map(_.getAs[Double]("credit")).sum
+    assert(math.abs(totalCredit - eligible) < eligible * 1e-4 + 0.1,
+      s"credit $totalCredit vs eligible $eligible — efficiency broken")
+    val shares = got.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4)
+  }
+
+  test("q_er_resolve: entities are closed over the blocking pairs and partition their members") {
+    val got = SparkEntry.queries("q_er_resolve")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("n_members") >= 2L))
+    val nParts = graft.tables.Tables.part(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n_members")).sum <= nParts)
+    // every verified blocking pair must land inside one entity: the
+    // pair endpoints cannot straddle two output entities
+    val pairs = SparkEntry.queries("q_sorted_neighborhood")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // rebuild the member->entity map from the CC labels directly
+    val labels = graft.operators.ConnectedComponents.components(spark,
+        graft.tables.Tables.part(spark, sf).select(col("p_partkey").as("doc_id")),
+        SparkEntry.queries("q_sorted_neighborhood")(spark, sf).select("a_id", "b_id"),
+        maxIter = 60, jump = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across entities")
+    }
+    val entityIds = got.map(_.getAs[Long]("entity_id")).toSet
+    assert(entityIds.subsetOf(labels.values.toSet))
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
