@@ -981,6 +981,42 @@ object Analytics {
         .orderBy("digit")
     }),
 
+    // Empirical-Bayes rate shrinkage (beta-binomial, method of
+    // moments — the baseball-batting-average estimator applied to
+    // cohort conversion): per user-cohort purchase rates, the MoM
+    // (α, β) prior fitted from the across-cohort mean and variance,
+    // and each cohort's shrunken rate (k+α)/(n+α+β) — small cohorts
+    // pull hard toward the prior, big ones barely move. All counts
+    // exact longs; the rate variance aggregates µ-snapped squares so
+    // the prior fit is order-free; one bounded-cohort rollup.
+    "q_eb_shrinkage" -> ((s, d) => {
+      val cohorts = Tables.events(s, d)
+        .withColumn("cohort", (col("user_id") % 100).cast("int"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+        .withColumn("r_u", round(col("k") * lit(1e6) / col("n")).cast("long"))
+        .localCheckpoint(eager = true) // bounded 100 rows; feeds fit + rows
+      val fit = cohorts.agg(
+          sum("k").as("sk"), sum("n").as("sn"), count(lit(1)).as("nc"),
+          sum("r_u").as("sr"), sum(col("r_u") * col("r_u")).as("sr2"))
+        .withColumn("pbar", col("sk") / col("sn"))
+        .withColumn("s2", greatest(
+          (col("sr2") - col("sr").cast("double") * col("sr") / col("nc"))
+            / (col("nc") - 1) / lit(1e12), lit(1e-12)))
+        .withColumn("m", col("pbar") * (lit(1.0) - col("pbar")) / col("s2") - 1)
+        .withColumn("alpha", col("pbar") * col("m"))
+        .withColumn("beta", (lit(1.0) - col("pbar")) * col("m"))
+      cohorts.crossJoin(broadcast(fit.select("pbar", "alpha", "beta")))
+        .select(col("cohort"), col("n"), col("k"),
+          round(col("r_u") / lit(1e6), 6).as("raw_rate"),
+          round(col("alpha"), 4).as("alpha"),
+          round(col("beta"), 4).as("beta"),
+          round((col("k") + col("alpha"))
+            / (col("n") + col("alpha") + col("beta")), 6).as("shrunk_rate"))
+        .orderBy("cohort")
+    }),
+
     // End-to-end entity resolution (the full ER pipeline as ONE
     // operator): sorted-neighborhood blocking → Jaro-Winkler ≥ 0.92
     // verify (both reused from q_sorted_neighborhood) → connected-
@@ -1727,6 +1763,34 @@ object Analytics {
         |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford,
         |  ROUND(n * 1.0 / nn - log10(1.0 + 1.0 / digit), 6) AS excess
         |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id % 100 AS INT) AS cohort, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY 1),
+        |c2 AS (SELECT cohort, n, k,
+        |         CAST(ROUND(k * 1e6 / n) AS BIGINT) AS r_u FROM c),
+        |fit AS (
+        |  SELECT CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(n) AS BIGINT) AS sn,
+        |    COUNT(*) AS nc, CAST(SUM(r_u) AS BIGINT) AS sr,
+        |    CAST(SUM(r_u * r_u) AS BIGINT) AS sr2
+        |  FROM c2),
+        |p AS (
+        |  SELECT sk / sn AS pbar,
+        |    GREATEST((sr2 - CAST(sr AS DOUBLE) * sr / nc) / (nc - 1) / 1e12,
+        |      1e-12) AS s2
+        |  FROM fit),
+        |ab AS (
+        |  SELECT pbar, pbar * (pbar * (1.0 - pbar) / s2 - 1) AS alpha,
+        |    (1.0 - pbar) * (pbar * (1.0 - pbar) / s2 - 1) AS beta
+        |  FROM p)
+        |SELECT cohort, n, k,
+        |  ROUND(r_u / 1e6, 6) AS raw_rate,
+        |  ROUND(alpha, 4) AS alpha, ROUND(beta, 4) AS beta,
+        |  ROUND((k + alpha) / (n + alpha + beta), 6) AS shrunk_rate
+        |FROM c2 CROSS JOIN ab ORDER BY cohort""".stripMargin,
 
     "q_conformal_interval" ->
       """WITH ev AS (

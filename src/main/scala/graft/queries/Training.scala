@@ -1113,6 +1113,44 @@ object Training {
         .orderBy("doc_id")
     }),
 
+    // word2vec-style negative-sampling audit (Mikolov et al.: draw
+    // negatives ∝ unigram^0.75): the smoothed-unigram cumulative table
+    // (window cumsum over the bounded vocab in term order), 1000
+    // deterministic md5-grid draws mapped onto it by an interval join,
+    // and the realized-vs-expected sampling share per term — the
+    // check a pretraining pipeline runs on its sampler. The interval
+    // probe is the band-join shape; at corpus-vocab scale the
+    // RewriteBandJoin rule (plans/Rules.scala) turns it into bucketed
+    // equi-join, here the vocab side is broadcast-bounded.
+    "q_negative_sampling" -> ((s, d) => {
+      val D = 1000
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("term").rowsBetween(Long.MinValue, 0)
+      val vocab = graft.operators.EdgeGraph.termFreq(s, d)
+        .groupBy("term").agg(sum("tf_raw").as("n"))
+        .withColumn("wt", pow(col("n").cast("double"), lit(0.75)))
+        .withColumn("cum", sum("wt").over(w))
+        .withColumn("lo", col("cum") - col("wt"))
+        .localCheckpoint(eager = true) // vocab-bounded; feeds total + probe
+      val tot = vocab.agg(max("cum").as("tw"))
+      val draws = s.range(1, D + 1)
+        .select(col("id").as("i"))
+        .crossJoin(broadcast(tot))
+        .withColumn("u",
+          (conv(substring(md5(col("i").cast("string")), 1, 4), 16, 10)
+            .cast("double") + 0.5) / 65536.0 * col("tw"))
+      val hits = draws.join(broadcast(vocab),
+          col("u") > col("lo") && col("u") <= col("cum"))
+        .groupBy("term").agg(count(lit(1)).as("n_draws"))
+      vocab.crossJoin(broadcast(tot))
+        .join(hits, Seq("term"), "left").na.fill(0L, Seq("n_draws"))
+        .select(col("term"), col("n").as("corpus_n"),
+          round(col("wt") / col("tw"), 6).as("expected_share"),
+          col("n_draws"),
+          round(col("n_draws") / lit(D.toDouble), 6).as("realized_share"))
+        .orderBy("term")
+    }),
+
     // T5-style span corruption planner (Raffel et al.): deterministic
     // mask spans — n/20 spans of mean length 3 for the canonical 15%
     // mask ratio — with md5-seeded starts, overlapping spans merged
@@ -1853,6 +1891,30 @@ object Training {
         |    / ln(GREATEST(MIN(t.nl) * 1.0, 2.0)), 6) AS norm_entropy
         |FROM c JOIN t USING (source)
         |GROUP BY c.source ORDER BY source""".stripMargin,
+
+    "q_negative_sampling" ->
+      """WITH tc AS (
+        |  SELECT w AS term, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT term, n, pow(n * 1.0, 0.75) AS wt,
+        |    SUM(pow(n * 1.0, 0.75)) OVER (ORDER BY term
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tc),
+        |v2 AS (SELECT term, n, wt, cum, cum - wt AS lo FROM v),
+        |t AS (SELECT MAX(cum) AS tw FROM v2),
+        |draws AS (
+        |  SELECT i, (CAST(CAST('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 4)
+        |    AS INT) AS DOUBLE) + 0.5) / 65536.0 * tw AS u
+        |  FROM generate_series(1, 1000) g(i) CROSS JOIN t),
+        |hits AS (SELECT term, COUNT(*) AS n_draws
+        |         FROM draws JOIN v2 ON u > lo AND u <= cum GROUP BY 1)
+        |SELECT v2.term, n AS corpus_n, ROUND(wt / tw, 6) AS expected_share,
+        |  COALESCE(n_draws, 0) AS n_draws,
+        |  ROUND(COALESCE(n_draws, 0) / 1000.0, 6) AS realized_share
+        |FROM v2 CROSS JOIN t LEFT JOIN hits USING (term)
+        |ORDER BY term""".stripMargin,
 
     "q_span_corruption" ->
       """WITH base AS (

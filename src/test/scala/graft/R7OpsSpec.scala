@@ -756,6 +756,43 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(entityIds.subsetOf(labels.values.toSet))
   }
 
+  test("q_eb_shrinkage: shrunken rates sit between raw rate and prior mean, small-n shrinks more") {
+    val got = SparkEntry.queries("q_eb_shrinkage")(spark, sf).collect()
+    assert(got.length > 1)
+    val alpha = got.head.getAs[Double]("alpha")
+    val beta = got.head.getAs[Double]("beta")
+    assert(got.map(_.getAs[Double]("alpha")).distinct.length === 1)
+    if (alpha > 0 && beta > 0) {
+      val prior = alpha / (alpha + beta)
+      got.foreach { r =>
+        val (raw, shrunk) = (r.getAs[Double]("raw_rate"), r.getAs[Double]("shrunk_rate"))
+        // shrunk lies between raw and the prior mean (convexity)
+        assert(shrunk >= math.min(raw, prior) - 1e-6 &&
+          shrunk <= math.max(raw, prior) + 1e-6,
+          s"cohort ${r.getAs[Int]("cohort")}: $shrunk outside [$raw, $prior]")
+        // and recomputes from the formula
+        val expect = (r.getAs[Long]("k") + alpha) /
+          (r.getAs[Long]("n") + alpha + beta)
+        assert(math.abs(shrunk - expect) < 1e-4)
+      }
+    }
+  }
+
+  test("q_negative_sampling: shares sum to one and realized tracks the unigram^0.75 law") {
+    val got = SparkEntry.queries("q_negative_sampling")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(math.abs(got.map(_.getAs[Double]("expected_share")).sum - 1.0) < 1e-3)
+    assert(got.map(_.getAs[Long]("n_draws")).sum === 1000L)
+    // with 1000 draws the realized share concentrates: allow 4 sigma
+    // of the binomial noise per term
+    got.foreach { r =>
+      val p = r.getAs[Double]("expected_share")
+      val se = math.sqrt(p * (1 - p) / 1000.0)
+      assert(math.abs(r.getAs[Double]("realized_share") - p) <= 4 * se + 0.005,
+        s"term ${r.getAs[String]("term")}: realized ${r.getAs[Double]("realized_share")} vs expected $p")
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
