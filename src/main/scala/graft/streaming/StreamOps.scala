@@ -502,6 +502,47 @@ object StreamOps {
         .orderBy("event_id")
     }),
 
+    // Streaming count-min sketch: the q_count_min counter array
+    // maintained as PER-KEY RUNNING STATE across micro-batches — the
+    // mergeability property that makes CMS the streaming frequency
+    // sketch. The input is the events table staged TWICE with
+    // maxFilesPerTrigger=1, so the counters provably merge increments
+    // from separate micro-batches; each batch emits the key's running
+    // total (Append) and the read-back takes the final (max) value.
+    // The DuckDB oracle rebuilds the doubled counter table from the
+    // same md5 row hashes — equality proves per-key state carried
+    // across batch boundaries.
+    "s_stream_cms" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("cms_out")
+      val in = stageEventsInput(s, d, 2, "cms_in")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val rows = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withColumn("item", concat_ws("|", col("event_type"),
+          least(floor(col("value") / 50), lit(9L)).cast("long")))
+        .select(col("item"), explode(expr("sequence(0, 3)")).as("r"))
+        .withColumn("bkt",
+          conv(substring(md5(concat(col("r").cast("string"), lit("|"),
+            col("item"))), 1, 4), 16, 10).cast("int") % 256)
+        .select(col("r"), col("bkt"))
+        .as[(Int, Int)]
+      val counters = withBoundedStatePartitions(s) {
+        rows.groupByKey(identity)
+          .flatMapGroupsWithState[Long, (Int, Int, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case ((r, b), it, state: GroupState[Long]) =>
+              val c = state.getOption.getOrElse(0L) + it.length
+              state.update(c)
+              Iterator.single((r, b, c))
+          }
+          .toDF("r", "bkt", "c")
+      }
+      runToParquet(counters, out, tmp("cms_ckpt"))
+      s.read.parquet(out).groupBy("r", "bkt").agg(max("c").as("c"))
+        .orderBy("r", "bkt")
+    }),
+
     // Streaming Markov transitions: per-user LAST-EVENT state
     // (flatMapGroupsWithState, O(1) state per key — the minimal
     // stateful-stream shape), each arriving event emits one
@@ -585,6 +626,23 @@ object StreamOps {
     "s_dsv2_sink_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the doubled (2-copy staged input) counter table rebuilt from the
+    // same md5 row hashes — cross-batch state merge proven by equality
+    "s_stream_cms" ->
+      """WITH it AS (
+        |  SELECT event_type || '|' ||
+        |    CAST(CAST(LEAST(FLOOR(value / 50), 9) AS BIGINT) AS VARCHAR)
+        |    AS item
+        |  FROM events),
+        |rws AS (SELECT item, r
+        |        FROM it, unnest(generate_series(0, 3)) t(r)),
+        |h AS (SELECT r,
+        |        CAST(CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|'
+        |          || item), 1, 4) AS INT) % 256 AS INT) AS bkt
+        |      FROM rws)
+        |SELECT CAST(r AS INT) AS r, bkt, CAST(2 * COUNT(*) AS BIGINT) AS c
+        |FROM h GROUP BY r, bkt ORDER BY r, bkt""".stripMargin,
 
     "s_markov_transitions" ->
       """WITH p AS (

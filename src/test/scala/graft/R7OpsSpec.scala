@@ -793,6 +793,23 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("s_stream_cms: micro-batch-merged counters equal the doubled batch sketch") {
+    val got = SparkEntry.queries("s_stream_cms")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("c")).toMap
+    val batch = graft.tables.Tables.events(spark, sf)
+      .withColumn("item", concat_ws("|", col("event_type"),
+        least(floor(col("value") / 50), lit(9L)).cast("long")))
+      .select(col("item"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bkt",
+        conv(substring(md5(concat(col("r").cast("string"), lit("|"),
+          col("item"))), 1, 4), 16, 10).cast("int") % 256)
+      .groupBy("r", "bkt").agg((count(lit(1)) * 2).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("c")).toMap
+    assert(got === batch, "streaming state-merged counters diverge from the batch sketch")
+    // every item contributes to exactly 4 rows per copy
+    assert(got.values.sum === batch.values.sum)
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
