@@ -1113,6 +1113,52 @@ object Training {
         .orderBy("doc_id")
     }),
 
+    // RAKE keyword extraction (Rose et al. 2010): phrases are maximal
+    // stopword-free token runs (islands under a per-doc stopword
+    // cumsum), word score = degree/frequency where degree sums the
+    // containing phrase's length per occurrence, phrase score = Σ of
+    // its words' scores. Word scores are exact-integer ratios snapped
+    // to the µ-grid BEFORE the phrase sum (order-free), so the top-10
+    // ranking is engine-stable. Shapes: one posexplode + windows at
+    // doc grain, vocab-bounded score table, phrase-text rollup.
+    "q_keyword_rake" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and", "in")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "w")))
+        .withColumn("is_stop", col("w").isInCollection(stop))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Long.MinValue, 0)
+      val phrased = toks
+        .withColumn("pid", sum(col("is_stop").cast("long")).over(wDoc))
+        .filter(!col("is_stop"))
+        .localCheckpoint(eager = true) // feeds lengths, scores, texts
+      val plen = phrased.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("plen"))
+      val occur = phrased.join(plen, Seq("doc_id", "pid"))
+      val scores = occur.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .withColumn("score_u",
+          round(col("deg") * lit(1e6) / col("freq")).cast("long"))
+      // order the phrase tokens by position explicitly — collect_list
+      // order is partial-agg-dependent, array_sort on (pos, w) is not
+      val phraseText = occur
+        .groupBy("doc_id", "pid")
+        .agg(expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(struct(pos, w))), x -> x.w))").as("ptext"))
+      occur.join(broadcast(scores.select("w", "score_u")), "w")
+        .groupBy("doc_id", "pid")
+        .agg(sum("score_u").as("ps_u"), count(lit(1)).as("n_words"))
+        .join(phraseText, Seq("doc_id", "pid"))
+        .groupBy("ptext")
+        .agg(count(lit(1)).as("n_occur"), max("n_words").as("n_words"),
+          max("ps_u").as("ps_u"))
+        .select(col("ptext").as("phrase"), col("n_words"), col("n_occur"),
+          round(col("ps_u") / lit(1e6), 4).as("score"))
+        .orderBy(col("score").desc, col("phrase")).limit(10)
+    }),
+
     // word2vec-style negative-sampling audit (Mikolov et al.: draw
     // negatives ∝ unigram^0.75): the smoothed-unigram cumulative table
     // (window cumsum over the bounded vocab in term order), 1000
@@ -1891,6 +1937,38 @@ object Training {
         |    / ln(GREATEST(MIN(t.nl) * 1.0, 2.0)), 6) AS norm_entropy
         |FROM c JOIN t USING (source)
         |GROUP BY c.source ORDER BY source""".stripMargin,
+
+    "q_keyword_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, l[i] AS w,
+        |    l[i] IN ('the', 'a', 'of', 'and', 'in') AS is_stop
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |    unnest(generate_series(1, len(l))) t(i)),
+        |ph AS (
+        |  SELECT doc_id, pos, w, is_stop,
+        |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS pid
+        |  FROM toks),
+        |occ AS (SELECT doc_id, pid, pos, w FROM ph WHERE NOT is_stop),
+        |plen AS (SELECT doc_id, pid, COUNT(*) AS plen
+        |         FROM occ GROUP BY 1, 2),
+        |o2 AS (SELECT occ.*, plen FROM occ JOIN plen USING (doc_id, pid)),
+        |sc AS (SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+        |       FROM o2 GROUP BY 1),
+        |sc2 AS (SELECT w, CAST(ROUND(deg * 1e6 / freq) AS BIGINT) AS score_u
+        |        FROM sc),
+        |pp AS (
+        |  SELECT doc_id, pid, CAST(SUM(score_u) AS BIGINT) AS ps_u,
+        |    COUNT(*) AS n_words, string_agg(w, ' ' ORDER BY pos) AS ptext
+        |  FROM o2 JOIN sc2 USING (w) GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT ptext AS phrase, COUNT(*) AS n_occur,
+        |    CAST(MAX(n_words) AS BIGINT) AS n_words,
+        |    CAST(MAX(ps_u) AS BIGINT) AS ps_u
+        |  FROM pp GROUP BY 1)
+        |SELECT phrase, n_words, n_occur, ROUND(ps_u / 1e6, 4) AS score
+        |FROM fin ORDER BY score DESC, phrase LIMIT 10""".stripMargin,
 
     "q_negative_sampling" ->
       """WITH tc AS (

@@ -810,6 +810,43 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.sum === batch.values.sum)
   }
 
+  test("q_keyword_rake: top phrases recompute from a pure-Scala RAKE over the corpus") {
+    val got = SparkEntry.queries("q_keyword_rake")(spark, sf).collect()
+    assert(got.length === 10)
+    val stop = Set("the", "a", "of", "and", "in")
+    val texts = graft.tables.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    // phrases = maximal stopword-free runs
+    val phrases = texts.flatMap { t =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      t.split(" ", -1).foreach { w =>
+        if (stop(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val scoreU = freq.keys.map(w =>
+      w -> math.floor(deg(w) * 1e6 / freq(w) + 0.5).toLong).toMap
+    val phraseScores = phrases.groupBy(_.mkString(" ")).map { case (txt, occ) =>
+      (txt, occ.length.toLong, occ.head.length.toLong,
+        occ.head.map(scoreU).sum / 1e6)
+    }
+    val expected = phraseScores.toSeq
+      .map(t => (math.rint(t._4 * 1e4) / 1e4, t._1, t._2, t._3))
+      .sortBy(t => (-t._1, t._2)).take(10)
+    got.zip(expected).foreach { case (r, (score, txt, nOcc, nWords)) =>
+      assert(r.getAs[String]("phrase") === txt)
+      assert(r.getAs[Long]("n_occur") === nOcc)
+      assert(r.getAs[Long]("n_words") === nWords)
+      assert(math.abs(r.getAs[Double]("score") - score) < 1e-3)
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
