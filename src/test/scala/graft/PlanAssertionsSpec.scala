@@ -594,4 +594,27 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
         s"$k's window is not over the aggregated grid\n" + p)
     }
   }
+
+  test("r7 continuation keys: broadcasts where bounded, no accidental cartesians") {
+    // q_count_min: the 1024-row counter table must broadcast to the
+    // vocab-grain probe — a shuffle join there re-partitions the memo
+    val cm = plan("q_count_min")
+    assert(cm.contains("BroadcastExchange"), "CMS counters must broadcast\n" + cm)
+    // q_negative_sampling: the interval probe is vocab-broadcast (the
+    // sanctioned bounded nested-loop); draws never shuffle on a key
+    val ns = plan("q_negative_sampling")
+    assert(ns.contains("BroadcastExchange"), "sampler vocab must broadcast\n" + ns)
+    // q_ndcg / q_classifier_report: consume session memos / bounded
+    // cells — no cartesian may appear
+    for (k <- Seq("q_ndcg", "q_classifier_report", "q_woe_binning",
+        "q_conformal_interval", "q_sequential_ab")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian\n" + p)
+    }
+    // q_gopher_rules: the only join is doc-grain left join of the
+    // bigram rollup — must be a hash join, not nested-loop
+    val gr = plan("q_gopher_rules")
+    assert(!gr.contains("BroadcastNestedLoopJoin") && !gr.contains("CartesianProduct"),
+      "gopher bigram rollup must equi-join\n" + gr)
+  }
 }
