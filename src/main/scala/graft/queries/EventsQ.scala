@@ -723,6 +723,66 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // CUPED variance reduction (Deng et al. 2013 — the standard
+    // experimentation trick): per-user pre-period value as the
+    // covariate, θ = cov(pre, post)/var(pre) fitted pooled, adjusted
+    // metric y* = y − θ(x − x̄). Every group moment derives
+    // ALGEBRAICALLY from exact-long sums (Σx, Σy, Σxy, Σx², Σy² per
+    // group — never a sum of adjusted doubles, which would be
+    // partial-agg-order-dependent), so θ, both means, and the
+    // variance-reduction percentage are bit-identical cross-engine.
+    // Cross-products stay ≤ ~1e17 at sf0.1 (exact long); a larger
+    // deployment drops the grid to deci-units.
+    "q_ab_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          round(col("value") * 100).cast("long").as("v_c"))
+      val span = ev.agg(min("t_us").as("mn"), max("t_us").as("mx"))
+        .withColumn("mid", expr("(mn + mx) div 2"))
+      val users = ev.crossJoin(broadcast(span))
+        .groupBy("user_id")
+        .agg(sum(when(col("t_us") < col("mid"), col("v_c")).otherwise(0L))
+          .as("x"),
+          sum(when(col("t_us") >= col("mid"), col("v_c")).otherwise(0L))
+            .as("y"))
+        .withColumn("t", col("user_id") % 2 === 0)
+        .localCheckpoint(eager = true) // user-grain; feeds fit + groups
+      val fit = users.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("theta",
+          (col("sxy") - col("sx").cast("double") * col("sy") / col("n"))
+            / (col("sxx") - col("sx").cast("double") * col("sx") / col("n")))
+        .withColumn("xbar", col("sx") / col("n"))
+      users.groupBy("t")
+        .agg(count(lit(1)).as("ng"), sum("x").as("gx"), sum("y").as("gy"),
+          sum(col("x") * col("y")).as("gxy"),
+          sum(col("x") * col("x")).as("gxx"),
+          sum(col("y") * col("y")).as("gyy"))
+        .crossJoin(broadcast(fit.select("theta", "xbar")))
+        .withColumn("var_y",
+          (col("gyy") - col("gy").cast("double") * col("gy") / col("ng"))
+            / (col("ng") - 1))
+        .withColumn("cov_g",
+          (col("gxy") - col("gx").cast("double") * col("gy") / col("ng"))
+            / (col("ng") - 1))
+        .withColumn("var_x",
+          (col("gxx") - col("gx").cast("double") * col("gx") / col("ng"))
+            / (col("ng") - 1))
+        .withColumn("var_adj", col("var_y")
+          - lit(2.0) * col("theta") * col("cov_g")
+          + col("theta") * col("theta") * col("var_x"))
+        .select(col("t").as("treated"), col("ng").as("n_users"),
+          round(col("gy") / col("ng") / 100.0, 4).as("mean_y"),
+          round((col("gy") / col("ng")
+            - col("theta") * (col("gx") / col("ng") - col("xbar"))) / 100.0, 4)
+            .as("mean_y_adj"),
+          round(col("theta"), 4).as("theta"),
+          round(lit(1.0) - col("var_adj") / col("var_y"), 6)
+            .as("var_reduction"))
+        .orderBy("treated")
+    }),
+
     // Sequential A/B monitoring (group-sequential testing, Pocock-
     // style constant boundary): per calendar day, the CUMULATIVE
     // treated/control sample stats (exact centi-long sums and
@@ -1578,6 +1638,51 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_ab_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |span AS (SELECT CAST((MIN(t_us) + MAX(t_us)) // 2 AS BIGINT) AS mid
+        |         FROM ev),
+        |u AS (
+        |  SELECT user_id, user_id % 2 = 0 AS t,
+        |    CAST(SUM(CASE WHEN t_us < mid THEN v_c ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(SUM(CASE WHEN t_us >= mid THEN v_c ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM ev CROSS JOIN span GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM u),
+        |th AS (
+        |  SELECT (sxy - CAST(sx AS DOUBLE) * sy / n)
+        |      / (sxx - CAST(sx AS DOUBLE) * sx / n) AS theta,
+        |    sx / n AS xbar
+        |  FROM fit),
+        |g AS (
+        |  SELECT t, COUNT(*) AS ng, CAST(SUM(x) AS BIGINT) AS gx,
+        |    CAST(SUM(y) AS BIGINT) AS gy, CAST(SUM(x * y) AS BIGINT) AS gxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS gxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS gyy
+        |  FROM u GROUP BY 1),
+        |m AS (
+        |  SELECT t, ng, gx, gy, theta, xbar,
+        |    (gyy - CAST(gy AS DOUBLE) * gy / ng) / (ng - 1) AS var_y,
+        |    (gxy - CAST(gx AS DOUBLE) * gy / ng) / (ng - 1) AS cov_g,
+        |    (gxx - CAST(gx AS DOUBLE) * gx / ng) / (ng - 1) AS var_x
+        |  FROM g CROSS JOIN th)
+        |SELECT t AS treated, ng AS n_users,
+        |  ROUND(gy / ng / 100.0, 4) AS mean_y,
+        |  ROUND((gy / ng - theta * (gx / ng - xbar)) / 100.0, 4)
+        |    AS mean_y_adj,
+        |  ROUND(theta, 4) AS theta,
+        |  ROUND(1.0 - (var_y - 2.0 * theta * cov_g
+        |    + theta * theta * var_x) / var_y, 6) AS var_reduction
+        |FROM m ORDER BY treated""".stripMargin,
 
     "q_sequential_ab" ->
       """WITH ev AS (

@@ -94,6 +94,51 @@ object LlmOps {
     "q_dedup_near_jaccard" -> ((s, d) =>
       graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)),
 
+    // Weighted rerank of the dedup candidate set: the memoized τ=0.8
+    // token-Jaccard pairs re-scored by tf-idf cosine — the candidate-
+    // then-rerank composition every production near-dup pipeline runs
+    // (cheap set filter proposes, the weighted model disposes). Term
+    // weights tf·ln(N/df) snap to the milli-grid so per-pair dots and
+    // per-doc norms aggregate as exact longs (sums stay ≤ ~1e12);
+    // candidates and the term index both come from session memos, so
+    // this key pays only the rerank joins. Top-50 via TakeOrdered.
+    "q_tfidf_rerank" -> ((s, d) => {
+      val pairs = graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)
+        .select("a_id", "b_id")
+      val tf = graft.operators.EdgeGraph.termFreq(s, d)
+        .select(col("doc_id"), col("term"), col("tf_raw"))
+      val nd = tf.agg(countDistinct("doc_id").cast("double").as("nd"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // only docs that appear in a candidate pair need weights — the
+      // semi-join cuts the weight table from corpus-grain to the
+      // candidate population BEFORE it materializes (solo cost 14s →
+      // the rerank joins alone when restricted)
+      val pairDocs = pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+      val w = tf.join(broadcast(pairDocs), "doc_id")
+        .join(broadcast(dfT), "term").crossJoin(broadcast(nd))
+        .withColumn("w_m",
+          round(col("tf_raw") * log(col("nd") / col("df")) * 1e3).cast("long"))
+        .select("doc_id", "term", "w_m")
+        .localCheckpoint(eager = true) // referenced 3× (norms + both sides)
+      val norms = w.groupBy("doc_id")
+        .agg(sum(col("w_m") * col("w_m")).as("n2"))
+      pairs
+        .join(w.select(col("doc_id").as("a_id"), col("term"),
+          col("w_m").as("wa")), "a_id")
+        .join(w.select(col("doc_id").as("b_id"), col("term"),
+          col("w_m").as("wb")), Seq("b_id", "term"))
+        .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
+        .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(col("dot") / (sqrt(col("na").cast("double"))
+            * sqrt(col("nb").cast("double"))), 6).as("cos_tfidf"))
+        .orderBy(col("cos_tfidf").desc, col("a_id"), col("b_id"))
+        .limit(50)
+    }),
+
     "q_sim_cosine_topk" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)
@@ -1306,6 +1351,51 @@ object LlmOps {
         |  JOIN sz sa ON inter.a_id = sa.doc_id
         |  JOIN sz sb ON inter.b_id = sb.doc_id)
         |WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+
+    // the near_jaccard candidate CTE + milli-grid tf-idf cosine rerank
+    "q_tfidf_rerank" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.8),
+        |tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf_raw
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+        |dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |wts AS (
+        |  SELECT doc_id, term,
+        |    CAST(ROUND(tf_raw * ln(nd / df) * 1e3) AS BIGINT) AS w_m
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN nd),
+        |norms AS (SELECT doc_id, CAST(SUM(w_m * w_m) AS BIGINT) AS n2
+        |          FROM wts GROUP BY 1),
+        |dots AS (
+        |  SELECT c.a_id, c.b_id, CAST(SUM(wa.w_m * wb.w_m) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN wts wa ON wa.doc_id = c.a_id
+        |  JOIN wts wb ON wb.doc_id = c.b_id AND wb.term = wa.term
+        |  GROUP BY 1, 2)
+        |SELECT d.a_id, d.b_id,
+        |  ROUND(dot / (sqrt(CAST(na.n2 AS DOUBLE))
+        |    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_tfidf
+        |FROM dots d
+        |JOIN norms na ON d.a_id = na.doc_id
+        |JOIN norms nb ON d.b_id = nb.doc_id
+        |ORDER BY cos_tfidf DESC, a_id, b_id LIMIT 50""".stripMargin,
 
     "q_sim_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -847,6 +847,60 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tfidf_rerank: reranked pairs are candidates, scores in (0,1], spot-check one cosine") {
+    val got = SparkEntry.queries("q_tfidf_rerank")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    val cand = SparkEntry.queries("q_dedup_near_jaccard")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { r =>
+      assert(cand.contains((r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))),
+        "reranked a non-candidate pair")
+      val c = r.getAs[Double]("cos_tfidf")
+      assert(c > 0.0 && c <= 1.0 + 1e-9)
+    }
+    val scores = got.map(_.getAs[Double]("cos_tfidf"))
+    scores.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => }
+    // spot-check the top pair against a direct recomputation
+    val top = got.head
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val n = docs.size.toDouble
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def wvec(id: Long): Map[String, Long] =
+      docs(id).groupBy(identity).map { case (t, o) =>
+        t -> math.floor(o.length * math.log(n / dfm(t)) * 1e3 + 0.5).toLong }
+    val (wa, wb) = (wvec(top.getAs[Long]("a_id")), wvec(top.getAs[Long]("b_id")))
+    val dot = wa.keys.filter(wb.contains).map(t => wa(t) * wb(t)).sum
+    val cos = dot / (math.sqrt(wa.values.map(v => v * v).sum.toDouble)
+      * math.sqrt(wb.values.map(v => v * v).sum.toDouble))
+    assert(math.abs(top.getAs[Double]("cos_tfidf") - cos) < 1e-4,
+      s"top pair cosine ${top.getAs[Double]("cos_tfidf")} vs recomputed $cos")
+  }
+
+  test("q_ab_cuped: CUPED preserves the group means' interpretation and never inflates variance") {
+    val got = SparkEntry.queries("q_ab_cuped")(spark, sf).collect()
+    assert(got.length === 2)
+    val users = graft.tables.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n_users")).sum === users)
+    assert(got.map(_.getAs[Double]("theta")).distinct.length === 1)
+    got.foreach { r =>
+      // the fitted linear adjustment cannot increase variance:
+      // var(y*) = var(y)(1 − ρ²_g-ish) — reduction ≥ some floor > -eps
+      val vr = r.getAs[Double]("var_reduction")
+      assert(vr > -0.05 && vr < 1.0,
+        s"variance reduction $vr out of the CUPED envelope")
+      // adjusted mean stays near the raw mean (the covariate is
+      // centered by the pooled x̄)
+      assert(math.abs(r.getAs[Double]("mean_y_adj") - r.getAs[Double]("mean_y"))
+        <= math.abs(r.getAs[Double]("mean_y")) * 0.5 + 5.0)
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
