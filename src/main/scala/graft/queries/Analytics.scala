@@ -981,6 +981,35 @@ object Analytics {
         .orderBy("digit")
     }),
 
+    // Robust (median/IQR) feature scaling — the sklearn RobustScaler
+    // shape, with Tukey-style outlier counting on the robust z: the
+    // per-group quartiles come from the distributed ExactQuantiles
+    // plan (value-count groupBy + rank window, never a per-group
+    // value buffer), broadcast back to a single corpus scan. Only
+    // order-free aggregates of the scaled value ship (count / min /
+    // max — a MEAN of scaled doubles would be partial-agg-order-
+    // dependent, the cusum lesson in aggregate form).
+    "q_robust_scale" -> ((s, d) => {
+      val qv = graft.operators.ExactQuantiles.byGroup(
+        Tables.events(s, d), Seq("event_type"), "value",
+        Seq(0.25, 0.5, 0.75))
+      val stats = qv.groupBy("event_type")
+        .agg(max(when(col("q") === 0.25, col("v"))).as("q1"),
+          max(when(col("q") === 0.5, col("v"))).as("med"),
+          max(when(col("q") === 0.75, col("v"))).as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+      Tables.events(s, d).join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("med")) / col("iqr"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min("med"), 4).as("median"),
+          round(min("iqr"), 4).as("iqr"),
+          sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+          round(min("z"), 4).as("z_min"),
+          round(max("z"), 4).as("z_max"))
+        .orderBy("event_type")
+    }),
+
     // Empirical-Bayes rate shrinkage (beta-binomial, method of
     // moments — the baseball-batting-average estimator applied to
     // cohort conversion): per user-cohort purchase rates, the MoM
@@ -1763,6 +1792,26 @@ object Analytics {
         |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford,
         |  ROUND(n * 1.0 / nn - log10(1.0 + 1.0 / digit), 6) AS excess
         |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.5) AS med,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_type, st.med, st.q3 - st.q1 AS iqr,
+        |    (e.value - st.med) / (st.q3 - st.q1) AS z
+        |  FROM events e JOIN st USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(MIN(med), 4) AS median,
+        |  ROUND(MIN(iqr), 4) AS iqr,
+        |  CAST(SUM(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  ROUND(MIN(z), 4) AS z_min,
+        |  ROUND(MAX(z), 4) AS z_max
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_eb_shrinkage" ->
       """WITH c AS (

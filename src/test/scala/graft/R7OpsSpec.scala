@@ -901,6 +901,29 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_robust_scale: quartile stats recompute and the scaled envelope brackets zero") {
+    val got = SparkEntry.queries("q_robust_scale")(spark, sf).collect()
+    val byType = graft.tables.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(got.length === byType.size)
+    def qc(v: Array[Double], p: Double): Double = {
+      val h = p * (v.length - 1)
+      val lo = v(h.toInt)
+      if (h.toInt + 1 < v.length) lo + (h - h.toInt) * (v(h.toInt + 1) - lo) else lo
+    }
+    got.foreach { r =>
+      val v = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === v.length.toLong)
+      assert(math.abs(r.getAs[Double]("median") - qc(v, 0.5)) < 1e-3)
+      assert(math.abs(r.getAs[Double]("iqr") - (qc(v, 0.75) - qc(v, 0.25))) < 1e-3)
+      // median maps to z = 0, so the envelope brackets zero
+      assert(r.getAs[Double]("z_min") <= 0.0 && r.getAs[Double]("z_max") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") >= 0L &&
+        r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
