@@ -723,6 +723,35 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // Power analysis / sample-size calculator (the pre-experiment
+    // readout): per metric (event_type), the per-arm n required to
+    // detect a 5% relative lift at α=0.05 two-sided, power 80% —
+    // n = 2(z_{α/2}+z_β)²σ²/δ² with the z constants as literals
+    // (1.96, 0.8416) and σ², δ derived from exact centi-long moments.
+    // One partial agg; the output is |event types| rows.
+    "q_power_analysis" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v_c").as("sv"),
+          sum(col("v_c") * col("v_c")).as("sq"))
+        .withColumn("mean_c", col("sv") / col("n"))
+        .withColumn("var_c",
+          (col("sq") - col("sv").cast("double") * col("sv") / col("n"))
+            / (col("n") - 1))
+        .withColumn("delta_c", col("mean_c") * 0.05)
+        .withColumn("n_req", ceil(
+          lit(2.0) * lit(1.96 + 0.8416) * lit(1.96 + 0.8416)
+            * col("var_c") / (col("delta_c") * col("delta_c"))).cast("long"))
+        .select(col("event_type"), col("n"),
+          round(col("mean_c") / 100.0, 4).as("mean_v"),
+          round(sqrt(col("var_c")) / 100.0, 4).as("sd_v"),
+          round(col("delta_c") / 100.0, 4).as("mde_abs"),
+          col("n_req").as("n_per_arm"),
+          (col("n_req") * 2 <= col("n")).as("feasible_now"))
+        .orderBy("event_type")),
+
     // CUPED variance reduction (Deng et al. 2013 — the standard
     // experimentation trick): per-user pre-period value as the
     // covariate, θ = cov(pre, post)/var(pre) fitted pooled, adjusted
@@ -1638,6 +1667,30 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_power_analysis" ->
+      """WITH a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+        |      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, sv / n AS mean_c,
+        |    (sq - CAST(sv AS DOUBLE) * sv / n) / (n - 1) AS var_c
+        |  FROM a),
+        |f AS (
+        |  SELECT event_type, n, mean_c, var_c, mean_c * 0.05 AS delta_c,
+        |    CAST(CEIL(2.0 * (1.96 + 0.8416) * (1.96 + 0.8416) * var_c
+        |      / (mean_c * 0.05 * (mean_c * 0.05))) AS BIGINT) AS n_req
+        |  FROM m)
+        |SELECT event_type, n,
+        |  ROUND(mean_c / 100.0, 4) AS mean_v,
+        |  ROUND(sqrt(var_c) / 100.0, 4) AS sd_v,
+        |  ROUND(delta_c / 100.0, 4) AS mde_abs,
+        |  n_req AS n_per_arm,
+        |  n_req * 2 <= n AS feasible_now
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "q_ab_cuped" ->
       """WITH ev AS (

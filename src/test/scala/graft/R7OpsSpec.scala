@@ -924,6 +924,33 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("s_doc_quality_gate: the stream filter passes exactly the batch gopher survivors") {
+    val streamed = SparkEntry.queries("s_doc_quality_gate")(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val batch = SparkEntry.queries("q_gopher_rules")(spark, sf).collect()
+      .filter(_.getAs[Boolean]("pass")).map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === batch,
+      s"stream/batch gate disagree: only-stream=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
+
+  test("q_power_analysis: n_per_arm recomputes from the closed form") {
+    val got = SparkEntry.queries("q_power_analysis")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (m, sd) = (r.getAs[Double]("mean_v"), r.getAs[Double]("sd_v"))
+      val delta = r.getAs[Double]("mde_abs")
+      assert(math.abs(delta - m * 0.05) < 1e-3)
+      val expect = math.ceil(2.0 * math.pow(1.96 + 0.8416, 2) * sd * sd / (delta * delta))
+      // wire values are 4dp-rounded → the recomputation tolerates ~1%
+      val gotN = r.getAs[Long]("n_per_arm").toDouble
+      assert(math.abs(gotN - expect) <= expect * 0.02 + 2,
+        s"${r.getAs[String]("event_type")}: n_per_arm $gotN vs recomputed $expect")
+      assert(r.getAs[Boolean]("feasible_now") ===
+        (r.getAs[Long]("n_per_arm") * 2 <= r.getAs[Long]("n")))
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
