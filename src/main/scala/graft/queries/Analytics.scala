@@ -272,6 +272,32 @@ object Analytics {
         .orderBy("user_id", "valid_from", "change_id")
     }),
 
+    // Point-in-time dimension lookup (the SCD2 family's missing JOIN:
+    // fact rows resolved against the version valid at their event
+    // time). The interval predicate rides on the user equi-key, so
+    // the plan is a hash join with a range residual — never a
+    // nested-loop; each fact matches exactly one version because the
+    // intervals tile the user's timeline from their first event.
+    // Timestamps stay unix_micros longs end-to-end (the scd2 wire
+    // convention).
+    "q_scd2_lookup" -> ((s, d) => {
+      val dim = queries("q_scd2_dim")(s, d)
+        .select(col("user_id"), col("change_id"),
+          col("event_type").as("attr_at_ts"),
+          col("valid_from"), col("valid_to"))
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      facts.join(dim,
+          facts("user_id") === dim("user_id")
+            && col("ts_us") >= col("valid_from")
+            && (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+        .select(col("event_id"), facts("user_id"), col("ts_us"),
+          col("attr_at_ts"), col("change_id").as("version_id"))
+        .orderBy("event_id")
+    }),
+
     // Snapshot CDC diff (r5): classify every key across two table
     // snapshots as insert / delete / update — the change-data-capture
     // derivation a warehouse runs between loads when the source can't
@@ -1430,6 +1456,30 @@ object Analytics {
         |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM c ORDER BY user_id, valid_from, change_id""".stripMargin,
+
+    // the scd2 CTE + the interval lookup join
+    "q_scd2_lookup" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM m
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_id AS version_id, event_type AS attr_at_ts,
+        |    epoch_us(ts) AS valid_from,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS valid_to
+        |  FROM c),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts_us, dim.attr_at_ts,
+        |  dim.version_id
+        |FROM f JOIN dim ON f.user_id = dim.user_id
+        |  AND f.ts_us >= dim.valid_from
+        |  AND (dim.valid_to IS NULL OR f.ts_us < dim.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
 
     "q_profile_stats" ->
       """SELECT column_name, n, n_distinct, min_v, max_v, avg_v FROM (

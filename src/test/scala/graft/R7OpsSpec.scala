@@ -951,6 +951,27 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_scd2_lookup: every purchase resolves exactly one version whose interval contains it") {
+    val got = SparkEntry.queries("q_scd2_lookup")(spark, sf).collect()
+    val purchases = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    // exactly one version per fact — duplicates or drops both break it
+    assert(got.length.toLong === purchases)
+    assert(got.map(_.getAs[Long]("event_id")).distinct.length === got.length)
+    val dim = SparkEntry.queries("q_scd2_dim")(spark, sf).collect()
+      .map(r => r.getAs[Long]("change_id") ->
+        (r.getAs[Long]("valid_from"),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getAs[String]("event_type"))).toMap
+    got.foreach { r =>
+      val (vf, vt, attr) = dim(r.getAs[Long]("version_id"))
+      val t = r.getAs[Long]("ts_us")
+      assert(t >= vf && vt.forall(t < _),
+        s"fact ${r.getAs[Long]("event_id")} outside its version interval")
+      assert(r.getAs[String]("attr_at_ts") === attr)
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
