@@ -723,6 +723,44 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // Stationary distribution of the event-type Markov chain: 20
+    // power-iteration rounds over the q_markov_transition matrix. The
+    // |types|² transition table is a provably bounded statistic (the
+    // BPE-argmax posture), so the iteration runs driver-side in pure
+    // Scala on the µ-grid — every round's terms are
+    // round(π_u(i)·n_ij/n_i), exact-long arithmetic mirrored verbatim
+    // by the oracle's 20 unrolled MATERIALIZED CTE rounds, so the
+    // fixpoint is bit-identical cross-engine. At 100 TB the corpus-
+    // sized work is the one partial agg building the matrix.
+    "q_markov_stationary" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("next", lead("event_type", 1).over(w))
+        .filter(col("next").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next"))
+        .agg(count(lit(1)).as("n"))
+        .collect() // bounded: |event types|² cells
+      val states = (trans.map(_.getString(0)) ++ trans.map(_.getString(1)))
+        .distinct.sorted
+      val idx = states.zipWithIndex.toMap
+      val nij = Array.ofDim[Long](states.length, states.length)
+      trans.foreach(r =>
+        nij(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+      val ni = nij.map(_.sum)
+      var pi = Array.fill(states.length)(1000000000L / states.length)
+      for (_ <- 1 to 20) {
+        val nxt = Array.fill(states.length)(0L)
+        for (i <- states.indices; j <- states.indices if ni(i) > 0)
+          nxt(j) += math.floor(pi(i).toDouble * nij(i)(j) / ni(i) + 0.5).toLong
+        pi = nxt
+      }
+      import s.implicits._
+      states.zip(pi).toSeq.toDF("state", "pi_u")
+        .select(col("state"), round(col("pi_u") / 1e9, 6).as("pi"))
+        .orderBy("state")
+    }),
+
     // Power analysis / sample-size calculator (the pre-experiment
     // readout): per metric (event_type), the per-arm n required to
     // detect a 5% relative lift at α=0.05 two-sided, power 80% —
@@ -1667,6 +1705,37 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    // the transition matrix + 20 unrolled materialized power-iteration
+    // rounds on the same µ-grid arithmetic
+    "q_markov_stationary" -> {
+      val rounds = (1 to 20).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT tr.next AS s,
+           |    CAST(SUM(CAST(ROUND(CAST(p.pi AS DOUBLE) * tr.n / tot.nt)
+           |      AS BIGINT)) AS BIGINT) AS pi
+           |  FROM p${k - 1} p
+           |  JOIN tr ON tr.cur = p.s
+           |  JOIN tot ON tot.cur = p.s
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (
+         |  SELECT cur, next, COUNT(*) AS n FROM (
+         |    SELECT event_type AS cur,
+         |      lead(event_type) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS next
+         |    FROM events)
+         |  WHERE next IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS nt FROM tr GROUP BY 1),
+         |states AS (SELECT DISTINCT cur AS s FROM tr
+         |           UNION SELECT DISTINCT next FROM tr),
+         |ns AS (SELECT COUNT(*) AS k FROM states),
+         |p0 AS (SELECT s, CAST(1000000000 // k AS BIGINT) AS pi
+         |       FROM states CROSS JOIN ns),
+         |$rounds
+         |SELECT s AS state, ROUND(pi / 1e9, 6) AS pi
+         |FROM p20 ORDER BY state""".stripMargin
+    },
 
     "q_power_analysis" ->
       """WITH a AS (

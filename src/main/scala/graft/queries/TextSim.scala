@@ -179,6 +179,25 @@ object TextSim {
         .orderBy("doc_id")
     }),
 
+    // LSH banding planner (the s-curve table): collision probability
+    // p = 1 − (1 − s^r)^b over the (bands, rows) grid × similarity
+    // levels — the design table every MinHash deployment reads before
+    // picking its banding (this repo's own 8×4 choice shows up as the
+    // τ=0.8, p≈0.94 row). Pure closed-form arithmetic over a
+    // generated grid; identical pow sequences in both engines.
+    "q_lsh_tuner" -> ((s, d) => {
+      val grid = s.range(0, 1) // anchor; the grid itself is literal
+        .select(explode(expr("array(4, 8, 16, 32)")).as("b"))
+        .select(col("b"), explode(expr("array(2, 4, 8)")).as("r"))
+        .select(col("b"), col("r"),
+          explode(expr("array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)")).as("sim"))
+      grid
+        .withColumn("p_collide",
+          round(lit(1.0) - pow(lit(1.0) - pow(col("sim"), col("r")), col("b")), 6))
+        .withColumn("catches_at_90pct", col("p_collide") >= 0.9)
+        .orderBy("b", "r", "sim")
+    }),
+
     // Link prediction on the near-dup graph (common-neighbors /
     // neighborhood-Jaccard — the classic Liben-Nowell–Kleinberg
     // scores): for every 2-hop pair NOT directly connected, count the
@@ -905,6 +924,18 @@ object TextSim {
         |u AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
         |SELECT doc_id, COUNT(*) AS n_triangles
         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_tuner" ->
+      """WITH b AS (SELECT unnest([4, 8, 16, 32]) AS b),
+        |r AS (SELECT unnest([2, 4, 8]) AS r),
+        |s AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+        |        AS sim)
+        |SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r, sim,
+        |  ROUND(1.0 - pow(1.0 - pow(sim, r), b), 6) AS p_collide,
+        |  ROUND(1.0 - pow(1.0 - pow(sim, r), b), 6) >= 0.9
+        |    AS catches_at_90pct
+        |FROM b CROSS JOIN r CROSS JOIN s
+        |ORDER BY b, r, sim""".stripMargin,
 
     // identical τ=0.95 edge derivation, then wedge join + degree Jaccard
     "q_link_pred" ->

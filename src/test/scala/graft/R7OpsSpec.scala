@@ -972,6 +972,37 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_lsh_tuner: s-curve is monotone in b, sim and anti-monotone in r; 8x4@0.8 passes") {
+    val got = SparkEntry.queries("q_lsh_tuner")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(got.size === 60)
+    // the repo's own 8 bands x 4 rows banding catches tau=0.8 pairs
+    assert(got((8, 4, 0.8)) >= 0.9, s"8x4@0.8 = ${got((8, 4, 0.8))}")
+    got.foreach { case ((b, r, s0), p) =>
+      assert(p >= 0 && p <= 1)
+      got.get((b * 2, r, s0)).foreach(p2 => assert(p2 >= p - 1e-9, "more bands must not lower p"))
+      got.get((b, r * 2, s0)).foreach(p2 => assert(p2 <= p + 1e-9, "longer rows must not raise p"))
+      val s2 = math.rint((s0 + 0.1) * 10) / 10
+      got.get((b, r, s2)).foreach(p2 => assert(p2 >= p - 1e-9, "higher sim must not lower p"))
+    }
+  }
+
+  test("q_markov_stationary: the fixpoint is stationary under the empirical transition matrix") {
+    val got = SparkEntry.queries("q_markov_stationary")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val trans = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("p")).toMap
+    assert(got.size >= 2)
+    // mass ~conserved (rounding drift only)
+    assert(math.abs(got.values.sum - 1.0) < 1e-3)
+    // stationarity: pi(j) ≈ Σ_i pi(i) p(i,j)
+    got.foreach { case (j, pj) =>
+      val back = got.map { case (i, pi) => pi * trans.getOrElse((i, j), 0.0) }.sum
+      assert(math.abs(back - pj) < 1e-3,
+        s"state $j: pi=$pj but one-step image is $back — not stationary")
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
