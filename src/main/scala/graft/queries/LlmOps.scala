@@ -544,6 +544,60 @@ object LlmOps {
         .orderBy("qid", "rn")
     }),
 
+    // BM25 + pseudo-relevance feedback (Rocchio PRF — the classic
+    // two-round IR loop): round 1 ranks with the base query, the top-5
+    // docs are taken as pseudo-relevant, the 3 strongest NEW terms in
+    // them (by summed µ-snapped BM25 weight) expand the query at half
+    // weight, and round 2 re-ranks. Every per-term contribution snaps
+    // to the µ-grid BEFORE any per-doc or per-term sum (6-term sums of
+    // raw doubles would be partial-agg-order-dependent); both rounds
+    // run off the memoized term index with broadcast probes, and the
+    // expansion-term scan is vocab-bounded.
+    "q_bm25_prf" -> ((s, d) => {
+      import s.implicits._
+      graft.expr.Registry.ensure(s)
+      val tf = graft.operators.EdgeGraph.termFreq(s, d)
+      val corpus = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("sum_dl"))
+      val dfAll = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      // µ-snapped BM25 weight of every (doc, term) — vocab-grain probe
+      val wAll = tf.join(broadcast(dfAll), "term")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("w_u", round(col("idf") * col("tf_raw") * lit(2.2) /
+          (col("tf_raw") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen")
+            / (col("sum_dl").cast("double") / col("n_docs")))) * 1e6)
+          .cast("long"))
+        .select("doc_id", "term", "w_u")
+        .localCheckpoint(eager = true) // round 1, expansion, round 2
+      val q0 = Seq("spark", "join", "hash").toDF("term")
+      val top5 = wAll.join(broadcast(q0), "term")
+        .groupBy("doc_id").agg(sum("w_u").as("s_u"))
+        .orderBy(col("s_u").desc, col("doc_id")).limit(5)
+        .select(col("doc_id").as("rel_id"))
+      val expansion = wAll
+        .join(broadcast(top5), col("doc_id") === col("rel_id"))
+        .join(broadcast(q0.withColumn("is_q", lit(1))), Seq("term"), "left_anti")
+        .groupBy("term").agg(sum("w_u").as("e_u"))
+        .orderBy(col("e_u").desc, col("term")).limit(3)
+        .select(col("term"), lit(500000L).as("qw_u")) // half weight, µ-grid
+      val q2 = q0.select(col("term"), lit(1000000L).as("qw_u"))
+        .unionByName(expansion)
+      wAll.join(broadcast(q2), "term")
+        // qw_u/1e6 ∈ {1, 0.5} exactly — the scaled term stays µ-exact
+        // (integer div: both engines floor identically on positives)
+        .withColumn("c_u", expr("(w_u * qw_u) div 1000000"))
+        .groupBy("doc_id").agg(sum("c_u").as("s_u"))
+        .orderBy(col("s_u").desc, col("doc_id")).limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("s_u").desc, col("doc_id"))))
+        .select(col("doc_id"), round(col("s_u") / 1e6, 6).as("score"),
+          col("rn"))
+        .orderBy("rn")
+    }),
+
     // Sequence packing (concat-and-chunk): assign documents to fixed
     // token-budget training bins (512 tokens) in deterministic
     // (lang, doc_id) order — the step that turns a filtered corpus
@@ -1518,6 +1572,48 @@ object LlmOps {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    // same µ-snapped weight table, two rounds + the expansion pick
+    "q_bm25_prf" ->
+      """WITH corpus AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, dlen, term, COUNT(*) AS tf_raw FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dlen,
+        |      unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |wall AS MATERIALIZED (
+        |  SELECT doc_id, term,
+        |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * tf_raw * 2.2
+        |      / (tf_raw + 1.2 * (0.25 + 0.75 * dlen
+        |        / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1e6) AS BIGINT) AS w_u
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN corpus),
+        |q0(term) AS (VALUES ('spark'), ('join'), ('hash')),
+        |top5 AS (SELECT doc_id FROM (
+        |    SELECT doc_id, SUM(w_u) AS s_u
+        |    FROM wall JOIN q0 USING (term) GROUP BY 1)
+        |  ORDER BY s_u DESC, doc_id LIMIT 5),
+        |expn AS (SELECT term, CAST(500000 AS BIGINT) AS qw_u FROM (
+        |    SELECT w.term, CAST(SUM(w.w_u) AS BIGINT) AS e_u
+        |    FROM wall w JOIN top5 t ON w.doc_id = t.doc_id
+        |    WHERE w.term NOT IN (SELECT term FROM q0)
+        |    GROUP BY 1)
+        |  ORDER BY e_u DESC, term LIMIT 3),
+        |q2 AS (SELECT term, CAST(1000000 AS BIGINT) AS qw_u FROM q0
+        |       UNION ALL SELECT term, qw_u FROM expn),
+        |r2 AS (SELECT doc_id,
+        |         CAST(SUM((w_u * qw_u) // 1000000) AS BIGINT) AS s_u
+        |       FROM wall JOIN q2 USING (term) GROUP BY 1),
+        |fin AS (SELECT doc_id, s_u,
+        |          row_number() OVER (ORDER BY s_u DESC, doc_id) AS rn
+        |        FROM r2 ORDER BY s_u DESC, doc_id LIMIT 10)
+        |SELECT doc_id, ROUND(s_u / 1e6, 6) AS score, CAST(rn AS INT) AS rn
+        |FROM fin ORDER BY rn""".stripMargin,
 
     "q_bm25_topk" ->
       """WITH q(qid, term) AS (VALUES (1, 'spark'), (1, 'join'), (1, 'hash'),

