@@ -14,7 +14,9 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     // every FROM/JOIN target must be a known table or a subquery/CTE
-    val fromRe = """(?i)(?<!distinct )(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
+    // (the negative lookbehind also keeps column names like
+    // `valid_from` from tokenizing as a FROM keyword)
+    val fromRe = """(?i)(?<!distinct )(?<![a-z0-9_.])(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // CTE names, with or without a column list: `x AS (`, `x(a, b) AS (`
       val ctes = """(?i)([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+as\s*\(""".r
