@@ -544,6 +544,36 @@ object LlmOps {
         .orderBy("qid", "rn")
     }),
 
+    // Embedding-space isotropy audit (the Ethayarajh/Mu-Viswanath
+    // anisotropy check a retrieval stack runs before trusting cosine):
+    // mean cosine over DETERMINISTIC strided pairs (i ↔ (i+k) mod N
+    // for k ∈ {1, 7, 49} — stratified across the id space, no RNG), a
+    // high mean meaning the space collapses toward a common direction.
+    // Per-pair cosines µ-snap before the sum; the self-join is three
+    // equi-joins on the shifted id, never a sampling pass. Reports the
+    // mean, the |cos| mean, and the >0.5 concentration share.
+    "q_emb_isotropy" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = e.agg(count(lit(1)).as("n_vecs"))
+      val shifted = e.crossJoin(broadcast(n))
+        .select(col("vec_id"), col("embedding"), col("n_vecs"),
+          explode(expr("array(1L, 7L, 49L)")).as("k"))
+        .withColumn("pid", pmod(col("vec_id") + col("k"), col("n_vecs")))
+      val pairs = shifted.join(
+          e.select(col("vec_id").as("pid"), col("embedding").as("p_emb")),
+          "pid")
+        .filter(col("vec_id") =!= col("pid"))
+        .withColumn("cos_u",
+          round(expr("cosine_sim(embedding, p_emb)") * 1e6).cast("long"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          round(sum("cos_u") / count(lit(1)) / 1e6, 6).as("mean_cos"),
+          round(sum(abs(col("cos_u"))) / count(lit(1)) / 1e6, 6)
+            .as("mean_abs_cos"),
+          round(sum(when(col("cos_u") > 500000L, 1L).otherwise(0L))
+            / count(lit(1)).cast("double"), 6).as("share_gt_half"))
+    }),
+
     // BM25 + pseudo-relevance feedback (Rocchio PRF — the classic
     // two-round IR loop): round 1 ranks with the base query, the top-5
     // docs are taken as pseudo-relevant, the 3 strongest NEW terms in
@@ -1572,6 +1602,25 @@ object LlmOps {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rn
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+
+    "q_emb_isotropy" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |n AS (SELECT COUNT(*) AS n_vecs FROM e),
+         |sh AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    (e.vec_id + k) % n_vecs AS pid
+         |  FROM e CROSS JOIN n, unnest([1, 7, 49]) t(k)),
+         |p AS (
+         |  SELECT CAST(ROUND(${duckCos("sh.embedding", "b.embedding")} * 1e6)
+         |    AS BIGINT) AS cos_u
+         |  FROM sh JOIN e b ON sh.pid = b.vec_id
+         |  WHERE sh.vec_id <> sh.pid)
+         |SELECT COUNT(*) AS n_pairs,
+         |  ROUND(SUM(cos_u) / COUNT(*) / 1e6, 6) AS mean_cos,
+         |  ROUND(SUM(abs(cos_u)) / COUNT(*) / 1e6, 6) AS mean_abs_cos,
+         |  ROUND(SUM(CASE WHEN cos_u > 500000 THEN 1 ELSE 0 END)
+         |    * 1.0 / COUNT(*), 6) AS share_gt_half
+         |FROM p""".stripMargin,
 
     // same µ-snapped weight table, two rounds + the expansion pick
     "q_bm25_prf" ->

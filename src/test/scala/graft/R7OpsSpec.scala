@@ -1022,6 +1022,22 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       .toSeq === again.toSeq, "PRF pipeline is not deterministic")
   }
 
+  test("q_emb_isotropy: pair accounting exact, metrics bounded and mutually consistent") {
+    val got = SparkEntry.queries("q_emb_isotropy")(spark, sf).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    // 3 strides × n vectors, minus self-pairs when n divides a stride
+    assert(r.getAs[Long]("n_pairs") <= 3 * n && r.getAs[Long]("n_pairs") > 0)
+    val (m, ma) = (r.getAs[Double]("mean_cos"), r.getAs[Double]("mean_abs_cos"))
+    assert(m >= -1.0 && m <= 1.0)
+    assert(ma >= math.abs(m) - 1e-9 && ma <= 1.0, s"|mean| $m vs mean|.| $ma")
+    val s5 = r.getAs[Double]("share_gt_half")
+    assert(s5 >= 0.0 && s5 <= 1.0)
+    // share_gt_half > 0 forces mean_abs_cos > 0.5 * share
+    assert(ma >= 0.5 * s5 - 1e-6)
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
