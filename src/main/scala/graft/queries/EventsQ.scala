@@ -574,6 +574,46 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // STL feature strengths (Wang & Hyndman's tsfeatures): trend
+    // strength 1 − Var(R)/Var(T+R) and seasonal strength
+    // 1 − Var(R)/Var(S+R) from the q_stl_trend decomposition plus a
+    // day-of-week seasonal component. Every component snaps to an
+    // exact CENTI-grid long at its birth (daily total → MA →
+    // detrended → dow means → residual) — centi, not µ: the squared
+    // residuals of sf0.1-sized daily totals must stay inside
+    // exact-long range — so the bounded-grid variances are exact-long
+    // sums and the two strengths are bit-identical cross-engine. The corpus-sized work is one partial agg; the
+    // decomposition lives on the ~30-row daily grid.
+    "q_stl_strength" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d")).agg(sum("value").as("x"))
+        .withColumn("x_u", round(col("x") * 1e2).cast("long"))
+      val w7 = org.apache.spark.sql.expressions.Window
+        .orderBy("d").rowsBetween(-3, 3)
+      val comp = daily
+        .withColumn("nw", count(lit(1)).over(w7))
+        .withColumn("t_u", round(avg("x_u").over(w7)).cast("long"))
+        .filter(col("nw") === 7)
+        .withColumn("detr_u", col("x_u") - col("t_u"))
+        .withColumn("dow", dayofweek(col("d")))
+        .localCheckpoint(eager = true) // bounded daily grid
+      val season = comp.groupBy("dow")
+        .agg(round(avg("detr_u")).cast("long").as("s_u"))
+      val full = comp.join(broadcast(season), "dow")
+        .withColumn("r_u", col("detr_u") - col("s_u"))
+        .withColumn("tr_u", col("t_u") + col("r_u"))
+        .withColumn("sr_u", col("s_u") + col("r_u"))
+      def varOf(c: String) =
+        (sum(col(c) * col(c)) - sum(col(c)).cast("double") * sum(col(c))
+          / count(lit(1))) / (count(lit(1)) - 1)
+      full.agg(count(lit(1)).as("n_days"),
+          round(greatest(lit(0.0),
+            lit(1.0) - varOf("r_u") / varOf("tr_u")), 6).as("trend_strength"),
+          round(greatest(lit(0.0),
+            lit(1.0) - varOf("r_u") / varOf("sr_u")), 6)
+            .as("seasonal_strength"))
+    }),
+
     // Grid-density clustering (the DBSCAN shape that scales): points
     // collapse to grid cells in ONE partial agg (the only corpus
     // scan), dense cells (≥0.2% of points — a RELATIVE threshold, so
@@ -1705,6 +1745,42 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_stl_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(ROUND(SUM(value) * 1e2) AS BIGINT) AS x_u
+        |  FROM events GROUP BY 1),
+        |ma AS (
+        |  SELECT d, x_u,
+        |    COUNT(*) OVER w AS nw,
+        |    CAST(ROUND(AVG(x_u) OVER w) AS BIGINT) AS t_u
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |comp AS (
+        |  SELECT d, x_u, t_u, x_u - t_u AS detr_u,
+        |    dayofweek(d) AS dow
+        |  FROM ma WHERE nw = 7),
+        |season AS (
+        |  SELECT dow, CAST(ROUND(AVG(detr_u)) AS BIGINT) AS s_u
+        |  FROM comp GROUP BY 1),
+        |full_ AS (
+        |  SELECT comp.*, s_u, detr_u - s_u AS r_u,
+        |    t_u + (detr_u - s_u) AS tr_u, s_u + (detr_u - s_u) AS sr_u
+        |  FROM comp JOIN season USING (dow)),
+        |v AS (
+        |  SELECT COUNT(*) AS n_days,
+        |    (SUM(r_u * r_u) - CAST(SUM(r_u) AS DOUBLE) * SUM(r_u) / COUNT(*))
+        |      / (COUNT(*) - 1) AS vr,
+        |    (SUM(tr_u * tr_u) - CAST(SUM(tr_u) AS DOUBLE) * SUM(tr_u)
+        |      / COUNT(*)) / (COUNT(*) - 1) AS vtr,
+        |    (SUM(sr_u * sr_u) - CAST(SUM(sr_u) AS DOUBLE) * SUM(sr_u)
+        |      / COUNT(*)) / (COUNT(*) - 1) AS vsr
+        |  FROM full_)
+        |SELECT n_days,
+        |  ROUND(GREATEST(0.0, 1.0 - vr / vtr), 6) AS trend_strength,
+        |  ROUND(GREATEST(0.0, 1.0 - vr / vsr), 6) AS seasonal_strength
+        |FROM v""".stripMargin,
 
     // the transition matrix + 20 unrolled materialized power-iteration
     // rounds on the same µ-grid arithmetic

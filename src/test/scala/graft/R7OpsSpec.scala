@@ -1038,6 +1038,20 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ma >= 0.5 * s5 - 1e-6)
   }
 
+  test("q_stl_strength: strengths bounded in [0,1] and consistent with the stl residual") {
+    val got = SparkEntry.queries("q_stl_strength")(spark, sf).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val (ft, fs) = (r.getAs[Double]("trend_strength"),
+      r.getAs[Double]("seasonal_strength"))
+    assert(ft >= 0.0 && ft <= 1.0, s"trend strength $ft out of range")
+    assert(fs >= 0.0 && fs <= 1.0, s"seasonal strength $fs out of range")
+    // the interior-day count matches the q_stl_trend full-window rows
+    val interior = SparkEntry.queries("q_stl_trend")(spark, sf).collect()
+      .count(x => !x.isNullAt(x.fieldIndex("trend")))
+    assert(r.getAs[Long]("n_days") === interior.toLong)
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
