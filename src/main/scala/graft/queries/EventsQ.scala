@@ -574,6 +574,39 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // Peak detection with neighborhood prominence (the alerting/
+    // seasonality-QA primitive): a day is a peak when its exact µ-grid
+    // daily mean strictly exceeds both neighbors, and its prominence
+    // is the rise above the higher of the two flanking ±3-day minima.
+    // Everything runs on exact longs over the bounded daily grid, so
+    // peak flags and prominences cannot flap cross-engine; the only
+    // corpus-sized work is the daily partial agg (cusum recipe).
+    "q_peak_detect" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("n"))
+        .withColumn("mmu", expr("s_mu div n"))
+      val wo = org.apache.spark.sql.expressions.Window.orderBy("d")
+      val wl = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(-3, -1)
+      val wr = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(1, 3)
+      daily
+        .withColumn("prev", lag("mmu", 1).over(wo))
+        .withColumn("nxt", lead("mmu", 1).over(wo))
+        .withColumn("lmin", min("mmu").over(wl))
+        .withColumn("rmin", min("mmu").over(wr))
+        .withColumn("is_peak", col("prev").isNotNull && col("nxt").isNotNull
+          && col("mmu") > col("prev") && col("mmu") > col("nxt"))
+        .withColumn("prom_u", when(col("is_peak"),
+          col("mmu") - greatest(col("lmin"), col("rmin"))))
+        .select(col("d"), round(col("mmu") / 1e6, 4).as("mean_v"),
+          col("is_peak"),
+          round(col("prom_u") / 1e6, 4).as("prominence"))
+        .orderBy("d")
+    }),
+
     // STL feature strengths (Wang & Hyndman's tsfeatures): trend
     // strength 1 − Var(R)/Var(T+R) and seasonal strength
     // 1 − Var(R)/Var(S+R) from the q_stl_trend decomposition plus a
@@ -1745,6 +1778,34 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_peak_detect" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s_mu,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT d, CAST(s_mu // n AS BIGINT) AS mmu FROM daily),
+        |x AS (
+        |  SELECT d, mmu,
+        |    lag(mmu) OVER (ORDER BY d) AS prev,
+        |    lead(mmu) OVER (ORDER BY d) AS nxt,
+        |    MIN(mmu) OVER (ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lmin,
+        |    MIN(mmu) OVER (ORDER BY d
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rmin
+        |  FROM m),
+        |p AS (
+        |  SELECT d, mmu,
+        |    prev IS NOT NULL AND nxt IS NOT NULL
+        |      AND mmu > prev AND mmu > nxt AS is_peak,
+        |    lmin, rmin
+        |  FROM x)
+        |SELECT d, ROUND(mmu / 1e6, 4) AS mean_v, is_peak,
+        |  CASE WHEN is_peak
+        |    THEN ROUND((mmu - GREATEST(lmin, rmin)) / 1e6, 4) END
+        |    AS prominence
+        |FROM p ORDER BY d""".stripMargin,
 
     "q_stl_strength" ->
       """WITH daily AS (

@@ -1052,6 +1052,25 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("n_days") === interior.toLong)
   }
 
+  test("q_peak_detect: flags recompute from the daily means; prominence positive on peaks") {
+    val got = SparkEntry.queries("q_peak_detect")(spark, sf).collect()
+      .sortBy(_.getDate(0).toString)
+    val means = got.map(_.getAs[Double]("mean_v"))
+    got.zipWithIndex.foreach { case (r, i) =>
+      val isPeak = i > 0 && i < got.length - 1 &&
+        means(i) > means(i - 1) && means(i) > means(i + 1)
+      assert(r.getAs[Boolean]("is_peak") === isPeak,
+        s"day $i: flag ${r.getAs[Boolean]("is_peak")} vs recomputed $isPeak")
+      if (isPeak) {
+        val lmin = means.slice(math.max(0, i - 3), i).min
+        val rmin = means.slice(i + 1, math.min(means.length, i + 4)).min
+        val prom = means(i) - math.max(lmin, rmin)
+        assert(math.abs(r.getAs[Double]("prominence") - prom) < 1e-3)
+        assert(r.getAs[Double]("prominence") > 0)
+      } else assert(r.isNullAt(r.fieldIndex("prominence")))
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
