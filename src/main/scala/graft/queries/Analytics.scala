@@ -895,6 +895,35 @@ object Analytics {
         .orderBy("cust", "rk")
     }),
 
+    // Beyond-accuracy recsys metrics (novelty + catalog coverage —
+    // the Castells/Vargas diversity lens): per recommendation rank,
+    // the mean self-information −log₂(owner share) of the recommended
+    // brands (µ-snapped per rec before the rank rollup) and the share
+    // of the catalog the recommender actually surfaces. Rides the
+    // session-memoized interaction matrix; the popularity and catalog
+    // sides are bounded broadcasts.
+    "q_recs_novelty" -> ((s, d) => {
+      val recs = queries("q_recs_topn")(s, d)
+      val cb = custBrand(s, d)
+      val nCust = cb.agg(countDistinct("cust").cast("double").as("nc"))
+      val pop = cb.groupBy(col("b").as("rec"))
+        .agg(countDistinct("cust").as("owners"))
+        .localCheckpoint(eager = true) // bounded brand table
+      val cat = pop.agg(count(lit(1)).as("n_brands"))
+      recs.join(broadcast(pop), "rec").crossJoin(broadcast(nCust))
+        .withColumn("nov_u",
+          round(-log2(col("owners") / col("nc")) * 1e6).cast("long"))
+        .groupBy("rk")
+        .agg(count(lit(1)).as("n_recs"),
+          round(sum("nov_u") / count(lit(1)) / 1e6, 6).as("mean_novelty"),
+          countDistinct("rec").as("n_distinct"))
+        .crossJoin(broadcast(cat))
+        .select(col("rk"), col("n_recs"), col("mean_novelty"),
+          round(col("n_distinct") / col("n_brands").cast("double"), 6)
+            .as("coverage"))
+        .orderBy("rk")
+    }),
+
     // Item-item collaborative-filtering similarity: cosine between
     // brand purchase-count vectors (over the customer dimension) —
     // the recsys "customers who bought X" primitive. The co-product
@@ -1728,6 +1757,49 @@ object Analytics {
         |  FROM flt)
         |SELECT cust, CAST(rk AS INT) AS rk, rec, score
         |FROM rk WHERE rk <= 3 ORDER BY cust, rk""".stripMargin,
+
+    // the recs_topn derivation + popularity self-information rollup
+    "q_recs_novelty" ->
+      """WITH cb AS (
+        |  SELECT o_custkey AS cust, p_brand AS b,
+        |    CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |n AS (SELECT b, sqrt(SUM(c * c)) AS nrm FROM cb GROUP BY 1),
+        |s AS (
+        |  SELECT x.b, y.b AS b2, SUM(x.c * y.c) AS dot
+        |  FROM cb x JOIN cb y ON x.cust = y.cust AND x.b <> y.b
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT s.b, s.b2, s.dot / (n1.nrm * n2.nrm) AS cos
+        |  FROM s JOIN n n1 ON s.b = n1.b JOIN n n2 ON s.b2 = n2.b),
+        |cand AS (
+        |  SELECT cb.cust, sim.b2 AS rec, ROUND(SUM(cb.c * sim.cos), 6) AS score
+        |  FROM cb JOIN sim ON cb.b = sim.b GROUP BY 1, 2),
+        |flt AS (
+        |  SELECT c.* FROM cand c WHERE NOT EXISTS (
+        |    SELECT 1 FROM cb WHERE cb.cust = c.cust AND cb.b = c.rec)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cust
+        |    ORDER BY score DESC, rec) AS rk
+        |  FROM flt),
+        |recs AS (SELECT cust, CAST(rk AS INT) AS rk, rec
+        |         FROM rk WHERE rk <= 3),
+        |ncst AS (SELECT CAST(COUNT(DISTINCT cust) AS DOUBLE) AS nc FROM cb),
+        |pop AS (SELECT b AS rec, COUNT(DISTINCT cust) AS owners
+        |        FROM cb GROUP BY 1),
+        |cat AS (SELECT COUNT(*) AS n_brands FROM pop),
+        |nv AS (
+        |  SELECT recs.rk,
+        |    CAST(ROUND(-log2(owners / nc) * 1e6) AS BIGINT) AS nov_u,
+        |    recs.rec
+        |  FROM recs JOIN pop USING (rec) CROSS JOIN ncst)
+        |SELECT rk, COUNT(*) AS n_recs,
+        |  ROUND(SUM(nov_u) / COUNT(*) / 1e6, 6) AS mean_novelty,
+        |  ROUND(COUNT(DISTINCT rec) * 1.0 / n_brands, 6) AS coverage
+        |FROM nv CROSS JOIN cat GROUP BY rk, n_brands ORDER BY rk""".stripMargin,
 
     "q_cf_item_sim" ->
       """WITH cb AS (

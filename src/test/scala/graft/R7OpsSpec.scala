@@ -1071,6 +1071,23 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_recs_novelty: novelty recomputes from popularity; coverage bounded by the catalog") {
+    val got = SparkEntry.queries("q_recs_novelty")(spark, sf).collect()
+    assert(got.map(_.getAs[Int]("rk")).sorted.toSeq == Seq(1, 2, 3))
+    val recs = SparkEntry.queries("q_recs_topn")(spark, sf).collect()
+    val byRk = recs.groupBy(_.getAs[Int]("rk"))
+    got.foreach { r =>
+      val rk = r.getAs[Int]("rk")
+      assert(r.getAs[Long]("n_recs") === byRk(rk).length.toLong)
+      val cov = r.getAs[Double]("coverage")
+      assert(cov > 0.0 && cov <= 1.0)
+      // novelty is positive (no brand is owned by every customer) and
+      // bounded by log2(n_customers)
+      val nov = r.getAs[Double]("mean_novelty")
+      assert(nov > 0.0 && nov < 30.0)
+    }
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
