@@ -574,6 +574,32 @@ object EventsQ {
         .orderBy("d")
     }),
 
+    // Hill tail-index estimator (the heavy-tail audit a cost/latency/
+    // value distribution gets before anyone trusts its mean):
+    // α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top k+1 order
+    // statistics (k = 100). The order statistics come from a
+    // TakeOrdered top-(k+1) — never a global sort — and each log term
+    // µ-snaps before the bounded sum. Values enter as exact centi
+    // longs so the x_(k+1) pivot is bit-identical cross-engine.
+    "q_tail_index" -> ((s, d) => {
+      val k = 100
+      val top = Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("v_c"),
+          col("event_id"))
+        .orderBy(col("v_c").desc, col("event_id")).limit(k + 1)
+        .localCheckpoint(eager = true) // bounded k+1 rows
+      val pivot = top.orderBy(col("v_c"), col("event_id")).limit(1)
+        .select(col("v_c").as("pivot_c"))
+      top.crossJoin(broadcast(pivot))
+        .filter(col("v_c") > col("pivot_c"))
+        .withColumn("t_u",
+          round(log(col("v_c").cast("double") / col("pivot_c")) * 1e6)
+            .cast("long"))
+        .agg(count(lit(1)).as("k_used"),
+          min(col("pivot_c") / 100.0).as("x_k1"),
+          round(count(lit(1)) / (sum("t_u") / 1e6), 4).as("hill_alpha"))
+    }),
+
     // Peak detection with neighborhood prominence (the alerting/
     // seasonality-QA primitive): a day is a peak when its exact µ-grid
     // daily mean strictly exceeds both neighbors, and its prominence
@@ -1778,6 +1804,21 @@ object EventsQ {
         |  ROUND(cs / (nd * 1000000.0), 4) AS cusum,
         |  abs(cs) = peak AS is_peak
         |FROM c CROSS JOIN p ORDER BY d""".stripMargin,
+
+    "q_tail_index" ->
+      """WITH top AS (
+        |  SELECT CAST(ROUND(value * 100) AS BIGINT) AS v_c, event_id
+        |  FROM events ORDER BY v_c DESC, event_id LIMIT 101),
+        |p AS (SELECT v_c AS pivot_c FROM top
+        |      ORDER BY v_c, event_id LIMIT 1),
+        |t AS (
+        |  SELECT v_c, pivot_c,
+        |    CAST(ROUND(ln(CAST(v_c AS DOUBLE) / pivot_c) * 1e6) AS BIGINT)
+        |      AS t_u
+        |  FROM top CROSS JOIN p WHERE v_c > pivot_c)
+        |SELECT COUNT(*) AS k_used, MIN(pivot_c / 100.0) AS x_k1,
+        |  ROUND(COUNT(*) / (SUM(t_u) / 1e6), 4) AS hill_alpha
+        |FROM t""".stripMargin,
 
     "q_peak_detect" ->
       """WITH daily AS (

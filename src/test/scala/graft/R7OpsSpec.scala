@@ -1088,6 +1088,23 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tail_index: Hill alpha recomputes from the top order statistics") {
+    val got = SparkEntry.queries("q_tail_index")(spark, sf).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val vals = graft.tables.Tables.events(spark, sf)
+      .selectExpr("cast(round(value * 100) as long) as v").collect()
+      .map(_.getLong(0)).sorted(Ordering[Long].reverse).take(101)
+    val pivot = vals.last
+    val terms = vals.filter(_ > pivot)
+      .map(v => math.floor(math.log(v.toDouble / pivot) * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Long]("k_used") === terms.length.toLong)
+    val alpha = terms.length / terms.sum
+    assert(math.abs(r.getAs[Double]("hill_alpha") - alpha) < 1e-3,
+      s"alpha ${r.getAs[Double]("hill_alpha")} vs recomputed $alpha")
+    assert(r.getAs[Double]("x_k1") === pivot / 100.0)
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
