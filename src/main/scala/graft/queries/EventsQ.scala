@@ -832,32 +832,33 @@ object EventsQ {
     // fixpoint is bit-identical cross-engine. At 100 TB the corpus-
     // sized work is the one partial agg building the matrix.
     "q_markov_stationary" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = Tables.events(s, d)
-        .withColumn("next", lead("event_type", 1).over(w))
-        .filter(col("next").isNotNull)
-        .groupBy(col("event_type").as("cur"), col("next"))
-        .agg(count(lit(1)).as("n"))
-        .collect() // bounded: |event types|² cells
-      val states = (trans.map(_.getString(0)) ++ trans.map(_.getString(1)))
-        .distinct.sorted
-      val idx = states.zipWithIndex.toMap
-      val nij = Array.ofDim[Long](states.length, states.length)
-      trans.foreach(r =>
-        nij(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
-      val ni = nij.map(_.sum)
-      var pi = Array.fill(states.length)(1000000000L / states.length)
-      for (_ <- 1 to 20) {
-        val nxt = Array.fill(states.length)(0L)
-        for (i <- states.indices; j <- states.indices if ni(i) > 0)
-          nxt(j) += math.floor(pi(i).toDouble * nij(i)(j) / ni(i) + 0.5).toLong
-        pi = nxt
-      }
+      val (states, _, _, pi) = markovFixpoint(s, d)
       import s.implicits._
       states.zip(pi).toSeq.toDF("state", "pi_u")
         .select(col("state"), round(col("pi_u") / 1e9, 6).as("pi"))
         .orderBy("state")
+    }),
+
+    // Entropy rate of the event-type Markov chain — H = −Σ_i π_i
+    // Σ_j p_ij ln p_ij, the bits-per-event compressibility bound of
+    // the behavioral stream (the sequence-predictability metric a
+    // next-event model is benchmarked against). Rides the same
+    // bounded-matrix fixpoint as q_markov_stationary; every cell term
+    // snaps to the 1e9-grid before the sum, so the rate is
+    // bit-identical cross-engine.
+    "q_entropy_rate" -> ((s, d) => {
+      val (states, nij, ni, pi) = markovFixpoint(s, d)
+      var hU = 0L; var cells = 0L
+      for (i <- states.indices; j <- states.indices
+           if ni(i) > 0 && nij(i)(j) > 0) {
+        val p = nij(i)(j).toDouble / ni(i)
+        hU += math.floor(-pi(i).toDouble * p * math.log(p) + 0.5).toLong
+        cells += 1
+      }
+      import s.implicits._
+      Seq((cells, hU)).toDF("n_cells", "h_u")
+        .select(col("n_cells"),
+          round(col("h_u") / 1e9, 6).as("entropy_rate_nats"))
     }),
 
     // Power analysis / sample-size calculator (the pre-experiment
@@ -1361,6 +1362,69 @@ object EventsQ {
         .orderBy("event_id")
     })
   )
+
+  /** Shared bounded-matrix Markov fixpoint (q_markov_stationary's
+    * derivation, factored for the entropy-rate consumer): collects
+    * the |types|² transition cells (sanctioned bounded statistic) and
+    * runs 20 exact-µ-grid power-iteration rounds driver-side.
+    * @return (sorted states, n_ij, n_i, π_u on the 1e9 grid) */
+  private def markovFixpoint(s: SparkSession, d: String)
+      : (Array[String], Array[Array[Long]], Array[Long], Array[Long]) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .withColumn("next", lead("event_type", 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded: |event types|² cells
+    val states = (trans.map(_.getString(0)) ++ trans.map(_.getString(1)))
+      .distinct.sorted
+    val idx = states.zipWithIndex.toMap
+    val nij = Array.ofDim[Long](states.length, states.length)
+    trans.foreach(r =>
+      nij(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    val ni = nij.map(_.sum)
+    var pi = Array.fill(states.length)(1000000000L / states.length)
+    for (_ <- 1 to 20) {
+      val nxt = Array.fill(states.length)(0L)
+      for (i <- states.indices; j <- states.indices if ni(i) > 0)
+        nxt(j) += math.floor(pi(i).toDouble * nij(i)(j) / ni(i) + 0.5).toLong
+      pi = nxt
+    }
+    (states, nij, ni, pi)
+  }
+
+  /** Shared DuckDB prefix for the Markov-chain keys: the transition
+    * matrix + 20 unrolled MATERIALIZED power-iteration rounds on the
+    * exact µ-grid (mirrors q_markov_stationary's driver-side loop
+    * verbatim; consumed by the stationary and entropy-rate oracles). */
+  private val markovChainSql: String = {
+    val rounds = (1 to 20).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT tr.next AS s,
+         |    CAST(SUM(CAST(ROUND(CAST(p.pi AS DOUBLE) * tr.n / tot.nt)
+         |      AS BIGINT)) AS BIGINT) AS pi
+         |  FROM p${k - 1} p
+         |  JOIN tr ON tr.cur = p.s
+         |  JOIN tot ON tot.cur = p.s
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+       |  SELECT cur, next, COUNT(*) AS n FROM (
+       |    SELECT event_type AS cur,
+       |      lead(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS next
+       |    FROM events)
+       |  WHERE next IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS nt FROM tr GROUP BY 1),
+       |states AS (SELECT DISTINCT cur AS s FROM tr
+       |           UNION SELECT DISTINCT next FROM tr),
+       |ns AS (SELECT COUNT(*) AS k FROM states),
+       |p0 AS (SELECT s, CAST(1000000000 // k AS BIGINT) AS pi
+       |       FROM states CROSS JOIN ns),
+       |$rounds""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_ohlc_resample" ->
@@ -1886,34 +1950,24 @@ object EventsQ {
 
     // the transition matrix + 20 unrolled materialized power-iteration
     // rounds on the same µ-grid arithmetic
-    "q_markov_stationary" -> {
-      val rounds = (1 to 20).map { k =>
-        s"""p$k AS MATERIALIZED (
-           |  SELECT tr.next AS s,
-           |    CAST(SUM(CAST(ROUND(CAST(p.pi AS DOUBLE) * tr.n / tot.nt)
-           |      AS BIGINT)) AS BIGINT) AS pi
-           |  FROM p${k - 1} p
-           |  JOIN tr ON tr.cur = p.s
-           |  JOIN tot ON tot.cur = p.s
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH tr AS (
-         |  SELECT cur, next, COUNT(*) AS n FROM (
-         |    SELECT event_type AS cur,
-         |      lead(event_type) OVER (PARTITION BY user_id
-         |        ORDER BY ts, event_id) AS next
-         |    FROM events)
-         |  WHERE next IS NOT NULL GROUP BY 1, 2),
-         |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS nt FROM tr GROUP BY 1),
-         |states AS (SELECT DISTINCT cur AS s FROM tr
-         |           UNION SELECT DISTINCT next FROM tr),
-         |ns AS (SELECT COUNT(*) AS k FROM states),
-         |p0 AS (SELECT s, CAST(1000000000 // k AS BIGINT) AS pi
-         |       FROM states CROSS JOIN ns),
-         |$rounds
+    "q_markov_stationary" ->
+      s"""$markovChainSql
          |SELECT s AS state, ROUND(pi / 1e9, 6) AS pi
-         |FROM p20 ORDER BY state""".stripMargin
-    },
+         |FROM p20 ORDER BY state""".stripMargin,
+
+    // the same 20-round chain, then the per-cell entropy rollup
+    "q_entropy_rate" ->
+      s"""$markovChainSql,
+         |h AS (
+         |  SELECT CAST(SUM(CAST(ROUND(-CAST(p.pi AS DOUBLE)
+         |      * (tr.n * 1.0 / tot.nt) * ln(tr.n * 1.0 / tot.nt))
+         |      AS BIGINT)) AS BIGINT) AS h_u,
+         |    COUNT(*) AS n_cells
+         |  FROM p20 p
+         |  JOIN tr ON tr.cur = p.s
+         |  JOIN tot ON tot.cur = p.s)
+         |SELECT n_cells, ROUND(h_u / 1e9, 6) AS entropy_rate_nats
+         |FROM h""".stripMargin,
 
     "q_power_analysis" ->
       """WITH a AS (

@@ -1105,6 +1105,23 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("x_k1") === pivot / 100.0)
   }
 
+  test("q_entropy_rate: bounded by log(n_states) and consistent with the stationary weights") {
+    val got = SparkEntry.queries("q_entropy_rate")(spark, sf).collect()
+    assert(got.length === 1)
+    val h = got.head.getAs[Double]("entropy_rate_nats")
+    val nStates = SparkEntry.queries("q_markov_stationary")(spark, sf).count()
+    assert(h > 0.0 && h <= math.log(nStates.toDouble) + 1e-6,
+      s"entropy rate $h outside (0, ln($nStates)]")
+    // recompute from the published stationary vector + transition probs
+    val pi = SparkEntry.queries("q_markov_stationary")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val trans = SparkEntry.queries("q_markov_transition")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("p"))
+    val expect = -trans.map { case ((i, _), p) =>
+      if (p > 0) pi(i) * p * math.log(p) else 0.0 }.sum
+    assert(math.abs(h - expect) < 1e-3, s"entropy $h vs recomputed $expect")
+  }
+
   test("q_mm_vad: decoded activity profile equals the planted voicing pattern closed form") {
     val got = SparkEntry.queries("q_mm_vad")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
