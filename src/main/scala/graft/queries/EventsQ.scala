@@ -1360,7 +1360,190 @@ object EventsQ {
           round(avg("value").over(wr), 4).as("rmean3"),
           round(col("value") - lag("value", 1).over(w), 4).as("delta1"))
         .orderBy("event_id")
-    })
+    }),
+
+    // Theil–Sen robust trend estimator (the outlier-proof alternative
+    // to OLS every monitoring series deserves): slope = median of the
+    // C(n,2) pairwise slopes of the µ-grid daily means, intercept =
+    // median of the per-day residuals at that slope. The corpus-sized
+    // work is ONE partial agg to the bounded daily grid; the 435-pair
+    // self-join and both median picks run on ≤30 checkpointed rows.
+    // Slopes are exact-long/exact-long IEEE divisions and the medians
+    // are order-statistic picks (avg of the two middles), so every
+    // value is bit-identical cross-engine.
+    "q_theil_sen" -> ((s, d) => {
+      val wd = org.apache.spark.sql.expressions.Window.orderBy("d")
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("n"))
+        .withColumn("mmu", expr("s_mu div n"))
+        .withColumn("i", row_number().over(wd))
+        .select("d", "mmu", "i")
+        .localCheckpoint(eager = true) // bounded daily series, 3 consumers
+      val pairs = daily.select(col("mmu").as("ma"), col("i").as("ia"))
+        .join(daily.select(col("mmu").as("mb"), col("i").as("ib")),
+          col("ib") > col("ia"))
+        .select(((col("mb") - col("ma")).cast("double")
+          / (col("ib") - col("ia"))).as("slope_u"))
+      val np = pairs.agg(count(lit(1)).as("np"))
+      val ws = org.apache.spark.sql.expressions.Window.orderBy("slope_u")
+      val med = pairs.crossJoin(broadcast(np))
+        .withColumn("rn", row_number().over(ws))
+        // lower+upper middle via INTEGER division (both parities correct)
+        .filter(col("rn") === expr("(np + 1) div 2")
+          || col("rn") === expr("(np + 2) div 2"))
+        .agg(avg("slope_u").as("slope_u"), max("np").as("n_pairs"))
+      val resid = daily.crossJoin(broadcast(med))
+        .select(col("slope_u"), col("n_pairs"),
+          (col("mmu") - col("slope_u") * col("i")).as("b_u"))
+      val nd = daily.agg(count(lit(1)).as("nd"))
+      val wb = org.apache.spark.sql.expressions.Window.orderBy("b_u")
+      resid.crossJoin(broadcast(nd))
+        .withColumn("rb", row_number().over(wb))
+        .filter(col("rb") === expr("(nd + 1) div 2")
+          || col("rb") === expr("(nd + 2) div 2"))
+        .agg(max("nd").as("n_days"), max("n_pairs").as("n_pairs"),
+          round(max("slope_u") / 1e6, 6).as("slope_per_day"),
+          round(avg("b_u") / 1e6, 6).as("intercept"))
+    }),
+
+    // Mann–Kendall trend test (the non-parametric is-it-drifting
+    // gate): S = Σ_{i<j} sign(x_j − x_i) over the daily-mean series,
+    // tie-corrected variance n(n−1)(2n+5)/18 − Σ t(t−1)(2t+5)/18, and
+    // the continuity-corrected z. S and both variance terms are exact
+    // longs (n ≤ 31), so z is one deterministic sqrt+division; the
+    // pair enumeration is the same bounded self-join as q_theil_sen.
+    "q_mann_kendall" -> ((s, d) => {
+      val wd = org.apache.spark.sql.expressions.Window.orderBy("d")
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("n"))
+        .withColumn("mmu", expr("s_mu div n"))
+        .withColumn("i", row_number().over(wd))
+        .select("mmu", "i")
+        .localCheckpoint(eager = true)
+      val sStat = daily.select(col("mmu").as("ma"), col("i").as("ia"))
+        .join(daily.select(col("mmu").as("mb"), col("i").as("ib")),
+          col("ib") > col("ia"))
+        .agg(coalesce(sum(signum(col("mb") - col("ma")).cast("long")), lit(0L))
+          .as("s_stat"))
+      val nTies = daily.groupBy("mmu").agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).as("ng"),
+          coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+            lit(0L)).as("tie_term"))
+      val nd = daily.agg(count(lit(1)).as("nd"))
+      sStat.crossJoin(broadcast(nTies)).crossJoin(broadcast(nd))
+        .withColumn("var_s",
+          (col("nd") * (col("nd") - 1) * (col("nd") * 2 + 5)
+            - col("tie_term")) / lit(18.0))
+        .withColumn("z", when(col("s_stat") > 0,
+            (col("s_stat") - 1) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+        .select(col("nd").as("n_days"), col("s_stat"),
+          round(col("var_s"), 4).as("var_s"), round(col("z"), 4).as("z"),
+          when(col("z") > 1.96, lit("increasing"))
+            .when(col("z") < -1.96, lit("decreasing"))
+            .otherwise(lit("no_trend")).as("trend"))
+    }),
+
+    // Spearman rank correlation between the daily mean value and the
+    // daily mean props.k, per event type — the monotone-association
+    // readout Pearson misses. Average ranks ride the doubled-rank
+    // integer grid (2·minrank + ties − 1), every moment is an exact
+    // long over ≤31 rows per type, and ρ is assembled algebraically
+    // from those longs in ONE final expression — no streaming corr,
+    // no partial-order dependence.
+    "q_spearman_daily" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("sv"),
+          sum(get_json_object(col("props"), "$.k").cast("long") * 1000000L)
+            .as("sk"),
+          count(lit(1)).as("n"))
+        .withColumn("vmu", expr("sv div n"))
+        .withColumn("kmu", expr("sk div n"))
+      val we = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val rx = we.orderBy("vmu")
+      val ry = we.orderBy("kmu")
+      daily
+        // doubled average rank: 2·minrank + ties − 1 (exact integers)
+        .withColumn("r2x", lit(2) * rank().over(rx)
+          + count(lit(1)).over(we.partitionBy("event_type", "vmu")) - 1)
+        .withColumn("r2y", lit(2) * rank().over(ry)
+          + count(lit(1)).over(we.partitionBy("event_type", "kmu")) - 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("r2x").as("sx"), sum("r2y").as("sy"),
+          sum(col("r2x") * col("r2y")).as("sxy"),
+          sum(col("r2x") * col("r2x")).as("sxx"),
+          sum(col("r2y") * col("r2y")).as("syy"))
+        .select(col("event_type"), col("n").as("n_days"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("spearman_rho"))
+        .orderBy("event_type")
+    }),
+
+    // Page–Hinkley drift detector (the sequential mean-shift monitor
+    // CUSUM's cousin): per day, the cumulative deviation of the daily
+    // mean from its RUNNING mean minus tolerance δ, the running
+    // minimum of that cumulative, and an alarm when the gap exceeds
+    // λ. Every term is an exact µ-grid long (running mean via exact
+    // integer division), so the alarm sequence cannot flap.
+    "q_page_hinkley" -> ((s, d) => {
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val deltaU = 1000000L // δ = 1.0
+      val lambdaU = 5000000L // λ = 5.0
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("n"))
+        .withColumn("mmu", expr("s_mu div n"))
+        .withColumn("i", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("d")))
+        .withColumn("cum", sum("mmu").over(wAll))
+        .withColumn("rm", expr("cum div i"))
+        .withColumn("term", col("mmu") - col("rm") - lit(deltaU))
+        .withColumn("m", sum("term").over(wAll))
+        .withColumn("mn", min("m").over(wAll))
+        .withColumn("ph_u", col("m") - col("mn"))
+        .select(col("d"), round(col("mmu") / 1e6, 4).as("mean_v"),
+          round(col("ph_u") / 1e6, 4).as("ph"),
+          (col("ph_u") > lambdaU).as("alarm"))
+        .orderBy("d")
+    }),
+
+    // Cohen's kappa inter-rater agreement between two deterministic
+    // binary labelers (value > 100 vs props.k > 50) per event type —
+    // the label-quality audit before anyone trusts a weak-supervision
+    // pair. po and pe derive from exact long counts in one partial
+    // agg; kappa is a single deterministic expression per type.
+    "q_cohens_kappa" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value") > 100).as("ra"),
+          (get_json_object(col("props"), "$.k").cast("int") > 50).as("rb"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra"), 1L).otherwise(0L)).as("a1"),
+          sum(when(col("rb"), 1L).otherwise(0L)).as("b1"),
+          sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"))
+        .withColumn("po", col("agree").cast("double") / col("n"))
+        .withColumn("pe",
+          (col("a1") * col("b1") + (col("n") - col("a1"))
+            * (col("n") - col("b1"))).cast("double") / (col("n") * col("n")))
+        .select(col("event_type"), col("n"), round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"),
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+            .as("kappa"))
+        .orderBy("event_type"))
   )
 
   /** Shared bounded-matrix Markov fixpoint (q_markov_stationary's
@@ -2316,6 +2499,160 @@ object EventsQ {
         |  ROUND(value - lag(value, 1) OVER w, 4) AS delta1
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // identical µ-grid daily series, 435-pair self-join, two
+    // order-statistic median picks with integer-division middles
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s_mu,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT d, CAST(s_mu // n AS BIGINT) AS mmu,
+        |        CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |      FROM daily),
+        |pairs AS (
+        |  SELECT CAST(b.mmu - a.mmu AS DOUBLE) / (b.i - a.i) AS slope_u
+        |  FROM m a JOIN m b ON b.i > a.i),
+        |np AS (SELECT COUNT(*) AS np FROM pairs),
+        |med AS (
+        |  SELECT AVG(slope_u) AS slope_u, MAX(np) AS n_pairs FROM (
+        |    SELECT slope_u, row_number() OVER (ORDER BY slope_u) AS rn, np
+        |    FROM pairs CROSS JOIN np)
+        |  WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2),
+        |nd AS (SELECT COUNT(*) AS nd FROM m),
+        |resid AS (
+        |  SELECT slope_u, n_pairs, mmu - slope_u * i AS b_u
+        |  FROM m CROSS JOIN med)
+        |SELECT MAX(nd) AS n_days, MAX(n_pairs) AS n_pairs,
+        |  ROUND(MAX(slope_u) / 1e6, 6) AS slope_per_day,
+        |  ROUND(AVG(b_u) / 1e6, 6) AS intercept
+        |FROM (
+        |  SELECT b_u, slope_u, n_pairs, nd,
+        |    row_number() OVER (ORDER BY b_u) AS rb
+        |  FROM resid CROSS JOIN nd)
+        |WHERE rb = (nd + 1) // 2 OR rb = (nd + 2) // 2""".stripMargin,
+
+    // identical pair enumeration; S, tie term, and n are exact longs
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s_mu,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(s_mu // n AS BIGINT) AS mmu,
+        |        row_number() OVER (ORDER BY d) AS i
+        |      FROM daily),
+        |s AS (
+        |  SELECT COALESCE(CAST(SUM(sign(b.mmu - a.mmu)) AS BIGINT), 0)
+        |    AS s_stat
+        |  FROM m a JOIN m b ON b.i > a.i),
+        |ties AS (
+        |  SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+        |    AS tie_term
+        |  FROM (SELECT COUNT(*) AS t FROM m GROUP BY mmu)),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM m),
+        |v AS (
+        |  SELECT s_stat, nd,
+        |    (nd * (nd - 1) * (2 * nd + 5) - tie_term) / 18.0 AS var_s
+        |  FROM s CROSS JOIN ties CROSS JOIN nd),
+        |z AS (
+        |  SELECT s_stat, nd, var_s,
+        |    CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |         WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+        |         ELSE 0.0 END AS z
+        |  FROM v)
+        |SELECT nd AS n_days, s_stat, ROUND(var_s, 4) AS var_s,
+        |  ROUND(z, 4) AS z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM z""".stripMargin,
+
+    // identical doubled-average-rank grid and algebraic rho
+    "q_spearman_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sv,
+        |    SUM(CAST(json_extract(props, '$.k') AS BIGINT) * 1000000)
+        |      AS sk,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sv // n AS BIGINT) AS vmu,
+        |        CAST(sk // n AS BIGINT) AS kmu
+        |      FROM daily),
+        |r AS (
+        |  SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY vmu)
+        |      + COUNT(*) OVER (PARTITION BY event_type, vmu) - 1 AS r2x,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY kmu)
+        |      + COUNT(*) OVER (PARTITION BY event_type, kmu) - 1 AS r2y
+        |  FROM m),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
+        |    CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+        |    CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+        |    CAST(SUM(r2y * r2y) AS BIGINT) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |    AS spearman_rho
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // identical exact-long running-mean fold; δ=1.0, λ=5.0 in µ units
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s_mu,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT d, CAST(s_mu // n AS BIGINT) AS mmu FROM daily),
+        |c AS (
+        |  SELECT d, mmu,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |    CAST(SUM(mmu) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM m),
+        |t AS (SELECT d, mmu, mmu - (cum // i) - 1000000 AS term FROM c),
+        |acc AS (
+        |  SELECT d, mmu,
+        |    SUM(term) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM t),
+        |ph AS (
+        |  SELECT d, mmu,
+        |    m - MIN(m) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_u
+        |  FROM acc)
+        |SELECT d, ROUND(mmu / 1e6, 4) AS mean_v,
+        |  ROUND(ph_u / 1e6, 4) AS ph, ph_u > 5000000 AS alarm
+        |FROM ph ORDER BY d""".stripMargin,
+
+    // identical exact-count agreement table per event type
+    "q_cohens_kappa" ->
+      """WITH r AS (
+        |  SELECT event_type, value > 100 AS ra,
+        |    CAST(json_extract(props, '$.k') AS INT) > 50 AS rb
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM r GROUP BY 1),
+        |k AS (
+        |  SELECT event_type, n,
+        |    agree * 1.0 / n AS po,
+        |    (a1 * b1 + (n - a1) * (n - b1)) * 1.0 / (n * n) AS pe
+        |  FROM a)
+        |SELECT event_type, n, ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+        |  ROUND((po - pe) / (1.0 - pe), 6) AS kappa
+        |FROM k ORDER BY event_type""".stripMargin
   )
 }

@@ -1146,4 +1146,129 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Int]("last_active") === pattern.lastIndexOf(true))
     }
   }
+
+  /** µ-grid daily means of events.value, in date order — the shared
+    * input series of the trend/drift keys, recomputed in pure Scala. */
+  private def dailyMmu(): Array[Long] = {
+    graft.tables.Tables.events(spark, sf)
+      .selectExpr("CAST(ts AS DATE) AS d",
+        "CAST(FLOOR(value * 1e6) AS BIGINT) AS v_u")
+      .collect()
+      .groupBy(_.getDate(0).toString).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.map(_.getLong(1)).sum / rs.length // same trunc div as `div`
+      }.toArray
+  }
+
+  test("q_theil_sen: slope and intercept equal the pure-Scala pairwise-median fold") {
+    val got = SparkEntry.queries("q_theil_sen")(spark, sf).collect()(0)
+    val m = dailyMmu()
+    val slopes = (for {
+      i <- m.indices; j <- m.indices if j > i
+    } yield (m(j) - m(i)).toDouble / (j - i)).sorted
+    def med(xs: Seq[Double]): Double = {
+      val n = xs.length
+      (xs((n + 1) / 2 - 1) + xs((n + 2) / 2 - 1)) / 2
+    }
+    val slope = med(slopes)
+    // residual intercepts at 1-based day index, like the operator
+    val b = m.indices.map(i => m(i) - slope * (i + 1)).sorted
+    assert(got.getAs[Long]("n_days") === m.length.toLong)
+    assert(got.getAs[Long]("n_pairs") === slopes.length.toLong)
+    assert(math.abs(got.getAs[Double]("slope_per_day") - slope / 1e6) < 1e-4)
+    assert(math.abs(got.getAs[Double]("intercept") - med(b) / 1e6) < 1e-4)
+  }
+
+  test("q_mann_kendall: S recomputes brute-force and the trend label matches z") {
+    val got = SparkEntry.queries("q_mann_kendall")(spark, sf).collect()(0)
+    val m = dailyMmu()
+    val sRef = (for {
+      i <- m.indices; j <- m.indices if j > i
+    } yield java.lang.Long.signum(m(j) - m(i)).toLong).sum
+    assert(got.getAs[Long]("s_stat") === sRef)
+    val z = got.getAs[Double]("z")
+    val lbl = got.getAs[String]("trend")
+    assert(if (z > 1.96) lbl == "increasing"
+      else if (z < -1.96) lbl == "decreasing" else lbl == "no_trend")
+    // variance must be positive with >2 distinct days
+    assert(got.getAs[Double]("var_s") > 0.0)
+  }
+
+  test("q_spearman_daily: rho bounded and equal to pure-Scala average-rank correlation") {
+    val got = SparkEntry.queries("q_spearman_daily")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val rho = r.getAs[Double]("spearman_rho")
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+    }
+    // brute-force one event type end-to-end
+    val et = got.head.getAs[String]("event_type")
+    val rows = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === et)
+      .selectExpr("CAST(ts AS DATE) AS d",
+        "CAST(FLOOR(value * 1e6) AS BIGINT) AS v_u",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) * 1000000 AS k_u")
+      .collect().groupBy(_.getDate(0).toString).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        (rs.map(_.getLong(1)).sum / rs.length,
+          rs.map(_.getLong(2)).sum / rs.length)
+      }
+    def avgRanks(xs: Seq[Long]): Seq[Double] = {
+      val sorted = xs.sorted
+      xs.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val rx = avgRanks(rows.map(_._1))
+    val ry = avgRanks(rows.map(_._2))
+    val n = rx.length
+    val mx = rx.sum / n; val my = ry.sum / n
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = rx.map(a => (a - mx) * (a - mx)).sum
+    val vy = ry.map(b => (b - my) * (b - my)).sum
+    val ref = cov / math.sqrt(vx * vy)
+    val gotRho = got.find(_.getString(0) == et).get.getAs[Double]("spearman_rho")
+    assert(math.abs(gotRho - ref) < 1e-4)
+  }
+
+  test("q_page_hinkley: ph is the exact Scala fold, nonnegative, zero-gap on day one") {
+    val got = SparkEntry.queries("q_page_hinkley")(spark, sf)
+      .orderBy("d").collect()
+    val m = dailyMmu()
+    assert(got.length === m.length)
+    var cum = 0L; var acc = 0L; var mn = Long.MaxValue
+    m.indices.foreach { i =>
+      cum += m(i)
+      acc += m(i) - cum / (i + 1) - 1000000L
+      mn = math.min(mn, acc)
+      val ph = (acc - mn) / 1e6
+      assert(math.abs(got(i).getAs[Double]("ph") - ph) < 1e-3)
+      assert(got(i).getAs[Double]("ph") >= 0.0)
+      assert(got(i).getAs[Boolean]("alarm") === (acc - mn > 5000000L))
+    }
+    assert(got(0).getAs[Double]("ph") === 0.0) // day 1: m == min
+  }
+
+  test("q_cohens_kappa: po/pe/kappa recompute from brute-force counts per type") {
+    val got = SparkEntry.queries("q_cohens_kappa")(spark, sf).collect()
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("event_type", "value > 100 AS ra",
+        "CAST(get_json_object(props, '$.k') AS INT) > 50 AS rb")
+      .collect()
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val rs = ev.filter(_.getString(0) == et)
+      val n = rs.length.toDouble
+      val a1 = rs.count(_.getBoolean(1)); val b1 = rs.count(_.getBoolean(2))
+      val agree = rs.count(x => x.getBoolean(1) == x.getBoolean(2))
+      val po = agree / n
+      val pe = (a1.toDouble * b1 + (n - a1) * (n - b1)) / (n * n)
+      assert(math.abs(r.getAs[Double]("po") - po) < 1e-5)
+      assert(math.abs(r.getAs[Double]("pe") - pe) < 1e-5)
+      assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-4)
+      assert(r.getAs[Double]("kappa") <= 1.0 + 1e-9)
+    }
+  }
 }
