@@ -1286,6 +1286,65 @@ object Analytics {
           round(col("bm") - lit(1.96) * col("se"), 4).as("ci_lo"),
           round(col("bm") + lit(1.96) * col("se"), 4).as("ci_hi"))
         .orderBy("lang")
+    }),
+
+    // Cramér's V association strength between two categoricals
+    // (order priority × order status) — the effect-size companion to
+    // q_chisq_indep's test statistic. The contingency table is one
+    // partial agg to a bounded r×c grid; every χ² cell term µ-snaps
+    // to the 1e9 grid before the bounded sum, so V is deterministic.
+    "q_cramers_v" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(eager = true) // bounded r×c grid, 4 consumers
+      val rt = cells.groupBy("p").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("st").agg(sum("o").as("ct"))
+      val tot = cells.agg(sum("o").as("n"),
+        countDistinct("p").as("r"), countDistinct("st").as("c"))
+      cells.join(broadcast(rt), "p").join(broadcast(ct), "st")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("t_u", round((col("o") - col("e")) * (col("o") - col("e"))
+          / col("e") * 1e9).cast("long"))
+        .groupBy("n", "r", "c")
+        .agg(sum("t_u").as("chi_u"))
+        .select(col("n"), col("r"), col("c"),
+          round(col("chi_u") / 1e9, 4).as("chi2"),
+          round(sqrt(col("chi_u") / 1e9
+            / (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+            .as("cramers_v"))
+    }),
+
+    // l-diversity audit (Machanavajjhala et al.) — the companion to
+    // q_kanon on the re-identification axis that k-anonymity misses:
+    // per quasi-identifier group (nation × market segment), the
+    // DISTINCT count and entropy of the sensitive attribute (order
+    // priority) over the group's orders. Entropy terms µ-snap to the
+    // 1e9 grid over a ≤5-value bounded domain; the QI grid is the
+    // only shuffle (customer⋈orders on the broadcast-side dims).
+    "q_ldiversity" -> ((s, d) => {
+      val qi = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"), col("c_mktsegment"))
+      val joined = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(qi, col("o_custkey") === col("c_custkey"))
+      val sv = joined.groupBy("n_name", "c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val grp = sv.groupBy("n_name", "c_mktsegment")
+        .agg(sum("cnt").as("n_orders"), count(lit(1)).as("l_distinct"))
+      sv.join(grp, Seq("n_name", "c_mktsegment"))
+        .withColumn("h_u", round((col("cnt") / col("n_orders"))
+          * -log(col("cnt") / col("n_orders")) * 1e9).cast("long"))
+        .groupBy("n_name", "c_mktsegment", "n_orders", "l_distinct")
+        .agg(sum("h_u").as("hs_u"))
+        .select(col("n_name"), col("c_mktsegment"),
+          col("n_orders"), col("l_distinct"),
+          round(exp(col("hs_u") / 1e9), 4).as("entropy_l"),
+          (col("l_distinct") >= 3).as("meets_l3"))
+        .orderBy("n_name", "c_mktsegment")
     })
   )
 
@@ -2069,6 +2128,58 @@ object Analytics {
         |  ROUND(se, 4) AS boot_se,
         |  ROUND(bm - 1.96 * se, 4) AS ci_lo,
         |  ROUND(bm + 1.96 * se, 4) AS ci_hi
-        |FROM fin JOIN base USING (lang) ORDER BY lang""".stripMargin
+        |FROM fin JOIN base USING (lang) ORDER BY lang""".stripMargin,
+
+    // identical bounded contingency grid with 1e9-snapped cell terms
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS p, o_orderstatus AS st,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT p, SUM(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT st, SUM(o) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT p) AS r,
+        |          COUNT(DISTINCT st) AS c FROM cells),
+        |t AS (
+        |  SELECT n, r, c,
+        |    CAST(ROUND((o - e) * (o - e) / e * 1e9) AS BIGINT) AS t_u
+        |  FROM (
+        |    SELECT cells.o, n, r, c,
+        |      CAST(rt AS DOUBLE) * ct / n AS e
+        |    FROM cells JOIN rt USING (p) JOIN ct USING (st)
+        |    CROSS JOIN tot))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+        |  CAST(c AS BIGINT) AS c,
+        |  ROUND(SUM(t_u) / 1e9, 4) AS chi2,
+        |  ROUND(sqrt(SUM(t_u) / 1e9 / (n * LEAST(r - 1, c - 1))), 6)
+        |    AS cramers_v
+        |FROM t GROUP BY n, r, c""".stripMargin,
+
+    // identical QI grid and 1e9-snapped entropy over <=5 cells
+    "q_ldiversity" ->
+      """WITH qi AS (
+        |  SELECT c_custkey, n_name, c_mktsegment
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |j AS (
+        |  SELECT n_name, c_mktsegment, o_orderpriority
+        |  FROM orders JOIN qi ON o_custkey = c_custkey),
+        |sv AS (
+        |  SELECT n_name, c_mktsegment, o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM j GROUP BY 1, 2, 3),
+        |grp AS (
+        |  SELECT n_name, c_mktsegment, SUM(cnt) AS n_orders,
+        |    CAST(COUNT(*) AS BIGINT) AS l_distinct
+        |  FROM sv GROUP BY 1, 2),
+        |h AS (
+        |  SELECT sv.n_name, sv.c_mktsegment, n_orders, l_distinct,
+        |    CAST(ROUND((cnt * 1.0 / n_orders)
+        |      * -ln(cnt * 1.0 / n_orders) * 1e9) AS BIGINT) AS h_u
+        |  FROM sv JOIN grp USING (n_name, c_mktsegment))
+        |SELECT n_name, c_mktsegment, CAST(n_orders AS BIGINT) AS n_orders,
+        |  l_distinct, ROUND(exp(SUM(h_u) / 1e9), 4) AS entropy_l,
+        |  l_distinct >= 3 AS meets_l3
+        |FROM h GROUP BY n_name, c_mktsegment, n_orders, l_distinct
+        |ORDER BY n_name, c_mktsegment""".stripMargin
   )
 }

@@ -150,6 +150,40 @@ object LlmOps {
         .limit(10)
     }),
 
+    // Matryoshka truncation audit (Kusupati et al.): retrieval quality
+    // of prefix-truncated embeddings — top-10 recall vs the full-dim
+    // ranking and the mean top-10 cosine at dims {8,16,32,64}. The
+    // per-(vector, dim) cosine is ONE projection pass over broadcast
+    // q (no self-join); top-10s come from a per-dim window; means ride
+    // the µ-snapped integer grid. This is the dial a 100 TB ANN
+    // deployment reads before shipping short-prefix indexes.
+    "q_matryoshka_trunc" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val cosAll = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), explode(expr("array(8, 16, 32, 64)")).as("k_dim"),
+          col("embedding"), col("q_emb"))
+        .select(col("vec_id"), col("k_dim"),
+          round(expr(
+            "cosine_sim(slice(embedding, 1, k_dim), slice(q_emb, 1, k_dim))"),
+            6).as("cos"))
+      val w = Window.partitionBy("k_dim").orderBy(col("cos").desc, col("vec_id"))
+      val topk = cosAll.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .localCheckpoint(eager = true) // bounded 40 rows, 2 consumers
+      val full = topk.filter(col("k_dim") === 64)
+        .select(col("vec_id").as("fv"))
+      topk.join(broadcast(full), col("vec_id") === col("fv"), "left")
+        .groupBy("k_dim")
+        .agg((sum(when(col("fv").isNotNull, 1L).otherwise(0L)) / lit(10.0))
+          .as("recall10"),
+          round(sum(round(col("cos") * 1e6).cast("long")) / lit(1e7), 6)
+            .as("mean_cos_top10"))
+        .orderBy("k_dim")
+    }),
+
     // Exact per-vector top-3 within label, routed through IVF cells
     // (r5, VERDICT item 4 — the old within-label brute force planned a
     // per-label quadratic self-join; at 100× rows that is 10⁴× the
@@ -1487,6 +1521,31 @@ object LlmOps {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // identical per-dim sliced cosine grid, window top-10, µ-grid means
+    "q_matryoshka_trunc" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings
+         |           WHERE vec_id = 0),
+         |ks AS (SELECT unnest([8, 16, 32, 64]) AS k_dim),
+         |c AS (
+         |  SELECT e.vec_id, ks.k_dim,
+         |    ROUND(${duckCos("(e.embedding[1:ks.k_dim])", "(q.q_emb[1:ks.k_dim])")}, 6)
+         |      AS cos
+         |  FROM embeddings e CROSS JOIN q CROSS JOIN ks
+         |  WHERE e.vec_id <> 0),
+         |t AS (
+         |  SELECT k_dim, vec_id, cos,
+         |    row_number() OVER (PARTITION BY k_dim
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM c),
+         |topk AS (SELECT k_dim, vec_id, cos FROM t WHERE rn <= 10),
+         |fl AS (SELECT vec_id FROM topk WHERE k_dim = 64)
+         |SELECT CAST(k_dim AS INT) AS k_dim,
+         |  SUM(CASE WHEN vec_id IN (SELECT vec_id FROM fl)
+         |      THEN 1 ELSE 0 END) / 10.0 AS recall10,
+         |  ROUND(SUM(CAST(ROUND(cos * 1e6) AS BIGINT)) / 1e7, 6)
+         |    AS mean_cos_top10
+         |FROM topk GROUP BY k_dim ORDER BY k_dim""".stripMargin,
 
     "q_knn_per_label" ->
       s"""WITH pairs AS (

@@ -231,6 +231,36 @@ object TextSim {
         .limit(20)
     }),
 
+    // Adamic–Adar link prediction on the same τ=0.95 near-dup graph —
+    // the degree-weighted refinement of q_link_pred's common-neighbor
+    // count: score(u,v) = Σ_{w∈N(u)∩N(v)} 1/ln(deg w), which discounts
+    // promiscuous midpoints. Same wedge join (midpoint KEPT so its
+    // degree can weight the term; every midpoint has deg ≥ 2, so
+    // ln(deg) > 0); per-wedge terms µ-snap to the 1e9 grid before the
+    // per-pair sum, making the top-20 ranking deterministic.
+    "q_adamic_adar" -> ((s, d) => {
+      Registry.ensure(s)
+      val e = graft.operators.EdgeGraph.pairs(s, d, "token", 0.95)
+        .select("a_id", "b_id")
+      val sym = e.union(e.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst")
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val wedges = sym.select(col("src").as("u"), col("dst").as("w"))
+        .join(sym.select(col("src").as("w"), col("dst").as("v")), "w")
+        .filter(col("u") < col("v"))
+        .join(deg.select(col("id").as("w"), col("deg").as("dw")), "w")
+        .withColumn("t_u", round(lit(1e9) / log(col("dw"))).cast("long"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("cn"), sum("t_u").as("aa_u"))
+      wedges
+        .join(e.select(col("a_id").as("u"), col("b_id").as("v")),
+          Seq("u", "v"), "left_anti")
+        .select(col("u").as("a_id"), col("v").as("b_id"), col("cn"),
+          round(col("aa_u") / 1e9, 6).as("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    }),
+
     // Recursive-CTE SQL surface (Spark 4's WITH RECURSIVE): depth-
     // limited BFS over the near-dup graph from the smallest doc that
     // participates in any edge — min hop count per reached doc. The
@@ -971,6 +1001,45 @@ object TextSim {
         |JOIN deg du ON cand.u = du.id
         |JOIN deg dv ON cand.v = dv.id
         |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin,
+
+    // identical τ=0.95 edges; wedge join keeps the midpoint, whose
+    // degree weights each 1e9-snapped 1/ln(deg) term
+    "q_adamic_adar" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.95),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+        |        UNION ALL SELECT b_id, a_id FROM e),
+        |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |wedges AS (
+        |  SELECT s1.src AS u, s2.dst AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(CAST(ROUND(1e9 / ln(dw.deg)) AS BIGINT)) AS BIGINT)
+        |      AS aa_u
+        |  FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+        |  JOIN deg dw ON s1.dst = dw.id
+        |  WHERE s1.src < s2.dst GROUP BY 1, 2),
+        |cand AS (SELECT u, v, cn, aa_u FROM wedges
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.a_id = wedges.u AND e.b_id = wedges.v))
+        |SELECT u AS a_id, v AS b_id, cn,
+        |  ROUND(aa_u / 1e9, 6) AS adamic_adar
+        |FROM cand
+        |ORDER BY adamic_adar DESC, a_id, b_id LIMIT 20""".stripMargin,
 
     // identical BFS recursion over the SQL-derived pair list
     "q_cte_recursive" ->

@@ -1360,7 +1360,62 @@ object Training {
             / size(col("ttrs")), 6).as("mattr"),
           size(col("ttrs")).as("n_windows"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Code-likeness detection (the filter a pretraining mix runs to
+    // route code-heavy docs to their own pipeline): per-doc density of
+    // a fixed SQL/code lexicon over whitespace tokens, flag at ≥ 25%,
+    // rolled up per source. Density rides the exact µ-grid integer
+    // division; the only corpus-sized work is one projection + one
+    // partial agg to the bounded source grid.
+    "q_code_detect" -> ((s, d) => {
+      val kw = Seq("select", "join", "table", "index", "query", "scan",
+        "filter", "merge", "sort", "group", "order", "key")
+      val kwArr = kw.map(w => s"'$w'").mkString("array(", ", ", ")")
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_kw", size(expr(
+          s"filter(toks, t -> array_contains($kwArr, t))")))
+        .withColumn("dens_u", expr("(n_kw * 1000000L) div n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("dens_u").as("sd_u"),
+          sum(when(col("dens_u") >= 250000L, 1L).otherwise(0L))
+            .as("n_code_like"))
+        .select(col("source"), col("n_docs"),
+          round(expr("sd_u div n_docs") / 1e6, 6).as("mean_kw_density"),
+          round(col("n_code_like").cast("double") / col("n_docs"), 6)
+            .as("code_share"))
+        .orderBy("source")
+    }),
+
+    // Tokenizer fertility audit (subword tokens per word, by
+    // language) — the compression readout that decides whether a
+    // tokenizer punishes a language: Σ ceil(len/4) subwords over
+    // Σ whitespace words per lang, plus mean word length. All three
+    // ratios are single divisions of exact corpus-level longs, so the
+    // per-lang rows are bit-identical cross-engine. One projection +
+    // one bounded partial agg.
+    "q_tokenizer_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("nw"),
+          expr("aggregate(transform(toks, w -> (length(w) + 3) div 4)," +
+            " 0L, (a, x) -> a + x)").as("nsw"),
+          expr("aggregate(transform(toks, w -> CAST(length(w) AS LONG))," +
+            " 0L, (a, x) -> a + x)").as("nch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          sum("nsw").as("n_subwords"), sum("nch").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_words"), 4)
+            .as("mean_word_len"))
+        .orderBy("lang"))
   )
 
   private val bucketSql =
@@ -2114,6 +2169,56 @@ object Training {
         |  ROUND(nd * 1.0 / n_words, 6) AS ttr,
         |  ROUND(list_sum(ttrs) / len(ttrs), 6) AS mattr,
         |  CAST(len(ttrs) AS INT) AS n_windows
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // identical fixed lexicon and µ-grid density division
+    "q_code_detect" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT source, len(toks) AS n_tok,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['select', 'join', 'table', 'index', 'query', 'scan',
+        |       'filter', 'merge', 'sort', 'group', 'order', 'key'], x)))
+        |      AS n_kw
+        |  FROM t),
+        |d AS (
+        |  SELECT source,
+        |    CAST((n_kw * 1000000) // n_tok AS BIGINT) AS dens_u
+        |  FROM k),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dens_u) AS BIGINT) AS sd_u,
+        |    CAST(SUM(CASE WHEN dens_u >= 250000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_code_like
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs,
+        |  ROUND((sd_u // n_docs) / 1e6, 6) AS mean_kw_density,
+        |  ROUND(n_code_like * 1.0 / n_docs, 6) AS code_share
+        |FROM g ORDER BY source""".stripMargin,
+
+    // identical ceil(len/4) subword estimator and exact-long ratios
+    "q_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, CAST(len(toks) AS BIGINT) AS nw,
+        |    CAST(list_sum(list_transform(toks, w -> (len(w) + 3) // 4))
+        |      AS BIGINT) AS nsw,
+        |    CAST(list_sum(list_transform(toks, w -> len(w)))
+        |      AS BIGINT) AS nch
+        |  FROM t),
+        |g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(nw) AS BIGINT) AS n_words,
+        |    CAST(SUM(nsw) AS BIGINT) AS n_subwords,
+        |    CAST(SUM(nch) AS BIGINT) AS n_chars
+        |  FROM p GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_subwords,
+        |  ROUND(n_subwords * 1.0 / n_words, 6) AS fertility,
+        |  ROUND(n_chars * 1.0 / n_words, 4) AS mean_word_len
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

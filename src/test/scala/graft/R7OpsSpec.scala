@@ -1271,4 +1271,132 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("kappa") <= 1.0 + 1e-9)
     }
   }
+
+  test("q_cramers_v: V in [0,1] and chi2 recomputes from the brute-force contingency table") {
+    val got = SparkEntry.queries("q_cramers_v")(spark, sf).collect()(0)
+    val rows = graft.tables.Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderstatus").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val cells = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val rt = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val ct = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val chi = cells.map { case ((p, st), o) =>
+      val e = rt(p) * ct(st) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(got.getAs[Long]("n") === rows.length.toLong)
+    assert(got.getAs[Long]("r") === rt.size.toLong)
+    assert(got.getAs[Long]("c") === ct.size.toLong)
+    assert(math.abs(got.getAs[Double]("chi2") - chi) < 1e-2)
+    val v = got.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(math.abs(v - math.sqrt(
+      chi / (n * math.min(rt.size - 1, ct.size - 1)))) < 1e-4)
+  }
+
+  test("q_ldiversity: l bounded by the sensitive domain and entropy-l <= l per group") {
+    val got = SparkEntry.queries("q_ldiversity")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val l = r.getAs[Long]("l_distinct")
+      val el = r.getAs[Double]("entropy_l")
+      assert(l >= 1L && l <= 5L) // o_orderpriority has 5 values
+      assert(el >= 1.0 - 1e-9 && el <= l + 1e-6,
+        s"entropy-l $el out of [1, $l]")
+      assert(r.getAs[Boolean]("meets_l3") === (l >= 3L))
+    }
+  }
+
+  test("q_adamic_adar: top-20 equals the pure-Scala wedge recomputation on the same edges") {
+    val got = SparkEntry.queries("q_adamic_adar")(spark, sf).collect()
+    val edges = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.95)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val direct = edges.toSet
+    val scores = (for {
+      (u, nu) <- adj.toSeq; v <- adj.keys
+      if u < v && !direct((u, v)) && !direct((v, u))
+      common = nu.intersect(adj(v)) if common.nonEmpty
+    } yield {
+      val aaU = common.toSeq.map(w =>
+        math.round(1e9 / math.log(adj(w).size.toDouble))).sum
+      (u, v, common.size.toLong, aaU / 1e9)
+    }).sortBy { case (u, v, _, aa) => (-aa, u, v) }.take(20)
+    assert(got.length === scores.length)
+    got.zip(scores).foreach { case (r, (u, v, cn, aa)) =>
+      assert(r.getAs[Long]("a_id") === u)
+      assert(r.getAs[Long]("b_id") === v)
+      assert(r.getAs[Long]("cn") === cn)
+      assert(math.abs(r.getAs[Double]("adamic_adar") - aa) < 1e-5)
+    }
+  }
+
+  test("q_matryoshka_trunc: full-dim recall is exactly 1 and every row is in range") {
+    val got = SparkEntry.queries("q_matryoshka_trunc")(spark, sf).collect()
+    assert(got.map(_.getAs[Int]("k_dim")).sorted === Array(8, 16, 32, 64))
+    got.foreach { r =>
+      val rec = r.getAs[Double]("recall10")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Double]("mean_cos_top10") >= -1.0 - 1e-9)
+      assert(r.getAs[Double]("mean_cos_top10") <= 1.0 + 1e-9)
+    }
+    assert(got.find(_.getAs[Int]("k_dim") == 64).get
+      .getAs[Double]("recall10") === 1.0)
+    // brute-force the k=8 prefix recall in pure Scala
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = e.find(_._1 == 0L).get._2
+    def cosK(a: Array[Float], k: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until k).foreach { i =>
+        dot += a(i).toDouble * q(i); na += a(i).toDouble * a(i)
+        nb += q(i).toDouble * q(i)
+      }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    def top10(k: Int): Set[Long] =
+      e.filter(_._1 != 0L).map { case (id, v) => (id, cosK(v, k)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val ref8 = top10(8).intersect(top10(64)).size / 10.0
+    assert(got.find(_.getAs[Int]("k_dim") == 8).get
+      .getAs[Double]("recall10") === ref8)
+  }
+
+  test("q_code_detect and q_tokenizer_fertility recompute brute-force per group") {
+    val kw = Set("select", "join", "table", "index", "query", "scan",
+      "filter", "merge", "sort", "group", "order", "key")
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val cd = SparkEntry.queries("q_code_detect")(spark, sf).collect()
+    cd.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = docs.filter(_._1 == src)
+      val densities = ds.map { case (_, _, t) =>
+        val toks = t.split(" ", -1)
+        toks.count(kw) * 1000000L / toks.length
+      }
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_kw_density")
+        - (densities.sum / densities.length) / 1e6) < 1e-5)
+      assert(r.getAs[Double]("code_share")
+        === densities.count(_ >= 250000L).toDouble / ds.length)
+    }
+    val tf = SparkEntry.queries("q_tokenizer_fertility")(spark, sf).collect()
+    tf.foreach { r =>
+      val lg = r.getAs[String]("lang")
+      val ds = docs.filter(_._2 == lg)
+      val words = ds.map(_._3.split(" ", -1)).flatten
+      val nsw = words.map(w => (w.length + 3) / 4).map(_.toLong).sum
+      assert(r.getAs[Long]("n_words") === words.length.toLong)
+      assert(r.getAs[Long]("n_subwords") === nsw)
+      assert(r.getAs[Double]("fertility") >= 1.0 - 1e-9)
+      assert(math.abs(r.getAs[Double]("fertility")
+        - nsw.toDouble / words.length) < 1e-5)
+    }
+  }
 }
