@@ -1544,6 +1544,125 @@ object EventsQ {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
             .as("kappa"))
         .orderBy("event_type"))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // Isotonic regression (PAV fit) of the daily-mean series via the
+    // minimax identity ŷᵢ = max_{k≤i} min_{j≥i} mean(y_k..y_j) — the
+    // calibration/monotone-trend fit, expressed as pure relational
+    // algebra instead of the sequential pool-adjacent-violators loop:
+    // every segment mean is an exact-long prefix-sum difference over
+    // ONE IEEE division, and the min/max lattice runs on the bounded
+    // n³ ≤ 3·10⁴ day-grid — the corpus-sized work is one partial agg.
+    "q_isotonic_fit" -> ((s, d) => {
+      val wd = org.apache.spark.sql.expressions.Window.orderBy("d")
+      val wp = wd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("n"))
+        .withColumn("mmu", expr("s_mu div n"))
+        .withColumn("i", row_number().over(wd))
+        .withColumn("pre", sum("mmu").over(wp))
+        .localCheckpoint(eager = true) // bounded daily series, 3 legs
+      // segment means over [k, j]: (pre_j − pre_{k−1}) / (j − k + 1)
+      val segs = daily.select(col("i").as("j"), col("pre").as("pj"))
+        .join(daily.select((col("i") + 1).as("k"), col("pre").as("pk1"))
+          .union(daily.sparkSession.range(1, 2)
+            .select(lit(1).as("k"), lit(0L).as("pk1"))),
+          col("j") >= col("k"))
+        .select(col("k"), col("j"),
+          ((col("pj") - col("pk1")).cast("double")
+            / (col("j") - col("k") + 1)).as("avg_u"))
+      val inner = segs
+        .join(daily.select(col("i"), col("d"), col("mmu")),
+          col("k") <= col("i") && col("j") >= col("i"))
+        .groupBy("i", "d", "mmu", "k").agg(min("avg_u").as("mn"))
+      inner.groupBy("i", "d", "mmu").agg(max("mn").as("yhat_u"))
+        .select(col("d"), round(col("mmu") / 1e6, 4).as("mean_v"),
+          round(col("yhat_u") / 1e6, 4).as("iso_fit"))
+        .orderBy("d")
+    }),
+
+    // One-way ANOVA across event types (the is-the-metric-different
+    // omnibus test): F and η² assembled algebraically from per-group
+    // exact centi-long moments — each group's s²/n term is an exact
+    // double (|s| ≤ ~1.2e9 centi at sf0.1, square < 2⁶³) snapped to
+    // integer units before the bounded 5-term sums, so F cannot flap.
+    "q_anova" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), sum("v_c").as("sg"),
+          sum(col("v_c") * col("v_c")).as("qg"))
+        .localCheckpoint(eager = true) // bounded |types| rows
+      val terms = g.select(col("ng"), col("sg"), col("qg"),
+        round(col("sg").cast("double") * col("sg") / col("ng")).cast("long")
+          .as("t_u"))
+      terms
+        .agg(count(lit(1)).as("k"), sum("ng").as("n"), sum("sg").as("s"),
+          sum("qg").as("q"), sum("t_u").as("tb"))
+        .withColumn("ssb",
+          col("tb") - round(col("s").cast("double") * col("s") / col("n"))
+            .cast("long"))
+        .withColumn("ssw", col("q") - col("tb"))
+        .withColumn("f", (col("ssb").cast("double") / (col("k") - 1))
+          / (col("ssw").cast("double") / (col("n") - col("k"))))
+        .select(col("k").as("k_groups"), col("n"),
+          (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+          round(col("f"), 4).as("f_stat"),
+          round(col("ssb").cast("double") / (col("ssb") + col("ssw")), 6)
+            .as("eta_sq"))
+    }),
+
+    // Decision-stump information gain over a bounded threshold grid
+    // (the feature-audit primitive a tree/feature-selection pipeline
+    // runs): target = purchase events, candidate splits value < 10·b.
+    // Counts collapse to the bounded decile-bucket grid first (ONE
+    // partial agg over the corpus), prefix sums give every split's
+    // exact left/right counts, and each entropy term µ-snaps to the
+    // 1e9 grid — the argmax flag is therefore deterministic.
+    "q_info_gain" -> ((s, d) => {
+      val wb = org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val buckets = Tables.events(s, d)
+        .select(floor(col("value") / 10).cast("long").as("b"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("nb"), sum("pos").as("pb"))
+      // entropy of a (pos, n) split side on the 1e9 grid; 0·ln0 = 0
+      def entU(p: Column, n: Column): Column = {
+        val q1 = p.cast("double") / n
+        val q0 = (n - p).cast("double") / n
+        (when(p > 0, round(-q1 * log(q1) * 1e9).cast("long")).otherwise(0L)
+          + when(n - p > 0, round(-q0 * log(q0) * 1e9).cast("long"))
+            .otherwise(0L))
+      }
+      val tot = buckets.agg(sum("nb").as("n"), sum("pb").as("p"))
+      buckets
+        .withColumn("nl", sum("nb").over(wb))
+        .withColumn("pl", sum("pb").over(wb))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n")) // right side must be non-empty
+        .withColumn("t", (col("b") + 1) * 10)
+        // explicit round() before the long snap: Spark CAST truncates
+        // but DuckDB CAST rounds — round() is the cross-engine spelling
+        .withColumn("ig_u", entU(col("p"), col("n"))
+          - round(col("nl").cast("double") / col("n")
+            * entU(col("pl"), col("nl"))).cast("long")
+          - round((col("n") - col("nl")).cast("double") / col("n")
+            * entU(col("p") - col("pl"), col("n") - col("nl"))).cast("long"))
+        .withColumn("best",
+          col("ig_u") === max("ig_u").over(
+            org.apache.spark.sql.expressions.Window
+              .rowsBetween(Long.MinValue, Long.MaxValue)))
+        .select(col("t").as("threshold"), col("nl").as("n_left"),
+          col("pl").as("pos_left"), round(col("ig_u") / 1e9, 6).as("info_gain"),
+          col("best").as("is_best"))
+        .orderBy("threshold")
+    })
   )
 
   /** Shared bounded-matrix Markov fixpoint (q_markov_stationary's
@@ -2653,6 +2772,113 @@ object EventsQ {
         |  FROM a)
         |SELECT event_type, n, ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
         |  ROUND((po - pe) / (1.0 - pe), 6) AS kappa
-        |FROM k ORDER BY event_type""".stripMargin
+        |FROM k ORDER BY event_type""".stripMargin,
+
+    // identical prefix-sum segment means and minimax lattice
+    "q_isotonic_fit" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s_mu,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT d, CAST(s_mu // n AS BIGINT) AS mmu,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+        |    CAST(SUM(s_mu // n) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS pre
+        |  FROM daily),
+        |ks AS (
+        |  SELECT i + 1 AS k, pre AS pk1 FROM m
+        |  UNION ALL SELECT 1, 0),
+        |segs AS (
+        |  SELECT ks.k, j.i AS j,
+        |    CAST(j.pre - ks.pk1 AS DOUBLE) / (j.i - ks.k + 1) AS avg_u
+        |  FROM m j JOIN ks ON j.i >= ks.k),
+        |inner_min AS (
+        |  SELECT t.i, t.d, t.mmu, segs.k, MIN(avg_u) AS mn
+        |  FROM segs JOIN m t ON segs.k <= t.i AND segs.j >= t.i
+        |  GROUP BY 1, 2, 3, 4),
+        |fit AS (
+        |  SELECT i, d, mmu, MAX(mn) AS yhat_u
+        |  FROM inner_min GROUP BY 1, 2, 3)
+        |SELECT d, ROUND(mmu / 1e6, 4) AS mean_v,
+        |  ROUND(yhat_u / 1e6, 4) AS iso_fit
+        |FROM fit ORDER BY d""".stripMargin,
+
+    // identical exact centi-long group moments and snapped s²/n terms
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+        |      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS qg
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT ng, sg, qg,
+        |    CAST(ROUND(CAST(sg AS DOUBLE) * sg / ng) AS BIGINT) AS t_u
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(ng) AS n, SUM(sg) AS s,
+        |    SUM(qg) AS q, SUM(t_u) AS tb
+        |  FROM t),
+        |f AS (
+        |  SELECT k, n,
+        |    tb - CAST(ROUND(CAST(s AS DOUBLE) * s / n) AS BIGINT) AS ssb,
+        |    q - tb AS ssw
+        |  FROM a)
+        |SELECT k AS k_groups, CAST(n AS BIGINT) AS n,
+        |  k - 1 AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  ROUND((CAST(ssb AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw AS DOUBLE) / (n - k)), 4) AS f_stat,
+        |  ROUND(CAST(ssb AS DOUBLE) / (ssb + ssw), 6) AS eta_sq
+        |FROM f""".stripMargin,
+
+    // identical bucket grid, prefix splits, 1e9-snapped entropy terms
+    "q_info_gain" ->
+      """WITH b AS (
+        |  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pb
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT b, nb, pb,
+        |    CAST(SUM(nb) OVER w AS BIGINT) AS nl,
+        |    CAST(SUM(pb) OVER w AS BIGINT) AS pl
+        |  FROM b
+        |  WINDOW w AS (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT SUM(nb) AS n, SUM(pb) AS p FROM b),
+        |e AS (
+        |  SELECT c.b, nl, pl, n, p,
+        |    (CASE WHEN p > 0 THEN CAST(ROUND(-(p * 1.0 / n)
+        |       * ln(p * 1.0 / n) * 1e9) AS BIGINT) ELSE 0 END
+        |     + CASE WHEN n - p > 0 THEN CAST(ROUND(-((n - p) * 1.0 / n)
+        |       * ln((n - p) * 1.0 / n) * 1e9) AS BIGINT) ELSE 0 END)
+        |      AS h_root,
+        |    (CASE WHEN pl > 0 THEN CAST(ROUND(-(pl * 1.0 / nl)
+        |       * ln(pl * 1.0 / nl) * 1e9) AS BIGINT) ELSE 0 END
+        |     + CASE WHEN nl - pl > 0 THEN CAST(ROUND(-((nl - pl) * 1.0 / nl)
+        |       * ln((nl - pl) * 1.0 / nl) * 1e9) AS BIGINT) ELSE 0 END)
+        |      AS h_l,
+        |    (CASE WHEN p - pl > 0 THEN CAST(ROUND(-((p - pl) * 1.0 / (n - nl))
+        |       * ln((p - pl) * 1.0 / (n - nl)) * 1e9) AS BIGINT) ELSE 0 END
+        |     + CASE WHEN (n - nl) - (p - pl) > 0
+        |       THEN CAST(ROUND(-(((n - nl) - (p - pl)) * 1.0 / (n - nl))
+        |       * ln(((n - nl) - (p - pl)) * 1.0 / (n - nl)) * 1e9) AS BIGINT)
+        |       ELSE 0 END) AS h_r
+        |  FROM c CROSS JOIN tot
+        |  WHERE nl < n),
+        |ig AS (
+        |  SELECT (b + 1) * 10 AS threshold, nl, pl,
+        |    h_root
+        |      - CAST(ROUND(nl * 1.0 / n * h_l) AS BIGINT)
+        |      - CAST(ROUND((n - nl) * 1.0 / n * h_r) AS BIGINT) AS ig_u
+        |  FROM e)
+        |SELECT threshold, nl AS n_left, pl AS pos_left,
+        |  ROUND(ig_u / 1e9, 6) AS info_gain,
+        |  ig_u = MAX(ig_u) OVER () AS is_best
+        |FROM ig ORDER BY threshold""".stripMargin
   )
 }
