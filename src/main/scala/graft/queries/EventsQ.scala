@@ -17,7 +17,8 @@ import graft.tables.Tables
   */
 object EventsQ {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
     "q_win_tumbling" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
