@@ -1552,8 +1552,11 @@ object EventsQ {
     // calibration/monotone-trend fit, expressed as pure relational
     // algebra instead of the sequential pool-adjacent-violators loop:
     // every segment mean is an exact-long prefix-sum difference over
-    // ONE IEEE division, and the min/max lattice runs on the bounded
-    // n³ ≤ 3·10⁴ day-grid — the corpus-sized work is one partial agg.
+    // ONE IEEE division. The lattice is O(n²) in the day count, not
+    // n³: a suffix-min window per start k gives m(k,i)=min_{j≥i}avg,
+    // and ŷᵢ = max_{k≤i} m(k,i) is one groupBy over the n² segment
+    // rows — a 10-year daily series is 3650² ≈ 1.3·10⁷ rows, fine;
+    // the corpus-sized work remains the single daily partial agg.
     "q_isotonic_fit" -> ((s, d) => {
       val wd = org.apache.spark.sql.expressions.Window.orderBy("d")
       val wp = wd.rowsBetween(
@@ -1575,11 +1578,16 @@ object EventsQ {
         .select(col("k"), col("j"),
           ((col("pj") - col("pk1")).cast("double")
             / (col("j") - col("k") + 1)).as("avg_u"))
-      val inner = segs
-        .join(daily.select(col("i"), col("d"), col("mmu")),
-          col("k") <= col("i") && col("j") >= col("i"))
-        .groupBy("i", "d", "mmu", "k").agg(min("avg_u").as("mn"))
-      inner.groupBy("i", "d", "mmu").agg(max("mn").as("yhat_u"))
+      // suffix min over j within each start k: at row (k, j),
+      // mn = min_{j'≥j} avg_u(k, j'); the row with j = i is m(k, i)
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("j").desc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      segs.withColumn("mn", min("avg_u").over(wk))
+        // every (k ≤ i) contributes its m(k, i) row at j = i
+        .groupBy(col("j").as("i")).agg(max("mn").as("yhat_u"))
+        .join(daily.select(col("i"), col("d"), col("mmu")), "i")
         .select(col("d"), round(col("mmu") / 1e6, 4).as("mean_v"),
           round(col("yhat_u") / 1e6, 4).as("iso_fit"))
         .orderBy("d")
