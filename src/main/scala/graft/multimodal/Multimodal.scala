@@ -380,20 +380,26 @@ object Multimodal {
   private[graft] def phash64(img: java.awt.image.BufferedImage): Long = {
     val N = 32
     val px = Array.ofDim[Double](N, N)
-    val sx = img.getWidth / N; val sy = img.getHeight / N
+    // per-cell pool bounds ⌊k·dim/N⌋..⌊(k+1)·dim/N⌋, widened to ≥1 px:
+    // identical to the fixed-stride pool when dim is a multiple of N
+    // (all current fixtures are 64×64) and safe for arbitrary sizes —
+    // a < 32 px dimension used to yield stride 0 and divide-by-zero
+    val iw = img.getWidth; val ih = img.getHeight
     var y = 0
     while (y < N) {
+      val y0 = y * ih / N; val y1 = math.max(y0 + 1, (y + 1) * ih / N)
       var x = 0
       while (x < N) {
-        var s = 0L; var dy = 0
-        while (dy < sy) {
-          var dx = 0
-          while (dx < sx) {
-            s += img.getRGB(x * sx + dx, y * sy + dy) & 0xff; dx += 1
+        val x0 = x * iw / N; val x1 = math.max(x0 + 1, (x + 1) * iw / N)
+        var s = 0L; var dy = y0
+        while (dy < y1) {
+          var dx = x0
+          while (dx < x1) {
+            s += img.getRGB(dx, dy) & 0xff; dx += 1
           }
           dy += 1
         }
-        px(y)(x) = s.toDouble / (sx * sy); x += 1
+        px(y)(x) = s.toDouble / ((x1 - x0).toLong * (y1 - y0)); x += 1
       }
       y += 1
     }

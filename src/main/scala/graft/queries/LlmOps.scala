@@ -112,12 +112,17 @@ object LlmOps {
       // only docs that appear in a candidate pair need weights — the
       // semi-join cuts the weight table from corpus-grain to the
       // candidate population BEFORE it materializes (solo cost 14s →
-      // the rerank joins alone when restricted)
+      // the rerank joins alone when restricted). No broadcast hints:
+      // pairDocs (candidate-pair doc population) and dfT (the whole
+      // vocabulary) both grow with the corpus, so a forced broadcast
+      // blows the driver at scale — AQE promotes either side to
+      // broadcast at runtime whenever it measures small. nd is a
+      // 1-row literal, the one crossJoin broadcast that is always safe.
       val pairDocs = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
-      val w = tf.join(broadcast(pairDocs), "doc_id")
-        .join(broadcast(dfT), "term").crossJoin(broadcast(nd))
+      val w = tf.join(pairDocs, Seq("doc_id"), "left_semi")
+        .join(dfT, "term").crossJoin(broadcast(nd))
         .withColumn("w_m",
           round(col("tf_raw") * log(col("nd") / col("df")) * 1e3).cast("long"))
         .select("doc_id", "term", "w_m")

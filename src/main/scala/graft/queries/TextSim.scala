@@ -238,6 +238,13 @@ object TextSim {
     // degree can weight the term; every midpoint has deg ≥ 2, so
     // ln(deg) > 0); per-wedge terms µ-snap to the 1e9 grid before the
     // per-pair sum, making the top-20 ranking deterministic.
+    // Scale bound: a raw sym ⋈ sym wedge join materializes Σ_w deg(w)²
+    // rows — unbounded under hub skew (one m-doc boilerplate
+    // near-clique yields m² wedges per member). Each node's traversal
+    // list is therefore capped to its 64 smallest neighbor ids
+    // (deterministic, the oracle applies the identical cap), bounding
+    // join volume at Σ_w deg(w)·64 — linear in the edge count. The
+    // 1/ln weights still use TRUE degrees; only enumeration is capped.
     "q_adamic_adar" -> ((s, d) => {
       Registry.ensure(s)
       val e = graft.operators.EdgeGraph.pairs(s, d, "token", 0.95)
@@ -245,8 +252,12 @@ object TextSim {
       val sym = e.union(e.select(col("b_id"), col("a_id")))
         .toDF("src", "dst")
       val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      val wedges = sym.select(col("src").as("u"), col("dst").as("w"))
-        .join(sym.select(col("src").as("w"), col("dst").as("v")), "w")
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")
+      val adj = sym.withColumn("rn", row_number().over(wn))
+        .filter(col("rn") <= 64).drop("rn")
+      val wedges = adj.select(col("src").as("u"), col("dst").as("w"))
+        .join(adj.select(col("src").as("w"), col("dst").as("v")), "w")
         .filter(col("u") < col("v"))
         .join(deg.select(col("id").as("w"), col("deg").as("dw")), "w")
         .withColumn("t_u", round(lit(1e9) / log(col("dw"))).cast("long"))
@@ -278,15 +289,19 @@ object TextSim {
       // the view, and an unmaterialized view re-executes the whole
       // set-sim join per step (measured 42 s for a 79-edge graph at
       // sf0.1 — ~8 re-executions). Materialized: the steps scan an RDD.
-      // coalesce(4): each of the ~4 recursion steps joins the frontier
-      // against this edge list — at 32 partitions the per-step cost is
-      // pure task scheduling on a near-dup graph that is PAIRS-sized
-      // (tiny relative to the corpus by construction); partition count
-      // should track edge volume, not session width (measured: 4.8 s →
-      // ~3 s at sf0.1).
+      // partition count tracks edge volume, not session width: each of
+      // the ~4 recursion steps joins the frontier against this list,
+      // so near-empty tasks are pure scheduling overhead (measured:
+      // 4.8 s → ~3 s at sf0.1 with few partitions) while a fixed small
+      // count would straggle at 100× the edges. One task per ~64k sym
+      // rows, capped at the session's parallelism. The count() is a
+      // cached-scan agg — EdgeGraph.pairs is session-memoized.
+      val nSym = edges.count() * 2
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, nSym / 65536 + 1)).toInt
       edges.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .coalesce(4)
+        .coalesce(parts)
         .localCheckpoint(true)
         .createOrReplaceTempView("graft_dup_edges")
       s.sql("""
@@ -1025,12 +1040,18 @@ object TextSim {
         |        UNION ALL SELECT b_id, a_id FROM e),
         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM sym GROUP BY 1),
+        |adj AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+        |    FROM sym)
+        |  WHERE rn <= 64),
         |wedges AS (
         |  SELECT s1.src AS u, s2.dst AS v,
         |    CAST(COUNT(*) AS BIGINT) AS cn,
         |    CAST(SUM(CAST(ROUND(1e9 / ln(dw.deg)) AS BIGINT)) AS BIGINT)
         |      AS aa_u
-        |  FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+        |  FROM adj s1 JOIN adj s2 ON s1.dst = s2.src
         |  JOIN deg dw ON s1.dst = dw.id
         |  WHERE s1.src < s2.dst GROUP BY 1, 2),
         |cand AS (SELECT u, v, cn, aa_u FROM wedges

@@ -564,7 +564,12 @@ object StreamOps {
       import s.implicits._
       val out = tmp("cms_out")
       val in = stageEventsInput(s, d, 2, "cms_in")
-      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // set-and-restore: leaking this conf into the shared session
+      // would silently re-type timestamps for every key run after it
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = s.conf.getOption(tsKey)
+      s.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try {
       val rows = s.readStream.schema(rawSchema)
         .option("maxFilesPerTrigger", 1).parquet(in)
         .withColumn("item", concat_ws("|", col("event_type"),
@@ -589,6 +594,10 @@ object StreamOps {
       runToParquet(counters, out, tmp("cms_ckpt"))
       s.read.parquet(out).groupBy("r", "bkt").agg(max("c").as("c"))
         .orderBy("r", "bkt")
+      } finally prevTs match {
+        case Some(v) => s.conf.set(tsKey, v)
+        case None    => s.conf.unset(tsKey)
+      }
     }),
 
     // Streaming Markov transitions: per-user LAST-EVENT state

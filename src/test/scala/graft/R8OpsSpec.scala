@@ -154,4 +154,199 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got.count(_.getAs[Boolean]("is_best")) >= 1)
   }
+
+  test("q_kruskal_wallis matches a brute-force average-rank reference") {
+    val got = SparkEntry.queries("q_kruskal_wallis")(spark, sf).collect().head
+    val raw = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = raw.length
+    // average ranks with ties, brute force
+    val sorted = raw.map(_._2).sorted
+    val avgRank = raw.map(_._2).distinct.map { v =>
+      val lo = sorted.indexWhere(_ == v) + 1
+      val hi = sorted.lastIndexWhere(_ == v) + 1
+      v -> (lo + hi) / 2.0
+    }.toMap
+    val groups = raw.groupBy(_._1).values.toArray
+    val h = 12.0 / (n.toDouble * (n + 1)) * groups.map { g =>
+      val rg = g.map(x => avgRank(x._2)).sum
+      rg * rg / g.length
+    }.sum - 3.0 * (n + 1)
+    val t3 = raw.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val c = 1.0 - t3.toDouble / (n.toDouble * n * n - n)
+    assert(got.getAs[Long]("k_groups") === groups.length)
+    assert(got.getAs[Long]("n") === n)
+    assert(math.abs(got.getAs[Double]("h_stat") - h) <= 1e-3,
+      s"H: got ${got.getAs[Double]("h_stat")}, brute-force $h")
+    assert(math.abs(got.getAs[Double]("h_tie_corrected") - h / c) <= 1e-3)
+  }
+
+  test("q_levene_bf matches direct median-deviation computation") {
+    val got = SparkEntry.queries("q_levene_bf")(spark, sf).collect().head
+    val raw = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1e6).toLong))
+    val zs = raw.groupBy(_._1).values.flatMap { g =>
+      val vs = g.map(_._2).sorted
+      val m2 = vs((vs.length - 1) / 2) + vs(vs.length / 2)
+      vs.map(v => math.round(math.abs(2 * v - m2) / 20000.0))
+    }.toArray
+    // one-way F on z across groups, recomputed independently
+    val gz = raw.groupBy(_._1).map { case (_, g) =>
+      val vs = g.map(_._2).sorted
+      val m2 = vs((vs.length - 1) / 2) + vs(vs.length / 2)
+      val z = g.map(x => math.round(math.abs(2 * x._2 - m2) / 20000.0))
+      (z.length.toLong, z.sum, z.map(v => v * v).sum)
+    }.toArray
+    val k = gz.length; val n = gz.map(_._1).sum
+    val tb = gz.map { case (ng, sg, _) =>
+      math.round(sg.toDouble * sg / ng) }.sum
+    val sz = gz.map(_._2).sum; val q = gz.map(_._3).sum
+    val ssb = tb - math.round(sz.toDouble * sz / n)
+    val ssw = q - tb
+    val f = (ssb.toDouble / (k - 1)) / (ssw.toDouble / (n - k))
+    assert(got.getAs[Long]("n") === n)
+    assert(got.getAs[Long]("k_groups") === k.toLong)
+    assert(math.abs(got.getAs[Double]("f_bf") - f) <= 1e-3,
+      s"F_bf: got ${got.getAs[Double]("f_bf")}, direct $f")
+    assert(zs.length === n.toInt)
+  }
+
+  test("q_kcore result is the exact 8-core of the tau=0.8 token graph") {
+    val got = SparkEntry.queries("q_kcore")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("deg_core")).toMap
+    val edges = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // peel to FIXPOINT in Scala (not 6 rounds): equality proves the
+    // 6-round unroll converged on this graph
+    var e = edges.toSet
+    var stable = false
+    while (!stable) {
+      val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).map { case (k2, v) => k2 -> v.size }
+      val keep = deg.filter(_._2 >= 8).keySet
+      val e2 = e.filter(p => keep(p._1) && keep(p._2))
+      stable = e2 == e
+      e = e2
+    }
+    val refDeg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    assert(got === refDeg,
+      s"kcore mismatch: got ${got.size} nodes, fixpoint ${refDeg.size}")
+    // every member really has core degree >= 8
+    got.values.foreach(dv => assert(dv >= 8L))
+  }
+
+  test("q_tclose matches brute-force ordered EMD per QI group") {
+    val got = SparkEntry.queries("q_tclose")(spark, sf).collect()
+    val j = graft.tables.Tables.orders(spark, sf)
+      .join(graft.tables.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.tables.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment", "o_orderpriority").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
+    val prios = j.map(_._2).distinct.sorted
+    val nn = j.length.toLong
+    val glob = prios.map(p => j.count(_._2 == p).toLong)
+    val ref = j.groupBy(_._1).map { case (g, rows) =>
+      val ng = rows.length.toLong
+      val ps = prios.map(p => rows.count(_._2 == p).toLong)
+      var cum = 0L; var s = 0L
+      for (i <- prios.indices) {
+        cum += ps(i) * nn - glob(i) * ng
+        s += math.abs(cum)
+      }
+      g -> s.toDouble / (ng * nn * (prios.length - 1))
+    }
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(math.abs(r.getAs[Double]("t_emd") - ref(key)) <= 1e-5,
+        s"group $key: got ${r.getAs[Double]("t_emd")}, ref ${ref(key)}")
+    }
+  }
+
+  test("q_ar1_fit matches a fold over the daily milli-mean series") {
+    val got = SparkEntry.queries("q_ar1_fit")(spark, sf).collect()
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e3).toLong))
+    val series = daily.groupBy(_._1._1).map { case (t, rows) =>
+      t -> rows.groupBy(_._1._2).toArray.sortBy(_._1)
+        .map { case (_, vs) => vs.map(_._2).sum / vs.length }
+    }
+    got.foreach { r =>
+      val ys = series(r.getString(0))
+      val pairs = ys.sliding(2).map(a => (a(0), a(1))).toArray
+      val np = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val phi = (np * sxy - sx * sy).toDouble / (np * sxx - sx * sx)
+      assert(r.getAs[Long]("n_pairs") === np)
+      assert(math.abs(r.getAs[Double]("phi") - phi) <= 1e-5,
+        s"${r.getString(0)}: phi got ${r.getAs[Double]("phi")}, ref $phi")
+      // AR(1) on a stationary-ish series: |phi| < 1
+      assert(math.abs(r.getAs[Double]("phi")) < 1.0)
+    }
+  }
+
+  test("q_tukey_hsd is consistent with q_anova's pooled variance") {
+    val hsd = SparkEntry.queries("q_tukey_hsd")(spark, sf).collect()
+    val k = 5
+    assert(hsd.length === k * (k - 1) / 2)
+    hsd.foreach { r =>
+      assert(r.getAs[Double]("se") > 0.0)
+      val qExpected =
+        math.abs(r.getAs[Double]("mean_diff")) / r.getAs[Double]("se")
+      // q_stat was computed pre-rounding; compare loosely
+      assert(math.abs(r.getAs[Double]("q_stat") - qExpected)
+        <= 0.01 * math.max(1.0, qExpected),
+        s"${r.getString(0)}/${r.getString(1)}: q ${r.getAs[Double]("q_stat")} vs $qExpected")
+    }
+  }
+
+  test("q_mcnemar and q_partial_corr invariants") {
+    val mc = SparkEntry.queries("q_mcnemar")(spark, sf).collect()
+    assert(mc.length === 5)
+    mc.foreach { r =>
+      assert(r.getAs[Long]("b_ct") + r.getAs[Long]("c_ct")
+        <= r.getAs[Long]("n"))
+      assert(r.getAs[Double]("mcnemar_chi2") >= 0.0)
+    }
+    val pc = SparkEntry.queries("q_partial_corr")(spark, sf).collect()
+    assert(pc.length === 5)
+    pc.foreach { r =>
+      Seq("r_xy", "r_xz", "r_yz", "r_xy_z").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c=$v out of range")
+      }
+    }
+  }
+
+  test("q_readability recomputes per-doc on a sample") {
+    val got = SparkEntry.queries("q_readability")(spark, sf).collect()
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.length === docs.map(_._1).distinct.length)
+    val bySource = docs.groupBy(_._1)
+    got.foreach { r =>
+      val rows = bySource(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === rows.length.toLong)
+      val fl = rows.map { case (_, t) =>
+        val words = t.split(" ").length.toLong
+        val syll = "[aeiouy]+".r.findAllIn(t).length.toLong
+        math.round((206.835 - 1.015 * words
+          - 84.6 * (syll.toDouble / words)) * 1e6)
+      }
+      assert(math.abs(r.getAs[Double]("avg_flesch")
+        - fl.sum / 1e6 / rows.length) <= 1e-3)
+    }
+  }
 }
