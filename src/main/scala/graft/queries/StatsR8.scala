@@ -362,6 +362,332 @@ object StatsR8 {
               / (col("b_ct") + col("c_ct")), 4)).otherwise(0.0)
             .as("mcnemar_chi2"))
         .orderBy("event_type"))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // Jarque–Bera normality test per event type from raw deci-grid
+    // power sums (deci, not centi: Σv⁴ of a centi grid overflows a
+    // long at 1e5 rows; v_d ≤ 2e3 keeps Σv⁴ ≤ 3e17). Central moments
+    // come from the power sums algebraically — one partial agg, all
+    // IEEE math on per-group scalars.
+    "q_jarque_bera" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 10).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          sum(col("v") * col("v") * col("v")).as("s3"),
+          sum(col("v") * col("v") * col("v") * col("v")).as("s4"))
+      g.withColumn("m", col("s1").cast("double") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("m") * col("m"))
+        .withColumn("m3", col("s3") / col("n")
+          - lit(3.0) * col("m") * col("s2") / col("n")
+          + lit(2.0) * col("m") * col("m") * col("m"))
+        .withColumn("m4", col("s4") / col("n")
+          - lit(4.0) * col("m") * col("s3") / col("n")
+          + lit(6.0) * col("m") * col("m") * col("s2") / col("n")
+          - lit(3.0) * col("m") * col("m") * col("m") * col("m"))
+        .withColumn("skew", col("m3") / pow(col("m2"), 1.5))
+        .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+        .select(col("event_type"), col("n"),
+          round(col("skew"), 4).as("skew"),
+          round(col("kurt"), 4).as("kurtosis"),
+          round(col("n") / 6.0 * (col("skew") * col("skew")
+            + pow(col("kurt") - 3.0, 2) / 4.0), 4).as("jb_stat"))
+        .orderBy("event_type")
+    }),
+
+    // Wald–Wolfowitz runs test per event type: is the above/below-
+    // median sign sequence (in event-time order) random? Median on
+    // the doubled-µ grid (q_levene_bf's), exact ties DROPPED (the
+    // textbook convention), runs counted with one lag window, and
+    // the z-score assembled from exact n₁/n₂/R longs.
+    "q_runs_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          floor(col("value") * 1e6).cast("long").as("v_u"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("v_u"), col("event_id"))
+      val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("ng"))
+      val p1 = ((col("ng") + 1) / 2).cast("long")
+      val p2 = ((col("ng") + 2) / 2).cast("long")
+      val med = ev.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnt), "event_type")
+        .filter(col("rn") === p1 || col("rn") === p2)
+        .groupBy("event_type")
+        .agg(sum(col("v_u") * when(p1 === p2 && col("rn") === p1, 2L)
+          .otherwise(1L)).as("med2"))
+      val signed = ev.join(broadcast(med), "event_type")
+        .filter(lit(2L) * col("v_u") =!= col("med2"))
+        .withColumn("sgn",
+          when(lit(2L) * col("v_u") > col("med2"), 1L).otherwise(0L))
+      val wt = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+      signed
+        .withColumn("chg", when(lag("sgn", 1).over(wt).isNull
+          || lag("sgn", 1).over(wt) =!= col("sgn"), 1L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(sum("sgn").as("n1"),
+          sum(lit(1L) - col("sgn")).as("n2"),
+          sum("chg").as("runs"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("mu",
+          lit(2.0) * col("n1") * col("n2") / col("n") + 1.0)
+        .withColumn("sg2", lit(2.0) * col("n1") * col("n2")
+          * (lit(2.0) * col("n1") * col("n2") - col("n"))
+          / (col("n").cast("double") * col("n") * (col("n") - 1)))
+        .select(col("event_type"), col("n1"), col("n2"), col("runs"),
+          round((col("runs") - col("mu")) / sqrt(col("sg2")), 4).as("z"))
+        .orderBy("event_type")
+    }),
+
+    // Grubbs outlier statistic per event type: G = max deviation from
+    // the mean in sample-sd units, plus the extreme value itself
+    // (max side wins deviation ties — deterministic). Exact centi
+    // moments + min/max from ONE partial agg.
+    "q_grubbs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+          sum(col("v") * col("v")).as("s2"),
+          min("v").as("vmin"), max("v").as("vmax"))
+        .withColumn("m", col("s1").cast("double") / col("n"))
+        .withColumn("sd", sqrt((col("s2") - col("s1").cast("double")
+          * col("s1") / col("n")) / (col("n") - 1)))
+        .withColumn("dmax", col("vmax") - col("m"))
+        .withColumn("dmin", col("m") - col("vmin"))
+        .select(col("event_type"), col("n"),
+          round(greatest(col("dmax"), col("dmin")) / col("sd"), 4)
+            .as("g_stat"),
+          round(when(col("dmax") >= col("dmin"), col("vmax"))
+            .otherwise(col("vmin")) / 100.0, 4).as("extreme_v"))
+        .orderBy("event_type")),
+
+    // Hurst exponent per event type via the classic rescaled-range:
+    // H = ln(R/S)/ln(n) over the daily milli-mean series, R = range
+    // of mean-adjusted cumulative deviations (ordered prefix window —
+    // deterministic IEEE), S = population sd. The corpus collapses to
+    // the bounded day grid first; everything after is window math.
+    "q_hurst" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
+          count(lit(1)).as("cnt"))
+        .withColumn("y", expr("s_m div cnt"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("mean", col("sy").cast("double") / col("n"))
+        .withColumn("sd", sqrt(col("syy").cast("double") / col("n")
+          - col("mean") * col("mean")))
+      val wp = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("i", row_number().over(
+          Window.partitionBy("event_type").orderBy("d")))
+        .withColumn("pre", sum("y").over(wp))
+        .join(broadcast(stats), "event_type")
+        .withColumn("dev", col("pre") - col("i") * col("mean"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"),
+          (max("dev") - min("dev")).as("r"), max("sd").as("s"))
+        .select(col("event_type"), col("n_days"),
+          round(col("r") / col("s") / 1.0, 4).as("rs"),
+          round(log(col("r") / col("s")) / log(col("n_days")), 4)
+            .as("hurst"))
+        .orderBy("event_type")
+    }),
+
+    // Seasonal-naive forecast audit per event type: MASE of the
+    // lag-7 forecast scaled by the lag-1 naive error over the common
+    // valid range (day ≥ 8) — the "is weekly seasonality real" gate
+    // before anything fancier. Exact milli daily means; the error
+    // sums are exact longs.
+    "q_mase_seasonal" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
+          count(lit(1)).as("cnt"))
+        .withColumn("y", expr("s_m div cnt"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      daily
+        .withColumn("l1", lag("y", 1).over(w))
+        .withColumn("l7", lag("y", 7).over(w))
+        .filter(col("l7").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(abs(col("y") - col("l7"))).as("e7"),
+          sum(abs(col("y") - col("l1"))).as("e1"))
+        .select(col("event_type"), col("n_terms"),
+          round(col("e7") / 1e3 / col("n_terms"), 4).as("mae_seasonal"),
+          round(col("e1") / 1e3 / col("n_terms"), 4).as("mae_naive"),
+          round(col("e7").cast("double") / col("e1"), 4).as("mase"))
+        .orderBy("event_type")
+    }),
+
+    // PACF at lags 1–3 of the global daily milli-mean series via
+    // Durbin–Levinson on per-lag Pearson autocorrelations (q_acf's
+    // convention, but assembled from EXACT long cross-moments instead
+    // of engine corr()). The lag pairs come from a self-join on the
+    // bounded day grid; one corpus partial agg feeds everything.
+    "q_pacf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
+          count(lit(1)).as("cnt"))
+        .withColumn("y", expr("s_m div cnt"))
+        .withColumn("i", row_number().over(Window.orderBy("d")))
+        .localCheckpoint(eager = true) // bounded day grid, 2 legs
+      def rAt(k: Int): Column = {
+        // Pearson r of (y_i, y_{i+k}) — scalar subquery per lag over
+        // the bounded grid; exact long moments
+        val p = daily.select(col("i"), col("y").as("x"))
+          .join(daily.select((col("i") - k).as("i"), col("y")), "i")
+        val m = p.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy")).collect().head
+        val (n, sx, sy, sxy, sxx, syy) = (m.getLong(0), m.getLong(1),
+          m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5))
+        lit((n * sxy - sx * sy).toDouble
+          / math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy)))
+      }
+      // bounded driver-side scalars (3 lag moments over the day grid —
+      // the markovFixpoint convention), then Durbin–Levinson algebra
+      val out = s.range(0, 1)
+        .select(rAt(1).as("r1"), rAt(2).as("r2"), rAt(3).as("r3"))
+        .withColumn("p1", col("r1"))
+        .withColumn("p2", (col("r2") - col("r1") * col("r1"))
+          / (lit(1.0) - col("r1") * col("r1")))
+        // DL step 3: phi33 via the order-2 AR coefficients
+        .withColumn("a21", col("r1") * (lit(1.0) - col("p2")))
+        .withColumn("p3", (col("r3") - col("a21") * col("r2")
+          - col("p2") * col("r1"))
+          / (lit(1.0) - col("a21") * col("r1") - col("p2") * col("r2")))
+      out.select(expr(
+        "stack(3, 1, round(r1, 4), round(p1, 4)," +
+          " 2, round(r2, 4), round(p2, 4)," +
+          " 3, round(r3, 4), round(p3, 4))" +
+          " AS (lag_n, acf, pacf)"))
+        .select(col("lag_n").cast("long").as("lag_n"), col("acf"),
+          col("pacf"))
+        .orderBy("lag_n")
+    }),
+
+    // Yule's K vocabulary-richness per language: K = 10⁴·(Σm²V(m) −
+    // N)/N² over the term-frequency spectrum — the repetitiveness
+    // constant that TTR can't give (K is length-invariant). Two
+    // partial aggs (term counts → spectrum), all exact longs.
+    "q_yule_k" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("m"))
+      tf.groupBy("lang", "m").agg(count(lit(1)).as("vm"))
+        .groupBy("lang")
+        .agg(sum(col("m") * col("vm")).as("n_tok"),
+          sum(col("m") * col("m") * col("vm")).as("s2"),
+          sum("vm").as("vocab"))
+        .select(col("lang"), col("n_tok"), col("vocab"),
+          round(lit(1e4) * (col("s2") - col("n_tok")).cast("double")
+            / (col("n_tok").cast("double") * col("n_tok")), 4)
+            .as("yule_k"))
+        .orderBy("lang")
+    }),
+
+    // Degree assortativity of the τ=0.8 token graph: Pearson r of
+    // (deg u, deg v) over the directed edge list — do similar docs
+    // cluster with similarly-connected docs? Positive r on boiler-
+    // plate graphs (near-cliques are degree-homogeneous). Exact long
+    // moments over edges; degrees from one groupBy.
+    "q_assortativity" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)
+        .select("a_id", "b_id")
+      val sym = e.union(e.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst")
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      sym.join(deg.select(col("id").as("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("dy")), "dst")
+        .agg(count(lit(1)).as("n_dir_edges"), sum("dx").as("sx"),
+          sum("dy").as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n_dir_edges"),
+          round((col("n_dir_edges") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / sqrt((col("n_dir_edges") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+              * (col("n_dir_edges") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("assortativity"))
+    }),
+
+    // Per-node clustering coefficients on the τ=0.95 near-dup graph
+    // via DEGREE-ORDERED wedge orientation — the scalable triangle
+    // shape: orienting every edge low-(deg,id) → high-(deg,id) bounds
+    // total wedge volume at O(m^1.5) regardless of hub skew (each
+    // wedge apex is the triangle's minimum corner, so out-degrees are
+    // ≤ √m-ish), where the naive Σdeg² form blows up on near-clique
+    // boilerplate clusters. Each triangle is found exactly once, then
+    // exploded to its 3 corners for per-node counts.
+    "q_clustering_coeff" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = graft.operators.EdgeGraph.pairs(s, d, "token", 0.95)
+        .select("a_id", "b_id")
+      val sym = e.union(e.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst")
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true) // bounded node table, 3 legs
+      // orientation: u → v iff (deg u, u) < (deg v, v)
+      val o = sym
+        .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+        .filter(col("du") < col("dv")
+          || (col("du") === col("dv") && col("src") < col("dst")))
+        .select(col("src"), col("dst"), col("dv"))
+      val wedges = o.select(col("src").as("u"), col("dst").as("v"),
+          col("dv").as("degv"))
+        .join(o.select(col("src").as("u"), col("dst").as("w"),
+          col("dv").as("degw")), "u")
+        .filter(col("degv") < col("degw")
+          || (col("degv") === col("degw") && col("v") < col("w")))
+      val tris = wedges
+        .join(o.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+      tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("tri"))
+        .join(deg, Seq("id"), "right")
+        .na.fill(0L, Seq("tri"))
+        .select(col("id").as("doc_id"), col("deg"), col("tri"),
+          when(col("deg") >= 2, round(col("tri") * 2.0
+            / (col("deg").cast("double") * (col("deg") - 1)), 6))
+            .otherwise(0.0).as("clustering"))
+        .orderBy("doc_id")
+    }),
+
+    // Binary-hamming ANN probe: sign-binarize the 64-d embeddings
+    // into two 32-bit words (1 bit/dim — the 32× memory-compression
+    // rerank tier), top-20 neighbors of vec 0 by hamming distance.
+    // The packing is one codegen'd aggregate per row; the scan is
+    // bit_count(xor) — the cheapest possible distance at 100 TB.
+    "q_sim_binary_hamming" -> ((s, d) => {
+      val p = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc" +
+          " + IF(element_at(embedding, i + 1) > 0F, shiftleft(1L, i), 0L))")
+          .as("w0"),
+        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> acc" +
+          " + IF(element_at(embedding, i + 1) > 0F," +
+          " shiftleft(1L, i - 32), 0L))").as("w1"))
+      val q = p.filter(col("vec_id") === 0)
+        .select(col("w0").as("qw0"), col("w1").as("qw1"))
+      p.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (bit_count(expr("w0 ^ qw0")) + bit_count(expr("w1 ^ qw1")))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(20)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -654,6 +980,336 @@ object StatsR8 {
         |  CASE WHEN b_ct + c_ct > 0
         |    THEN ROUND(pow(abs(b_ct - c_ct) - 1, 2) / (b_ct + c_ct), 4)
         |    ELSE 0.0 END AS mcnemar_chi2
-        |FROM a ORDER BY event_type""".stripMargin
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // identical deci power sums and central-moment algebra
+    "q_jarque_bera" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v) AS s1, SUM(v * v) AS s2, SUM(v * v * v) AS s3,
+        |    SUM(v * v * v * v) AS s4
+        |  FROM (SELECT event_type, CAST(ROUND(value * 10) AS BIGINT) AS v
+        |        FROM events) GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS m1,
+        |    CAST(s2 AS DOUBLE) / n, CAST(s3 AS DOUBLE) / n,
+        |    CAST(s4 AS DOUBLE) / n,
+        |    CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+        |      * (CAST(s1 AS DOUBLE) / n) AS m2,
+        |    CAST(s3 AS DOUBLE) / n - 3.0 * (CAST(s1 AS DOUBLE) / n)
+        |      * CAST(s2 AS DOUBLE) / n + 2.0 * pow(CAST(s1 AS DOUBLE) / n, 3)
+        |      AS m3,
+        |    CAST(s4 AS DOUBLE) / n - 4.0 * (CAST(s1 AS DOUBLE) / n)
+        |      * CAST(s3 AS DOUBLE) / n + 6.0
+        |      * pow(CAST(s1 AS DOUBLE) / n, 2) * CAST(s2 AS DOUBLE) / n
+        |      - 3.0 * pow(CAST(s1 AS DOUBLE) / n, 4) AS m4
+        |  FROM g),
+        |sk AS (
+        |  SELECT event_type, n, m3 / pow(m2, 1.5) AS skew,
+        |    m4 / (m2 * m2) AS kurt
+        |  FROM m)
+        |SELECT event_type, n, ROUND(skew, 4) AS skew,
+        |  ROUND(kurt, 4) AS kurtosis,
+        |  ROUND(n / 6.0 * (skew * skew + pow(kurt - 3.0, 2) / 4.0), 4)
+        |    AS jb_stat
+        |FROM sk ORDER BY event_type""".stripMargin,
+
+    // identical doubled-µ median, tie drop, lag-window run count
+    "q_runs_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, ts,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS v_u
+        |  FROM events),
+        |rn AS (
+        |  SELECT event_type, v_u,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v_u, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ng
+        |  FROM ev),
+        |med AS (
+        |  SELECT event_type,
+        |    SUM(v_u * CASE WHEN (ng + 1) // 2 = (ng + 2) // 2
+        |      AND rn = (ng + 1) // 2 THEN 2 ELSE 1 END) AS med2
+        |  FROM rn
+        |  WHERE rn = (ng + 1) // 2 OR rn = (ng + 2) // 2
+        |  GROUP BY 1),
+        |sg AS (
+        |  SELECT ev.event_type, ts, event_id,
+        |    CASE WHEN 2 * v_u > med2 THEN 1 ELSE 0 END AS sgn
+        |  FROM ev JOIN med ON ev.event_type = med.event_type
+        |  WHERE 2 * v_u <> med2),
+        |ch AS (
+        |  SELECT event_type, sgn,
+        |    CASE WHEN lag(sgn) OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR lag(sgn) OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id) <> sgn
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM sg),
+        |a AS (
+        |  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+        |    CAST(SUM(chg) AS BIGINT) AS runs
+        |  FROM ch GROUP BY 1),
+        |z AS (
+        |  SELECT event_type, n1, n2, runs, n1 + n2 AS n,
+        |    2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mu,
+        |    2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+        |      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))
+        |      AS sg2
+        |  FROM a)
+        |SELECT event_type, n1, n2, runs,
+        |  ROUND((runs - mu) / sqrt(sg2), 4) AS z
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    // identical centi moments, min/max, deterministic tie side
+    "q_grubbs" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v) AS s1, SUM(v * v) AS s2,
+        |    MIN(v) AS vmin, MAX(v) AS vmax
+        |  FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        |        FROM events) GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS m1,
+        |    sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sd,
+        |    vmin, vmax
+        |  FROM g),
+        |dv AS (
+        |  SELECT event_type, n, sd, vmin, vmax,
+        |    vmax - m1 AS dmax, m1 - vmin AS dmin
+        |  FROM m)
+        |SELECT event_type, n,
+        |  ROUND(greatest(dmax, dmin) / sd, 4) AS g_stat,
+        |  ROUND(CASE WHEN dmax >= dmin THEN vmax ELSE vmin END / 100.0, 4)
+        |    AS extreme_v
+        |FROM dv ORDER BY event_type""".stripMargin,
+
+    // identical milli day grid, prefix deviations, R/S assembly
+    "q_hurst" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean,
+        |    sqrt(CAST(SUM(y * y) AS DOUBLE) / COUNT(*)
+        |      - pow(CAST(SUM(y) AS DOUBLE) / COUNT(*), 2)) AS sd
+        |  FROM daily GROUP BY 1),
+        |pre AS (
+        |  SELECT daily.event_type,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(SUM(y) OVER (PARTITION BY daily.event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pre,
+        |    st.n, st.mean, st.sd
+        |  FROM daily JOIN st ON daily.event_type = st.event_type
+        |  WINDOW w AS (PARTITION BY daily.event_type ORDER BY d)),
+        |dev AS (
+        |  SELECT event_type, MAX(n) AS n_days,
+        |    MAX(pre - i * mean) - MIN(pre - i * mean) AS r,
+        |    MAX(sd) AS s
+        |  FROM pre GROUP BY 1)
+        |SELECT event_type, n_days, ROUND(r / s / 1.0, 4) AS rs,
+        |  ROUND(ln(r / s) / ln(n_days), 4) AS hurst
+        |FROM dev ORDER BY event_type""".stripMargin,
+
+    // identical milli means and exact lag-error sums
+    "q_mase_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, y,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS l1,
+        |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY d) AS l7
+        |  FROM daily)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  ROUND(SUM(abs(y - l7)) / 1e3 / COUNT(*), 4) AS mae_seasonal,
+        |  ROUND(SUM(abs(y - l1)) / 1e3 / COUNT(*), 4) AS mae_naive,
+        |  ROUND(CAST(SUM(abs(y - l7)) AS DOUBLE) / SUM(abs(y - l1)), 4)
+        |    AS mase
+        |FROM lg WHERE l7 IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // identical exact lag moments and Durbin–Levinson recursion
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT row_number() OVER (ORDER BY d) AS i, y FROM daily),
+        |r1m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(a.y) AS sx,
+        |    SUM(b.y) AS sy, SUM(a.y * b.y) AS sxy,
+        |    SUM(a.y * a.y) AS sxx, SUM(b.y * b.y) AS syy
+        |  FROM idx a JOIN idx b ON b.i = a.i + 1),
+        |r2m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(a.y) AS sx,
+        |    SUM(b.y) AS sy, SUM(a.y * b.y) AS sxy,
+        |    SUM(a.y * a.y) AS sxx, SUM(b.y * b.y) AS syy
+        |  FROM idx a JOIN idx b ON b.i = a.i + 2),
+        |r3m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(a.y) AS sx,
+        |    SUM(b.y) AS sy, SUM(a.y * b.y) AS sxy,
+        |    SUM(a.y * a.y) AS sxx, SUM(b.y * b.y) AS syy
+        |  FROM idx a JOIN idx b ON b.i = a.i + 3),
+        |rs AS (
+        |  SELECT
+        |    CAST(r1m.n * r1m.sxy - r1m.sx * r1m.sy AS DOUBLE)
+        |      / sqrt(CAST(r1m.n * r1m.sxx - r1m.sx * r1m.sx AS DOUBLE)
+        |        * CAST(r1m.n * r1m.syy - r1m.sy * r1m.sy AS DOUBLE)) AS r1,
+        |    CAST(r2m.n * r2m.sxy - r2m.sx * r2m.sy AS DOUBLE)
+        |      / sqrt(CAST(r2m.n * r2m.sxx - r2m.sx * r2m.sx AS DOUBLE)
+        |        * CAST(r2m.n * r2m.syy - r2m.sy * r2m.sy AS DOUBLE)) AS r2,
+        |    CAST(r3m.n * r3m.sxy - r3m.sx * r3m.sy AS DOUBLE)
+        |      / sqrt(CAST(r3m.n * r3m.sxx - r3m.sx * r3m.sx AS DOUBLE)
+        |        * CAST(r3m.n * r3m.syy - r3m.sy * r3m.sy AS DOUBLE)) AS r3
+        |  FROM r1m CROSS JOIN r2m CROSS JOIN r3m),
+        |dl AS (
+        |  SELECT r1, r2, r3, r1 AS p1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2,
+        |    r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1)) AS a21
+        |  FROM rs),
+        |dl3 AS (
+        |  SELECT r1, r2, r3, p1, p2,
+        |    (r3 - a21 * r2 - p2 * r1) / (1.0 - a21 * r1 - p2 * r2) AS p3
+        |  FROM dl)
+        |SELECT CAST(1 AS BIGINT) AS lag_n, ROUND(r1, 4) AS acf,
+        |  ROUND(p1, 4) AS pacf FROM dl3
+        |UNION ALL SELECT 2, ROUND(r2, 4), ROUND(p2, 4) FROM dl3
+        |UNION ALL SELECT 3, ROUND(r3, 4), ROUND(p3, 4) FROM dl3
+        |ORDER BY lag_n""".stripMargin,
+
+    // identical term spectrum and exact K assembly
+    "q_yule_k" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (
+        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM tf GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT lang, m, CAST(COUNT(*) AS BIGINT) AS vm
+        |  FROM tc GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(m * vm) AS BIGINT) AS n_tok,
+        |  CAST(SUM(vm) AS BIGINT) AS vocab,
+        |  ROUND(1e4 * CAST(SUM(m * m * vm) - SUM(m * vm) AS DOUBLE)
+        |    / (CAST(SUM(m * vm) AS DOUBLE) * SUM(m * vm)), 4) AS yule_k
+        |FROM sp GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // identical τ=0.8 token graph, degree joins, exact edge moments
+    "q_assortativity" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.8),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+        |        UNION ALL SELECT b_id, a_id FROM e),
+        |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dx.deg) AS sx,
+        |    SUM(dy.deg) AS sy, SUM(dx.deg * dy.deg) AS sxy,
+        |    SUM(dx.deg * dx.deg) AS sxx, SUM(dy.deg * dy.deg) AS syy
+        |  FROM sym
+        |  JOIN deg dx ON sym.src = dx.id
+        |  JOIN deg dy ON sym.dst = dy.id)
+        |SELECT n AS n_dir_edges,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+        |FROM m""".stripMargin,
+
+    // identical τ=0.95 graph, degree-ordered orientation, corner fan-out
+    "q_clustering_coeff" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.95),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM e
+        |        UNION ALL SELECT b_id, a_id FROM e),
+        |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT src, dst, dv.deg AS dv
+        |  FROM sym
+        |  JOIN deg du ON sym.src = du.id
+        |  JOIN deg dv ON sym.dst = dv.id
+        |  WHERE du.deg < dv.deg
+        |    OR (du.deg = dv.deg AND src < dst)),
+        |wedges AS (
+        |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.dst < o2.dst)),
+        |tris AS (
+        |  SELECT u, v, w FROM wedges
+        |  WHERE EXISTS (SELECT 1 FROM o
+        |    WHERE o.src = wedges.v AND o.dst = wedges.w)),
+        |corners AS (
+        |  SELECT u AS id FROM tris
+        |  UNION ALL SELECT v FROM tris
+        |  UNION ALL SELECT w FROM tris),
+        |tc AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS tri
+        |  FROM corners GROUP BY 1)
+        |SELECT deg.id AS doc_id, deg.deg,
+        |  COALESCE(tc.tri, 0) AS tri,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN ROUND(COALESCE(tc.tri, 0) * 2.0
+        |      / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg LEFT JOIN tc ON deg.id = tc.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical sign packing into two 32-bit words + bit_count(xor)
+    "q_sim_binary_hamming" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+        |      AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(generate_series(33, 64),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END))
+        |      AS BIGINT) AS w1
+        |  FROM embeddings),
+        |q AS (SELECT w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1))
+        |    AS BIGINT) AS hamming
+        |FROM p CROSS JOIN q WHERE vec_id > 0
+        |ORDER BY hamming, vec_id LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables
+
+/** Round-8 wave 3 (SURVEY.md §2 B.10b): two-sample and
+  * repeated-measures nonparametrics (Mann–Whitney, Friedman),
+  * inequality (Theil with between/within decomposition is left to
+  * q_gini's family — here the per-group index), weighted medians,
+  * quantile-alignment audits, and the label-centroid cosine matrix.
+  * Same determinism discipline as StatsR8: exact integer aggregates,
+  * IEEE only on bounded per-row scalars.
+  */
+object StatsR8b {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
+
+    // Mann–Whitney U (click vs purchase values): the two-sample
+    // rank test q_abtest_ttest's t can't replace on heavy tails.
+    // Doubled-average-rank grid over the UNION's value blocks (the
+    // kruskal machinery on the pair subset), exact R2/U2 longs, tie-
+    // corrected z. One groupBy + one bounded distinct-value window.
+    "q_mannwhitney" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("value"))
+      val vb = ev.groupBy("value").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(Window.orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("r2", lit(2L) * (col("cum") - col("cnt"))
+          + col("cnt") + 1L)
+      val grp = ev.groupBy("event_type", "value")
+        .agg(count(lit(1)).as("ngv"))
+        .join(vb.select("value", "r2"), "value")
+        .groupBy("event_type")
+        .agg(sum("ngv").as("ng"), sum(col("ngv") * col("r2")).as("rr2"))
+        .localCheckpoint(eager = true) // 2 rows, 2 legs
+      val ties = vb.agg(
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t3"))
+      val a = grp.filter(col("event_type") === "click")
+        .select(col("ng").as("n1"), col("rr2").as("r2a"))
+      val b = grp.filter(col("event_type") === "purchase")
+        .select(col("ng").as("n2"))
+      a.crossJoin(b).crossJoin(broadcast(ties))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("u", col("r2a") / 2.0
+          - col("n1").cast("double") * (col("n1") + 1) / 2.0)
+        .withColumn("mu", col("n1").cast("double") * col("n2") / 2.0)
+        .withColumn("sg2", col("n1").cast("double") * col("n2") / 12.0
+          * ((col("n") + 1) - col("t3").cast("double")
+            / (col("n").cast("double") * (col("n") - 1))))
+        .select(col("n1"), col("n2"), round(col("u"), 2).as("u_stat"),
+          round((col("u") - col("mu")) / sqrt(col("sg2")), 4).as("z"))
+    }),
+
+    // Friedman test: do the event types keep the same value ordering
+    // across days (days = blocks, types = treatments)? Daily µ-means
+    // ranked WITHIN each day (deterministic (mmu, type) tie-break,
+    // identical both engines; stated, not average-rank), χ²_F from
+    // exact rank-sum longs. Only complete blocks (all k types) count.
+    "q_friedman" -> ((s, d) => {
+      val k = 5
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
+          count(lit(1)).as("cnt"))
+        .withColumn("mmu", expr("s_mu div cnt"))
+      val full = daily.groupBy("d").agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === k).select("d")
+      val ranked = daily.join(full, "d")
+        .withColumn("r", row_number().over(Window.partitionBy("d")
+          .orderBy(col("mmu"), col("event_type"))))
+      val rsums = ranked.groupBy("event_type").agg(sum("r").as("rj"))
+      rsums
+        .agg(count(lit(1)).as("k"),
+          sum(col("rj") * col("rj")).as("srj2"), sum("rj").as("srj"))
+        // Σrj = n·k(k+1)/2 exactly, so this division is exact; the
+        // cast makes it a long (Column `/` is double division)
+        .withColumn("n_days",
+          (col("srj") * 2 / (col("k") * (col("k") + 1))).cast("long"))
+        .select(col("k").as("k_treatments"), col("n_days"),
+          round(lit(12.0) * col("srj2")
+            / (col("n_days").cast("double") * col("k") * (col("k") + 1))
+            - lit(3.0) * col("n_days") * (col("k") + 1), 4)
+            .as("friedman_chi2"),
+          (col("k") - 1).as("df"))
+    }),
+
+    // Theil T inequality index per event type over positive values:
+    // T = mean((x/μ)·ln(x/μ)) — the concentration measure that
+    // decomposes (unlike q_gini). Per-row terms snap to the 1e9 grid
+    // against the group's exact centi mean; one partial agg computes
+    // the mean, a second the snapped terms.
+    "q_theil_index" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+        .filter(col("x") > 0)
+      val mu = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .withColumn("mu", col("sx").cast("double") / col("n"))
+      ev.join(broadcast(mu), "event_type")
+        .withColumn("t_u",
+          round(col("x") / col("mu") * log(col("x") / col("mu")) * 1e9)
+            .cast("long"))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), sum("t_u").as("st"))
+        .select(col("event_type"), col("n"),
+          round(col("st") / 1e9 / col("n"), 6).as("theil_t"))
+        .orderBy("event_type")
+    }),
+
+    // Weighted median unit price per return flag (weight = quantity):
+    // the "typical shipped-unit price" a plain median misses. Value
+    // blocks on the exact centi price grid, cumulative exact weights,
+    // median = smallest price with 2·cumw ≥ totw (stated convention).
+    "q_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"),
+          round(col("l_quantity")).cast("long").as("w"))
+      val blocks = li.groupBy("l_returnflag", "pc")
+        .agg(sum("w").as("wb"))
+        .withColumn("cumw", sum("wb").over(
+          Window.partitionBy("l_returnflag").orderBy("pc")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = li.groupBy("l_returnflag").agg(sum("w").as("totw"))
+      blocks.join(broadcast(tot), "l_returnflag")
+        .filter(lit(2L) * col("cumw") >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(max("totw").as("total_weight"), min("pc").as("med_pc"))
+        .select(col("l_returnflag"), col("total_weight"),
+          round(col("med_pc") / 100.0, 2).as("weighted_median_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Quantile-alignment audit: each event type's decile values next
+    // to the global deciles and their shift — the distribution-drift
+    // view a mean comparison hides. Exact order statistics at
+    // idx = (n−1)·q div 10 + 1 (lower order stat, stated), computed
+    // with per-group sort windows on the µ grid.
+    "q_quantile_align" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1e6).cast("long").as("v_u"))
+      val deciles = s.range(1, 10).select(col("id").cast("int").as("q"))
+      def orderStats(df: DataFrame, part: Seq[String]): DataFrame = {
+        val w = if (part.isEmpty) Window.orderBy(col("v_u"), col("event_id"))
+          else Window.partitionBy(part.map(col): _*)
+            .orderBy(col("v_u"), col("event_id"))
+        val cnt = if (part.isEmpty)
+          df.agg(count(lit(1)).as("n")).crossJoin(df)
+        else df.join(df.groupBy(part.map(col): _*)
+          .agg(count(lit(1)).as("n")), part)
+        cnt.withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(deciles))
+          .filter(col("rn") ===
+            ((col("n") - 1) * col("q") / 10).cast("long") + 1)
+      }
+      val g = orderStats(ev, Seq("event_type"))
+        .select(col("event_type"), col("q"), col("v_u").as("vg"))
+      val glob = orderStats(ev.select(lit("ALL").as("k"), col("event_id"),
+          col("v_u")), Seq("k"))
+        .select(col("q"), col("v_u").as("vall"))
+      g.join(broadcast(glob), "q")
+        .select(col("event_type"), col("q").cast("long").as("decile"),
+          round(col("vg") / 1e6, 4).as("v_group"),
+          round(col("vall") / 1e6, 4).as("v_global"),
+          round((col("vg") - col("vall")) / 1e6, 4).as("shift"))
+        .orderBy("event_type", "decile")
+    }),
+
+    // Label-centroid cosine matrix over the embeddings table: which
+    // classes sit close in embedding space (the confusion-risk map).
+    // Per-dim sums snap floats to exact µ longs BEFORE the
+    // distributed add (float sum order never flaps a digit); the
+    // 10×64 centroid grid is bounded, the 45-pair cosine algebra
+    // snaps per-dim products to the µ grid too.
+    "q_centroid_sim" -> ((s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(sum(round(col("v") * 1e6).cast("long")).as("su"),
+          count(lit(1)).as("n"))
+        .withColumn("c", col("su") / (col("n") * 1e6))
+        .localCheckpoint(eager = true) // bounded 10×64 grid, 3 legs
+      val norms = cent.groupBy("label")
+        .agg(sum(round(col("c") * col("c") * 1e6).cast("long")).as("nn"))
+      cent.select(col("label").as("label_a"), col("dim"), col("c").as("ca"))
+        .join(cent.select(col("label").as("label_b"), col("dim"),
+          col("c").as("cb")), "dim")
+        .filter(col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum(round(col("ca") * col("cb") * 1e6).cast("long")).as("dot"))
+        .join(broadcast(norms.select(col("label").as("label_a"),
+          col("nn").as("na"))), "label_a")
+        .join(broadcast(norms.select(col("label").as("label_b"),
+          col("nn").as("nb"))), "label_b")
+        .select(col("label_a"), col("label_b"),
+          round(col("dot") / sqrt(col("na").cast("double") * col("nb")), 6)
+            .as("centroid_cos"))
+        .orderBy("label_a", "label_b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical pair-subset rank grid and tie-corrected z
+    "q_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |vb AS (
+        |  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1),
+        |rk AS (
+        |  SELECT value, cnt,
+        |    2 * (SUM(cnt) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      + cnt + 1 AS r2
+        |  FROM vb),
+        |grp AS (
+        |  SELECT event_type, SUM(ngv) AS ng, SUM(ngv * rk.r2) AS rr2
+        |  FROM (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS ngv
+        |        FROM ev GROUP BY 1, 2) gv
+        |  JOIN rk USING (value) GROUP BY 1),
+        |ties AS (SELECT SUM(cnt * cnt * cnt - cnt) AS t3 FROM vb),
+        |ab AS (
+        |  SELECT
+        |    (SELECT ng FROM grp WHERE event_type = 'click') AS n1,
+        |    (SELECT rr2 FROM grp WHERE event_type = 'click') AS r2a,
+        |    (SELECT ng FROM grp WHERE event_type = 'purchase') AS n2,
+        |    t3
+        |  FROM ties),
+        |u AS (
+        |  SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |    r2a / 2.0 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u,
+        |    CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu,
+        |    CAST(n1 AS DOUBLE) * n2 / 12.0 * ((n1 + n2 + 1)
+        |      - CAST(t3 AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) AS sg2
+        |  FROM ab)
+        |SELECT n1, n2, ROUND(u, 2) AS u_stat,
+        |  ROUND((u - mu) / sqrt(sg2), 4) AS z
+        |FROM u""".stripMargin,
+
+    // identical complete-block ranks with (mmu, type) tie-break
+    "q_friedman" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS mmu
+        |  FROM events GROUP BY 1, 2),
+        |full_d AS (
+        |  SELECT d FROM daily GROUP BY 1 HAVING COUNT(*) = 5),
+        |ranked AS (
+        |  SELECT daily.event_type,
+        |    CAST(row_number() OVER (PARTITION BY daily.d
+        |      ORDER BY mmu, event_type) AS BIGINT) AS r
+        |  FROM daily JOIN full_d ON daily.d = full_d.d),
+        |rs AS (
+        |  SELECT event_type, SUM(r) AS rj FROM ranked GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(rj * rj) AS srj2,
+        |    SUM(rj) AS srj
+        |  FROM rs),
+        |f AS (
+        |  SELECT k, CAST(srj * 2 / (k * (k + 1)) AS BIGINT) AS n_days,
+        |    srj2
+        |  FROM a)
+        |SELECT k AS k_treatments, n_days,
+        |  ROUND(12.0 * srj2 / (CAST(n_days AS DOUBLE) * k * (k + 1))
+        |    - 3.0 * n_days * (k + 1), 4) AS friedman_chi2,
+        |  k - 1 AS df
+        |FROM f""".stripMargin,
+
+    // identical positive-value mean and 1e9-snapped terms
+    "q_theil_index" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE CAST(ROUND(value * 100) AS BIGINT) > 0),
+        |mu AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM ev GROUP BY 1),
+        |t AS (
+        |  SELECT ev.event_type, mu.n,
+        |    CAST(ROUND(x / mu * ln(x / mu) * 1e9) AS BIGINT) AS t_u
+        |  FROM ev JOIN mu ON ev.event_type = mu.event_type)
+        |SELECT event_type, MAX(n) AS n,
+        |  ROUND(SUM(t_u) / 1e9 / MAX(n), 6) AS theil_t
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // identical centi price blocks and 2·cumw ≥ totw convention
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(ROUND(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem),
+        |blocks AS (
+        |  SELECT l_returnflag, pc, SUM(w) AS wb,
+        |    SUM(SUM(w)) OVER (PARTITION BY l_returnflag ORDER BY pc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+        |  FROM li GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_returnflag, SUM(w) AS totw FROM li GROUP BY 1)
+        |SELECT blocks.l_returnflag,
+        |  CAST(MAX(totw) AS BIGINT) AS total_weight,
+        |  ROUND(MIN(pc) / 100.0, 2) AS weighted_median_price
+        |FROM blocks JOIN tot ON blocks.l_returnflag = tot.l_returnflag
+        |WHERE 2 * cumw >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical lower-order-stat deciles on the µ grid
+    "q_quantile_align" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(FLOOR(value * 1000000) AS BIGINT) AS v_u
+        |  FROM events),
+        |qs AS (SELECT unnest(generate_series(1, 9)) AS q),
+        |g AS (
+        |  SELECT event_type, v_u,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v_u, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |gd AS (
+        |  SELECT event_type, q, v_u AS vg
+        |  FROM g JOIN qs ON g.rn = (g.n - 1) * qs.q // 10 + 1),
+        |al AS (
+        |  SELECT v_u,
+        |    row_number() OVER (ORDER BY v_u, event_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM ev),
+        |ad AS (
+        |  SELECT q, v_u AS vall
+        |  FROM al JOIN qs ON al.rn = (al.n - 1) * qs.q // 10 + 1)
+        |SELECT event_type, CAST(gd.q AS BIGINT) AS decile,
+        |  ROUND(vg / 1e6, 4) AS v_group,
+        |  ROUND(vall / 1e6, 4) AS v_global,
+        |  ROUND((vg - vall) / 1e6, 4) AS shift
+        |FROM gd JOIN ad ON gd.q = ad.q
+        |ORDER BY event_type, decile""".stripMargin,
+
+    // identical µ-snapped per-dim sums and pair cosine algebra
+    "q_centroid_sim" ->
+      """WITH cent AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(SUM(CAST(ROUND(embedding[i] * 1e6) AS BIGINT))
+        |      AS BIGINT) AS su,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label, dim, su / (n * 1e6) AS c FROM cent),
+        |norms AS (
+        |  SELECT label,
+        |    CAST(SUM(CAST(ROUND(c * c * 1e6) AS BIGINT)) AS BIGINT) AS nn
+        |  FROM c GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(SUM(CAST(ROUND(a.c * b.c * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS dot
+        |  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  ROUND(dot / sqrt(CAST(na.nn AS DOUBLE) * nb.nn), 6)
+        |    AS centroid_cos
+        |FROM dots
+        |JOIN norms na ON dots.label_a = na.label
+        |JOIN norms nb ON dots.label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin
+  )
+}

@@ -600,6 +600,49 @@ object StreamOps {
       }
     }),
 
+    // Streaming z-score anomaly alarm: per-event-type running
+    // (n, Σv, Σv²) state in EXACT centi longs; each event past the
+    // 30-observation warmup scores against the state BEFORE its own
+    // update (the online-monitoring convention), |z| > 3 alarms.
+    // O(1) state per key; the read-back rolls alarms up per type.
+    // The batch twin is a plain prefix window (ROWS … 1 PRECEDING)
+    // over the same exact longs — the DuckDB oracle IS that twin, so
+    // equality proves the sequential state math carried across rows.
+    "s_stream_zscore" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("zsc_out")
+      val ev = readEventsStream(s, eventsDir(d, "zsc_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("v_c"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long, Long), (String, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[(Long, Long, Long)]) =>
+              var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).flatMap { r =>
+                val o = if (n >= 30) {
+                  val mean = s1.toDouble / n
+                  val sd = math.sqrt(
+                    (s2 - s1.toDouble * s1 / n) / (n - 1))
+                  Some((t, if (math.abs((r._4 - mean) / sd) > 3.0) 1L
+                    else 0L))
+                } else None
+                n += 1; s1 += r._4; s2 += r._4 * r._4
+                o
+              }
+              state.update((n, s1, s2))
+              res.iterator
+          }
+          .toDF("event_type", "alarm")
+      }
+      runToParquet(scored, out, tmp("zsc_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"), sum("alarm").as("n_alarms"))
+        .orderBy("event_type")
+    }),
+
     // Streaming Markov transitions: per-user LAST-EVENT state
     // (flatMapGroupsWithState, O(1) state per key — the minimal
     // stateful-stream shape), each arriving event emits one
@@ -661,6 +704,32 @@ object StreamOps {
     * StreamingSpec's batch-equivalence asserts instead.
     */
   val oracle: Map[String, String] = Map(
+    // the batch twin of the streaming state math: prefix window over
+    // the same exact centi longs, warmup and alarm gates identical
+    "s_stream_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, v,
+        |    COUNT(*) OVER wp AS n,
+        |    SUM(v) OVER wp AS s1,
+        |    SUM(v * v) OVER wp AS s2
+        |  FROM ev
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |sc AS (
+        |  SELECT event_type,
+        |    CASE WHEN abs((v - CAST(s1 AS DOUBLE) / n)
+        |        / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))
+        |        > 3.0
+        |      THEN 1 ELSE 0 END AS alarm
+        |  FROM w WHERE n >= 30)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(alarm) AS BIGINT) AS n_alarms
+        |FROM sc GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "s_stream_ingest" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
         |  CAST(json_extract(props, '$.k') AS INT) AS k,

@@ -329,6 +329,265 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_clustering_coeff matches brute-force per-node triangle counts") {
+    val got = SparkEntry.queries("q_clustering_coeff")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id")
+        -> (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+            r.getAs[Double]("clustering"))).toMap
+    val edges = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.95)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    assert(got.size === adj.size)
+    adj.foreach { case (v, nb) =>
+      val triRef = nb.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      val (deg, tri, coeff) = got(v)
+      assert(deg === nb.size.toLong, s"node $v degree")
+      assert(tri === triRef.toLong,
+        s"node $v: got $tri triangles, brute-force $triRef")
+      if (nb.size >= 2) {
+        val cRef = triRef * 2.0 / (nb.size.toDouble * (nb.size - 1))
+        assert(math.abs(coeff - cRef) <= 1e-4)
+      } else assert(coeff === 0.0)
+    }
+  }
+
+  test("q_sim_binary_hamming matches brute-force sign-pack distances") {
+    val got = SparkEntry.queries("q_sim_binary_hamming")(spark, sf).collect()
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def ham(a: Array[Float], b: Array[Float]): Int =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0))
+    val q = e(0L)
+    val ref = e.toSeq.filter(_._1 > 0)
+      .map { case (id, v) => (ham(q, v), id) }.sorted.take(20)
+    assert(got.length === 20)
+    got.zip(ref).foreach { case (r, (h, id)) =>
+      assert(r.getAs[Long]("vec_id") === id)
+      assert(r.getAs[Long]("hamming") === h.toLong)
+    }
+  }
+
+  test("q_runs_test matches a brute-force run count") {
+    val got = SparkEntry.queries("q_runs_test")(spark, sf).collect()
+    val raw = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), math.floor(r.getDouble(3) * 1e6).toLong))
+    got.foreach { r =>
+      val g = raw.filter(_._1 == r.getString(0))
+      val vs = g.map(_._4).sorted
+      val m2 = vs((vs.length - 1) / 2) + vs(vs.length / 2)
+      val seq = g.sortBy(x => (x._2, x._3))
+        .filter(x => 2 * x._4 != m2).map(x => 2 * x._4 > m2)
+      val runs = 1 + seq.sliding(2).count(w =>
+        w.length == 2 && w(0) != w(1))
+      assert(r.getAs[Long]("n1") === seq.count(identity).toLong)
+      assert(r.getAs[Long]("n2") === seq.count(!_).toLong)
+      assert(r.getAs[Long]("runs") === runs.toLong,
+        s"${r.getString(0)}: runs got ${r.getAs[Long]("runs")}, ref $runs")
+    }
+  }
+
+  test("q_jarque_bera matches pure-Scala central moments") {
+    val got = SparkEntry.queries("q_jarque_bera")(spark, sf).collect()
+    val raw = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 10)))
+    got.foreach { r =>
+      val vs = raw.filter(_._1 == r.getString(0)).map(_._2.toDouble)
+      val n = vs.length
+      val m = vs.sum / n
+      val m2 = vs.map(v => (v - m) * (v - m)).sum / n
+      val m3 = vs.map(v => math.pow(v - m, 3)).sum / n
+      val m4 = vs.map(v => math.pow(v - m, 4)).sum / n
+      val skew = m3 / math.pow(m2, 1.5)
+      val kurt = m4 / (m2 * m2)
+      assert(math.abs(r.getAs[Double]("skew") - skew) <= 1e-3)
+      assert(math.abs(r.getAs[Double]("kurtosis") - kurt) <= 1e-3)
+      val jb = n / 6.0 * (skew * skew + math.pow(kurt - 3.0, 2) / 4.0)
+      assert(math.abs(r.getAs[Double]("jb_stat") - jb)
+        <= 0.01 * math.max(1.0, jb))
+    }
+  }
+
+  test("q_pacf Durbin-Levinson lag-2 identity holds") {
+    val got = SparkEntry.queries("q_pacf")(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag_n")
+        -> (r.getAs[Double]("acf"), r.getAs[Double]("pacf"))).toMap
+    assert(got.size === 3)
+    // lag-1 PACF equals lag-1 ACF by definition
+    assert(got(1L)._1 === got(1L)._2)
+    // lag-2: phi22 = (r2 - r1^2)/(1 - r1^2), recomputed from outputs
+    val r1 = got(1L)._1; val r2 = got(2L)._1
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(math.abs(got(2L)._2 - p2) <= 2e-3,
+      s"phi22: got ${got(2L)._2}, identity $p2")
+    got.values.foreach { case (a, p) =>
+      assert(a >= -1.0 && a <= 1.0 && p >= -1.0 && p <= 1.0)
+    }
+  }
+
+  test("q_hurst and q_mase_seasonal fold references") {
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e3).toLong))
+    val series = daily.groupBy(_._1._1).map { case (t, rows) =>
+      t -> rows.groupBy(_._1._2).toArray.sortBy(_._1)
+        .map { case (_, vs) => vs.map(_._2).sum / vs.length }
+    }
+    SparkEntry.queries("q_hurst")(spark, sf).collect().foreach { r =>
+      val ys = series(r.getString(0)).map(_.toDouble)
+      val n = ys.length
+      val mean = ys.sum / n
+      val sd = math.sqrt(ys.map(y => y * y).sum / n - mean * mean)
+      val devs = ys.scanLeft(0.0)(_ + _).tail
+        .zipWithIndex.map { case (p, i) => p - (i + 1) * mean }
+      val rs = (devs.max - devs.min) / sd
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      assert(math.abs(r.getAs[Double]("hurst")
+        - math.log(rs) / math.log(n)) <= 1e-3,
+        s"${r.getString(0)}: hurst")
+    }
+    SparkEntry.queries("q_mase_seasonal")(spark, sf).collect().foreach { r =>
+      val ys = series(r.getString(0))
+      val terms = (7 until ys.length).map(i =>
+        (math.abs(ys(i) - ys(i - 7)), math.abs(ys(i) - ys(i - 1))))
+      assert(r.getAs[Long]("n_terms") === terms.length.toLong)
+      val mase = terms.map(_._1).sum.toDouble / terms.map(_._2).sum
+      assert(math.abs(r.getAs[Double]("mase") - mase) <= 1e-3)
+    }
+  }
+
+  test("q_mannwhitney matches a brute-force two-sample rank reference") {
+    val got = SparkEntry.queries("q_mannwhitney")(spark, sf).collect().head
+    val raw = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val sorted = raw.map(_._2).sorted
+    val avgRank = raw.map(_._2).distinct.map { v =>
+      val lo = sorted.indexWhere(_ == v) + 1
+      val hi = sorted.lastIndexWhere(_ == v) + 1
+      v -> (lo + hi) / 2.0
+    }.toMap
+    val clicks = raw.filter(_._1 == "click")
+    val n1 = clicks.length; val n2 = raw.length - n1
+    val r1 = clicks.map(x => avgRank(x._2)).sum
+    val u = r1 - n1.toDouble * (n1 + 1) / 2.0
+    assert(got.getAs[Long]("n1") === n1.toLong)
+    assert(got.getAs[Long]("n2") === n2.toLong)
+    assert(math.abs(got.getAs[Double]("u_stat") - u) <= 0.51,
+      s"U: got ${got.getAs[Double]("u_stat")}, brute-force $u")
+  }
+
+  test("q_friedman matches brute-force within-day ranks") {
+    val got = SparkEntry.queries("q_friedman")(spark, sf).collect().head
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e6).toLong))
+      .groupBy(_._1).map { case ((t, dd), vs) =>
+        (dd, t, vs.map(_._2).sum / vs.length) }.toArray
+    val full = daily.groupBy(_._1).filter(_._2.length == 5)
+    val rsum = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    full.values.foreach { rows =>
+      rows.sortBy(r => (r._3, r._2)).zipWithIndex.foreach {
+        case ((_, t, _), i) => rsum(t) += (i + 1).toLong
+      }
+    }
+    val n = full.size; val k = 5
+    val chi = 12.0 * rsum.values.map(r => r * r).sum /
+      (n.toDouble * k * (k + 1)) - 3.0 * n * (k + 1)
+    assert(got.getAs[Long]("n_days") === n.toLong)
+    assert(math.abs(got.getAs[Double]("friedman_chi2") - chi) <= 1e-3,
+      s"chi2: got ${got.getAs[Double]("friedman_chi2")}, ref $chi")
+  }
+
+  test("q_weighted_median and q_quantile_align order-stat references") {
+    val wm = SparkEntry.queries("q_weighted_median")(spark, sf).collect()
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2))))
+    wm.foreach { r =>
+      val g = li.filter(_._1 == r.getString(0)).sortBy(_._2)
+      val tot = g.map(_._3).sum
+      var cum = 0L
+      val med = g.find { x => cum += x._3; 2 * cum >= tot }.get._2
+      assert(r.getAs[Long]("total_weight") === tot)
+      assert(math.abs(r.getAs[Double]("weighted_median_price")
+        - med / 100.0) <= 1e-9,
+        s"${r.getString(0)}: median")
+    }
+    val qa = SparkEntry.queries("q_quantile_align")(spark, sf).collect()
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e6).toLong))
+    val globSorted = ev.sortBy(x => (x._3, x._2)).map(_._3)
+    qa.foreach { r =>
+      val g = ev.filter(_._1 == r.getString(0))
+        .sortBy(x => (x._3, x._2)).map(_._3)
+      val q = r.getAs[Long]("decile").toInt
+      val vg = g(((g.length - 1) * q / 10).toInt)
+      val va = globSorted(((globSorted.length - 1) * q / 10).toInt)
+      assert(math.abs(r.getAs[Double]("v_group") - vg / 1e6) <= 1e-4)
+      assert(math.abs(r.getAs[Double]("v_global") - va / 1e6) <= 1e-4)
+    }
+  }
+
+  test("q_centroid_sim matches pure-Scala label centroids") {
+    val got = SparkEntry.queries("q_centroid_sim")(spark, sf).collect()
+    val e = graft.tables.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val cents = e.groupBy(_._1).map { case (l, vs) =>
+      l -> (0 until 64).map(i =>
+        vs.map(v => math.round(v._2(i) * 1e6)).sum / (vs.length * 1e6))
+        .toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) =>
+        math.round(x * y * 1e6) }.sum
+      val na = a.map(x => math.round(x * x * 1e6)).sum
+      val nb = b.map(x => math.round(x * x * 1e6)).sum
+      dot / math.sqrt(na.toDouble * nb)
+    }
+    assert(got.length === 45)
+    got.foreach { r =>
+      val ref = cos(cents(r.getInt(0)), cents(r.getInt(1)))
+      assert(math.abs(r.getAs[Double]("centroid_cos") - ref) <= 1e-5,
+        s"(${r.getInt(0)},${r.getInt(1)}): got " +
+          s"${r.getAs[Double]("centroid_cos")}, ref $ref")
+    }
+  }
+
+  test("q_theil_index fold reference and range") {
+    val got = SparkEntry.queries("q_theil_index")(spark, sf).collect()
+    val raw = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .filter(_._2 > 0)
+    got.foreach { r =>
+      val xs = raw.filter(_._1 == r.getString(0)).map(_._2.toDouble)
+      val mu = xs.sum / xs.length
+      val t = xs.map(x => x / mu * math.log(x / mu)).sum / xs.length
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("theil_t") - t) <= 1e-4)
+      assert(r.getAs[Double]("theil_t") >= 0.0) // Theil T is nonnegative
+    }
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
