@@ -60,7 +60,8 @@ object Registry {
     "lcs_len" -> ((es: Seq[Expression]) => LcsLen(es(0), es(1))),
     "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
     "deflate_len" -> ((es: Seq[Expression]) => DeflateLen(es(0))),
-    "eth_checksum_address" -> ((es: Seq[Expression]) => ChecksumAddress(es(0))))
+    "eth_checksum_address" -> ((es: Seq[Expression]) => ChecksumAddress(es(0))),
+    "erf_as" -> ((es: Seq[Expression]) => Erf(es(0))))
 
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

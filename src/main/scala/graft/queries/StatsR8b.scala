@@ -203,6 +203,43 @@ object StatsR8b {
           round(col("dot") / sqrt(col("na").cast("double") * col("nb")), 6)
             .as("centroid_cos"))
         .orderBy("label_a", "label_b")
+    }),
+
+    // Multiple-testing correction over per-type proportion tests
+    // against the POOLED rate (H₀: each type's P(value > 100) equals
+    // the corpus-wide one — the non-degenerate null): two-sided
+    // normal p-values through the custom codegen'd `erf_as`
+    // expression (A&S 7.1.26 — the oracle spells the IDENTICAL Horner
+    // chain, see expr/Erf.scala), then Bonferroni and Benjamini–
+    // Hochberg step-up columns. BH runs over the bounded |types| rows.
+    "q_pvalue_adjust" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val wAll = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+      val wr = Window.orderBy(col("p"), col("event_type"))
+      val wmin = Window.orderBy(col("p").desc, col("event_type").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          when(col("value") > 100, 1L).otherwise(0L).as("hit"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("hit").as("k"))
+        .localCheckpoint(eager = true) // bounded |types| rows, 2 legs
+      val tot = g.agg(sum("n").as("nn"), sum("k").as("kk"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("p0", col("kk").cast("double") / col("nn"))
+        .withColumn("z",
+          (col("k").cast("double") / col("n") - col("p0"))
+            / sqrt(col("p0") * (lit(1.0) - col("p0")) / col("n")))
+        .withColumn("p", lit(1.0) - expr("erf_as(abs(z) / sqrt(2.0))"))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("i", row_number().over(wr))
+        .withColumn("p_bh", least(lit(1.0),
+          min(col("p") * col("m") / col("i")).over(wmin)))
+        .select(col("event_type"), col("n"), round(col("z"), 4).as("z"),
+          round(col("p"), 5).as("p_raw"),
+          round(least(lit(1.0), col("p") * col("m")), 5).as("p_bonf"),
+          round(col("p_bh"), 5).as("p_bh"))
+        .orderBy("event_type")
     })
   )
 
@@ -373,6 +410,48 @@ object StatsR8b {
         |FROM dots
         |JOIN norms na ON dots.label_a = na.label
         |JOIN norms nb ON dots.label_b = nb.label
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // the SAME A&S 7.1.26 Horner chain as expr/Erf.scala, op for op
+    "q_pvalue_adjust" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nn, SUM(k) AS kk FROM g),
+        |z AS (
+        |  SELECT event_type, n,
+        |    (CAST(k AS DOUBLE) / n - CAST(kk AS DOUBLE) / nn)
+        |      / sqrt(CAST(kk AS DOUBLE) / nn
+        |        * (1.0 - CAST(kk AS DOUBLE) / nn) / n) AS z
+        |  FROM g CROSS JOIN tot),
+        |e AS (
+        |  SELECT event_type, n, z, abs(z) / sqrt(2.0) AS x
+        |  FROM z),
+        |t AS (
+        |  SELECT event_type, n, z, x,
+        |    1.0 / (1.0 + 0.3275911 * x) AS t
+        |  FROM e),
+        |p AS (
+        |  SELECT event_type, n, z,
+        |    1.0 - (1.0 - ((((1.061405429 * t + -1.453152027) * t
+        |      + 1.421413741) * t + -0.284496736) * t + 0.254829592) * t
+        |      * exp(-x * x)) AS p
+        |  FROM t),
+        |r AS (
+        |  SELECT event_type, n, z, p,
+        |    COUNT(*) OVER () AS m,
+        |    row_number() OVER (ORDER BY p, event_type) AS i
+        |  FROM p),
+        |bh AS (
+        |  SELECT event_type, n, z, p, m,
+        |    least(1.0, MIN(p * m / i) OVER (
+        |      ORDER BY p DESC, event_type DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_bh
+        |  FROM r)
+        |SELECT event_type, n, ROUND(z, 4) AS z, ROUND(p, 5) AS p_raw,
+        |  ROUND(least(1.0, p * m), 5) AS p_bonf, ROUND(p_bh, 5) AS p_bh
+        |FROM bh ORDER BY event_type""".stripMargin
   )
 }

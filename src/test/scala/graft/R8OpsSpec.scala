@@ -588,6 +588,46 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("erf_as matches java.lang.Math-based reference within A&S error bound") {
+    // A&S 7.1.26 promises |eps| <= 1.5e-7 against true erf
+    val cases = Seq(0.0, 0.1, 0.5, 1.0, 1.5, 2.0, 3.0, -0.7, -2.5)
+    cases.foreach { x =>
+      val got = graft.expr.ErfCore.erf(x)
+      // reference: numerically integrate the Gaussian (Simpson, fine grid)
+      val steps = 20000
+      val h = math.abs(x) / steps
+      val integral = (0 until steps).map { i =>
+        val a = i * h; val b = a + h; val m = (a + b) / 2
+        (math.exp(-a * a) + 4 * math.exp(-m * m) + math.exp(-b * b)) * h / 6
+      }.sum * 2 / math.sqrt(math.Pi)
+      val ref = if (x < 0) -integral else integral
+      assert(math.abs(got - ref) <= 2e-7, s"erf($x): got $got, ref $ref")
+    }
+    assert(math.abs(graft.expr.ErfCore.erf(0.0)) <= 2e-7)
+    assert(graft.expr.ErfCore.erf(10.0) === 1.0)
+    // odd symmetry is exact by construction
+    assert(graft.expr.ErfCore.erf(-1.3) === -graft.expr.ErfCore.erf(1.3))
+  }
+
+  test("q_pvalue_adjust BH ordering invariants") {
+    val got = SparkEntry.queries("q_pvalue_adjust")(spark, sf).collect()
+    assert(got.length === 5)
+    got.foreach { r =>
+      val p = r.getAs[Double]("p_raw")
+      val bonf = r.getAs[Double]("p_bonf")
+      val bh = r.getAs[Double]("p_bh")
+      assert(p >= 0.0 && p <= 1.0)
+      // BH is always between raw and Bonferroni
+      assert(bh >= p - 1e-9 && bh <= bonf + 1e-9,
+        s"${r.getString(0)}: p=$p bh=$bh bonf=$bonf")
+    }
+    // BH adjusted values are monotone in raw p
+    val sorted = got.sortBy(_.getAs[Double]("p_raw"))
+    sorted.sliding(2).foreach { w =>
+      assert(w(1).getAs[Double]("p_bh") >= w(0).getAs[Double]("p_bh") - 1e-9)
+    }
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
