@@ -240,6 +240,103 @@ object StatsR8b {
           round(least(lit(1.0), col("p") * col("m")), 5).as("p_bonf"),
           round(col("p_bh"), 5).as("p_bh"))
         .orderBy("event_type")
+    }),
+
+    // Synchronous label propagation (4 rounds) on the τ=0.8 token
+    // graph — the community finder that SPLITS what connected
+    // components would merge. Deterministic: every node adopts its
+    // neighbors' majority label with the (count desc, label asc)
+    // tie-break, all nodes update simultaneously (the oracle unrolls
+    // the same 4 rounds). Each round is one groupBy + one window over
+    // the edge list — linear in edges at any scale; rounds are
+    // checkpointed so round r never re-executes rounds < r.
+    "q_label_prop" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val e = graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)
+        .select("a_id", "b_id")
+      // partition count tracks edge volume (the kcore/cte rule): four
+      // rounds re-scan this list, near-empty tasks are pure overhead
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong,
+        e.count() * 2 / 65536 + 1)).toInt
+      val sym = e.union(e.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").coalesce(parts).localCheckpoint(eager = true)
+      var lbl = sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint(eager = true)
+      val wpick = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to 4) {
+        lbl = sym.join(lbl.select(col("node").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wpick))
+          .filter(col("rn") === 1)
+          .select("node", "lbl")
+          .localCheckpoint(eager = true)
+      }
+      lbl.select(col("node").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+    }),
+
+    // 10%-trimmed mean per event type: exact order-window trim
+    // (drop rn ≤ n div 10 and rn > n − n div 10, stated), exact centi
+    // sum over the kept middle — the robust location estimate between
+    // mean and median. Per-type sort windows only.
+    "q_trimmed_mean" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("v"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .withColumn("cut", (col("n") / 10).cast("long"))
+        .filter(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), sum("v").as("sv"),
+          max("n").as("n"))
+        .select(col("event_type"), col("n"), col("n_kept"),
+          round(col("sv").cast("double") / col("n_kept") / 100.0, 4)
+            .as("trimmed_mean"))
+        .orderBy("event_type")
+    }),
+
+    // Simple-exponential-smoothing one-step forecast per event type,
+    // in CLOSED FORM: ŷ = α·Σ(1−α)^j·y_{n−j} + (1−α)^n·y₁ — the
+    // recursion unrolled into a weighted sum, so it's relational (no
+    // sequential fold). Per-day terms snap to the µ grid before the
+    // distributed sum; weights are deterministic pow of the day index.
+    "q_ses_forecast" -> ((s, d) => {
+      // 0.7 as a LITERAL, not 1.0-0.3: they are different doubles and
+      // pow amplifies the gap; the oracle spells the same literals
+      val alpha = 0.3
+      val beta = 0.7
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
+          count(lit(1)).as("cnt"))
+        .withColumn("y", expr("s_m div cnt"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("event_type").orderBy("d")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      daily
+        .withColumn("wgt",
+          when(col("i") === 1,
+            lit(alpha) * pow(lit(beta), col("n") - col("i"))
+              + pow(lit(beta), col("n")))
+            .otherwise(
+              lit(alpha) * pow(lit(beta), col("n") - col("i"))))
+        .withColumn("t_u", round(col("wgt") * col("y") * 1e3).cast("long"))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"), sum("t_u").as("st"),
+          max(when(col("i") === col("n"), col("y"))).as("last_y"))
+        .select(col("event_type"), col("n_days"),
+          round(col("last_y") / 1e3, 4).as("last_actual"),
+          round(col("st") / 1e6, 4).as("ses_forecast"))
+        .orderBy("event_type")
     })
   )
 
@@ -452,6 +549,100 @@ object StatsR8b {
         |  FROM r)
         |SELECT event_type, n, ROUND(z, 4) AS z, ROUND(p, 5) AS p_raw,
         |  ROUND(least(1.0, p * m), 5) AS p_bonf, ROUND(p_bh, 5) AS p_bh
-        |FROM bh ORDER BY event_type""".stripMargin
+        |FROM bh ORDER BY event_type""".stripMargin,
+
+    // identical τ=0.8 graph and 4 unrolled synchronous LPA rounds
+    "q_label_prop" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS j
+        |    FROM inter
+        |    JOIN sz sa ON inter.a_id = sa.doc_id
+        |    JOIN sz sb ON inter.b_id = sb.doc_id)
+        |  WHERE j >= 0.8),
+        |sym AS MATERIALIZED (
+        |  SELECT a_id AS src, b_id AS dst FROM e
+        |  UNION ALL SELECT b_id, a_id FROM e),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+        |c1 AS (SELECT sym.dst AS node, l.lbl, COUNT(*) AS c
+        |  FROM sym JOIN l0 l ON sym.src = l.node GROUP BY 1, 2),
+        |l1 AS MATERIALIZED (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT sym.dst AS node, l.lbl, COUNT(*) AS c
+        |  FROM sym JOIN l1 l ON sym.src = l.node GROUP BY 1, 2),
+        |l2 AS MATERIALIZED (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT sym.dst AS node, l.lbl, COUNT(*) AS c
+        |  FROM sym JOIN l2 l ON sym.src = l.node GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT sym.dst AS node, l.lbl, COUNT(*) AS c
+        |  FROM sym JOIN l3 l ON sym.src = l.node GROUP BY 1, 2),
+        |l4 AS (SELECT node, lbl FROM (
+        |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |    ORDER BY c DESC, lbl) AS rn FROM c4) WHERE rn = 1)
+        |SELECT node AS doc_id, lbl AS community
+        |FROM l4 ORDER BY doc_id""".stripMargin,
+
+    // identical order-window trim bounds and exact centi sums
+    "q_trimmed_mean" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |rn AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |kept AS (
+        |  SELECT event_type, v, n FROM rn
+        |  WHERE rn > n // 10 AND rn <= n - n // 10)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 100.0, 4)
+        |    AS trimmed_mean
+        |FROM kept GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // identical closed-form SES weights and µ-snapped terms
+    "q_ses_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS i,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |wt AS (
+        |  SELECT event_type, y, i, n,
+        |    CASE WHEN i = 1
+        |      THEN 0.3 * pow(0.7, n - i) + pow(0.7, n)
+        |      ELSE 0.3 * pow(0.7, n - i) END AS wgt
+        |  FROM idx),
+        |t AS (
+        |  SELECT event_type, n, i, y,
+        |    CAST(ROUND(wgt * y * 1e3) AS BIGINT) AS t_u
+        |  FROM wt)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  ROUND(MAX(CASE WHEN i = n THEN y END) / 1e3, 4) AS last_actual,
+        |  ROUND(SUM(t_u) / 1e6, 4) AS ses_forecast
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -643,6 +643,47 @@ object StreamOps {
         .orderBy("event_type")
     }),
 
+    // Streaming per-type top-3 maxima: state = the running top list
+    // (O(k) per key), merged per micro-batch (maxFilesPerTrigger=1 →
+    // one batch per staged part file). Max-merge is COMMUTATIVE, so
+    // the final top-3 is file-order-independent; every batch emits
+    // its running top-3, and the read-back re-ranks the union of
+    // emissions (which contains the true top-3 because the last
+    // batch's emission is it) with event_id dedup. Oracle = the
+    // plain batch top-3 per type.
+    "s_stream_topk" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("topk_out")
+      val in = stageEventsInput(s, d, 1, "topk_in")
+      val ev = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c"), col("event_id"))
+        .as[(String, Long, Long)]
+      val tops = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[List[(Long, Long)], (String, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[List[(Long, Long)]]) =>
+              val merged = (state.getOption.getOrElse(Nil)
+                ++ rows.map(r => (r._2, r._3)))
+                .distinct.sortBy(p => (-p._1, p._2)).take(3)
+              state.update(merged)
+              merged.map(p => (t, p._1, p._2)).iterator
+          }.toDF("event_type", "v_c", "event_id")
+      }
+      runToParquet(tops, out, tmp("topk_ckpt"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("v_c").desc, col("event_id"))
+      s.read.parquet(out)
+        .select("event_type", "v_c", "event_id").distinct()
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("rank").cast("long").as("rank"),
+          round(col("v_c") / 100.0, 2).as("value"), col("event_id"))
+        .orderBy("event_type", "rank")
+    }),
+
     // Streaming Markov transitions: per-user LAST-EVENT state
     // (flatMapGroupsWithState, O(1) state per key — the minimal
     // stateful-stream shape), each arriving event emits one
@@ -729,6 +770,21 @@ object StreamOps {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
         |  CAST(SUM(alarm) AS BIGINT) AS n_alarms
         |FROM sc GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the batch top-3 per type — the commutative-merge argument in
+    // the key's comment is why file order can't change this
+    "s_stream_topk" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ROUND(value * 100) AS BIGINT) DESC, event_id)
+        |      AS rank
+        |  FROM events)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank,
+        |  ROUND(v_c / 100.0, 2) AS value, event_id
+        |FROM r WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
 
     "s_stream_ingest" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,

@@ -628,6 +628,78 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_label_prop matches a brute-force 4-round synchronous LPA") {
+    val got = SparkEntry.queries("q_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = graft.operators.EdgeGraph.pairs(spark, sf, "token", 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lbl = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 4) {
+      lbl = adj.map { case (v, nb) =>
+        val counts = nb.map(lbl).groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    assert(got === lbl)
+    // communities are label-rooted: every community id is a node id
+    assert(got.values.toSet.subsetOf(got.keySet))
+  }
+
+  test("q_trimmed_mean and q_ses_forecast fold references") {
+    val tm = SparkEntry.queries("q_trimmed_mean")(spark, sf).collect()
+    val raw = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+    tm.foreach { r =>
+      val vs = raw.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val cut = vs.length / 10
+      val kept = vs.slice(cut, vs.length - cut)
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong)
+      assert(math.abs(r.getAs[Double]("trimmed_mean")
+        - kept.sum.toDouble / kept.length / 100.0) <= 1e-3)
+    }
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e3).toLong))
+    val series = daily.groupBy(_._1._1).map { case (t, rows) =>
+      t -> rows.groupBy(_._1._2).toArray.sortBy(_._1)
+        .map { case (_, vs) => vs.map(_._2).sum / vs.length }
+    }
+    SparkEntry.queries("q_ses_forecast")(spark, sf).collect().foreach { r =>
+      val ys = series(r.getString(0)).map(_.toDouble)
+      // the sequential SES recursion the closed form must equal
+      var l = ys.head
+      ys.tail.foreach(y => l = 0.3 * y + 0.7 * l)
+      assert(math.abs(r.getAs[Double]("ses_forecast") - l / 1e3) <= 1e-2,
+        s"${r.getString(0)}: SES got ${r.getAs[Double]("ses_forecast")}, " +
+          s"recursion ${l / 1e3}")
+    }
+  }
+
+  test("s_stream_topk equals the batch top-3 per type") {
+    val got = SparkEntry.queries("s_stream_topk")(spark, sf).collect()
+    val ref = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getLong(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, rows) =>
+        rows.sortBy(x => (-x._2, x._3)).take(3).zipWithIndex
+          .map { case ((_, v, id), i) => (t, (i + 1).toLong, v, id) }
+      }
+    assert(got.length === ref.length)
+    got.zip(ref).foreach { case (r, (t, rank, v, id)) =>
+      assert(r.getString(0) === t)
+      assert(r.getAs[Long]("rank") === rank)
+      assert(math.abs(r.getAs[Double]("value") - v / 100.0) <= 1e-9)
+      assert(r.getAs[Long]("event_id") === id)
+    }
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
