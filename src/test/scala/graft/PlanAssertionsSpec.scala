@@ -617,4 +617,29 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(!gr.contains("BroadcastNestedLoopJoin") && !gr.contains("CartesianProduct"),
       "gopher bigram rollup must equi-join\n" + gr)
   }
+
+  test("r8 scale fixes hold in the plans") {
+    // q_tfidf_rerank: the r7 forced broadcasts of corpus-growing sets
+    // (candidate-doc population, vocabulary df table) are gone — the
+    // logical plan must carry NO user hint; AQE may still broadcast
+    // at runtime, which is exactly the point
+    val lp = SparkEntry.queries("q_tfidf_rerank")(spark, sf)
+      .queryExecution.analyzed.toString()
+    assert(!lp.contains("UnresolvedHint") &&
+      lp.split("ResolvedHint").length <= 2,
+      "tfidf_rerank may broadcast only the 1-row corpus-count scalar\n"
+        + lp.take(2000))
+    // new graph/stat keys never plan a cartesian
+    for (k <- Seq("q_clustering_coeff", "q_assortativity", "q_kcore",
+        "q_adamic_adar", "q_kruskal_wallis", "q_levene_bf",
+        "q_sim_binary_hamming")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian\n" + p)
+    }
+    // the binary-hamming pack stays inside whole-stage codegen
+    val bh = SparkEntry.queries("q_sim_binary_hamming")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+    assert(bh.contains("WholeStageCodegen"), bh.take(500))
+  }
 }
