@@ -700,6 +700,102 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_kendall_tau matches brute-force concordance counting") {
+    val got = SparkEntry.queries("q_kendall_tau")(spark, sf).collect().head
+    val daily = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e3).toLong))
+    val byTd = daily.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).sum / vs.length }
+    val days = byTd.keys.map(_._2).toSeq.distinct.sorted
+      .filter(dd => byTd.contains(("click", dd)) && byTd.contains(("view", dd)))
+    val xs = days.map(dd => byTd(("click", dd)))
+    val ys = days.map(dd => byTd(("view", dd)))
+    var c = 0L; var disc = 0L; var tx = 0L; var ty = 0L; var n0 = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length) {
+      n0 += 1
+      val sx = (xs(j) - xs(i)).sign; val sy = (ys(j) - ys(i)).sign
+      if (sx * sy > 0) c += 1
+      else if (sx * sy < 0) disc += 1
+      else if (sx == 0 && sy != 0) tx += 1
+      else if (sy == 0 && sx != 0) ty += 1
+    }
+    assert(got.getAs[Long]("n_pairs") === n0)
+    assert(got.getAs[Long]("concordant") === c)
+    assert(got.getAs[Long]("discordant") === disc)
+    val tau = (c - disc).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    assert(math.abs(got.getAs[Double]("tau_b") - tau) <= 1e-5)
+  }
+
+  test("q_twap weights every interval by its duration") {
+    val got = SparkEntry.queries("q_twap")(spark, sf).collect()
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), math.round(r.getDouble(4) * 100)))
+    val ref = ev.groupBy(x => (x._1, x._2)).flatMap { case (k, rows) =>
+      val s = rows.sortBy(x => (x._3, x._4))
+      val terms = s.zip(s.tail).map { case (a, b) => (a._5, b._3 - a._3) }
+      val sw = terms.map(_._2).sum
+      if (terms.nonEmpty && sw > 0)
+        Some(k -> (terms.length.toLong,
+          terms.map(t => t._1 * t._2).sum.toDouble / sw / 100.0))
+      else None
+    }
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      val (n, tw) = ref((r.getString(0), r.getDate(1).toString))
+      assert(r.getAs[Long]("n_intervals") === n)
+      assert(math.abs(r.getAs[Double]("twap") - tw) <= 1e-3,
+        s"${r.getString(0)}/${r.getDate(1)}: twap")
+    }
+  }
+
+  test("q_rsi frame equals a fold over daily diffs; q_hhi and q_odds_ratio invariants") {
+    val rsi = SparkEntry.queries("q_rsi")(spark, sf).collect()
+    assert(rsi.nonEmpty)
+    rsi.foreach { r =>
+      val v = r.getAs[Double]("rsi14")
+      assert(v >= 0.0 && v <= 100.0)
+    }
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e3).toLong))
+    val series = daily.groupBy(_._1._1).map { case (t, rows) =>
+      t -> rows.groupBy(_._1._2).toArray.sortBy(_._1)
+        .map { case (dd, vs) => (dd, vs.map(_._2).sum / vs.length) }
+    }
+    rsi.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val ys = series(t)
+      val diffs = ys.zip(ys.tail).map { case ((_, a), (dd, b)) => (dd, b - a) }
+      val byD = rows.map(r => r.getDate(1).toString -> r.getAs[Double]("rsi14")).toMap
+      diffs.sliding(14).foreach { w =>
+        if (w.length == 14 && byD.contains(w.last._1)) {
+          val sg = w.map(_._2).filter(_ > 0).sum
+          val sl = -w.map(_._2).filter(_ < 0).sum
+          val ref = 100.0 * sg / (sg + sl)
+          assert(math.abs(byD(w.last._1) - ref) <= 1e-3,
+            s"$t ${w.last._1}: rsi got ${byD(w.last._1)}, fold $ref")
+        }
+      }
+    }
+    val hhi = SparkEntry.queries("q_hhi")(spark, sf).collect()
+    hhi.foreach { r =>
+      val v = r.getAs[Double]("hhi")
+      // HHI is bounded by (10^4/n_sources, 10^4]
+      assert(v > 1e4 / r.getAs[Long]("n_sources") - 1e-6 && v <= 1e4)
+    }
+    val or = SparkEntry.queries("q_odds_ratio")(spark, sf).collect()
+    or.foreach { r =>
+      assert(r.getAs[Double]("ci_low") <= r.getAs[Double]("odds_ratio"))
+      assert(r.getAs[Double]("ci_high") >= r.getAs[Double]("odds_ratio"))
+    }
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
