@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables
+
+/** Round-8 wave 6 (SURVEY.md §2 B.10b): the classic gaps-and-islands
+  * SQL shapes (interval union, missing-day islands) plus two product/
+  * marketing analytics staples (finite geometric adstock,
+  * new-vs-returning decomposition). All windows partition by a
+  * bounded key (user, type); nothing orders the raw corpus globally.
+  */
+object StatsR8d {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
+
+    // Interval union per user: total µs covered by the union of
+    // [ts, ts+5min) activity intervals — the gaps-and-islands merge
+    // (an interval starts an island iff it begins after the running
+    // max end of everything before it). Exact µs arithmetic; one
+    // ordered window per user.
+    "q_interval_union" -> ((s, d) => {
+      val horizon = 300000000L // 5 min in µs
+      val wo = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      val wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .withColumn("end_us", col("ts_us") + horizon)
+        .withColumn("prev_max_end", max("end_us").over(wprev))
+        .withColumn("island_start",
+          when(col("prev_max_end").isNull
+            || col("ts_us") > col("prev_max_end"), 1L).otherwise(0L))
+        .withColumn("island", sum("island_start").over(wo))
+        .groupBy("user_id", "island")
+        .agg(min("ts_us").as("i_start"), max("end_us").as("i_end"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("i_end") - col("i_start")).as("covered_us"))
+        .select(col("user_id"), col("n_islands"),
+          round(col("covered_us") / 6e7, 4).as("covered_minutes"))
+        .orderBy("user_id")
+    }),
+
+    // Missing-day islands per event type: which calendar stretches
+    // have NO events (the date − row_number trick: consecutive days
+    // share one group key)? Reported as present-day islands with
+    // span bounds — the data-completeness audit a daily pipeline
+    // runs before trusting any time series.
+    "q_gaps_islands" -> ((s, d) => {
+      val wo = Window.partitionBy("event_type").orderBy("d")
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+        .withColumn("grp",
+          expr("date_sub(d, row_number() OVER (PARTITION BY event_type ORDER BY d))"))
+        .groupBy("event_type", "grp")
+        .agg(min("d").as("island_start"), max("d").as("island_end"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("island_start"), col("island_end"),
+          col("n_days"))
+        .orderBy("event_type", "island_start")
+    }),
+
+    // Finite geometric adstock (14-day carryover, λ=0.5) of daily
+    // purchase value: adstock_t = Σ_{j=0..13} λ^j · y_{t−j} — the
+    // marketing-carryover transform, computed as a BOUNDED lag-grid
+    // join (day × 14 offsets) instead of the unstable λ^t rescaling
+    // trick; terms snap to the µ grid before the sum. Day grid only.
+    "q_adstock" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("y"))
+        .localCheckpoint(eager = true) // bounded day grid, 2 legs
+      val lags = s.range(0, 14).select(col("id").cast("int").as("j"))
+      daily.crossJoin(broadcast(lags))
+        .select(expr("date_add(d, j)").as("d"), col("j"), col("y"))
+        .join(daily.select(col("d")), "d") // keep real days only
+        .withColumn("t_u",
+          round(pow(lit(0.5), col("j")) * col("y")).cast("long"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_terms"), sum("t_u").as("ad"))
+        .select(col("d"), col("n_terms"),
+          round(col("ad") / 1e3, 4).as("adstock"))
+        .orderBy("d")
+    }),
+
+    // New vs returning users per day: a user's first-ever event day
+    // (exact min over the whole span) splits each day's actives — the
+    // growth-accounting decomposition next to q_retention_cohort.
+    // One min-per-user agg + one day-grain agg; no windows at all.
+    "q_new_returning" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min("d").as("first_d"))
+      ev.distinct()
+        .join(first, "user_id")
+        .groupBy("d")
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("d") === col("first_d"), 1L).otherwise(0L))
+            .as("new_users"))
+        .select(col("d"), col("active_users"), col("new_users"),
+          (col("active_users") - col("new_users")).as("returning_users"),
+          round(col("new_users").cast("double") / col("active_users"), 4)
+            .as("new_share"))
+        .orderBy("d")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical running-max island detection in exact µs
+    "q_interval_union" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) + 300000000 AS end_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id, end_us,
+        |    MAX(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM ev),
+        |isl AS (
+        |  SELECT user_id, ts_us, end_us,
+        |    SUM(CASE WHEN prev_max_end IS NULL OR ts_us > prev_max_end
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS island
+        |  FROM m),
+        |grp AS (
+        |  SELECT user_id, island, MIN(ts_us) AS i_start,
+        |    MAX(end_us) AS i_end
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  ROUND(SUM(i_end - i_start) / 6e7, 4) AS covered_minutes
+        |FROM grp GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // identical date − row_number grouping over distinct days
+    "q_gaps_islands" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, d,
+        |    d - CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY d) AS INTEGER) AS grp
+        |  FROM dd)
+        |SELECT event_type, MIN(d) AS island_start, MAX(d) AS island_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM g GROUP BY event_type, grp
+        |ORDER BY event_type, island_start""".stripMargin,
+
+    // identical bounded lag grid and µ-snapped pow terms
+    "q_adstock" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lagged AS (
+        |  SELECT daily.d + CAST(j.j AS INTEGER) AS d, j.j, daily.y
+        |  FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 13))
+        |    AS j) j),
+        |kept AS (
+        |  SELECT lagged.d, lagged.j, lagged.y
+        |  FROM lagged JOIN daily real_d ON lagged.d = real_d.d),
+        |t AS (
+        |  SELECT d, CAST(ROUND(pow(0.5, j) * y) AS BIGINT) AS t_u
+        |  FROM kept)
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  ROUND(SUM(t_u) / 1e3, 4) AS adstock
+        |FROM t GROUP BY 1 ORDER BY d""".stripMargin,
+
+    // identical first-day split, no windows
+    "q_new_returning" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (
+        |  SELECT user_id, MIN(d) AS first_d
+        |  FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM events)
+        |  GROUP BY 1)
+        |SELECT ev.d, CAST(COUNT(*) AS BIGINT) AS active_users,
+        |  CAST(SUM(CASE WHEN ev.d = f.first_d THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(COUNT(*) - SUM(CASE WHEN ev.d = f.first_d THEN 1 ELSE 0
+        |    END) AS BIGINT) AS returning_users,
+        |  ROUND(CAST(SUM(CASE WHEN ev.d = f.first_d THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 4) AS new_share
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1 ORDER BY ev.d""".stripMargin
+  )
+}

@@ -796,6 +796,80 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_interval_union matches a brute-force interval merge") {
+    val got = SparkEntry.queries("q_interval_union")(spark, sf).collect()
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ref = ev.groupBy(_._1).map { case (u, rows) =>
+      val iv = rows.map(_._2).sorted.map(t => (t, t + 300000000L))
+      var islands = 0L; var covered = 0L
+      var curS = -1L; var curE = -1L
+      iv.foreach { case (a, b) =>
+        if (curE < 0 || a > curE) {
+          if (curE >= 0) covered += curE - curS
+          islands += 1; curS = a; curE = b
+        } else if (b > curE) curE = b
+      }
+      if (curE >= 0) covered += curE - curS
+      u -> (islands, covered)
+    }
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      val (isl, cov) = ref(r.getLong(0))
+      assert(r.getAs[Long]("n_islands") === isl,
+        s"user ${r.getLong(0)}: islands")
+      assert(math.abs(r.getAs[Double]("covered_minutes") - cov / 6e7)
+        <= 1e-3)
+    }
+  }
+
+  test("q_adstock equals the direct lambda-power convolution") {
+    val got = SparkEntry.queries("q_adstock")(spark, sf).collect()
+    val daily = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"), col("value")).collect()
+      .map(r => (r.getDate(0).toLocalDate, math.floor(r.getDouble(1) * 1e3).toLong))
+      .groupBy(_._1).map { case (dd, vs) => dd -> vs.map(_._2).sum }
+    got.foreach { r =>
+      val dd = r.getDate(0).toLocalDate
+      val ref = (0 until 14).flatMap { j =>
+        daily.get(dd.minusDays(j.toLong))
+          .map(y => math.round(math.pow(0.5, j) * y))
+      }
+      assert(r.getAs[Long]("n_terms") === ref.length.toLong)
+      assert(math.abs(r.getAs[Double]("adstock") - ref.sum / 1e3) <= 1e-3,
+        s"$dd: adstock")
+    }
+  }
+
+  test("q_new_returning decomposition sums and q_gaps_islands completeness") {
+    val nr = SparkEntry.queries("q_new_returning")(spark, sf).collect()
+    val totalNew = nr.map(_.getAs[Long]("new_users")).sum
+    val users = graft.tables.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect().head.getLong(0)
+    // every user is new exactly once
+    assert(totalNew === users)
+    nr.foreach { r =>
+      assert(r.getAs[Long]("active_users")
+        === r.getAs[Long]("new_users") + r.getAs[Long]("returning_users"))
+    }
+    val gi = SparkEntry.queries("q_gaps_islands")(spark, sf).collect()
+    // islands per type tile the type's distinct days exactly
+    val dayCount = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    gi.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      assert(rows.map(_.getAs[Long]("n_days")).sum === dayCount(t))
+      rows.foreach { r =>
+        val span = r.getDate(2).toLocalDate.toEpochDay -
+          r.getDate(1).toLocalDate.toEpochDay + 1
+        assert(span === r.getAs[Long]("n_days"), s"$t island not contiguous")
+      }
+    }
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
