@@ -107,6 +107,94 @@ object StatsR8d {
           round(col("new_users").cast("double") / col("active_users"), 4)
             .as("new_share"))
         .orderBy("d")
+    }),
+
+    // Lorenz curve of purchase value over users at deciles: cum share
+    // of value held by the bottom d·10% of users (the curve q_gini's
+    // scalar summarizes). Users rank by exact centi totals with id
+    // tie-break; decile cut = rank ≤ n·d div 10; shares stay exact
+    // cross-multiplied longs until one division per decile row.
+    "q_lorenz_curve" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      val w = Window.orderBy(col("v"), col("user_id"))
+      val ranked = u
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cumv", sum("v").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .localCheckpoint(eager = true) // bounded user rollup, 2 legs
+      val tot = ranked.agg(count(lit(1)).as("n"), max("cumv").as("tv"))
+      val deciles = s.range(1, 11).select(col("id").cast("int").as("dec"))
+      ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+        .filter(col("rn") === ((col("n") * col("dec")) / 10).cast("long"))
+        .select(col("dec").cast("long").as("decile"),
+          col("rn").cast("long").as("n_users"),
+          round(col("cumv").cast("double") / col("tv"), 6)
+            .as("cum_value_share"))
+        .orderBy("decile")
+    }),
+
+    // Isotonic calibration of the props.k score against the purchase
+    // rate: empirical rate per score decile, then the PAV fit over
+    // the TEN-bucket grid via the same minimax identity as
+    // q_isotonic_fit (the lattice is 10² here — trivially bounded).
+    // Rates stay exact cross-multiplied longs inside the lattice:
+    // mean over buckets k..j of (pos/n) uses per-bucket 1e9-snapped
+    // rates, so the min/max runs on exact longs.
+    "q_calibration_isotonic" -> ((s, d) => {
+      val b = Tables.events(s, d)
+        .select(least(floor(get_json_object(col("props"), "$.k")
+            .cast("long") / 10), lit(9L)).as("bkt"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+        .withColumn("rate_u",
+          round(col("p") * 1e9 / col("n")).cast("long"))
+        .withColumn("i", row_number().over(Window.orderBy("bkt")))
+        .withColumn("pre", sum("rate_u").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .localCheckpoint(eager = true) // 10 rows, 3 legs
+      val segs = b.select(col("i").as("j"), col("pre").as("pj"))
+        .join(b.select((col("i") + 1).as("k"), col("pre").as("pk1"))
+          .union(b.sparkSession.range(1, 2)
+            .select(lit(1).as("k"), lit(0L).as("pk1"))),
+          col("j") >= col("k"))
+        .select(col("k"), col("j"),
+          ((col("pj") - col("pk1")).cast("double")
+            / (col("j") - col("k") + 1)).as("avg_u"))
+      val wk = Window.partitionBy("k").orderBy(col("j").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      segs.withColumn("mn", min("avg_u").over(wk))
+        .groupBy(col("j").as("i")).agg(max("mn").as("fit_u"))
+        .join(b.select(col("i"), col("bkt"), col("n"), col("rate_u")), "i")
+        .select(col("bkt").as("score_decile"), col("n"),
+          round(col("rate_u") / 1e9, 6).as("raw_rate"),
+          round(col("fit_u") / 1e9, 6).as("calibrated_rate"))
+        .orderBy("score_decile")
+    }),
+
+    // Discrete-time churn hazard by lifetime offset: for users whose
+    // observed lifetime (last day − first day) is t, hazard(t) =
+    // #(L = t) / #(L ≥ t) — the per-offset churn risk q_survival_km's
+    // curve integrates. Exact counts via a suffix sum over the
+    // bounded lifetime grid.
+    "q_churn_hazard" -> ((s, d) => {
+      val lt = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("lt"))
+        .groupBy("lt").agg(count(lit(1)).as("ended"))
+      val wsuf = Window.orderBy(col("lt").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      lt.withColumn("at_risk", sum("ended").over(wsuf))
+        .select(col("lt").as("lifetime_days"), col("ended"),
+          col("at_risk"),
+          round(col("ended").cast("double") / col("at_risk"), 6)
+            .as("hazard"))
+        .orderBy("lifetime_days")
     })
   )
 
@@ -191,6 +279,85 @@ object StatsR8d {
         |  ROUND(CAST(SUM(CASE WHEN ev.d = f.first_d THEN 1 ELSE 0 END)
         |    AS DOUBLE) / COUNT(*), 4) AS new_share
         |FROM ev JOIN f ON ev.user_id = f.user_id
-        |GROUP BY 1 ORDER BY ev.d""".stripMargin
+        |GROUP BY 1 ORDER BY ev.d""".stripMargin,
+
+    // identical exact centi totals, rank cuts, cross-multiplied shares
+    "q_lorenz_curve" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, v,
+        |    CAST(row_number() OVER (ORDER BY v, user_id) AS BIGINT)
+        |      AS rn,
+        |    CAST(SUM(v) OVER (ORDER BY v, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumv
+        |  FROM u),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(cumv) AS BIGINT) AS tv FROM r),
+        |dec AS (SELECT unnest(generate_series(1, 10)) AS dec)
+        |SELECT CAST(dec AS BIGINT) AS decile, rn AS n_users,
+        |  ROUND(CAST(cumv AS DOUBLE) / tv, 6) AS cum_value_share
+        |FROM r CROSS JOIN tot CROSS JOIN dec
+        |WHERE rn = n * dec // 10
+        |ORDER BY decile""".stripMargin,
+
+    // identical decile grid, 1e9-snapped rates, minimax PAV lattice
+    "q_calibration_isotonic" ->
+      """WITH b AS (
+        |  SELECT least(CAST(json_extract(props, '$.k') AS BIGINT) // 10,
+        |      9) AS bkt,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS p
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT bkt, n, p,
+        |    CAST(ROUND(p * 1e9 / n) AS BIGINT) AS rate_u,
+        |    CAST(row_number() OVER (ORDER BY bkt) AS BIGINT) AS i,
+        |    CAST(SUM(CAST(ROUND(p * 1e9 / n) AS BIGINT)) OVER (
+        |      ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pre
+        |  FROM b),
+        |ks AS (
+        |  SELECT i + 1 AS k, pre AS pk1 FROM m
+        |  UNION ALL SELECT 1, 0),
+        |segs AS (
+        |  SELECT ks.k, j.i AS j,
+        |    CAST(j.pre - ks.pk1 AS DOUBLE) / (j.i - ks.k + 1) AS avg_u
+        |  FROM m j JOIN ks ON j.i >= ks.k),
+        |inner_min AS (
+        |  SELECT t.i, t.bkt, t.n, t.rate_u, segs.k, MIN(avg_u) AS mn
+        |  FROM segs JOIN m t ON segs.k <= t.i AND segs.j >= t.i
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |fit AS (
+        |  SELECT i, bkt, n, rate_u, MAX(mn) AS fit_u
+        |  FROM inner_min GROUP BY 1, 2, 3, 4)
+        |SELECT bkt AS score_decile, n, ROUND(rate_u / 1e9, 6) AS raw_rate,
+        |  ROUND(fit_u / 1e9, 6) AS calibrated_rate
+        |FROM fit ORDER BY score_decile""".stripMargin,
+
+    // identical lifetime grid and suffix-sum risk sets
+    "q_churn_hazard" ->
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |      MAX(CAST(ts AS DATE))) AS BIGINT) AS lt
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT lt, CAST(COUNT(*) AS BIGINT) AS ended
+        |  FROM lt GROUP BY 1),
+        |r AS (
+        |  SELECT lt, ended,
+        |    CAST(SUM(ended) OVER (ORDER BY lt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS at_risk
+        |  FROM g)
+        |SELECT lt AS lifetime_days, ended, at_risk,
+        |  ROUND(CAST(ended AS DOUBLE) / at_risk, 6) AS hazard
+        |FROM r ORDER BY lifetime_days""".stripMargin
   )
 }

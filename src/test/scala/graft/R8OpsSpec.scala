@@ -870,6 +870,71 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_lorenz_curve and q_churn_hazard brute-force references") {
+    val lc = SparkEntry.queries("q_lorenz_curve")(spark, sf).collect()
+    val u = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (id, vs) => (id, vs.map(_._2).sum) }
+      .toArray.sortBy(x => (x._2, x._1))
+    val cum = u.map(_._2).scanLeft(0L)(_ + _).tail
+    val tv = cum.last; val n = u.length
+    assert(lc.length === 10)
+    lc.foreach { r =>
+      val dec = r.getAs[Long]("decile").toInt
+      val rn = n * dec / 10
+      assert(r.getAs[Long]("n_users") === rn.toLong)
+      assert(math.abs(r.getAs[Double]("cum_value_share")
+        - cum(rn - 1).toDouble / tv) <= 1e-5)
+    }
+    // Lorenz curves are monotone and end at 1
+    lc.sliding(2).foreach(w => assert(w(1).getAs[Double]("cum_value_share")
+      >= w(0).getAs[Double]("cum_value_share") - 1e-12))
+    assert(math.abs(lc.last.getAs[Double]("cum_value_share") - 1.0) <= 1e-9)
+
+    val ch = SparkEntry.queries("q_churn_hazard")(spark, sf).collect()
+    val lt = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1).map { case (_, ds) =>
+        ds.map(_._2).max - ds.map(_._2).min }
+    ch.foreach { r =>
+      val t = r.getAs[Long]("lifetime_days")
+      assert(r.getAs[Long]("ended") === lt.count(_ == t).toLong)
+      assert(r.getAs[Long]("at_risk") === lt.count(_ >= t).toLong)
+    }
+    // hazards never exceed 1; the final row's hazard is exactly 1
+    ch.foreach(r => assert(r.getAs[Double]("hazard") <= 1.0 + 1e-12))
+    assert(math.abs(ch.last.getAs[Double]("hazard") - 1.0) <= 1e-9)
+  }
+
+  test("q_calibration_isotonic equals PAV over the decile rates") {
+    val got = SparkEntry.queries("q_calibration_isotonic")(spark, sf)
+      .collect()
+    val raw = graft.tables.Tables.events(spark, sf)
+      .selectExpr("least(cast(get_json_object(props, '$.k') as long) div 10, 9L) as bkt",
+        "case when event_type = 'purchase' then 1L else 0L end as pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rates = raw.groupBy(_._1).toArray.sortBy(_._1).map { case (b, vs) =>
+      (b, vs.length.toLong,
+        math.round(vs.map(_._2).sum * 1e9 / vs.length.toDouble))
+    }
+    val fit = pav(rates.map(_._3.toDouble))
+    assert(got.length === rates.length)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("score_decile") === rates(i)._1)
+      assert(r.getAs[Long]("n") === rates(i)._2)
+      assert(math.abs(r.getAs[Double]("raw_rate") - rates(i)._3 / 1e9)
+        <= 1e-6)
+      assert(math.abs(r.getAs[Double]("calibrated_rate") - fit(i) / 1e9)
+        <= 1e-6, s"decile ${rates(i)._1}: PAV")
+    }
+    // monotone by construction
+    got.sliding(2).foreach(w => assert(w(1).getAs[Double]("calibrated_rate")
+      >= w(0).getAs[Double]("calibrated_rate") - 1e-12))
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
