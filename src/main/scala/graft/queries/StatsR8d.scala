@@ -195,7 +195,95 @@ object StatsR8d {
           round(col("ended").cast("double") / col("at_risk"), 6)
             .as("hazard"))
         .orderBy("lifetime_days")
-    })
+    }),
+
+    // DAU/WAU stickiness per day: daily actives over trailing-7-day
+    // actives — the engagement ratio. The user-day DISTINCT table is
+    // the only corpus-sized object; the trailing window is a bounded
+    // ±6-day band join against the day grid (linear in user-days),
+    // and only days with a full 7-day history emit (stated).
+    "q_stickiness" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("ud_d")).distinct()
+        .localCheckpoint(eager = true) // user-day grain, 2 legs
+      val grid = ud.select(col("ud_d").as("d")).distinct()
+      val firstD = ud.agg(min("ud_d").as("d0"))
+      val wau = grid.join(ud,
+          col("ud_d").between(expr("date_sub(d, 6)"), col("d")))
+        .groupBy("d").agg(countDistinct("user_id").as("wau"))
+      val dau = ud.groupBy(col("ud_d").as("d"))
+        .agg(countDistinct("user_id").as("dau"))
+      dau.join(wau, "d").crossJoin(broadcast(firstD))
+        .filter(datediff(col("d"), col("d0")) >= 6)
+        .select(col("d"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4)
+            .as("stickiness"))
+        .orderBy("d")
+    }),
+
+    // Maximum drawdown per event type on the daily milli-mean series:
+    // running peak via a prefix-max window, per-day drawdown ratio
+    // snapped to the 1e9 grid (exact argmax), trough picked by
+    // (drawdown desc, day asc) — the risk statistic behind the OHLC
+    // family. Day-grid windows only.
+    "q_max_drawdown" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
+          count(lit(1)).as("cnt"))
+        .withColumn("y", expr("s_m div cnt"))
+      val wp = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wpick = Window.partitionBy("event_type")
+        .orderBy(col("dd_u").desc, col("d"))
+      daily
+        .withColumn("peak", max("y").over(wp))
+        .withColumn("dd_u", round((col("peak") - col("y")) * 1e9
+          / col("peak")).cast("long"))
+        .withColumn("rn", row_number().over(wpick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("d").as("trough_d"),
+          round(col("peak") / 1e3, 4).as("peak_v"),
+          round(col("y") / 1e3, 4).as("trough_v"),
+          round(col("dd_u") / 1e9, 6).as("max_drawdown"))
+        .orderBy("event_type")
+    }),
+
+    // Power-law tail MLE over per-user purchase totals above a fixed
+    // xmin: α = 1 + n/Σln(x/xmin) (Clauset-style continuous MLE) —
+    // the tail-heaviness estimate q_tail_index's Hill plot feeds.
+    // Per-row log terms snap to 1e9 before the distributed sum.
+    "q_power_law_mle" -> ((s, d) => {
+      val xminC = 5000L // 50.00 in centi units
+      val u = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        .filter(col("v") >= xminC)
+        .withColumn("t_u",
+          round(log(col("v").cast("double") / xminC) * 1e9).cast("long"))
+      u.agg(count(lit(1)).as("n_tail"), sum("t_u").as("st"))
+        .select(col("n_tail"), lit(50.0).as("xmin"),
+          round(lit(1.0) + col("n_tail") * 1e9
+            / col("st").cast("double"), 4).as("alpha"))
+    }),
+
+    // Volume-weighted average price per (type, day), weight =
+    // props.k (the size field): Σv·k/Σk in exact centi·k longs —
+    // q_twap's sibling where size, not time, is the weight.
+    "q_vwap" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("dd"),
+          round(col("value") * 100).cast("long").as("v_c"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type", "dd")
+        .agg(count(lit(1)).as("n"), sum(col("v_c") * col("k")).as("vw"),
+          sum("k").as("sk"))
+        .filter(col("sk") > 0)
+        .select(col("event_type"), col("dd").as("d"), col("n"),
+          round(col("vw").cast("double") / col("sk") / 100.0, 4)
+            .as("vwap"))
+        .orderBy("event_type", "d"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -358,6 +446,84 @@ object StatsR8d {
         |  FROM g)
         |SELECT lt AS lifetime_days, ended, at_risk,
         |  ROUND(CAST(ended AS DOUBLE) / at_risk, 6) AS hazard
-        |FROM r ORDER BY lifetime_days""".stripMargin
+        |FROM r ORDER BY lifetime_days""".stripMargin,
+
+    // identical user-day grain, ±6-day band join, full-history gate
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS ud_d
+        |  FROM events),
+        |grid AS (SELECT DISTINCT ud_d AS d FROM ud),
+        |f AS (SELECT MIN(ud_d) AS d0 FROM ud),
+        |wau AS (
+        |  SELECT grid.d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM grid JOIN ud
+        |    ON ud.ud_d BETWEEN grid.d - 6 AND grid.d
+        |  GROUP BY 1),
+        |dau AS (
+        |  SELECT ud_d AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS dau
+        |  FROM ud GROUP BY 1)
+        |SELECT dau.d, dau.dau, wau.wau,
+        |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.d = wau.d CROSS JOIN f
+        |WHERE date_diff('day', f.d0, dau.d) >= 6
+        |ORDER BY dau.d""".stripMargin,
+
+    // identical prefix peak, 1e9-snapped drawdown, tie-broken trough
+    "q_max_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT event_type, d, y,
+        |    MAX(y) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |dd AS (
+        |  SELECT event_type, d, y, peak,
+        |    CAST(ROUND((peak - y) * 1e9 / peak) AS BIGINT) AS dd_u,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ROUND((peak - y) * 1e9 / peak) AS BIGINT)
+        |        DESC, d) AS rn
+        |  FROM pk)
+        |SELECT event_type, d AS trough_d, ROUND(peak / 1e3, 4) AS peak_v,
+        |  ROUND(y / 1e3, 4) AS trough_v,
+        |  ROUND(dd_u / 1e9, 6) AS max_drawdown
+        |FROM dd WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // identical tail subset and 1e9-snapped log terms
+    "q_power_law_mle" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(ROUND(ln(CAST(v AS DOUBLE) / 5000) * 1e9)
+        |    AS BIGINT) AS t_u
+        |  FROM u WHERE v >= 5000)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+        |  CAST(50.0 AS DOUBLE) AS xmin,
+        |  ROUND(1.0 + COUNT(*) * 1e9 / CAST(SUM(t_u) AS DOUBLE), 4)
+        |    AS alpha
+        |FROM t""".stripMargin,
+
+    // identical exact centi·k weights
+    "q_vwap" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dd,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, dd, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v_c * k) AS vw, SUM(k) AS sk
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT event_type, dd AS d, n,
+        |  ROUND(CAST(vw AS DOUBLE) / sk / 100.0, 4) AS vwap
+        |FROM a WHERE sk > 0
+        |ORDER BY event_type, d""".stripMargin
   )
 }

@@ -935,6 +935,77 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
       >= w(0).getAs[Double]("calibrated_rate") - 1e-12))
   }
 
+  test("q_stickiness and q_max_drawdown brute-force references") {
+    val st = SparkEntry.queries("q_stickiness")(spark, sf).collect()
+    val ud = graft.tables.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val d0 = ud.map(_._2.toEpochDay).min
+    st.foreach { r =>
+      val dd = r.getDate(0).toLocalDate
+      assert(dd.toEpochDay - d0 >= 6)
+      val dau = ud.count(_._2 == dd)
+      val wau = ud.filter(u => !u._2.isAfter(dd)
+        && !u._2.isBefore(dd.minusDays(6))).map(_._1).distinct.length
+      assert(r.getAs[Long]("dau") === dau.toLong)
+      assert(r.getAs[Long]("wau") === wau.toLong)
+      assert(r.getAs[Double]("stickiness") <= 1.0 + 1e-12)
+    }
+    val md = SparkEntry.queries("q_max_drawdown")(spark, sf).collect()
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e3).toLong))
+    val series = daily.groupBy(_._1._1).map { case (t, rows) =>
+      t -> rows.groupBy(_._1._2).toArray.sortBy(_._1)
+        .map { case (dd, vs) => (dd, vs.map(_._2).sum / vs.length) }
+    }
+    md.foreach { r =>
+      val ys = series(r.getString(0))
+      var peak = Long.MinValue; var best = -1L; var bestD = ""
+      var bestPeak = 0L; var bestY = 0L
+      ys.foreach { case (dd, y) =>
+        peak = math.max(peak, y)
+        val ddU = math.round((peak - y) * 1e9 / peak.toDouble)
+        if (ddU > best) { best = ddU; bestD = dd; bestPeak = peak; bestY = y }
+      }
+      assert(r.getDate(1).toString === bestD, s"${r.getString(0)}: trough day")
+      assert(math.abs(r.getAs[Double]("max_drawdown") - best / 1e9) <= 1e-6)
+      assert(math.abs(r.getAs[Double]("peak_v") - bestPeak / 1e3) <= 1e-3)
+      assert(math.abs(r.getAs[Double]("trough_v") - bestY / 1e3) <= 1e-3)
+    }
+  }
+
+  test("q_power_law_mle and q_vwap fold references") {
+    val pl = SparkEntry.queries("q_power_law_mle")(spark, sf).collect().head
+    val totals = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map(_._2.map(_._2).sum).filter(_ >= 5000L).toArray
+    val alpha = 1.0 + totals.length /
+      (totals.map(v => math.round(math.log(v / 5000.0) * 1e9)).sum / 1e9)
+    assert(pl.getAs[Long]("n_tail") === totals.length.toLong)
+    assert(math.abs(pl.getAs[Double]("alpha") - alpha) <= 1e-3)
+    assert(pl.getAs[Double]("alpha") > 1.0) // MLE is > 1 by construction
+
+    val vw = SparkEntry.queries("q_vwap")(spark, sf).collect()
+    val ev = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long")).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (math.round(r.getDouble(2) * 100), r.getLong(3))))
+    vw.foreach { r =>
+      val rows = ev.filter(_._1 == (r.getString(0), r.getDate(1).toString))
+        .map(_._2)
+      val sk = rows.map(_._2).sum
+      assert(sk > 0)
+      val ref = rows.map(x => x._1 * x._2).sum.toDouble / sk / 100.0
+      assert(math.abs(r.getAs[Double]("vwap") - ref) <= 1e-3,
+        s"${r.getString(0)}/${r.getDate(1)}: vwap")
+    }
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
