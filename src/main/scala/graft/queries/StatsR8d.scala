@@ -283,7 +283,65 @@ object StatsR8d {
         .select(col("event_type"), col("dd").as("d"), col("n"),
           round(col("vw").cast("double") / col("sk") / 100.0, 4)
             .as("vwap"))
-        .orderBy("event_type", "d"))
+        .orderBy("event_type", "d")),
+
+    // Repeat-purchase decomposition: how many purchasers come back?
+    // Exact per-user purchase counts → one bounded summary row.
+    "q_repeat_purchase" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+        .agg(count(lit(1)).as("n_purchasers"),
+          sum(when(col("np") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+          sum("np").as("total_purchases"))
+        .select(col("n_purchasers"), col("n_repeat"),
+          round(col("n_repeat").cast("double") / col("n_purchasers"), 4)
+            .as("repeat_rate"),
+          round(col("total_purchases").cast("double")
+            / col("n_purchasers"), 4).as("avg_purchases"))),
+
+    // Simpson diversity of the token distribution per language:
+    // 1 − Σn(n−1)/(N(N−1)) — the collision-probability complement to
+    // q_yule_k's repetitiveness and q_text_entropy's surprise. All
+    // exact longs until one division.
+    "q_simpson_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("m"))
+        .groupBy("lang")
+        .agg(sum("m").as("n_tok"), count(lit(1)).as("vocab"),
+          sum(col("m") * (col("m") - 1)).as("coll"))
+        .select(col("lang"), col("n_tok"), col("vocab"),
+          round(lit(1.0) - col("coll").cast("double")
+            / (col("n_tok").cast("double") * (col("n_tok") - 1)), 6)
+            .as("simpson_d"))
+        .orderBy("lang")),
+
+    // Price elasticity of demand from lineitem: OLS slope of
+    // ln(quantity) on ln(unit price) — the econ primitive over the
+    // star schema. Logs snap to the 1e4 grid (1e4, not 1e9: Σx²·rows
+    // must stay in long range at 100 TB shard grain), all moments
+    // exact, slope/intercept one IEEE expression.
+    "q_price_elasticity" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          round(log(col("l_extendedprice") / col("l_quantity")) * 1e4)
+            .cast("long").as("x"),
+          round(log(col("l_quantity")) * 1e4).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        // n·sxy overflows a long at corpus scale — the determinant is
+        // assembled in doubles from the exact long moments, with the
+        // oracle spelling the identical double expression
+        .withColumn("slope",
+          (col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+            / (col("n").cast("double") * col("sxx")
+              - col("sx").cast("double") * col("sx")))
+        .select(col("n"), round(col("slope"), 4).as("elasticity"),
+          round((col("sy") - col("slope") * col("sx"))
+            / col("n") / 1e4, 4).as("intercept")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -524,6 +582,61 @@ object StatsR8d {
         |SELECT event_type, dd AS d, n,
         |  ROUND(CAST(vw AS DOUBLE) / sk / 100.0, 4) AS vwap
         |FROM a WHERE sk > 0
-        |ORDER BY event_type, d""".stripMargin
+        |ORDER BY event_type, d""".stripMargin,
+
+    // identical per-user counts and one-row rollup
+    "q_repeat_purchase" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_purchasers,
+        |    CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_repeat,
+        |    CAST(SUM(np) AS BIGINT) AS total_purchases
+        |  FROM u)
+        |SELECT n_purchasers, n_repeat,
+        |  ROUND(CAST(n_repeat AS DOUBLE) / n_purchasers, 4)
+        |    AS repeat_rate,
+        |  ROUND(CAST(total_purchases AS DOUBLE) / n_purchasers, 4)
+        |    AS avg_purchases
+        |FROM a""".stripMargin,
+
+    // identical exact collision sums
+    "q_simpson_diversity" ->
+      """WITH tf AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tc AS (
+        |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM tf GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(m) AS BIGINT) AS n_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  ROUND(1.0 - CAST(SUM(m * (m - 1)) AS DOUBLE)
+        |    / (CAST(SUM(m) AS DOUBLE) * (SUM(m) - 1)), 6) AS simpson_d
+        |FROM tc GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // identical 1e4-snapped logs and exact normal equations
+    "q_price_elasticity" ->
+      """WITH t AS (
+        |  SELECT
+        |    CAST(ROUND(ln(l_extendedprice / l_quantity) * 1e4)
+        |      AS BIGINT) AS x,
+        |    CAST(ROUND(ln(l_quantity) * 1e4) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+        |    SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM t),
+        |f AS (
+        |  SELECT n,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      AS slope,
+        |    sx, sy
+        |  FROM m)
+        |SELECT n, ROUND(slope, 4) AS elasticity,
+        |  ROUND((sy - slope * sx) / n / 1e4, 4) AS intercept
+        |FROM f""".stripMargin
   )
 }

@@ -1006,6 +1006,48 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_repeat_purchase, q_simpson_diversity, q_price_elasticity references") {
+    val rp = SparkEntry.queries("q_repeat_purchase")(spark, sf).collect().head
+    val counts = graft.tables.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").collect().map(_.getLong(0))
+      .groupBy(identity).map(_._2.length)
+    assert(rp.getAs[Long]("n_purchasers") === counts.size.toLong)
+    assert(rp.getAs[Long]("n_repeat") === counts.count(_ >= 2).toLong)
+    assert(math.abs(rp.getAs[Double]("avg_purchases")
+      - counts.sum.toDouble / counts.size) <= 1e-3)
+
+    val sd = SparkEntry.queries("q_simpson_diversity")(spark, sf).collect()
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    sd.foreach { r =>
+      val m = toks.filter(_._1 == r.getString(0)).map(_._2)
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = m.sum
+      val ref = 1.0 - m.map(x => x * (x - 1)).sum.toDouble / (n.toDouble * (n - 1))
+      assert(r.getAs[Long]("n_tok") === n)
+      assert(r.getAs[Long]("vocab") === m.size.toLong)
+      assert(math.abs(r.getAs[Double]("simpson_d") - ref) <= 1e-5)
+    }
+
+    val pe = SparkEntry.queries("q_price_elasticity")(spark, sf).collect().head
+    val li = graft.tables.Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_quantity").collect()
+      .map(r => (math.round(math.log(r.getDouble(0) / r.getDouble(1)) * 1e4),
+        math.round(math.log(r.getDouble(1)) * 1e4)))
+    val n = li.length.toLong
+    val sx = li.map(_._1).sum; val sy = li.map(_._2).sum
+    val sxy = li.map(p => p._1 * p._2).sum
+    val sxx = li.map(p => p._1 * p._1).sum
+    val slope = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx)
+    assert(pe.getAs[Long]("n") === n)
+    assert(math.abs(pe.getAs[Double]("elasticity") - slope) <= 1e-3)
+    // demand curves slope down: elasticity is negative on TPC-H-ish data
+    assert(pe.getAs[Double]("elasticity") < 0.0)
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
