@@ -341,7 +341,75 @@ object StatsR8d {
               - col("sx").cast("double") * col("sx")))
         .select(col("n"), round(col("slope"), 4).as("elasticity"),
           round((col("sy") - col("slope") * col("sx"))
-            / col("n") / 1e4, 4).as("intercept")))
+            / col("n") / 1e4, 4).as("intercept"))),
+
+    // Daily log-return volatility + annualized Sharpe per event type:
+    // returns = ln(y_t/y_{t−1}) snapped to the 1e6 grid, sample sd
+    // from exact snapped moments, Sharpe = mean/sd·√365 (rf = 0,
+    // stated). The finance companion of q_max_drawdown.
+    "q_volatility" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
+          count(lit(1)).as("cnt"))
+        .withColumn("y", expr("s_m div cnt"))
+      val wo = Window.partitionBy("event_type").orderBy("d")
+      daily
+        .withColumn("prev", lag("y", 1).over(wo))
+        .filter(col("prev").isNotNull)
+        .withColumn("r_u", round(log(col("y").cast("double")
+          / col("prev")) * 1e6).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_ret"), sum("r_u").as("sr"),
+          sum(col("r_u") * col("r_u")).as("qr"))
+        .withColumn("mean_r", col("sr").cast("double") / col("n_ret") / 1e6)
+        .withColumn("vol", sqrt((col("qr") - col("sr").cast("double")
+          * col("sr") / col("n_ret"))
+          / (col("n_ret") - 1)) / 1e6)
+        .select(col("event_type"), col("n_ret"),
+          round(col("mean_r"), 6).as("mean_daily_ret"),
+          round(col("vol"), 6).as("daily_vol"),
+          round(col("mean_r") / col("vol") * sqrt(lit(365.0)), 4)
+            .as("sharpe_annualized"))
+        .orderBy("event_type")
+    }),
+
+    // Weekday-uniformity χ² per event type: are events spread evenly
+    // over the days of week (the seasonality gate before any
+    // dow-conditioned model)? Exact counts on the bounded 7-cell
+    // grid; expected = n/7 kept cross-multiplied so χ² needs one
+    // division per type.
+    "q_dow_chi2" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sum("c").as("n"), count(lit(1)).as("k"),
+          sum(col("c") * col("c")).as("s2"))
+        // χ² = Σ(c−n/7)²/(n/7) = 7·Σc²/n − n, exact until one division
+        .select(col("event_type"), col("n"), col("k").as("n_weekdays"),
+          round(lit(7.0) * col("s2") / col("n") - col("n"), 4)
+            .as("dow_chi2"))
+        .orderBy("event_type")),
+
+    // Daily event-type mix entropy: H of the type distribution per
+    // day, 1e9-snapped per-cell terms against exact day totals — the
+    // one-number daily health signal the drift keys trend over weeks.
+    "q_mix_entropy_daily" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cells.groupBy("d").agg(sum("c").as("n"))
+      cells.join(tot, "d")
+        .withColumn("t_u", round(lit(-1.0) * col("c") / col("n")
+          * log(col("c").cast("double") / col("n")) * 1e9).cast("long"))
+        .groupBy("d")
+        .agg(max("n").as("n"), count(lit(1)).as("k_types"),
+          sum("t_u").as("h_u"))
+        .select(col("d"), col("n"), col("k_types"),
+          round(col("h_u") / 1e9, 6).as("mix_entropy"))
+        .orderBy("d")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -637,6 +705,65 @@ object StatsR8d {
         |  FROM m)
         |SELECT n, ROUND(slope, 4) AS elasticity,
         |  ROUND((sy - slope * sx) / n / 1e4, 4) AS intercept
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // identical 1e6-snapped log returns and exact moments
+    "q_volatility" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+        |      // COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(ln(CAST(y AS DOUBLE)
+        |      / lag(y) OVER (PARTITION BY event_type ORDER BY d)) * 1e6)
+        |      AS BIGINT) AS r_u
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ret,
+        |    SUM(r_u) AS sr, SUM(r_u * r_u) AS qr
+        |  FROM r WHERE r_u IS NOT NULL GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n_ret,
+        |    CAST(sr AS DOUBLE) / n_ret / 1e6 AS mean_r,
+        |    sqrt((qr - CAST(sr AS DOUBLE) * sr / n_ret) / (n_ret - 1))
+        |      / 1e6 AS vol
+        |  FROM m)
+        |SELECT event_type, n_ret, ROUND(mean_r, 6) AS mean_daily_ret,
+        |  ROUND(vol, 6) AS daily_vol,
+        |  ROUND(mean_r / vol * sqrt(365.0), 4) AS sharpe_annualized
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    // identical 7-cell counts and cross-multiplied chi-square
+    "q_dow_chi2" ->
+      """WITH c AS (
+        |  SELECT event_type, dayofweek(ts) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, SUM(c) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS k, SUM(c * c) AS s2
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, k AS n_weekdays,
+        |  ROUND(7.0 * s2 / n - n, 4) AS dow_chi2
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // identical 1e9-snapped entropy cells against exact day totals
+    "q_mix_entropy_daily" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |t AS (
+        |  SELECT cells.d, tot.n,
+        |    CAST(ROUND(-1.0 * c / n * ln(CAST(c AS DOUBLE) / n) * 1e9)
+        |      AS BIGINT) AS t_u
+        |  FROM cells JOIN tot ON cells.d = tot.d)
+        |SELECT d, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k_types,
+        |  ROUND(SUM(t_u) / 1e9, 6) AS mix_entropy
+        |FROM t GROUP BY 1 ORDER BY d""".stripMargin
   )
 }

@@ -1048,6 +1048,53 @@ class R8OpsSpec extends AnyFunSuite with SparkFixture {
     assert(pe.getAs[Double]("elasticity") < 0.0)
   }
 
+  test("q_volatility, q_dow_chi2, q_mix_entropy_daily references") {
+    val daily = graft.tables.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d"), col("value"))
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        math.floor(r.getDouble(2) * 1e3).toLong))
+    val series = daily.groupBy(_._1._1).map { case (t, rows) =>
+      t -> rows.groupBy(_._1._2).toArray.sortBy(_._1)
+        .map { case (_, vs) => vs.map(_._2).sum / vs.length }
+    }
+    SparkEntry.queries("q_volatility")(spark, sf).collect().foreach { r =>
+      val ys = series(r.getString(0))
+      val rets = ys.zip(ys.tail).map { case (a, b) =>
+        math.round(math.log(b.toDouble / a) * 1e6) }
+      val n = rets.length
+      val mean = rets.sum.toDouble / n / 1e6
+      val vol = math.sqrt((rets.map(x => x * x).sum
+        - rets.sum.toDouble * rets.sum / n) / (n - 1)) / 1e6
+      assert(r.getAs[Long]("n_ret") === n.toLong)
+      assert(math.abs(r.getAs[Double]("daily_vol") - vol) <= 1e-5)
+      assert(math.abs(r.getAs[Double]("sharpe_annualized")
+        - mean / vol * math.sqrt(365.0)) <= 1e-3)
+    }
+    val dc = SparkEntry.queries("q_dow_chi2")(spark, sf).collect()
+    dc.foreach { r =>
+      assert(r.getAs[Long]("n_weekdays") <= 7L)
+      assert(r.getAs[Double]("dow_chi2") >= 0.0)
+    }
+    val me = SparkEntry.queries("q_mix_entropy_daily")(spark, sf).collect()
+    me.foreach { r =>
+      val h = r.getAs[Double]("mix_entropy")
+      // 0 <= H <= ln(k)
+      assert(h >= 0.0 && h <= math.log(r.getAs[Long]("k_types")
+        .toDouble) + 1e-9)
+    }
+    // per-day entropy recompute on the first day
+    val day0 = me.head
+    val cells = graft.tables.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)))
+      .filter(_._1 == day0.getDate(0).toString)
+    val n = cells.length
+    val hRef = cells.groupBy(_._2).map(_._2.length).map { c =>
+      math.round(-1.0 * c / n * math.log(c.toDouble / n) * 1e9)
+    }.sum / 1e9
+    assert(math.abs(day0.getAs[Double]("mix_entropy") - hRef) <= 1e-6)
+  }
+
   test("q_readability recomputes per-doc on a sample") {
     val got = SparkEntry.queries("q_readability")(spark, sf).collect()
     val docs = graft.tables.Tables.documents(spark, sf)
