@@ -37,18 +37,30 @@ object LlmOps {
   private val topkCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), DataFrame]()
 
-  /** Session-memoized all-queries ranked top-10 neighbor table
+  /** Session-memoized ranked top-10 neighbor table
     * (a_id, a_lab, b_id, b_lab, cos, rn) — the shared derivation
     * behind q_precision_recall_k and q_ndcg (EdgeGraph posture: one
     * broadcast-cross + window per (session, sfDir), materialized via
-    * localCheckpoint so each metric key pays only its own rollup). */
+    * localCheckpoint so each metric key pays only its own rollup).
+    *
+    * SAMPLING CONTRACT (r8 VERDICT task 4): the QUERY side is the
+    * deterministic 1-in-17 slice `vec_id % 17 == 0` — eval on a query
+    * sample is standard practice and keeps the pair space
+    * (corpus/17)·corpus instead of corpus², which is the difference
+    * between a tail key and a scale-killer at sf10+. The corpus side
+    * stays exact (every query still ranks against ALL vectors, so
+    * per-query metrics are unchanged — only the query population is
+    * sampled), and the DuckDB oracles apply the identical `% 17`
+    * predicate. At 100 TB the corpus side additionally routes through
+    * the IVF cells (q_sim_ivf); the scoring tail here is unchanged. */
   private def rankedTop10(s: SparkSession, d: String): DataFrame = {
     val it = topkCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     topkCache.computeIfAbsent((s.sparkContext, d), _ => {
       graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_lab"),
+      val a = e.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("a_id"), col("label").as("a_lab"),
         col("embedding").as("a_emb"))
       val b = e.select(col("vec_id").as("b_id"), col("label").as("b_lab"),
         col("embedding").as("b_emb"))
@@ -839,13 +851,13 @@ object LlmOps {
         .orderBy("lang")
     }),
 
-    // Retrieval-quality eval: precision@10 per label over the full
-    // neighbor ranking — every vector queries the whole corpus, its
-    // top-10 by cosine (tiebreak vec_id) are scored against the label.
-    // This is the BRUTE-FORCE eval baseline (the thing q_sim_ivf's
-    // recall is measured against): all-pairs with a broadcast probe
-    // side, one per-query window. At 100 TB the candidate generation
-    // routes through the IVF cells (q_sim_ivf) and this same scoring
+    // Retrieval-quality eval: precision@10 per label over the exact
+    // neighbor ranking of the 1-in-17 query sample (rankedTop10's
+    // sampling contract) — each sampled vector queries the WHOLE
+    // corpus, its top-10 by cosine (tiebreak vec_id) are scored
+    // against the label. This is the exact eval baseline q_sim_ivf's
+    // recall is measured against; at 100 TB the candidate generation
+    // additionally routes through the IVF cells and this same scoring
     // tail runs unchanged on the probed candidates.
     "q_precision_recall_k" -> ((s, d) => {
       rankedTop10(s, d)
@@ -858,9 +870,10 @@ object LlmOps {
     }),
 
     // Ranking-quality metrics for the retrieval index: NDCG@10 and MRR
-    // per label, treating every vector as a query and same-label
-    // neighbors as relevant (the q_precision_recall_k candidate shape:
-    // broadcast the corpus, rank by 6dp cosine + id tiebreak). Every
+    // per label, treating every SAMPLED vector (rankedTop10's 1-in-17
+    // query-side contract) as a query and same-label neighbors as
+    // relevant (broadcast corpus, rank by 6dp cosine + id tiebreak);
+    // ideal-DCG truncation still uses the FULL label count. Every
     // per-rank gain term is snapped to the integer µ-unit grid BEFORE
     // any aggregation (round(1e6/log2(rank+1)) — the cusum lesson:
     // sums of inexact doubles are partial-agg-order-dependent, sums of
@@ -1810,7 +1823,8 @@ object LlmOps {
          |  SELECT a.vec_id AS a_id, a.label AS a_lab, b.vec_id AS b_id,
          |    b.label AS b_lab,
          |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 17 = 0),
          |top AS (
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY a_id
@@ -1831,7 +1845,8 @@ object LlmOps {
          |  SELECT a.vec_id AS a_id, a.label AS a_lab, b.label AS b_lab,
          |    b.vec_id AS b_id,
          |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
-         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 17 = 0),
          |top AS (
          |  SELECT a_id, a_lab, rn,
          |    CASE WHEN b_lab = a_lab THEN 1 ELSE 0 END AS rel

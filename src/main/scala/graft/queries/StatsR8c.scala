@@ -42,14 +42,14 @@ object StatsR8c {
           col("y").as("y2")), col("d1") < col("d2"))
         .withColumn("sx", signum(col("x2") - col("x1")).cast("long"))
         .withColumn("sy", signum(col("y2") - col("y1")).cast("long"))
+      // Standard tau-b: n1/n2 count ALL x-/y-tied pairs (including
+      // pairs tied in both), so tx/ty condition on one sign only.
       pairs.agg(count(lit(1)).as("n0"),
           sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("c"),
           sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L))
             .as("disc"),
-          sum(when(col("sx") === 0 && col("sy") =!= 0, 1L).otherwise(0L))
-            .as("tx"),
-          sum(when(col("sy") === 0 && col("sx") =!= 0, 1L).otherwise(0L))
-            .as("ty"))
+          sum(when(col("sx") === 0, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ty"))
         .select(col("n0").as("n_pairs"), col("c").as("concordant"),
           col("disc").as("discordant"),
           round((col("c") - col("disc")).cast("double")
@@ -204,9 +204,9 @@ object StatsR8c {
         |      AS c,
         |    CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS disc,
-        |    CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+        |    CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS tx,
-        |    CAST(SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END)
+        |    CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS ty
         |  FROM pairs)
         |SELECT n0 AS n_pairs, c AS concordant, disc AS discordant,

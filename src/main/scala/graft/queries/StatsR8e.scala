@@ -20,7 +20,7 @@ object StatsR8e {
     * deterministic last-row rule q_ohlc_resample uses), volume =
     * event count. One partial agg over the corpus; output is
     * |types|·|days| rows. */
-  private def dailyOhlc(s: SparkSession, d: String): DataFrame =
+  private[queries] def dailyOhlc(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"), to_date(col("ts")).as("d"),
         round(col("value") * 100).cast("long").as("v_c"),
@@ -276,7 +276,7 @@ object StatsR8e {
 
   /** Shared daily-OHLC CTE for the oracle side: row_number picks the
     * identical (ts, event_id)-max close row max_by selects. */
-  private val dailyCte: String =
+  private[queries] val dailyCte: String =
     """base AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,
       |    CAST(ROUND(value * 100) AS BIGINT) AS v_c, ts, event_id

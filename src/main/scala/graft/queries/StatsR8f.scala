@@ -151,10 +151,20 @@ object StatsR8f {
         .withColumn("rn", row_number().over(
           Window.partitionBy("event_type").orderBy("w")).cast("long"))
         .withColumn("nw", count(lit(1)).over(wp))
+        // Middle ranks via TRUNCATING casts (Spark '/' on longs is double
+        // division — x.5 would never match an integer rn; the cast is
+        // load-bearing, same convention as q_levene_bf's med2). Each Walsh
+        // SUM w = y_i + y_j is twice the Walsh average, and the estimate
+        // averages the two middle rows, hence /4 — so the single middle
+        // row of an odd count must weigh 2.
+        .withColumn("p1", ((col("nw") + 1) / 2).cast("long"))
+        .withColumn("p2", (col("nw") / 2 + 1).cast("long"))
         .groupBy("event_type")
         .agg(max("nw").as("n_walsh"),
-          round(sum(when(col("rn") === (col("nw") + 1) / 2
-              || col("rn") === col("nw") / 2 + 1, col("w"))
+          round(sum(when(col("rn") === col("p1") && col("p1") === col("p2"),
+              col("w") * 2)
+            .when(col("rn") === col("p1") || col("rn") === col("p2"),
+              col("w"))
             .otherwise(0L)) / 4.0 / 1e3, 4).as("hl_estimate"))
         .orderBy("event_type")
     }),
@@ -315,8 +325,11 @@ object StatsR8f {
         |      AS nw
         |  FROM walsh)
         |SELECT event_type, MAX(nw) AS n_walsh,
-        |  ROUND(SUM(CASE WHEN rn IN ((nw + 1) // 2, nw // 2 + 1)
-        |    THEN w ELSE 0 END) / 4.0 / 1e3, 4) AS hl_estimate
+        |  ROUND(SUM(CASE
+        |      WHEN rn = (nw + 1) // 2 AND (nw + 1) // 2 = nw // 2 + 1
+        |        THEN 2 * w
+        |      WHEN rn IN ((nw + 1) // 2, nw // 2 + 1) THEN w
+        |      ELSE 0 END) / 4.0 / 1e3, 4) AS hl_estimate
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical lifetime grid, 1e9-snapped terms, prefix sum

@@ -90,11 +90,13 @@ object StreamOps {
     dir
   }
 
-  private def readEventsStream(s: SparkSession, path: String): DataFrame = {
-    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  private def readEventsStream(s: SparkSession, path: String): DataFrame =
+    // no session-conf writes here — the micros-typed parquet output
+    // conf is set-and-restored inside runToParquet, where the sink
+    // actually writes (r8 ADVICE: the old unconditional set leaked
+    // outputTimestampType into every key run after a streaming one)
     s.readStream.schema(rawSchema).parquet(path)
       .withColumn("ts", col("ts").cast(TimestampType))
-  }
 
   /** Stateful streaming creates one state store — and its per-batch
     * checkpoint I/O — per shuffle partition. On bounded test inputs
@@ -110,8 +112,16 @@ object StreamOps {
     try f finally s.conf.set(key, prev)
   }
 
-  private def runToParquet(df: DataFrame, out: String, ckpt: String): Unit =
-    withBoundedStatePartitions(df.sparkSession) {
+  private def runToParquet(df: DataFrame, out: String, ckpt: String): Unit = {
+    val s = df.sparkSession
+    // set-and-restore: the parquet sink must emit micros-typed
+    // timestamps (the DuckDB-readable wire convention), but leaking
+    // this conf into the shared session would silently re-type
+    // timestamps for every key run after a streaming one.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = s.conf.getOption(tsKey)
+    s.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try withBoundedStatePartitions(s) {
       df.writeStream
         .format("parquet")
         .option("path", out)
@@ -119,7 +129,11 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
+    } finally prevTs match {
+      case Some(v) => s.conf.set(tsKey, v)
+      case None    => s.conf.unset(tsKey)
     }
+  }
 
   /** Copy the events table into a fresh dir `copies` times (replay input). */
   private def stageEventsInput(s: SparkSession, d: String, copies: Int, tag: String): String = {
@@ -623,11 +637,18 @@ object StreamOps {
               var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
               val res = rows.toArray.sortBy(r => (r._2, r._3)).flatMap { r =>
                 val o = if (n >= 30) {
-                  val mean = s1.toDouble / n
-                  val sd = math.sqrt(
-                    (s2 - s1.toDouble * s1 / n) / (n - 1))
-                  Some((t, if (math.abs((r._4 - mean) / sd) > 3.0) 1L
-                    else 0L))
+                  // sd == 0 (all warmup values identical) would give
+                  // z = NaN, where JVM abs(NaN) > 3 is false but DuckDB
+                  // orders NaN above all values — guard both engines
+                  // with the same exact-integer test s2·n > s1² (true
+                  // iff the variance is strictly positive).
+                  val alarm = if (s2 * n > s1 * s1) {
+                    val mean = s1.toDouble / n
+                    val sd = math.sqrt(
+                      (s2 - s1.toDouble * s1 / n) / (n - 1))
+                    if (math.abs((r._4 - mean) / sd) > 3.0) 1L else 0L
+                  } else 0L
+                  Some((t, alarm))
                 } else None
                 n += 1; s1 += r._4; s2 += r._4 * r._4
                 o
@@ -762,9 +783,10 @@ object StreamOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |sc AS (
         |  SELECT event_type,
-        |    CASE WHEN abs((v - CAST(s1 AS DOUBLE) / n)
-        |        / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))
-        |        > 3.0
+        |    CASE WHEN s2 * n > s1 * s1
+        |        AND abs((v - CAST(s1 AS DOUBLE) / n)
+        |          / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)))
+        |          > 3.0
         |      THEN 1 ELSE 0 END AS alarm
         |  FROM w WHERE n >= 30)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,

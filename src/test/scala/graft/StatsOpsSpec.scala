@@ -248,10 +248,13 @@ class StatsOpsSpec extends AnyFunSuite with SparkFixture {
       || col("hr") < 0 || col("hr") > 23).isEmpty)
   }
 
-  test("q_precision_recall_k conserves queries; p@10 in [0,1]") {
+  test("q_precision_recall_k conserves sampled queries; p@10 in [0,1]") {
     val df = graft.queries.LlmOps.queries("q_precision_recall_k")(spark, sf)
       .localCheckpoint(true)
-    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    // the query side is the deterministic 1-in-17 eval sample (r9);
+    // every sampled vector must appear exactly once as a query
+    val n = graft.tables.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 17 === 0).count()
     assert(df.agg(sum("n_queries")).collect()(0).getLong(0) === n)
     assert(df.filter(col("p_at_10") < 0 || col("p_at_10") > 1).isEmpty)
   }

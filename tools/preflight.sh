@@ -14,13 +14,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "[preflight] sbt compile (Test/compile included)..."
-sbt -batch ";compile;Test/compile" > /tmp/preflight_compile.log 2>&1 || {
-  echo "[preflight] COMPILE FAILED — commit refused. Log tail:"
+echo "[preflight] sbt compile (Test/compile included) + doc-sync..."
+sbt -batch ";compile;Test/compile;runMain graft.DocSync" \
+    > /tmp/preflight_compile.log 2>&1 || {
+  echo "[preflight] COMPILE or DOC-SYNC FAILED — commit refused. Log tail:"
   tail -30 /tmp/preflight_compile.log
   exit 1
 }
-echo "[preflight] compile OK"
+echo "[preflight] compile + doc-sync OK"
 
 if [ "$#" -gt 0 ]; then
   keys=$(IFS=,; echo "$*")
