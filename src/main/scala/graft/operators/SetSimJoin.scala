@@ -105,28 +105,59 @@ object SetSimJoin {
 
   /** Strategy-selection thresholds. Broadcast cap is deliberately far
     * below executor memory; the intersect budget is ~seconds of one
-    * core's primitive comparisons. */
+    * core's primitive comparisons; the count budget bounds the
+    * co-occurrence JOIN-ROW volume (Σ_h df_h²) — rows cost ~an order
+    * more than merge comparisons, and past ~2e9 of them the count
+    * strategy is the bottleneck no matter how it is partitioned. */
   private[graft] val BroadcastMaxBytes: Double = 32.0 * (1 << 20)
   private[graft] val IntersectCostBudget: Double = 4e9
   private[graft] val DenseDf: Double = 32.0
+  private[graft] val CountRowsBudget: Double = 2e9
+
+  /** Exact co-occurrence row volume of the count strategy: Σ_h df_h².
+    * One linear explode + groupBy pass — only evaluated (by-name in
+    * [[chooseStrategy]]) when the broadcast-intersect short-circuit is
+    * rejected, i.e. exactly when the count/prefix decision matters.
+    * Double accumulation: Σdf² overflows long on dense corpora. */
+  private[graft] def dfSquareSum(sets: DataFrame): Double = {
+    val r = sets.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df").cast("double") * col("df")), lit(0.0)))
+      .head().getDouble(0)
+    r
+  }
 
   /** Pick the exact self-join strategy from [[CorpusStats]]:
     *  - "intersect" when the whole sorted-array table fits a broadcast
     *    AND the block-bounded pair space is a tractable direct probe —
     *    the small-corpus / dense-vocab regime where candidate
-    *    generation machinery costs more than it saves;
+    *    generation machinery costs more than it saves. The probe
+    *    budget scales with the session's parallelism (the probe side
+    *    is explicitly repartitioned, so merge comparisons divide
+    *    evenly across cores — a single-core constant would reject
+    *    probes a 32-core session finishes in seconds, r9 sf1 finding);
     *  - "count" when the vocabulary is dense (avg df >= DenseDf) or
-    *    tau is low: prefix/positional filters prune little, and the
-    *    co-occurrence count IS the intersection (no verify join);
-    *  - "prefix" otherwise — the sparse-vocab / high-tau regime where
-    *    PPJoin filters bound candidates sub-quadratically (the default
-    *    100 TB shape).
+    *    tau is low (prefix/positional filters prune little, and the
+    *    co-occurrence count IS the intersection — no verify join) —
+    *    but ONLY while the exact co-occurrence volume Σdf² is inside
+    *    [[CountRowsBudget]]: on a dense vocabulary Σdf² grows with
+    *    corpus², and past the budget the count join is the quadratic
+    *    bottleneck whatever the per-row cost (r9 sf1 finding: the old
+    *    density-only rule serialized 9.4e9 co-occurrence rows);
+    *  - "prefix" otherwise — PPJoin filters bound candidates
+    *    sub-quadratically via the rarest-element prefixes (the default
+    *    100 TB shape; on dense vocabs prefixes still hold only the
+    *    RAREST (1−τ)·|A|+1 elements, so Σ(prefix-df)² ≪ Σdf²).
     * All three emit identical exact results (ShingleSpec); this picks
     * cost only, so a misestimate can never change answers. */
-  private[graft] def chooseStrategy(st: CorpusStats, tau: Double): String =
-    if (st.broadcastBytes <= BroadcastMaxBytes && st.intersectCost <= IntersectCostBudget)
+  private[graft] def chooseStrategy(st: CorpusStats, tau: Double,
+                                    parallelism: Int,
+                                    sumDf2: => Double): String =
+    if (st.broadcastBytes <= BroadcastMaxBytes
+        && st.intersectCost <= IntersectCostBudget * math.max(1, parallelism / 4))
       "intersect"
-    else if (st.density >= DenseDf || tau < 0.5) "count"
+    else if ((st.density >= DenseDf || tau < 0.5) && sumDf2 <= CountRowsBudget)
+      "count"
     else "prefix"
 
   /** Stats-driven exact set-similarity self-join: computes cheap corpus
@@ -134,7 +165,8 @@ object SetSimJoin {
     * [[pairs]] — same signature and identical results as each. */
   def auto(s: SparkSession, sets: DataFrame, tau: Double): DataFrame = {
     release()
-    chooseStrategy(corpusStats(sets), tau) match {
+    chooseStrategy(corpusStats(sets), tau,
+      s.sessionState.conf.numShufflePartitions, dfSquareSum(sets)) match {
       case "intersect" => pairsByIntersect(s, sets, tau)
       case "count"     => pairsByCount(s, sets, tau)
       case _           => pairs(s, sets, tau)
@@ -401,7 +433,15 @@ object SetSimJoin {
     val sized = sets.select(col("doc_id"), size(col("hs")).as("n"))
     val occ = sets
       .select(col("lang"), col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    // the co-occurrence join is this plan's entire cost, and a
+    // broadcast-hash join adds no exchange of its own — without an
+    // explicit redistribution on the join key a single-split input
+    // (one parquet row group) would run ALL Σdf² join rows in one
+    // task (r9 sf1 finding). One linear shuffle buys split-independent
+    // parallelism on the heavy stage.
     val a = occ.select(col("lang"), col("h"), col("doc_id").as("a_id"), col("n").as("na"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("lang"), col("h"))
     val b = occ.select(col("lang").as("lang_b"), col("h").as("h_b"),
       col("doc_id").as("b_id"), col("n").as("nb"))
     val co = a.join(b,

@@ -76,19 +76,31 @@ object StreamOps {
     Files.createTempDirectory(scratchRoot, s"graft_$tag").toString
 
   /** The file stream source requires a directory; testdata tables are
-    * single files — stage a copy into a temp dir. */
-  private def eventsDir(d: String, tag: String): String = {
+    * single files — stage a copy into a temp dir. Derived scale tiers
+    * (sf1data) ship tables as DIRECTORIES of part files: stage each
+    * part file, not the directory inode (a bare Files.copy of a dir
+    * stages an empty dir and the stream silently reads zero rows —
+    * r9 sf1 finding). */
+  private def stageTable(d: String, name: String, tag: String): String = {
     val dir = tmp(tag)
-    Files.copy(Paths.get(s"$d/events.parquet"), Paths.get(dir, "events.parquet"))
+    val src = Paths.get(s"$d/$name.parquet")
+    if (Files.isDirectory(src)) {
+      val it = Files.list(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          Files.copy(p, Paths.get(dir, p.getFileName.toString))
+      }
+    } else Files.copy(src, Paths.get(dir, s"$name.parquet"))
     dir
   }
 
+  private def eventsDir(d: String, tag: String): String =
+    stageTable(d, "events", tag)
+
   /** Stage the documents table into a fresh dir (document streams). */
-  private def docsDir(d: String, tag: String): String = {
-    val dir = tmp(tag)
-    Files.copy(Paths.get(s"$d/documents.parquet"), Paths.get(dir, "documents.parquet"))
-    dir
-  }
+  private def docsDir(d: String, tag: String): String =
+    stageTable(d, "documents", tag)
 
   private def readEventsStream(s: SparkSession, path: String): DataFrame =
     // no session-conf writes here — the micros-typed parquet output
@@ -664,6 +676,80 @@ object StreamOps {
         .orderBy("event_type")
     }),
 
+    // Streaming CUSUM drift monitor in EXACT integers: the recursion
+    // s⁺ₙ = max(0, s⁺ₙ₋₁ + (x−target−slack)) equals Pₙ − min₀..ₙ Pₖ
+    // over the raw prefix sum P — so the O(1) per-type state is two
+    // exact centi longs (P, minP), no clamped recursion and no
+    // doubles anywhere. Alarm when s⁺ > H. The DuckDB oracle IS the
+    // closed form: one prefix-sum window + one running-min window
+    // over the same exact longs — equality proves the sequential
+    // state math carried across rows.
+    "s_stream_cusum" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("cusum_out")
+      val target = 5000L; val slack = 200L; val h = 100000L
+      val ev = readEventsStream(s, eventsDir(d, "cusum_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("v_c"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[(Long, Long)]) =>
+              var (p, minp) = state.getOption.getOrElse((0L, 0L))
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+                p += r._4 - target - slack
+                if (p < minp) minp = p
+                val sPlus = p - minp
+                (t, if (sPlus > h) 1L else 0L, sPlus)
+              }
+              state.update((p, minp))
+              res.iterator
+          }
+          .toDF("event_type", "alarm", "s_plus")
+      }
+      runToParquet(scored, out, tmp("cusum_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"), sum("alarm").as("n_alarms"),
+          round(max("s_plus") / 100.0, 2).as("max_s_plus"))
+        .orderBy("event_type")
+    }),
+
+    // Streaming new-extreme alarm: O(1) exact state = the running max
+    // centi value per type; an arriving value strictly above it alarms
+    // (the first value of a type is a new high by convention — stated,
+    // and mirrored by the oracle's NULL branch). Oracle = prefix-max
+    // window over ROWS … 1 PRECEDING.
+    "s_stream_newhigh" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("nh_out")
+      val ev = readEventsStream(s, eventsDir(d, "nh_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("v_c"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (String, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[Long]) =>
+              var mx = state.getOption.getOrElse(Long.MinValue)
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+                val alarm = if (r._4 > mx) 1L else 0L
+                if (r._4 > mx) mx = r._4
+                (t, alarm)
+              }
+              state.update(mx)
+              res.iterator
+          }
+          .toDF("event_type", "alarm")
+      }
+      runToParquet(scored, out, tmp("nh_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("alarm").as("n_newhighs"))
+        .orderBy("event_type")
+    }),
+
     // Streaming per-type top-3 maxima: state = the running top list
     // (O(k) per key), merged per micro-batch (maxFilesPerTrigger=1 →
     // one batch per staged part file). Max-merge is COMMUTATIVE, so
@@ -792,6 +878,48 @@ object StreamOps {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
         |  CAST(SUM(alarm) AS BIGINT) AS n_alarms
         |FROM sc GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the closed form of the CUSUM recursion: prefix sum + running
+    // min over the same exact centi longs
+    "s_stream_cusum" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, ts, event_id,
+        |    SUM(v - 5200) OVER wp AS pp
+        |  FROM ev
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sp AS (
+        |  SELECT event_type,
+        |    pp - LEAST(0, MIN(pp) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)) AS s_plus
+        |  FROM p)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(CASE WHEN s_plus > 100000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_alarms,
+        |  ROUND(MAX(s_plus) / 100.0, 2) AS max_s_plus
+        |FROM sp GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // prefix-max over ROWS ... 1 PRECEDING; NULL prev = first value
+    // = new high (the key's stated convention)
+    "s_stream_newhigh" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, v,
+        |    MAX(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN pm IS NULL OR v > pm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_newhighs
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // the batch top-3 per type — the commutative-merge argument in
     // the key's comment is why file order can't change this

@@ -181,23 +181,38 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     val sets = docs.select(col("doc_id"), col("lang"),
       expr("token_hashes(split(text, ' '))").as("hs"))
     // this corpus: tiny broadcast + tractable pair space → intersect
+    // (sumDf2 is by-name and must NOT be needed on this path)
     val st = corpusStats(sets)
-    assert(chooseStrategy(st, 0.8) === "intersect")
+    assert(chooseStrategy(st, 0.8, 4,
+      sys.error("sumDf2 must not be evaluated on the intersect path"))
+      === "intersect")
     val got = SetSimJoin.auto(spark, sets, 0.8)
     val want = SetSimJoin.pairs(spark, sets, 0.8)
     assert(got.exceptAll(want).count() === 0L)
     assert(want.exceptAll(got).count() === 0L)
 
-    // synthetic stats hit the other two branches: too big to broadcast,
-    // dense vocabulary → count; sparse vocabulary at high tau → prefix
+    // synthetic stats hit the other branches: too big to broadcast,
+    // dense vocabulary + AFFORDABLE co-occurrence volume → count
     val big = CorpusStats(nDocs = 1000000000L, sumN = 100000000000L,
       pairSpace = 5e17, vocab = 1000000L) // density 1e5
-    assert(chooseStrategy(big, 0.8) === "count")
+    assert(chooseStrategy(big, 0.8, 4, 1e9) === "count")
+    // dense vocabulary whose exact Σdf² EXCEEDS the row budget must
+    // fall back to prefix — the r9 sf1 finding (the density-only rule
+    // picked a 9.4e9-row co-occurrence join on a 31-token vocabulary)
+    assert(chooseStrategy(big, 0.8, 4, 9.4e9) === "prefix")
     val sparse = CorpusStats(nDocs = 1000000000L, sumN = 100000000000L,
       pairSpace = 5e17, vocab = 50000000000L) // density 2
-    assert(chooseStrategy(sparse, 0.8) === "prefix")
-    // low tau defeats prefix filtering even on a sparse vocabulary
-    assert(chooseStrategy(sparse, 0.3) === "count")
+    assert(chooseStrategy(sparse, 0.8, 4, 1e9) === "prefix")
+    // low tau defeats prefix filtering even on a sparse vocabulary —
+    // count, while its row volume is affordable
+    assert(chooseStrategy(sparse, 0.3, 4, 1e9) === "count")
+    assert(chooseStrategy(sparse, 0.3, 4, 1e12) === "prefix")
+    // the intersect budget scales with parallelism: a probe 4 cores
+    // reject (10e9 > 4e9) is accepted at 32 partitions (<= 32e9)
+    val mid = CorpusStats(nDocs = 100000L, sumN = 2300000L,
+      pairSpace = 2.2e8, vocab = 200L) // intersectCost ~1e10, 18 MB
+    assert(chooseStrategy(mid, 0.95, 4, 1e12) === "prefix")
+    assert(chooseStrategy(mid, 0.95, 32, 1e12) === "intersect")
   }
 
   test("autoBetween and pairsBetweenByIntersect agree with pairsBetween") {
