@@ -25,7 +25,7 @@ object StatsR9 {
   private def wo = Window.partitionBy("event_type").orderBy("d")
 
   /** Day-indexed daily milli means per type (the hodges/ses grain). */
-  private def dailyMean(s: SparkSession, d: String): DataFrame =
+  private[queries] def dailyMean(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
@@ -34,7 +34,7 @@ object StatsR9 {
 
   /** µ-snapped daily log returns of the milli-mean series per type
     * (the q_volatility grain): r_u = round(ln(y_i/y_{i-1})·1e6). */
-  private def dailyRet(s: SparkSession, d: String): DataFrame =
+  private[queries] def dailyRet(s: SparkSession, d: String): DataFrame =
     dailyMean(s, d)
       .withColumn("py", lag("y", 1).over(wo))
       .filter(col("py").isNotNull)
@@ -299,7 +299,7 @@ object StatsR9 {
   )
 
   /** Shared daily milli-mean + µ-snapped-return CTEs (oracle side). */
-  private val retCte: String =
+  private[queries] val retCte: String =
     """dm AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,
       |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) // COUNT(*)
