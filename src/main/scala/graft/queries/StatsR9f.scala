@@ -208,7 +208,7 @@ object StatsR9f {
     })
   )
 
-  private val dmCte: String =
+  private[queries] val dmCte: String =
     """dm AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d,
       |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) // COUNT(*)
