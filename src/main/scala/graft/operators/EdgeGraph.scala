@@ -157,4 +157,44 @@ object EdgeGraph {
         .localCheckpoint(eager = true)
     })
   }
+
+  private val lpCache =
+    new ConcurrentHashMap[(SparkContext, String, String, Double), DataFrame]()
+
+  /** Memoized synchronous label propagation (4 rounds, the
+    * count-desc/label-asc tie-break) over [[pairs]] — the community
+    * table (node, lbl) that q_label_prop emits and
+    * q_graph_modularity scores; a real pipeline materializes the
+    * community assignment once per corpus snapshot. Each round is one
+    * groupBy + one window over the edge list; rounds are checkpointed
+    * so round r never re-executes rounds < r. */
+  def labelProp(s: SparkSession, d: String, kind: String, tau: Double): DataFrame = {
+    val it = lpCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    lpCache.computeIfAbsent((s.sparkContext, d, kind, tau), _ => {
+      val e = pairs(s, d, kind, tau).select("a_id", "b_id")
+      // partition count tracks edge volume (the kcore/cte rule): four
+      // rounds re-scan this list, near-empty tasks are pure overhead
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong,
+        e.count() * 2 / 65536 + 1)).toInt
+      val sym = e.union(e.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst").coalesce(parts).localCheckpoint(eager = true)
+      var lbl = sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint(eager = true)
+      val wpick = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to 4) {
+        lbl = sym.join(lbl.select(col("node").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wpick))
+          .filter(col("rn") === 1)
+          .select("node", "lbl")
+          .localCheckpoint(eager = true)
+      }
+      lbl
+    })
+  }
 }

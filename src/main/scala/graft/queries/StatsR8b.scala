@@ -252,30 +252,11 @@ object StatsR8b {
     // checkpointed so round r never re-executes rounds < r.
     "q_label_prop" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      val e = graft.operators.EdgeGraph.pairs(s, d, "token", 0.8)
-        .select("a_id", "b_id")
-      // partition count tracks edge volume (the kcore/cte rule): four
-      // rounds re-scan this list, near-empty tasks are pure overhead
-      val parts = math.max(1L, math.min(
-        s.sparkContext.defaultParallelism.toLong,
-        e.count() * 2 / 65536 + 1)).toInt
-      val sym = e.union(e.select(col("b_id"), col("a_id")))
-        .toDF("src", "dst").coalesce(parts).localCheckpoint(eager = true)
-      var lbl = sym.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-        .localCheckpoint(eager = true)
-      val wpick = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("lbl"))
-      for (_ <- 1 to 4) {
-        lbl = sym.join(lbl.select(col("node").as("src"), col("lbl")), "src")
-          .groupBy(col("dst").as("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(wpick))
-          .filter(col("rn") === 1)
-          .select("node", "lbl")
-          .localCheckpoint(eager = true)
-      }
-      lbl.select(col("node").as("doc_id"), col("lbl").as("community"))
+      // the 4-round propagation lives in the memoized EdgeGraph layer
+      // (r9): q_graph_modularity scores the identical assignment, so
+      // both keys share one derivation per session
+      graft.operators.EdgeGraph.labelProp(s, d, "token", 0.8)
+        .select(col("node").as("doc_id"), col("lbl").as("community"))
         .orderBy("doc_id")
     }),
 
