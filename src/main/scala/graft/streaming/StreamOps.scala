@@ -837,6 +837,113 @@ object StreamOps {
       s.read.parquet(out)
         .groupBy("cur", "next").agg(count(lit(1)).as("n"))
         .orderBy("cur", "next")
+    }),
+
+    // Streaming funnel match (the q_asof_tolerance streaming twin):
+    // per user, a purchase matches the most recent click ≤ 1 h before
+    // it. O(1) exact state = last click µs; emits one row per
+    // purchase. Oracle = the batch running-max-of-click-µs window
+    // over the same (ts, event_id) order.
+    "s_stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sfunnel_out")
+      val ev = readEventsStream(s, eventsDir(d, "sfunnel_in"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"),
+          to_date(col("ts")).cast("string").as("dd"))
+        .as[(Long, Long, Long, String, String)]
+      val matched = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (String, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (_, rows, state: GroupState[Long]) =>
+              var lastClick = state.getOption.getOrElse(Long.MinValue)
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).flatMap { r =>
+                if (r._4 == "purchase") {
+                  val ok = lastClick != Long.MinValue &&
+                    r._2 - lastClick <= 3600000000L
+                  Some((r._5, if (ok) 1L else 0L))
+                } else { lastClick = r._2; None }
+              }
+              state.update(lastClick)
+              res.iterator
+          }
+          .toDF("d", "matched")
+      }
+      runToParquet(matched, out, tmp("sfunnel_ckpt"))
+      s.read.parquet(out).groupBy("d")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("matched").as("n_matched"))
+        .orderBy("d")
+    }),
+
+    // Streaming drawdown alarm: O(1) exact state = the running peak
+    // centi value per type; dd = peak − v alarms above 20.00 (2000
+    // centi, stated). Oracle = prefix-max window including the
+    // current row over the same exact longs.
+    "s_stream_drawdown" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sdd_out")
+      val ev = readEventsStream(s, eventsDir(d, "sdd_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("v_c"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (String, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[Long]) =>
+              var peak = state.getOption.getOrElse(Long.MinValue)
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+                if (r._4 > peak) peak = r._4
+                val dd = peak - r._4
+                (t, dd, if (dd > 2000L) 1L else 0L)
+              }
+              state.update(peak)
+              res.iterator
+          }
+          .toDF("event_type", "dd", "alarm")
+      }
+      runToParquet(scored, out, tmp("sdd_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(max("dd") / 100.0, 2).as("max_dd"),
+          sum("alarm").as("n_alarms"))
+        .orderBy("event_type")
+    }),
+
+    // Streaming inter-arrival gap alarm: O(1) exact state = last µs
+    // per type; a gap > 1 h alarms; the first event of a type has
+    // gap 0 by convention (stated — the oracle's COALESCE branch).
+    "s_stream_gap_alarm" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sgap_out")
+      val ev = readEventsStream(s, eventsDir(d, "sgap_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .as[(String, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (String, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[Long]) =>
+              var last = state.getOption.getOrElse(Long.MinValue)
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+                val gap = if (last == Long.MinValue) 0L else r._2 - last
+                last = r._2
+                (t, gap, if (gap > 3600000000L) 1L else 0L)
+              }
+              state.update(last)
+              res.iterator
+          }
+          .toDF("event_type", "gap_us", "alarm")
+      }
+      runToParquet(scored, out, tmp("sgap_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("alarm").as("n_gaps"),
+          round(max("gap_us") / 1e6, 2).as("max_gap_sec"))
+        .orderBy("event_type")
     })
   )
 
@@ -852,6 +959,61 @@ object StreamOps {
     * StreamingSpec's batch-equivalence asserts instead.
     */
   val oracle: Map[String, String] = Map(
+    // the batch asof twin: running MAX of click µs over the same
+    // (ts, event_id) order, 1-h tolerance, one row per purchase
+    "s_stream_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_type, d, ts_us,
+        |    MAX(CASE WHEN event_type = 'click' THEN ts_us END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_click
+        |  FROM ev)
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN last_click IS NOT NULL
+        |    AND ts_us - last_click <= 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY d""".stripMargin,
+
+    // prefix-max (including current) over the same exact centi longs
+    "s_stream_drawdown" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    MAX(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v
+        |      AS dd
+        |  FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(MAX(dd) / 100.0, 2) AS max_dd,
+        |  CAST(SUM(CASE WHEN dd > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // lag window over the same order; first event gap 0 (COALESCE)
+    "s_stream_gap_alarm" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    COALESCE(ts_us - lag(ts_us) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id), 0) AS gap_us
+        |  FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gaps,
+        |  ROUND(MAX(gap_us) / 1e6, 2) AS max_gap_sec
+        |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // the batch twin of the streaming state math: prefix window over
     // the same exact centi longs, warmup and alarm gates identical
     "s_stream_zscore" ->
