@@ -944,6 +944,89 @@ object StreamOps {
         .agg(count(lit(1)).as("n_events"), sum("alarm").as("n_gaps"),
           round(max("gap_us") / 1e6, 2).as("max_gap_sec"))
         .orderBy("event_type")
+    }),
+
+    // Streaming VWAP per type: O(1) exact state = (Σ price·1, Σ 1)
+    // centi longs (every event trades one unit — stated); the
+    // read-back divides once per type. Oracle = the plain batch
+    // ratio over the same exact longs.
+    "s_stream_vwap" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("svwap_out")
+      val ev = readEventsStream(s, eventsDir(d, "svwap_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("v_c"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (String, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[(Long, Long)]) =>
+              var (sp, n) = state.getOption.getOrElse((0L, 0L))
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+                sp += r._4; n += 1
+                (t, sp, n)
+              }
+              state.update((sp, n))
+              res.iterator
+          }
+          .toDF("event_type", "sp", "n")
+      }
+      runToParquet(scored, out, tmp("svwap_ckpt"))
+      // the LAST emission per type carries the final running state
+      s.read.parquet(out).groupBy("event_type")
+        .agg(max("n").as("n_events"), max(struct(col("n"), col("sp")))
+          .getField("sp").as("sp_final"))
+        .select(col("event_type"), col("n_events"),
+          round(col("sp_final").cast("double") / col("n_events") / 100,
+            4).as("vwap"))
+        .orderBy("event_type")
+    }),
+
+    // Streaming ring-buffer z-score (the windowed twin of the
+    // expanding s_stream_zscore): state = the last 20 centi values
+    // per type (O(k) exact); an arriving value alarms when outside
+    // mean ± 2sd of the PRIOR full ring (score-before-update), with
+    // the exact 20·Σv² > (Σv)² positive-variance gate. Oracle = the
+    // batch ROWS 20 PRECEDING..1 PRECEDING window over the same
+    // longs.
+    "s_stream_ring_zscore" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sring_out")
+      val ev = readEventsStream(s, eventsDir(d, "sring_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("v_c"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[List[Long], (String, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[List[Long]]) =>
+              var ring = state.getOption.getOrElse(Nil)
+              val res = rows.toArray.sortBy(r => (r._2, r._3)).map { r =>
+                val alarm =
+                  if (ring.length == 20) {
+                    val s1 = ring.sum
+                    val s2 = ring.map(x => x * x).sum
+                    // 20·sd² cleared: (20v − s1)² > 4·(20·s2 − s1²)
+                    val dev = 20L * r._4 - s1
+                    if (20L * s2 > s1 * s1
+                      && dev * dev > 4L * (20L * s2 - s1 * s1))
+                      1L
+                    else 0L
+                  } else 0L
+                ring = (ring :+ r._4).takeRight(20)
+                (t, alarm)
+              }
+              state.update(ring)
+              res.iterator
+          }
+          .toDF("event_type", "alarm")
+      }
+      runToParquet(scored, out, tmp("sring_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"), sum("alarm").as("n_alarms"))
+        .orderBy("event_type")
     })
   )
 
@@ -1013,6 +1096,39 @@ object StreamOps {
         |    AS BIGINT) AS n_gaps,
         |  ROUND(MAX(gap_us) / 1e6, 2) AS max_gap_sec
         |FROM w GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the batch ratio over the same exact centi longs (unit volume)
+    "s_stream_vwap" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+        |    AS DOUBLE) / COUNT(*) / 100, 4) AS vwap
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // batch ROWS 20 PRECEDING..1 PRECEDING twin of the ring state,
+    // identical cleared variance gate and ±2sd test
+    "s_stream_ring_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, v,
+        |    COUNT(*) OVER wr AS nw,
+        |    CAST(SUM(v) OVER wr AS BIGINT) AS s1,
+        |    CAST(SUM(v * v) OVER wr AS BIGINT) AS s2
+        |  FROM ev
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |a AS (
+        |  SELECT event_type,
+        |    CASE WHEN nw = 20 AND 20 * s2 > s1 * s1
+        |      AND (20 * v - s1) * (20 * v - s1)
+        |        > 4 * (20 * s2 - s1 * s1)
+        |      THEN 1 ELSE 0 END AS alarm
+        |  FROM w)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  CAST(SUM(alarm) AS BIGINT) AS n_alarms
+        |FROM a GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // the batch twin of the streaming state math: prefix window over
     // the same exact centi longs, warmup and alarm gates identical
