@@ -72,7 +72,7 @@ object StreamOps {
     p
   }
 
-  private def tmp(tag: String): String =
+  private[streaming] def tmp(tag: String): String =
     Files.createTempDirectory(scratchRoot, s"graft_$tag").toString
 
   /** The file stream source requires a directory; testdata tables are
@@ -81,7 +81,7 @@ object StreamOps {
     * part file, not the directory inode (a bare Files.copy of a dir
     * stages an empty dir and the stream silently reads zero rows —
     * r9 sf1 finding). */
-  private def stageTable(d: String, name: String, tag: String): String = {
+  private[streaming] def stageTable(d: String, name: String, tag: String): String = {
     val dir = tmp(tag)
     val src = Paths.get(s"$d/$name.parquet")
     if (Files.isDirectory(src)) {
@@ -95,14 +95,14 @@ object StreamOps {
     dir
   }
 
-  private def eventsDir(d: String, tag: String): String =
+  private[streaming] def eventsDir(d: String, tag: String): String =
     stageTable(d, "events", tag)
 
   /** Stage the documents table into a fresh dir (document streams). */
   private def docsDir(d: String, tag: String): String =
     stageTable(d, "documents", tag)
 
-  private def readEventsStream(s: SparkSession, path: String): DataFrame =
+  private[streaming] def readEventsStream(s: SparkSession, path: String): DataFrame =
     // no session-conf writes here — the micros-typed parquet output
     // conf is set-and-restored inside runToParquet, where the sink
     // actually writes (r8 ADVICE: the old unconditional set leaked
@@ -117,14 +117,14 @@ object StreamOps {
     * start). At real scale the state-store count should track input
     * throughput, not the session's batch-side parallelism — this cap
     * is the knob for that. */
-  private def withBoundedStatePartitions[A](s: SparkSession)(f: => A): A = {
+  private[streaming] def withBoundedStatePartitions[A](s: SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, math.min(prev.toInt, 8).toString)
     try f finally s.conf.set(key, prev)
   }
 
-  private def runToParquet(df: DataFrame, out: String, ckpt: String): Unit = {
+  private[streaming] def runToParquet(df: DataFrame, out: String, ckpt: String): Unit = {
     val s = df.sparkSession
     // set-and-restore: the parquet sink must emit micros-typed
     // timestamps (the DuckDB-readable wire convention), but leaking
