@@ -27,7 +27,7 @@ object StatsR9za {
     * each sampled order (l_orderkey % 10 = 0), self-loops dropped.
     * Reused by katz (4 refs) and reciprocity (2 refs) — checkpointed.
     */
-  private def handoff(s: SparkSession, d: String): DataFrame =
+  private[queries] def handoff(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(expr("l_orderkey % 10 = 0"))
       .select(col("l_suppkey").as("src"),
@@ -259,7 +259,7 @@ object StatsR9za {
     })
   )
 
-  private val edgeCte =
+  private[queries] val edgeCte =
     """e AS (
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT l_suppkey AS src,
