@@ -21,7 +21,7 @@ import graft.tables.Tables
 object StatsR9ze {
 
   /** Per-customer revenue cents (x > 0 stated, true of the data). */
-  private def custRev(s: SparkSession, d: String): DataFrame =
+  private[queries] def custRev(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -196,7 +196,7 @@ object StatsR9ze {
     })
   )
 
-  private val crCte: String =
+  private[queries] val crCte: String =
     """cr AS (
       |  SELECT o.o_custkey AS c,
       |    SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS x
