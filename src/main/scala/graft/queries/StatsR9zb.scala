@@ -29,7 +29,7 @@ object StatsR9zb {
     * Both are user×brand aggregates — at 100 TB this is the bounded
     * rollup grain, never the raw lineitem grain.
     */
-  private def trainTest(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[queries] def trainTest(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
