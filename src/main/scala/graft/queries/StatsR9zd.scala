@@ -28,7 +28,7 @@ object StatsR9zd {
   /** µ-snapped all-type market log return by day (the q_rdd_estimate
     * all-event grain, the q_volatility return convention).
     */
-  private def marketRet(s: SparkSession, d: String): DataFrame = {
+  private[queries] def marketRet(s: SparkSession, d: String): DataFrame = {
     val day = Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
@@ -179,7 +179,7 @@ object StatsR9zd {
     })
   )
 
-  private val mrCte: String =
+  private[queries] val mrCte: String =
     """md AS (
       |  SELECT CAST(ts AS DATE) AS d,
       |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) // COUNT(*)
