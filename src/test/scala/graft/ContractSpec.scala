@@ -17,7 +17,10 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     // (the negative lookbehind also keeps column names like
     // `valid_from` from tokenizing as a FROM keyword)
     val fromRe = """(?i)(?<!distinct )(?<![a-z0-9_.])(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
+    SparkEntry.oracleSql.foreach { case (name, sql0) =>
+      // EXTRACT(part FROM expr) is SQL syntax, not a table reference —
+      // strip it before scanning (r9 wave-39/49 oracles use it)
+      val sql = sql0.replaceAll("(?i)extract\\s*\\([^)]*\\)", "extract_x")
       // CTE names, with or without a column list: `x AS (`, `x(a, b) AS (`
       val ctes = """(?i)([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+as\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
