@@ -1285,14 +1285,25 @@ object LlmOps {
         |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
         |  WHERE len(l) >= 2),
-        |pairs AS (
-        |  SELECT a_id, b_id FROM (
+        |p0 AS (
+        |  SELECT a_id, b_id, j FROM (
         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         |      (len(a.shingles) + len(b.shingles)
         |       - len(list_intersect(a.shingles, b.shingles))) AS j
         |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |  WHERE j >= 0.3),
+        |symk AS (
+        |  SELECT a_id AS src, b_id AS dst, j FROM p0
+        |  UNION ALL SELECT b_id, a_id, j FROM p0),
+        |rkc AS (
+        |  SELECT src, dst, j, row_number() OVER (
+        |    PARTITION BY src ORDER BY ROUND(j, 4) DESC, dst) AS r
+        |  FROM symk),
+        |pairs AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a_id,
+        |    GREATEST(src, dst) AS b_id
+        |  FROM rkc WHERE r <= 64),
         |sym AS (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION

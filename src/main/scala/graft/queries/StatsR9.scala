@@ -57,8 +57,11 @@ object StatsR9 {
         .filter(col("n14") === 14 && col("h14") > col("l14"))
         .withColumn("r_u", round((col("h14") - col("c")) * 1e8
           / (col("h14") - col("l14"))).cast("long"))
+        // negate in INTEGER space (-0L == 0L) so a flat close-at-high day
+        // yields +0.0 on both engines — dividing by -1e6 produces IEEE -0.0
+        // in DuckDB but +0.0 via Spark's BigDecimal round (r9 hash-FAIL).
         .select(col("event_type"), col("d"),
-          round(col("r_u") / -1e6, 4).as("pct_r"))
+          round((-col("r_u")) / 1e6, 4).as("pct_r"))
         .orderBy("event_type", "d")
     }),
 
@@ -325,8 +328,8 @@ object StatsR9 {
         |  WINDOW w14 AS (PARTITION BY event_type ORDER BY d
         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
         |SELECT event_type, d,
-        |  ROUND(CAST(ROUND((h14 - c) * 1e8 / (h14 - l14)) AS BIGINT)
-        |    / -1e6, 4) AS pct_r
+        |  ROUND((-CAST(ROUND((h14 - c) * 1e8 / (h14 - l14)) AS BIGINT))
+        |    / 1e6, 4) AS pct_r
         |FROM w WHERE n14 = 14 AND h14 > l14
         |ORDER BY event_type, d""".stripMargin,
 

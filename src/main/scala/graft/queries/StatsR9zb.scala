@@ -52,8 +52,10 @@ object StatsR9zb {
     // train brands ranked by (cnt DESC, brand ASC — total order);
     // reciprocal of the FIRST rank whose brand reappears in the test
     // half, 0 when none does. Averaged over users active in BOTH
-    // halves (stated). The 1/r sum is a per-user long pair
-    // (numerator over lcm-free exact min rank), one final division.
+    // halves (stated). The 1/r sum is a DOUBLE chain on both engines
+    // (ranks are unbounded so no finite lcm clears them); 6dp parity
+    // holds because both engines sum the identical reciprocal set —
+    // the oracle mirrors the same 1.0/first_rk double expression.
     "q_mrr" -> ((s, d) => {
       val (train, test) = trainTest(s, d)
       val w = Window.partitionBy("c").orderBy(col("cnt").desc, col("brand").asc)

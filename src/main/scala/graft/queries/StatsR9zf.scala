@@ -35,10 +35,16 @@ object StatsR9zf {
     "q_bloom_fpr" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_id", "event_type")
       val js = array(lit(0), lit(1), lit(2))
+      // product reduced mod 2^63 in DECIMAL space: id·C for ids above
+      // ~3.5e9 overflows BIGINT (ANSI Spark throws, DuckDB raises) —
+      // both engines take (id·C + q) mod 2^63 exactly (DECIMAL here,
+      // HUGEINT in the oracle); identity for non-overflowing ids
       def h = expr(
-        """(event_id * (CASE j WHEN 0 THEN 2654435761
-          |  WHEN 1 THEN 2246822519 ELSE 3266489917 END)
-          |  + (CASE j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+        """CAST(pmod(CAST(event_id AS DECIMAL(38,0))
+          |    * (CASE j WHEN 0 THEN 2654435761
+          |      WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+          |    + (CASE j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END),
+          |  9223372036854775808) AS BIGINT)
           |  % 2147483647 % 4096""".stripMargin)
       val bits = ev.filter(col("event_type") === "purchase")
         .withColumn("j", explode(js)).withColumn("h", h)
@@ -69,7 +75,9 @@ object StatsR9zf {
     "q_kmv_distinct" -> ((s, d) => {
       val hv = Tables.events(s, d)
         .select(col("event_type"),
-          expr("(user_id * 2654435761) % 4294967296").as("h"))
+          // mod-2^63 reduction in DECIMAL space (see q_bloom_fpr note)
+          expr("CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761," +
+            " 9223372036854775808) AS BIGINT) % 4294967296").as("h"))
         .distinct()
       val w = Window.partitionBy("event_type").orderBy("h")
       val ranked = hv
@@ -229,16 +237,20 @@ object StatsR9zf {
       """WITH js AS (SELECT UNNEST([0, 1, 2]) AS j),
         |mh AS (
         |  SELECT DISTINCT j,
-        |    (event_id * (CASE j WHEN 0 THEN 2654435761
-        |      WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+        |    ((CAST(event_id AS HUGEINT)
+        |      * (CASE j WHEN 0 THEN 2654435761
+        |        WHEN 1 THEN 2246822519 ELSE 3266489917 END)
         |      + (CASE j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+        |      % 9223372036854775808)
         |      % 2147483647 % 4096 AS h
         |  FROM events, js WHERE event_type = 'purchase'),
         |pr AS (
         |  SELECT event_id, j,
-        |    (event_id * (CASE j WHEN 0 THEN 2654435761
-        |      WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+        |    ((CAST(event_id AS HUGEINT)
+        |      * (CASE j WHEN 0 THEN 2654435761
+        |        WHEN 1 THEN 2246822519 ELSE 3266489917 END)
         |      + (CASE j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+        |      % 9223372036854775808)
         |      % 2147483647 % 4096 AS h
         |  FROM events, js WHERE event_type = 'click'),
         |pos AS (
@@ -263,7 +275,8 @@ object StatsR9zf {
     "q_kmv_distinct" ->
       """WITH hv AS (
         |  SELECT DISTINCT event_type,
-        |    (user_id * 2654435761) % 4294967296 AS h
+        |    ((CAST(user_id AS HUGEINT) * 2654435761)
+        |      % 9223372036854775808) % 4294967296 AS h
         |  FROM events),
         |rk AS (
         |  SELECT event_type, h,

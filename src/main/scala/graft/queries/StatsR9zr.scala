@@ -33,7 +33,11 @@ object StatsR9zr {
       val ms = Seq(1024L, 16384L, 262144L).toDF("m")
       val occ = keys.crossJoin(broadcast(ms))
         .select(col("m"),
-          expr("(k * 2654435761) % 4294967296 % m").as("b"))
+          // mod-2^63 DECIMAL reduction: k·C overflows BIGINT for keys
+          // above ~3.5e9 (ANSI Spark throws, DuckDB raises); identity
+          // for smaller keys (oracle mirrors via HUGEINT)
+          expr("CAST(pmod(CAST(k AS DECIMAL(38,0)) * 2654435761," +
+            " 9223372036854775808) AS BIGINT) % 4294967296 % m").as("b"))
         .groupBy("m").agg(countDistinct("b").as("occupied"))
       val n = keys.count()
       occ.select(col("m").as("n_buckets"), lit(n).as("n_keys"),
@@ -49,8 +53,9 @@ object StatsR9zr {
     "q_shard_skew" -> ((s, d) => {
       def skew(keyCol: String, name: String) =
         Tables.orders(s, d)
-          .select(expr(s"($keyCol * 2654435761) % 4294967296 % 32")
-            .as("shard"))
+          .select(expr(s"CAST(pmod(CAST($keyCol AS DECIMAL(38,0))" +
+            " * 2654435761, 9223372036854775808) AS BIGINT)" +
+            " % 4294967296 % 32").as("shard"))
           .groupBy("shard").agg(count(lit(1)).as("c"))
           .agg(lit(name).as("shard_key"),
             count(lit(1)).as("n_shards"), sum("c").as("n_rows"),
@@ -178,7 +183,8 @@ object StatsR9zr {
         |ms AS (SELECT UNNEST([1024, 16384, 262144]) AS m),
         |occ AS (
         |  SELECT ms.m,
-        |    CAST(COUNT(DISTINCT (k.k * 2654435761) % 4294967296
+        |    CAST(COUNT(DISTINCT ((CAST(k.k AS HUGEINT) * 2654435761)
+        |      % 9223372036854775808) % 4294967296
         |      % ms.m) AS BIGINT) AS occupied
         |  FROM keys k, ms GROUP BY 1)
         |SELECT CAST(occ.m AS BIGINT) AS n_buckets, n.n AS n_keys,
@@ -191,11 +197,13 @@ object StatsR9zr {
     // identical shard-size moments
     "q_shard_skew" ->
       """WITH a AS (
-        |  SELECT (o_custkey * 2654435761) % 4294967296 % 32 AS shard,
+        |  SELECT ((CAST(o_custkey AS HUGEINT) * 2654435761)
+        |      % 9223372036854775808) % 4294967296 % 32 AS shard,
         |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM orders GROUP BY 1),
         |b AS (
-        |  SELECT (o_orderkey * 2654435761) % 4294967296 % 32 AS shard,
+        |  SELECT ((CAST(o_orderkey AS HUGEINT) * 2654435761)
+        |      % 9223372036854775808) % 4294967296 % 32 AS shard,
         |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM orders GROUP BY 1),
         |sa AS (

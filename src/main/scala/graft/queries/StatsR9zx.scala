@@ -139,10 +139,15 @@ object StatsR9zx {
         .filter(col("event_type") === t)
         .select(col("user_id").as("x"))
         .withColumn("j", explode(array(lit(0), lit(1), lit(2))))
+        // mod-2^63 DECIMAL reduction: x·C overflows BIGINT for ids
+        // above ~3.5e9 (ANSI Spark throws, DuckDB raises); identity
+        // for smaller ids (oracle mirrors via HUGEINT)
         .select(expr(
-          """(x * (CASE j WHEN 0 THEN 2654435761
-            |  WHEN 1 THEN 2246822519 ELSE 3266489917 END)
-            |  + (CASE j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+          """CAST(pmod(CAST(x AS DECIMAL(38,0))
+            |    * (CASE j WHEN 0 THEN 2654435761
+            |      WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+            |    + (CASE j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END),
+            |  9223372036854775808) AS BIGINT)
             |  % 2147483647 % 4096""".stripMargin).as("h"),
           col("j")).select(col("j"), col("h")).distinct()
       val a = bits("purchase").localCheckpoint(eager = true)
@@ -308,16 +313,20 @@ object StatsR9zx {
       """WITH js AS (SELECT UNNEST([0, 1, 2]) AS j),
         |ab AS (
         |  SELECT DISTINCT js.j,
-        |    (user_id * (CASE js.j WHEN 0 THEN 2654435761
-        |      WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+        |    ((CAST(user_id AS HUGEINT)
+        |      * (CASE js.j WHEN 0 THEN 2654435761
+        |        WHEN 1 THEN 2246822519 ELSE 3266489917 END)
         |      + (CASE js.j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+        |      % 9223372036854775808)
         |      % 2147483647 % 4096 AS h
         |  FROM events, js WHERE event_type = 'purchase'),
         |bb AS (
         |  SELECT DISTINCT js.j,
-        |    (user_id * (CASE js.j WHEN 0 THEN 2654435761
-        |      WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+        |    ((CAST(user_id AS HUGEINT)
+        |      * (CASE js.j WHEN 0 THEN 2654435761
+        |        WHEN 1 THEN 2246822519 ELSE 3266489917 END)
         |      + (CASE js.j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+        |      % 9223372036854775808)
         |      % 2147483647 % 4096 AS h
         |  FROM events, js WHERE event_type = 'click'),
         |xs AS (

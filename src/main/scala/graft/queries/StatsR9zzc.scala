@@ -112,7 +112,9 @@ object StatsR9zzc {
 
     // Shift-share: half-over-half revenue growth = within-brand
     // (base-share-weighted brand growth, per-brand terms snapped
-    // 1e9) + mix residual.
+    // 1e9) + mix residual. Oracle ROUNDs carry "+ 0" so a tiny
+    // negative residual that DuckDB rounds to IEEE -0.0 matches
+    // Spark's BigDecimal +0.0 (r9 hash-FAIL class).
     "q_shift_share" -> ((s, d) => {
       val bh = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
@@ -308,11 +310,11 @@ object StatsR9zzc {
         |    tot.s1, tot.s2
         |  FROM bh, tot)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_brands,
-        |  ROUND(CAST(MAX(s2) AS DOUBLE) / MAX(s1) - 1, 6)
+        |  ROUND(CAST(MAX(s2) AS DOUBLE) / MAX(s1) - 1, 6) + 0
         |    AS total_growth,
-        |  ROUND(SUM(term_u) / 1e9, 6) AS within_growth,
+        |  ROUND(SUM(term_u) / 1e9, 6) + 0 AS within_growth,
         |  ROUND((CAST(MAX(s2) AS DOUBLE) / MAX(s1) - 1)
-        |    - SUM(term_u) / 1e9, 6) AS mix_effect
+        |    - SUM(term_u) / 1e9, 6) + 0 AS mix_effect
         |FROM terms""".stripMargin,
 
     // identical snapped inverse weights

@@ -72,6 +72,18 @@ object TextSim {
     // MinHash(32 perms) + LSH banding (8 bands x 4 rows): candidate
     // near-dup pairs. OMIT oracle — unit-tested for recall against
     // exact Jaccard (SURVEY.md §2 B.10 q_minhash_lsh row).
+    // PER-BUCKET CANDIDATE CAP (r9 VERDICT task 3): a bucket of n
+    // band-colliding docs enumerates n²/2 candidates, and near-dup
+    // FAMILIES all collide in the same buckets — quadratic in family
+    // size (measured 13.6× at sf1's 10-replica fixture). Each
+    // (lang, band, bsig) bucket is capped to its 64 smallest doc_ids
+    // before pairing, bounding the enumeration at 64²/2 per bucket.
+    // Recall contract: a pair is missed only when BOTH members rank
+    // > 64 in EVERY band bucket they share; family members always
+    // pair with the family's 64 smallest ids (the id-ascending rank
+    // is consistent across that family's buckets), so families stay
+    // DISCOVERABLE (every member keeps candidates into the family
+    // core) even when the exhaustive within-family pair list is cut.
     "q_minhash_lsh" -> ((s, d) => {
       Registry.ensure(s)
       // signatures come from the memoized per-session table (r5):
@@ -85,6 +97,10 @@ object TextSim {
             "transform(sequence(0, 7), b -> struct(b as band, " +
             "xxhash64(slice(sig, b * 4 + 1, 4)) as bsig))")).as("bs"))
         .select(col("doc_id"), col("lang"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("lang", "band", "bsig").orderBy("doc_id")))
+        .filter(col("rk") <= 64)
         // both join sides read this — localCheckpoint so the band
         // explosion runs once; blocks free with the frame, no
         // CacheManager pin across reruns (r6, ADVICE)
@@ -899,20 +915,39 @@ object TextSim {
         |  FROM (SELECT string_split(text, ' ') AS l FROM documents))
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
 
+    // per-node 64-neighbor cap mirrors EdgeGraph.capLowTau exactly
+    // (rank by ROUND(j,4) DESC, id ASC over the symmetric view; keep a
+    // pair iff either endpoint ranks the other <= 64) — r9 VERDICT
+    // task 3: the τ<0.5 family-size blowup is capped IDENTICALLY on
+    // both engines, so parity never depends on the cap not binding
     "q_dedup_shingle" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,
         |    list_distinct(list_transform(generate_series(1, len(l) - 1),
         |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
-        |  WHERE len(l) >= 2)
-        |SELECT a_id, b_id, ROUND(j, 4) AS jaccard FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-        |    (len(a.shingles) + len(b.shingles)
-        |     - len(list_intersect(a.shingles, b.shingles))) AS j
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |WHERE j >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+        |  WHERE len(l) >= 2),
+        |p0 AS (
+        |  SELECT a_id, b_id, j FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))) AS j
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.3),
+        |symk AS (
+        |  SELECT a_id AS src, b_id AS dst, j FROM p0
+        |  UNION ALL SELECT b_id, a_id, j FROM p0),
+        |rk AS (
+        |  SELECT src, dst, j, row_number() OVER (
+        |    PARTITION BY src ORDER BY ROUND(j, 4) DESC, dst) AS r
+        |  FROM symk),
+        |capped AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a_id,
+        |    GREATEST(src, dst) AS b_id, j
+        |  FROM rk WHERE r <= 64)
+        |SELECT a_id, b_id, ROUND(j, 4) AS jaccard FROM capped
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // transitive closure of the (small) near-dup graph via a recursive
     // CTE — exact component minima, engine-independent
@@ -923,14 +958,25 @@ object TextSim {
         |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
         |  WHERE len(l) >= 2),
-        |pairs AS (
-        |  SELECT a_id, b_id FROM (
+        |p0 AS (
+        |  SELECT a_id, b_id, j FROM (
         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         |      (len(a.shingles) + len(b.shingles)
         |       - len(list_intersect(a.shingles, b.shingles))) AS j
         |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |  WHERE j >= 0.3),
+        |symk AS (
+        |  SELECT a_id AS src, b_id AS dst, j FROM p0
+        |  UNION ALL SELECT b_id, a_id, j FROM p0),
+        |rk AS (
+        |  SELECT src, dst, j, row_number() OVER (
+        |    PARTITION BY src ORDER BY ROUND(j, 4) DESC, dst) AS r
+        |  FROM symk),
+        |pairs AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a_id,
+        |    GREATEST(src, dst) AS b_id
+        |  FROM rk WHERE r <= 64),
         |sym AS (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION
@@ -1070,14 +1116,25 @@ object TextSim {
         |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
         |  WHERE len(l) >= 2),
-        |pairs AS (
-        |  SELECT a_id, b_id FROM (
+        |p0 AS (
+        |  SELECT a_id, b_id, j FROM (
         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         |      (len(a.shingles) + len(b.shingles)
         |       - len(list_intersect(a.shingles, b.shingles))) AS j
         |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |  WHERE j >= 0.3),
+        |symk AS (
+        |  SELECT a_id AS src, b_id AS dst, j FROM p0
+        |  UNION ALL SELECT b_id, a_id, j FROM p0),
+        |rk AS (
+        |  SELECT src, dst, j, row_number() OVER (
+        |    PARTITION BY src ORDER BY ROUND(j, 4) DESC, dst) AS r
+        |  FROM symk),
+        |pairs AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a_id,
+        |    GREATEST(src, dst) AS b_id
+        |  FROM rk WHERE r <= 64),
         |sym AS (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION
@@ -1101,14 +1158,25 @@ object TextSim {
         |                  i -> l[i] || ' ' || l[i + 1])) AS shingles
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
         |  WHERE len(l) >= 2),
-        |pairs AS (
-        |  SELECT a_id, b_id FROM (
+        |p0 AS (
+        |  SELECT a_id, b_id, j FROM (
         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |      len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         |      (len(a.shingles) + len(b.shingles)
         |       - len(list_intersect(a.shingles, b.shingles))) AS j
         |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |  WHERE j >= 0.3),
+        |symk AS (
+        |  SELECT a_id AS src, b_id AS dst, j FROM p0
+        |  UNION ALL SELECT b_id, a_id, j FROM p0),
+        |rk AS (
+        |  SELECT src, dst, j, row_number() OVER (
+        |    PARTITION BY src ORDER BY ROUND(j, 4) DESC, dst) AS r
+        |  FROM symk),
+        |pairs AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a_id,
+        |    GREATEST(src, dst) AS b_id
+        |  FROM rk WHERE r <= 64),
         |sym AS (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION

@@ -22,9 +22,22 @@ import StreamOps.{eventsDir, readEventsStream, runToParquet, tmp, withBoundedSta
   *
   * State sizes: O(k)/O(m) per key (64 longs, 4096 bytes, constant
   * moment tuples, 50-slot ring) — throughput-independent. At cluster
-  * scale the Bloom key's single logical bit array would partition by
-  * hash prefix (one state shard per prefix, stated); every other key
-  * partitions by event_type already.
+  * scale the Bloom key's bit array is sharded by a hash prefix of the
+  * id (see s_stream_bloom_dedup); every other key partitions by
+  * event_type already.
+  *
+  * SINGLE-BATCH INVARIANT (oracle parity contract): the
+  * order-sensitive keys here (bloom dedup, lag-1, EMA, interarrival,
+  * last-k) sort rows by (ts, event_id) only WITHIN each micro-batch;
+  * their oracles assume the global (ts, event_id) order. Parity holds
+  * because `Trigger.AvailableNow` with no `maxFilesPerTrigger` option
+  * drains ALL staged files in exactly ONE micro-batch — regardless of
+  * how many part files `stageTable` stages. Do NOT set
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` on the events stream and
+  * do NOT split staging into multiple AvailableNow runs for these
+  * keys: either change yields multiple batches, per-batch-only
+  * ordering, and silent oracle divergence. KMV and the moment-based
+  * keys are order-independent and exempt.
   */
 object StreamOpsR9c {
 
@@ -39,7 +52,13 @@ object StreamOpsR9c {
       val out = tmp("skmv_out")
       val ev = readEventsStream(s, eventsDir(d, "skmv_in"))
         .select(col("event_type"),
-          expr("(user_id * 2654435761) % 4294967296").as("h"))
+          // product reduced mod 2^63 in DECIMAL space: a BIGINT id·C
+          // for ids above ~3.5e9 overflows — ANSI Spark throws, DuckDB
+          // raises — so both engines compute (id·C) mod 2^63 exactly
+          // (DECIMAL here, HUGEINT in the oracle); identity for every
+          // non-overflowing id, well-defined at any id scale
+          expr("CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761," +
+            " 9223372036854775808) AS BIGINT) % 4294967296").as("h"))
         .as[(String, Long)]
       val scored = withBoundedStatePartitions(s) {
         ev.groupByKey(_._1)
@@ -72,45 +91,56 @@ object StreamOpsR9c {
         .orderBy("event_type")
     }),
 
-    // Streaming Bloom dedup over unique event_ids (one logical bit
-    // array, m=4096, the q_bloom_fpr k=3 hashes): a row is flagged
-    // when all 3 bits are already set BEFORE its own insertion — with
-    // unique ids every flag is a false positive. Single state group
-    // (stated; shard by hash prefix at scale).
+    // Streaming Bloom dedup over unique event_ids, SHARDED by a hash
+    // prefix: shard = h0(id) mod 8 (the r9 single-state-group funnel
+    // is gone — 8 state groups, one m=4096 k=3 bit-array shard each,
+    // so at cluster scale the state distributes across tasks; raise
+    // the shard count with throughput). A row is flagged when all 3
+    // of ITS SHARD's bits are already set before its own insertion —
+    // with unique ids every flag is a false positive. The batch twin
+    // reconstructs min-setter ranks per (shard, bit).
     "s_stream_bloom_dedup" -> ((s, d) => {
       import s.implicits._
       val out = tmp("sbloom_out")
       val ev = readEventsStream(s, eventsDir(d, "sbloom_in"))
-        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
-        .as[(Long, Long)]
+        .select(
+          expr("CAST(pmod(CAST(event_id AS DECIMAL(38,0)) * 2654435761," +
+            " 9223372036854775808) AS BIGINT) % 8").as("shard"),
+          col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long, Long)]
       val ps = Array(2654435761L, 2246822519L, 3266489917L)
       val qs = Array(1L, 7L, 13L)
       val scored = withBoundedStatePartitions(s) {
-        ev.groupByKey(_ => 1)
+        ev.groupByKey(_._1)
           .flatMapGroupsWithState[(Long, Long, Array[Byte]),
-            (Long, Long)](
+            (Long, Long, Long)](
             OutputMode.Append, GroupStateTimeout.NoTimeout) {
-            case (_, rows, state: GroupState[(Long, Long, Array[Byte])]) =>
+            case (sh, rows, state: GroupState[(Long, Long, Array[Byte])]) =>
               var (n, fl, bits) = state.getOption
                 .getOrElse((0L, 0L, new Array[Byte](4096)))
-              rows.toArray.sortBy(r => (r._2, r._1)).foreach { r =>
+              rows.toArray.sortBy(r => (r._3, r._2)).foreach { r =>
+                // low-63-bit mask before the mods: keeps the wrapped
+                // product non-negative (bits() index) and equal to the
+                // oracle's HUGEINT & 2^63−1 at any id scale
                 val hs = (0 to 2).map(j =>
-                  ((r._1 * ps(j) + qs(j)) % 2147483647L % 4096L).toInt)
+                  (((r._2 * ps(j) + qs(j)) & 0x7FFFFFFFFFFFFFFFL)
+                    % 2147483647L % 4096L).toInt)
                 if (hs.forall(bits(_) == 1)) fl += 1
                 hs.foreach(bits(_) = 1)
                 n += 1
               }
               state.update((n, fl, bits))
-              Iterator((n, fl))
+              Iterator((sh, n, fl))
           }
-          .toDF("n", "fl")
+          .toDF("shard", "n", "fl")
       }
       runToParquet(scored, out, tmp("sbloom_ckpt"))
-      s.read.parquet(out)
+      s.read.parquet(out).groupBy("shard")
         .agg(max(struct(col("n"), col("fl"))).as("fin"))
-        .select(col("fin.n").as("n_events"),
-          col("fin.fl").as("n_flagged"),
-          round(col("fin.fl").cast("double") / col("fin.n"), 6)
+        .agg(sum(col("fin.n")).as("n_events"),
+          sum(col("fin.fl")).as("n_flagged"))
+        .select(col("n_events"), col("n_flagged"),
+          round(col("n_flagged").cast("double") / col("n_events"), 6)
             .as("fp_rate"))
     }),
 
@@ -286,7 +316,8 @@ object StreamOpsR9c {
     "s_stream_kmv" ->
       """WITH hv AS (
         |  SELECT DISTINCT event_type,
-        |    (user_id * 2654435761) % 4294967296 AS h
+        |    ((CAST(user_id AS HUGEINT) * 2654435761)
+        |      % 9223372036854775808) % 4294967296 AS h
         |  FROM events),
         |rk AS (
         |  SELECT event_type, h,
@@ -305,27 +336,33 @@ object StreamOpsR9c {
         |WHERE (nh >= 64 AND rk = 64) OR (nh < 64 AND rk = nh)
         |ORDER BY rk.event_type""".stripMargin,
 
-    // the batch twin: min-setter rank per shared bit, flagged iff all
-    // 3 bits were set strictly earlier
+    // the batch twin: min-setter rank per (shard, bit), flagged iff
+    // all 3 of the row's SHARD bits were set strictly earlier
     "s_stream_bloom_dedup" ->
       """WITH js AS (SELECT UNNEST([0, 1, 2]) AS j),
         |ev AS (
         |  SELECT event_id,
-        |    CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id)
-        |      AS BIGINT) AS rn
+        |    ((CAST(event_id AS HUGEINT) * 2654435761)
+        |      % 9223372036854775808) % 8 AS shard,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY ((CAST(event_id AS HUGEINT) * 2654435761)
+        |        % 9223372036854775808) % 8
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
         |  FROM events),
         |bh AS (
-        |  SELECT ev.event_id, ev.rn, js.j,
-        |    (ev.event_id * (CASE js.j WHEN 0 THEN 2654435761
-        |      WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+        |  SELECT ev.event_id, ev.shard, ev.rn, js.j,
+        |    ((CAST(ev.event_id AS HUGEINT)
+        |      * (CASE js.j WHEN 0 THEN 2654435761
+        |        WHEN 1 THEN 2246822519 ELSE 3266489917 END)
         |      + (CASE js.j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+        |      & 9223372036854775807)
         |      % 2147483647 % 4096 AS h
         |  FROM ev, js),
-        |mb AS (SELECT h, MIN(rn) AS mr FROM bh GROUP BY 1),
+        |mb AS (SELECT shard, h, MIN(rn) AS mr FROM bh GROUP BY 1, 2),
         |fl AS (
         |  SELECT bh.event_id
-        |  FROM bh JOIN mb ON bh.h = mb.h
-        |  GROUP BY bh.event_id, bh.rn
+        |  FROM bh JOIN mb ON bh.shard = mb.shard AND bh.h = mb.h
+        |  GROUP BY bh.event_id, bh.shard, bh.rn
         |  HAVING SUM(CASE WHEN mb.mr < bh.rn THEN 1 ELSE 0 END) = 3),
         |ag AS (
         |  SELECT

@@ -19,8 +19,12 @@ class ContractSpec extends AnyFunSuite with SparkFixture {
     val fromRe = """(?i)(?<!distinct )(?<![a-z0-9_.])(?:from|join)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql0) =>
       // EXTRACT(part FROM expr) is SQL syntax, not a table reference —
-      // strip it before scanning (r9 wave-39/49 oracles use it)
-      val sql = sql0.replaceAll("(?i)extract\\s*\\([^)]*\\)", "extract_x")
+      // strip only the `EXTRACT(<part> FROM` keyword pair (r9 wave-39/49
+      // oracles use it). The r9 [^)]*-to-close-paren form was not
+      // paren-balanced: an EXTRACT(day FROM f(g(x))) oracle would leak a
+      // table-like token past the first ')' unscanned (r9 ADVICE).
+      val sql = sql0.replaceAll(
+        "(?i)extract\\s*\\(\\s*[a-z_]+\\s+from\\b", "extract_x(")
       // CTE names, with or without a column list: `x AS (`, `x(a, b) AS (`
       val ctes = """(?i)([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+as\s*\(""".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet

@@ -31,7 +31,8 @@ class R9StreamWave34Spec extends AnyFunSuite with SparkFixture {
 
   test("s_stream_kmv matches the batch KMV fold") {
     val want = ev.groupBy(_._2).toArray.sortBy(_._1).map { case (t, g) =>
-      val hs = g.map(e => (e._3 * 2654435761L) % 4294967296L)
+      val hs = g.map(e => ((e._3 * 2654435761L) & 0x7FFFFFFFFFFFFFFFL)
+          % 4294967296L)
         .distinct.sorted
       val est = if (hs.length >= 64) 63.0 * 4294967296.0 / hs(63)
         else hs.length.toDouble
@@ -42,16 +43,21 @@ class R9StreamWave34Spec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("s_stream_bloom_dedup matches the bit-order fold") {
+  test("s_stream_bloom_dedup matches the sharded bit-order fold") {
     val ps = Array(2654435761L, 2246822519L, 3266489917L)
     val qs = Array(1L, 7L, 13L)
-    val bits = new Array[Boolean](4096)
+    // 8 independent shards keyed by the low-63-bit Knuth-hash prefix;
+    // global (ts, id) order restricted to a shard IS the shard-local
+    // order, so one ordered pass over 8 arrays is the exact fold
+    val bits = Array.fill(8)(new Array[Boolean](4096))
     var fl = 0L
     ev.foreach { e =>
+      val sh = (((e._1 * 2654435761L) & 0x7FFFFFFFFFFFFFFFL) % 8L).toInt
       val hs = (0 to 2).map(j =>
-        ((e._1 * ps(j) + qs(j)) % 2147483647L % 4096L).toInt)
-      if (hs.forall(bits(_))) fl += 1
-      hs.foreach(bits(_) = true)
+        (((e._1 * ps(j) + qs(j)) & 0x7FFFFFFFFFFFFFFFL)
+          % 2147483647L % 4096L).toInt)
+      if (hs.forall(bits(sh)(_))) fl += 1
+      hs.foreach(bits(sh)(_) = true)
     }
     val r = q("s_stream_bloom_dedup").collect()(0)
     assert(r.getLong(0) == ev.length.toLong)

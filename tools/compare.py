@@ -7,7 +7,7 @@ Emulates the driver's check: for each query, read the Spark parquet
 output and run the oracle SQL in DuckDB over views named after the 10
 tables; sort columns by name; compare schema + row-ordered values.
 """
-import glob, json, math, sys
+import glob, json, math, struct, sys
 
 import duckdb
 import pyarrow.parquet as pq
@@ -27,7 +27,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Driver-faithful (r9 VERDICT task 1c): the driver hashes value
+        # BYTES, where -0.0 != +0.0, while Python's == says they're
+        # equal — q_williams_r/q_shift_share shipped red through exactly
+        # this blindness. Compare floats by their IEEE-754 bit pattern.
+        return struct.pack(">d", v)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
