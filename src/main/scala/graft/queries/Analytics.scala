@@ -534,20 +534,23 @@ object Analytics {
     // 80% cut compares in INTEGER space (10·(cum−bytes) < 8·total) —
     // no double rounding at the boundary.
     "q_topn_percent" -> ((s, d) => {
-      // src feeds both the window and the total — materialize the
+      // src feeds both the cumsum and the total — materialize the
       // bounded per-source rollup so the corpus is scanned once
       val src = Tables.documents(s, d)
         .groupBy("source").agg(sum("n_chars").as("bytes"))
         .localCheckpoint(eager = true)
       val total = src.agg(sum("bytes").as("total"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bytes").desc, col("source"))
-      src.withColumn("rank", row_number().over(w))
-        .withColumn("cum", sum("bytes").over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      // exact-long mass → the two-pass range-partitioned prefix sum
+      // (operators/PrefixSum): the rollup is 20 sources today, but at
+      // a 10⁸-source grain the old global window would sort in one
+      // task; bit-identical to the window it replaces
+      graft.operators.PrefixSum.rankAndCumSum(src,
+          Seq(col("bytes").desc, col("source")), col("bytes"),
+          "rank", "cum")
         .crossJoin(broadcast(total))
         .filter((col("cum") - col("bytes")) * 10 < col("total") * 8)
-        .select(col("rank"), col("source"), col("bytes"), col("cum"),
+        .select(col("rank").cast("int").as("rank"), col("source"),
+          col("bytes"), col("cum"),
           round(col("cum") / col("total").cast("double"), 6).as("cum_share"))
         .orderBy("rank")
     }),
@@ -563,7 +566,9 @@ object Analytics {
     // the per-nation sort shards like any range sort; the alternative
     // — an equi-depth-histogram approximation — trades exactness for
     // one pass and is the documented fallback when groups stop
-    // fitting a sort spill budget.
+    // fitting a sort spill budget. (operators/PrefixSum does not apply
+    // here: the statistic needs Σ i·x_i, not a prefix sum, and x is
+    // double mass — see PrefixSum's exactness contract.)
     "q_gini" -> ((s, d) => {
       val j = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -813,7 +818,13 @@ object Analytics {
     // cumulative share cut at 80%/95% into A/B/C classes. The cumsum
     // window runs over the PART-grain rollup (dimension-grain, not
     // fact-grain — the standard ABC shape); class sizes + revenue
-    // shares out.
+    // shares out. SCALE BOUND: the global window sorts the part
+    // DIMENSION in one task — fine to ~10⁷ parts; at 10⁸+ the plan is
+    // operators/PrefixSum (two-pass range-partitioned cumsum), which
+    // requires integer mass — snap revenue to centi-longs at ingestion
+    // first (double sums are not associative, so a range-partitioned
+    // double cumsum would vary with the sampled bounds; see
+    // PrefixSum's exactness contract).
     "q_pareto_abc" -> ((s, d) => {
       val byPart = Tables.lineitem(s, d)
         .groupBy("l_partkey")
@@ -840,7 +851,8 @@ object Analytics {
     // CV over months with sales, cut on the 4dp-rounded grid:
     // X < 0.5 steady, Y < 1.0, Z volatile or <2 observations). Both
     // class derivations run at PART grain; the output is the bounded
-    // 3×3 planning matrix.
+    // 3×3 planning matrix. SCALE BOUND: same part-dimension global
+    // window as q_pareto_abc — see that key's PrefixSum note.
     "q_abc_xyz" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val monthly = li.groupBy(col("l_partkey"),

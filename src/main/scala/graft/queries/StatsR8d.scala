@@ -119,11 +119,12 @@ object StatsR8d {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(round(col("value") * 100).cast("long")).as("v"))
-      val w = Window.orderBy(col("v"), col("user_id"))
-      val ranked = u
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cumv", sum("v").over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
+      // exact-long mass → the two-pass range-partitioned prefix sum
+      // (operators/PrefixSum): no single-task global sort at the user
+      // grain; bit-identical to the window it replaces (long sums are
+      // associative)
+      val ranked = graft.operators.PrefixSum.rankAndCumSum(u,
+          Seq(col("v"), col("user_id")), col("v"), "rn", "cumv")
         .localCheckpoint(eager = true) // bounded user rollup, 2 legs
       val tot = ranked.agg(count(lit(1)).as("n"), max("cumv").as("tv"))
       val deciles = s.range(1, 11).select(col("id").cast("int").as("dec"))
