@@ -1,0 +1,258 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import StreamOps.{eventsDir, readEventsStream, runToParquet, tmp, withBoundedStatePartitions}
+
+/** Round-10 streaming wave (SURVEY.md §2 B.9): the streaming twins of
+  * the r10 sampling/sequential batch keys, both real
+  * `Trigger.AvailableNow` queries with deterministic read-backs and
+  * full DuckDB oracles.
+  *
+  * - `s_stream_reservoir`: k=64 min-priority sample per type (Knuth
+  *   priority on event_id, low-63-bit masked like the KMV state).
+  *   ORDER-INDEPENDENT state — min-merge commutes — so the read-back
+  *   equals the batch priority rank regardless of batching.
+  * - `s_stream_sprt`: Wald SPRT with O(1) exact integer state (row
+  *   count, cumulative 1e9-snapped LLR, frozen decision). Order-
+  *   SENSITIVE: rows fold in (ts, event_id) order within the batch —
+  *   covered by StreamOpsR9c's SINGLE-BATCH INVARIANT (AvailableNow
+  *   with no maxFilesPerTrigger drains all staged files in one
+  *   micro-batch; do not change that).
+  */
+object StreamOpsR10 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
+
+    // Streaming k=64 min-priority reservoir per type: state = the 64
+    // smallest (priority, id, centi-value) triples + a rows-seen
+    // counter. Read-back = final reservoir size + sample mean.
+    "s_stream_reservoir" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sres_out")
+      val ev = readEventsStream(s, eventsDir(d, "sres_in"))
+        .select(col("event_type"), col("event_id"),
+          // mod-2^63 DECIMAL reduction (ANSI-safe at any id scale;
+          // HUGEINT in the oracle — the StreamOpsR9c KMV pattern)
+          expr("CAST(pmod(CAST(event_id AS DECIMAL(38,0))" +
+            " * 2654435761, 9223372036854775808) AS BIGINT)").as("pr"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, List[(Long, Long, Long)]),
+            (String, Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[(Long, List[(Long, Long, Long)])]) =>
+              var (n, res) = state.getOption
+                .getOrElse((0L, List.empty[(Long, Long, Long)]))
+              rows.foreach { r =>
+                n += 1
+                val cand = (r._3, r._2, r._4)
+                if (res.length < 64 || implicitly[Ordering[(Long, Long)]]
+                    .lt((cand._1, cand._2), (res.last._1, res.last._2)))
+                  res = (cand :: res)
+                    .sortBy(x => (x._1, x._2)).take(64)
+              }
+              state.update((n, res))
+              Iterator((t, n, res.length.toLong, res.map(_._3).sum))
+          }
+          .toDF("event_type", "n", "k", "sv")
+      }
+      runToParquet(scored, out, tmp("sres_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(max(struct(col("n"), col("k"), col("sv"))).as("f"))
+        .select(col("event_type"), col("f.n").as("n_events"),
+          col("f.k").as("k"),
+          round(col("f.sv").cast("double") / col("f.k") / 100, 4)
+            .as("sample_mean"))
+        .orderBy("event_type")
+    }),
+
+    // Streaming priority sampling (Duffield–Lund–Thorup) per type:
+    // state = rows-seen + exact Σw + the 51 LARGEST (q, id, w)
+    // triples (q = w/u, u from the Knuth hash — identical to
+    // q_pps_sample). Max-merge is order-independent, so the read-back
+    // equals the batch priority rank regardless of batching; the
+    // threshold estimator Σ max(w, τ) over the top-50 audits against
+    // the exact streamed total.
+    "s_stream_pps" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("spps_out")
+      val ev = readEventsStream(s, eventsDir(d, "spps_in"))
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("w"))
+        .filter(col("w") > 0)
+        .withColumn("u",
+          expr("CAST(pmod(CAST(event_id AS DECIMAL(38,0))" +
+            " * 2654435761, 9223372036854775808) + 1 AS DOUBLE)" +
+            " / 9.223372036854776e18"))
+        .select(col("event_type"), col("event_id"),
+          col("w"), (col("w") / col("u")).as("q"))
+        .as[(String, Long, Long, Double)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long, List[(Double, Long, Long)]),
+            (String, Long, Long, Long, Double, Double)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[(Long, Long, List[(Double, Long, Long)])]) =>
+              var (n, sw, top) = state.getOption
+                .getOrElse((0L, 0L, List.empty[(Double, Long, Long)]))
+              rows.foreach { r =>
+                n += 1; sw += r._3
+                val cand = (r._4, r._2, r._3)
+                if (top.length < 51 || implicitly[Ordering[(Double, Long)]]
+                    .lt((-cand._1, cand._2), (-top.last._1, top.last._2)))
+                  top = (cand :: top)
+                    .sortBy(x => (-x._1, x._2)).take(51)
+              }
+              state.update((n, sw, top))
+              val tau = if (top.length > 50) top.last._1 else 0.0
+              val est = top.take(50)
+                .map(x => math.max(x._3.toDouble, tau)).sum
+              Iterator((t, n, sw, math.min(50, top.length).toLong,
+                tau, est))
+          }
+          .toDF("event_type", "n", "sw", "k", "tau", "est")
+      }
+      runToParquet(scored, out, tmp("spps_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(max(struct(col("n"), col("sw"), col("k"), col("tau"),
+          col("est"))).as("f"))
+        .select(col("event_type"), col("f.n").as("n_pop"),
+          col("f.k").as("k"),
+          round(col("f.sw") / 100.0, 2).as("true_total"),
+          round(col("f.est") / 100.0, 2).as("pps_estimate"),
+          round(abs(col("f.est") - col("f.sw")) / col("f.sw"), 6)
+            .as("rel_err"))
+        .orderBy("event_type")
+    }),
+
+    // Streaming SPRT per type (H0 p=0.4 vs H1 p=0.5 on the value >
+    // 50.00 indicator, α=β=0.05): O(1) state = (rows seen, cumulative
+    // snapped LLR, frozen decision + its row count + its LLR). The
+    // LLR increments and the ±ln(19) bound live on the exact 1e9
+    // integer grid, so the sequential fold is bit-reproducible.
+    "s_stream_sprt" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("ssprt_out")
+      val incA = math.round(math.log(1.25) * 1e9)
+      val incB = math.round(math.log(5.0 / 6.0) * 1e9)
+      val bound = math.round(math.log(19.0) * 1e9)
+      val ev = readEventsStream(s, eventsDir(d, "ssprt_in"))
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("vc"))
+        .as[(String, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long, Int, Long, Long),
+            (String, Long, Long, Int, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[(Long, Long, Int, Long, Long)]) =>
+              var (rn, cum, dec, nDec, llrDec) = state.getOption
+                .getOrElse((0L, 0L, 0, 0L, 0L))
+              rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+                rn += 1
+                cum += (if (r._4 > 5000L) incA else incB)
+                if (dec == 0) {
+                  if (cum >= bound) { dec = 1; nDec = rn; llrDec = cum }
+                  else if (cum <= -bound) { dec = 2; nDec = rn; llrDec = cum }
+                }
+              }
+              state.update((rn, cum, dec, nDec, llrDec))
+              Iterator((t, rn, cum, dec, nDec, llrDec))
+          }
+          .toDF("event_type", "rn", "cum", "dec", "n_dec", "llr_dec")
+      }
+      runToParquet(scored, out, tmp("ssprt_ckpt"))
+      s.read.parquet(out).groupBy("event_type")
+        .agg(max(struct(col("rn"), col("cum"), col("dec"),
+          col("n_dec"), col("llr_dec"))).as("f"))
+        .select(col("event_type"),
+          when(col("f.dec") === 1, "accept_h1")
+            .when(col("f.dec") === 2, "accept_h0")
+            .otherwise("continue").as("decision"),
+          when(col("f.dec") =!= 0, col("f.n_dec")).otherwise(col("f.rn"))
+            .as("n_events"),
+          round(when(col("f.dec") =!= 0, col("f.llr_dec"))
+            .otherwise(col("f.cum"))
+            .cast("double") / 1e9, 6).as("llr"))
+        .orderBy("event_type")
+    })
+  )
+
+  private val knuthHuge =
+    "((CAST(event_id AS HUGEINT) * 2654435761) % 9223372036854775808)"
+
+  val oracle: Map[String, String] = Map(
+    // the batch min-priority rank twin
+    "s_stream_reservoir" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vc,
+        |    $knuthHuge AS pr
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY pr, event_id) AS rk
+        |  FROM ev)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k,
+        |  ROUND(CAST(SUM(CASE WHEN rk <= 64 THEN vc ELSE 0 END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN rk <= 64 THEN 1 ELSE 0 END) / 100, 4)
+        |    AS sample_mean
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the batch priority-sampling twin verbatim — the streaming
+    // max-merge state reconstructs exactly the batch priority rank
+    "s_stream_pps" -> graft.queries.StatsR10.oracle("q_pps_sample"),
+
+    // the batch first-crossing twin (identical snapped grid): decided
+    // types report the frozen (n, llr) at the crossing; 'continue'
+    // types report the final row count and final cumulative LLR
+    "s_stream_sprt" ->
+      """WITH sq AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(ROUND(value * 100) AS BIGINT) > 5000
+        |      THEN CAST(ROUND(LN(1.25) * 1e9) AS BIGINT)
+        |      ELSE CAST(ROUND(LN(5.0 / 6.0) * 1e9) AS BIGINT) END
+        |      AS inc,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |cm AS (
+        |  SELECT event_type, rn,
+        |    SUM(inc) OVER (PARTITION BY event_type ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    CAST(ROUND(LN(19.0) * 1e9) AS BIGINT) AS b
+        |  FROM sq),
+        |crossed AS (
+        |  SELECT event_type,
+        |    CASE WHEN cum >= b THEN 'accept_h1'
+        |      ELSE 'accept_h0' END AS decision,
+        |    rn AS n_events, ROUND(cum / 1e9, 6) AS llr,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY rn)
+        |      AS crn
+        |  FROM cm WHERE cum >= b OR cum <= -b),
+        |finals AS (
+        |  SELECT event_type, 'continue' AS decision, rn AS n_events,
+        |    ROUND(cum / 1e9, 6) AS llr,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY rn DESC) AS lrn
+        |  FROM cm
+        |  WHERE event_type NOT IN (SELECT event_type FROM crossed))
+        |SELECT event_type, decision, n_events, llr FROM crossed
+        |WHERE crn = 1
+        |UNION ALL
+        |SELECT event_type, decision, n_events, llr FROM finals
+        |WHERE lrn = 1
+        |ORDER BY event_type""".stripMargin
+  )
+}
