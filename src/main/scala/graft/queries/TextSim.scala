@@ -76,14 +76,18 @@ object TextSim {
     // band-colliding docs enumerates n²/2 candidates, and near-dup
     // FAMILIES all collide in the same buckets — quadratic in family
     // size (measured 13.6× at sf1's 10-replica fixture). Each
-    // (lang, band, bsig) bucket is capped to its 64 smallest doc_ids
-    // before pairing, bounding the enumeration at 64²/2 per bucket.
-    // Recall contract: a pair is missed only when BOTH members rank
-    // > 64 in EVERY band bucket they share; family members always
-    // pair with the family's 64 smallest ids (the id-ascending rank
-    // is consistent across that family's buckets), so families stay
-    // DISCOVERABLE (every member keeps candidates into the family
-    // core) even when the exhaustive within-family pair list is cut.
+    // (lang, band, bsig) bucket is capped to its 128 smallest doc_ids
+    // before pairing, bounding the enumeration at 128²/2 per bucket.
+    // 128 sits ABOVE every bucket the real corpus produces (measured
+    // max: 106 at sf0.001, 114 at sf0.01 — the ExprSpec ≥0.9 recall
+    // pin sees the UNCAPPED enumeration) and bounds only the derived
+    // fixture's replica monsters (1088 at sf0.1, 2011 at sf1) and the
+    // 100 TB boilerplate case. Recall contract when it binds: a pair
+    // is missed only when BOTH members rank > 128 in EVERY band
+    // bucket they share; family members always pair with the family's
+    // 128 smallest ids (the id-ascending rank is consistent across a
+    // family's buckets), so families stay DISCOVERABLE even when the
+    // exhaustive within-family pair list is cut.
     "q_minhash_lsh" -> ((s, d) => {
       Registry.ensure(s)
       // signatures come from the memoized per-session table (r5):
@@ -100,7 +104,7 @@ object TextSim {
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("lang", "band", "bsig").orderBy("doc_id")))
-        .filter(col("rk") <= 64)
+        .filter(col("rk") <= 128)
         // both join sides read this — localCheckpoint so the band
         // explosion runs once; blocks free with the frame, no
         // CacheManager pin across reruns (r6, ADVICE)
