@@ -72,6 +72,56 @@ object StreamOpsR10 {
         .orderBy("event_type")
     }),
 
+    // Streaming HyperLogLog per type: state = the 64 exact ρ
+    // registers (max-merge — ORDER-INDEPENDENT, the mergeable-sketch
+    // property itself) + a rows-seen counter. The read-back feeds the
+    // final registers through the SAME estimator as q_hll_exact
+    // (StatsR10f.hllEstimate), so the full DuckDB oracle applies.
+    "s_stream_hll" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("shll_out")
+      val ev = readEventsStream(s, eventsDir(d, "shll_in"))
+        .select(col("event_type"),
+          expr("CAST(pmod(CAST(user_id AS DECIMAL(38,0)) * 2654435761," +
+            " 9223372036854775808) AS BIGINT)").as("h"))
+        .as[(String, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Array[Byte]),
+            (String, Long, Seq[Int])](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[(Long, Array[Byte])]) =>
+              var (n, regs) = state.getOption
+                .getOrElse((0L, new Array[Byte](64)))
+              rows.foreach { r =>
+                n += 1
+                val b = (r._2 % 64L).toInt
+                val rest = r._2 / 64L
+                val rho = if (rest == 0L) 58
+                  else 58 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+                if (rho > regs(b)) regs(b) = rho.toByte
+              }
+              state.update((n, regs))
+              Iterator((t, n, regs.map(_.toInt).toSeq))
+          }
+          .toDF("event_type", "n", "regs")
+      }
+      runToParquet(scored, out, tmp("shll_ckpt"))
+      val fin = s.read.parquet(out).groupBy("event_type")
+        .agg(max(struct(col("n"), col("regs"))).as("f"))
+        .select(col("event_type"), col("f.n").as("n_events"),
+          posexplode(col("f.regs")).as(Seq("b", "m_reg")))
+        .select(col("event_type"), col("n_events"),
+          col("b").cast("long").as("b"), col("m_reg").cast("long").as("m_reg"))
+      graft.queries.StatsR10f.hllEstimate(
+          fin.select("event_type", "b", "m_reg"))
+        .join(fin.select("event_type", "n_events").distinct(),
+          "event_type")
+        .select(col("event_type"), col("n_events"),
+          col("nonzero_regs"), col("hll_estimate"))
+        .orderBy("event_type")
+    }),
+
     // Streaming priority sampling (Duffield–Lund–Thorup) per type:
     // state = rows-seen + exact Σw + the 51 LARGEST (q, id, w)
     // triples (q = w/u, u from the Knuth hash — identical to
@@ -212,6 +262,19 @@ object StreamOpsR10 {
     // the batch priority-sampling twin verbatim — the streaming
     // max-merge state reconstructs exactly the batch priority rank
     "s_stream_pps" -> graft.queries.StatsR10.oracle("q_pps_sample"),
+
+    // the batch register math verbatim (StatsR10f.hllOracle) — the
+    // streaming max-merge registers ARE the batch registers
+    "s_stream_hll" ->
+      s"""${graft.queries.StatsR10f.hllOracle},
+        |cnt AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT est.event_type, cnt.n_events,
+        |  CAST(est.nonzero_regs AS BIGINT) AS nonzero_regs,
+        |  ROUND(est.e, 4) AS hll_estimate
+        |FROM est JOIN cnt ON est.event_type = cnt.event_type
+        |ORDER BY est.event_type""".stripMargin,
 
     // the batch first-crossing twin (identical snapped grid): decided
     // types report the frozen (n, llr) at the crossing; 'continue'
