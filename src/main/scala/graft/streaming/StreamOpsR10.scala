@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import StreamOps.{eventsDir, readEventsStream, runToParquet, tmp, withBoundedStatePartitions}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import StreamOps.{eventsDir, readEventsStream, runToParquet, stageTable, tmp, withBoundedStatePartitions}
 
 /** Round-10 streaming wave (SURVEY.md §2 B.9): the streaming twins of
   * the r10 sampling/sequential batch keys, both real
@@ -70,6 +72,68 @@ object StreamOpsR10 {
           round(col("f.sv").cast("double") / col("f.k") / 100, 4)
             .as("sample_mean"))
         .orderBy("event_type")
+    }),
+
+    // Streaming verbatim-duplication detector over the DOCUMENT
+    // stream: every 10-token window fingerprinted (md5, the
+    // q_substring_dup grid), fp mapped to a 60-bit long (first 15 hex
+    // chars — the q_eth_abi_roundtrip conversion), then the SHARDED
+    // Bloom state of s_stream_bloom_dedup (8 shards by hash prefix,
+    // m=4096, k=3): a window is flagged when all 3 of its shard's
+    // bits were set before insertion — true verbatim repeats plus
+    // quantified false positives. Order-sensitive within (doc_id,
+    // window index) — the single-batch invariant applies.
+    "s_stream_substring_dup" -> ((s, d) => {
+      import s.implicits._
+      val in = stageTable(d, "documents", "ssub_in")
+      val out = tmp("ssub_out")
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val ps = Array(2654435761L, 2246822519L, 3266489917L)
+      val qs = Array(1L, 7L, 13L)
+      val ev = s.readStream.schema(docSchema).parquet(in)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 9)," +
+            " i -> CAST(conv(substring(md5(array_join(slice(toks, i, 10)," +
+            " ' ')), 1, 15), 16, 10) AS BIGINT))")).as(Seq("i", "h")))
+        .select(
+          // 60-bit h × the Knuth constant overflows BIGINT — the
+          // DECIMAL pmod reduction as everywhere (HUGEINT in oracle)
+          expr("CAST(pmod(CAST(h AS DECIMAL(38,0)) * 2654435761," +
+            " 9223372036854775808) AS BIGINT) % 8").as("shard"),
+          col("doc_id"), (col("i") + 1).cast("long").as("i"), col("h"))
+        .as[(Long, Long, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long, Array[Byte]),
+            (Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (sh, rows, state: GroupState[(Long, Long, Array[Byte])]) =>
+              var (n, fl, bits) = state.getOption
+                .getOrElse((0L, 0L, new Array[Byte](4096)))
+              rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+                val hsArr = (0 to 2).map(j =>
+                  (((r._4 * ps(j) + qs(j)) & 0x7FFFFFFFFFFFFFFFL)
+                    % 2147483647L % 4096L).toInt)
+                if (hsArr.forall(bits(_) == 1)) fl += 1
+                hsArr.foreach(bits(_) = 1)
+                n += 1
+              }
+              state.update((n, fl, bits))
+              Iterator((sh, n, fl))
+          }
+          .toDF("shard", "n", "fl")
+      }
+      runToParquet(scored, out, tmp("ssub_ckpt"))
+      s.read.parquet(out).groupBy("shard")
+        .agg(max(struct(col("n"), col("fl"))).as("fin"))
+        .agg(sum(col("fin.n")).as("n_windows"),
+          sum(col("fin.fl")).as("n_flagged"))
+        .select(col("n_windows"), col("n_flagged"),
+          round(col("n_flagged").cast("double") / col("n_windows"), 6)
+            .as("flag_rate"))
     }),
 
     // Streaming HyperLogLog per type: state = the 64 exact ρ
@@ -262,6 +326,56 @@ object StreamOpsR10 {
     // the batch priority-sampling twin verbatim — the streaming
     // max-merge state reconstructs exactly the batch priority rank
     "s_stream_pps" -> graft.queries.StatsR10.oracle("q_pps_sample"),
+
+    // the batch twin of the windowed sharded Bloom: min-setter rank
+    // per (shard, bit) over windows in (doc_id, window-index) order
+    "s_stream_substring_dup" ->
+      """WITH js AS (SELECT UNNEST([0, 1, 2]) AS j),
+        |w AS (
+        |  SELECT doc_id,
+        |    UNNEST(generate_series(1,
+        |      len(string_split(text, ' ')) - 9)) AS i
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |wh AS (
+        |  SELECT w.doc_id, w.i,
+        |    CAST(CAST('0x' || substring(
+        |      md5(array_to_string(
+        |        string_split(d.text, ' ')[w.i:w.i+9], ' ')), 1, 15)
+        |      AS UBIGINT) AS BIGINT) AS h
+        |  FROM w JOIN documents d ON w.doc_id = d.doc_id),
+        |sh AS (
+        |  SELECT doc_id, i, h,
+        |    ((CAST(h AS HUGEINT) * 2654435761)
+        |      % 9223372036854775808) % 8 AS shard
+        |  FROM wh),
+        |rn AS (
+        |  SELECT shard, h,
+        |    CAST(row_number() OVER (PARTITION BY shard
+        |      ORDER BY doc_id, i) AS BIGINT) AS rn
+        |  FROM sh),
+        |bh AS (
+        |  SELECT rn.shard, rn.rn, js.j,
+        |    ((CAST(rn.h AS HUGEINT)
+        |      * (CASE js.j WHEN 0 THEN 2654435761
+        |        WHEN 1 THEN 2246822519 ELSE 3266489917 END)
+        |      + (CASE js.j WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 13 END))
+        |      % 9223372036854775808)
+        |      % 2147483647 % 4096 AS hb
+        |  FROM rn, js),
+        |mb AS (SELECT shard, hb, MIN(rn) AS mr FROM bh GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT bh.shard, bh.rn
+        |  FROM bh JOIN mb ON bh.shard = mb.shard AND bh.hb = mb.hb
+        |  GROUP BY bh.shard, bh.rn
+        |  HAVING SUM(CASE WHEN mb.mr < bh.rn THEN 1 ELSE 0 END) = 3),
+        |ag AS (
+        |  SELECT
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM wh) AS n_windows,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM fl) AS n_flagged)
+        |SELECT n_windows, n_flagged,
+        |  ROUND(CAST(n_flagged AS DOUBLE) / n_windows, 6) AS flag_rate
+        |FROM ag""".stripMargin,
 
     // the batch register math verbatim (StatsR10f.hllOracle) — the
     // streaming max-merge registers ARE the batch registers
