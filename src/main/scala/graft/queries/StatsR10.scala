@@ -197,7 +197,11 @@ object StatsR10 {
     // both engines snap their own LN to the same long), cumulative
     // sum in (ts, id) order, decision at the FIRST |LLR| ≥ ln(19)
     // crossing. The sequential A/B machinery over exact integer
-    // state; 'continue' rows report the final LLR.
+    // state; 'continue' rows report the final LLR. SCALE NOTE: a
+    // sequential test is INHERENTLY ordered — the per-type prefix sum
+    // is one sorted partition per type here; the 100 TB shape is the
+    // O(1)-state streaming twin (s_stream_sprt), which never
+    // materializes the sequence.
     "q_sprt_boundary" -> ((s, d) => {
       // 5.0D/6.0D NOT 5.0/6.0: Spark parses bare x.y literals as
       // DECIMAL, and decimal division truncates the quotient's scale

@@ -24,7 +24,10 @@ object StatsR10d {
     // the vec 0 query — how much normalization changes retrieval.
     // Overlap at depth d = #items with max(rank_cos, rank_dot) ≤ d;
     // per-depth coefficients (1−p)·p^(d−1)/d snap to 1e9 longs, so
-    // the cumulative RBO is an exact prefix sum over 20 rows.
+    // the cumulative RBO is an exact prefix sum over 20 rows. The
+    // global rank windows run at the EMBEDDINGS grain (bounded
+    // dimension table; at fact grain they'd range-partition via
+    // operators/PrefixSum — only top-20 ranks matter anyway).
     "q_rbo" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)

@@ -74,6 +74,49 @@ object StreamOpsR10 {
         .orderBy("event_type")
     }),
 
+    // Streaming dataset-provenance chain per source: state = (docs
+    // seen, running md5 CHAIN) with chain_1 = md5(text_1) and
+    // chain_i = md5(chain_{i−1} || md5(text_i)) in doc_id order — the
+    // incremental form of q_dataset_fingerprint (a flat sorted concat
+    // can't extend incrementally; the chain is O(32 bytes) state and
+    // commits every prefix). Order-sensitive — single-batch invariant.
+    "s_stream_provenance" -> ((s, d) => {
+      import s.implicits._
+      val in = stageTable(d, "documents", "sprov_in")
+      val out = tmp("sprov_out")
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      val ev = s.readStream.schema(docSchema).parquet(in)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+        .as[(String, Long, String)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, String), (String, Long, String)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (src, rows, state: GroupState[(Long, String)]) =>
+              var (n, chain) = state.getOption.getOrElse((0L, ""))
+              def m(x: String): String =
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(x.getBytes("UTF-8"))
+                  .map("%02x".format(_)).mkString
+              rows.toArray.sortBy(_._2).foreach { r =>
+                chain = if (n == 0) r._3 else m(chain + r._3)
+                n += 1
+              }
+              state.update((n, chain))
+              Iterator((src, n, chain))
+          }
+          .toDF("source", "n", "chain")
+      }
+      runToParquet(scored, out, tmp("sprov_ckpt"))
+      s.read.parquet(out).groupBy("source")
+        .agg(max(struct(col("n"), col("chain"))).as("f"))
+        .select(col("source"), col("f.n").as("n_docs"),
+          col("f.chain").as("chain_fingerprint"))
+        .orderBy("source")
+    }),
+
     // Streaming verbatim-duplication detector over the DOCUMENT
     // stream: every 10-token window fingerprinted (md5, the
     // q_substring_dup grid), fp mapped to a 60-bit long (first 15 hex
@@ -326,6 +369,23 @@ object StreamOpsR10 {
     // the batch priority-sampling twin verbatim — the streaming
     // max-merge state reconstructs exactly the batch priority rank
     "s_stream_pps" -> graft.queries.StatsR10.oracle("q_pps_sample"),
+
+    // the recursive-CTE twin of the md5 chain recursion per source
+    "s_stream_provenance" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, rn, h AS chain, n FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, md5(r.chain || d.h), r.n
+        |  FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+        |SELECT source, n AS n_docs, chain AS chain_fingerprint
+        |FROM r WHERE rn = n
+        |ORDER BY source""".stripMargin,
 
     // the batch twin of the windowed sharded Bloom: min-setter rank
     // per (shard, bit) over windows in (doc_id, window-index) order
