@@ -8,8 +8,9 @@ import graft.tables.Tables
 object ProfileStrategies {
   def main(args: Array[String]): Unit = {
     val d = args(0)
+    val parts = if (args.length > 2) args(2) else "32"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
