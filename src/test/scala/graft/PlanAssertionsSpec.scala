@@ -642,4 +642,38 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
         org.apache.spark.sql.execution.CodegenMode)
     assert(bh.contains("WholeStageCodegen"), bh.take(500))
   }
+
+  test("r10 capped keys never plan a cartesian (caps themselves are " +
+      "behaviorally pinned)") {
+    // The 128-caps sit BEFORE eager localCheckpoints, so they are
+    // invisible in these post-checkpoint plan strings — their
+    // presence is pinned behaviorally instead (ExprSpec minhash
+    // recall over the capped candidates, R10OpsSpec's fuzzy-lev fold
+    // applying the identical cap, EdgeGraphSpec's capLowTau pins) and
+    // by the sf1 numbers in BASELINE.md. Here: the join shapes stay
+    // equi-joins.
+    for (k <- Seq("q_minhash_lsh", "q_fuzzy_levenshtein",
+        "q_substring_dup", "q_knn_shapley", "q_ecod_outlier")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian\n" + p)
+    }
+  }
+
+  test("PrefixSum plans its rank/cumsum partitioned by the range bucket") {
+    // operators/PrefixSum: the fact-grain window must be partitioned
+    // by __pid (the range bucket) — a bare Window.orderBy at that
+    // grain is the single-task global sort the helper exists to kill.
+    // (The ≤|parallelism|-row offsets window is the sanctioned bounded
+    // single-partition leg.) Probed directly — the adopting keys
+    // checkpoint their results, which hides the window from their
+    // final plan strings.
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val df = spark.range(0, 1000)
+      .select(col("id"), pmod(col("id"), lit(7L)).as("v"))
+    val p = graft.operators.PrefixSum
+      .rankAndCumSum(df, Seq(col("v"), col("id")), col("v"), "rn", "cum")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("Window"), p.take(1000))
+    assert(p.contains("__pid"), "range-bucket window lost\n" + p.take(2000))
+  }
 }
