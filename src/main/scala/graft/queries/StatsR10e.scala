@@ -42,6 +42,36 @@ object StatsR10e {
         .limit(20)
     }),
 
+    // Exact-substring train/test leakage (the decontamination audit
+    // run with q_substring_dup's fingerprints): split at doc_id
+    // parity (even = train, odd = test, stated); a test doc LEAKS
+    // when it shares ≥ 1 exact 10-token window with any train doc.
+    // The substring complement of q_contamination's set-similarity
+    // screen — verbatim leaks that J-thresholds can miss.
+    "q_substring_leakage" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 9)," +
+            " i -> md5(array_join(slice(toks, i, 10), ' ')))")).as("fp"))
+        .localCheckpoint(eager = true) // train + test legs
+      val train = w.filter(col("doc_id") % 2 === 0)
+        .select(col("fp")).distinct()
+      val leaked = w.filter(col("doc_id") % 2 === 1)
+        .join(train, "fp")
+        .select(col("doc_id")).distinct()
+      val nTest = Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 1)
+        .agg(count(lit(1)).as("n_test"))
+      nTest.crossJoin(broadcast(
+          leaked.agg(count(lit(1)).as("n_leaked"))))
+        .filter(col("n_test") > 0)
+        .select(col("n_test"), col("n_leaked"),
+          round(col("n_leaked").cast("double") / col("n_test"), 6)
+            .as("leak_rate"))
+    }),
+
     // DoReMi-style mixture step (Xie et al., one exponentiated-
     // gradient update, η=1, stated): per-source mean bigram-LM
     // log-prob from the 6dp per-doc scores (the q_bigram_lm oracle
@@ -124,6 +154,30 @@ object StatsR10e {
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
         |FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_occurrences DESC, fp LIMIT 20""".stripMargin,
+
+    // identical window fingerprints + parity split
+    "q_substring_leakage" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 9),
+        |      i -> md5(array_to_string(
+        |        string_split(text, ' ')[i:i+9], ' ')))) AS fp
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |train AS (SELECT DISTINCT fp FROM w WHERE doc_id % 2 = 0),
+        |leaked AS (
+        |  SELECT DISTINCT w.doc_id
+        |  FROM w JOIN train ON w.fp = train.fp
+        |  WHERE w.doc_id % 2 = 1),
+        |ag AS (
+        |  SELECT
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |     WHERE doc_id % 2 = 1) AS n_test,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM leaked) AS n_leaked)
+        |SELECT n_test, n_leaked,
+        |  ROUND(CAST(n_leaked AS DOUBLE) / n_test, 6) AS leak_rate
+        |FROM ag WHERE n_test > 0""".stripMargin,
 
     // per-doc leg = the q_bigram_lm oracle verbatim; exact-long
     // rollup + snapped EG step from there

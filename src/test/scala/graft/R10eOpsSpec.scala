@@ -47,6 +47,26 @@ class R10eOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q_substring_leakage matches the parity-split fold") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fps(t: String): Seq[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 10) Seq.empty
+      else (0 to toks.length - 10).map(i =>
+        md5(toks.slice(i, i + 10).mkString(" ")))
+    }
+    val train = docs.filter(_._1 % 2 == 0).flatMap(d => fps(d._2)).toSet
+    val leaked = docs.filter(_._1 % 2 == 1)
+      .count(d => fps(d._2).exists(train.contains)).toLong
+    val nTest = docs.count(_._1 % 2 == 1).toLong
+    val r = q("q_substring_leakage").collect()(0)
+    assert(r.getLong(0) == nTest)
+    assert(r.getLong(1) == leaked)
+    assert(r.getDouble(2) == rnd(leaked.toDouble / nTest, 6))
+  }
+
   test("q_doremi_step weights normalize and rank by excess loss") {
     val rows = q("q_doremi_step").collect().map(r =>
       (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
