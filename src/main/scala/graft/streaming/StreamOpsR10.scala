@@ -338,6 +338,63 @@ object StreamOpsR10 {
             .otherwise(col("f.cum"))
             .cast("double") / 1e9, 6).as("llr"))
         .orderBy("event_type")
+    }),
+
+    // Streaming 16-lane MinHash signature per source over the
+    // DOCUMENT stream: state = 16 lane minima + a docs-seen counter.
+    // Min-merge commutes, so the state is ORDER-INDEPENDENT (the
+    // mergeable-sketch property, like s_stream_hll) and the read-back
+    // equals the batch per-(source, lane) minimum exactly. Doc key =
+    // the 60-bit md5 prefix of the text; lane hashes are the affine
+    // (x·(2654435761 + 2i) + i·2246822519) mod 2^63 family, computed
+    // in exact BigInteger space to match the oracle's HUGEINT.
+    "s_stream_minhash" -> ((s, d) => {
+      import s.implicits._
+      val in = stageTable(d, "documents", "sminh_in")
+      val out = tmp("sminh_out")
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      val ev = s.readStream.schema(docSchema).parquet(in)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10)" +
+            " AS BIGINT)").as("x"))
+        .as[(String, Long)]
+      val M = java.math.BigInteger.valueOf(Long.MinValue).negate() // 2^63
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Array[Long]),
+            (String, Long, Seq[Long])](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (src, rows, state: GroupState[(Long, Array[Long])]) =>
+              var (n, mins) = state.getOption.getOrElse(
+                (0L, Array.fill(16)(Long.MaxValue)))
+              rows.foreach { r =>
+                n += 1
+                val x = java.math.BigInteger.valueOf(r._2)
+                var i = 0
+                while (i < 16) {
+                  val h = x.multiply(java.math.BigInteger.valueOf(
+                      2654435761L + 2L * i))
+                    .add(java.math.BigInteger.valueOf(2246822519L * i))
+                    .mod(M).longValueExact()
+                  if (h < mins(i)) mins(i) = h
+                  i += 1
+                }
+              }
+              state.update((n, mins))
+              Iterator((src, n, mins.toSeq))
+          }
+          .toDF("source", "n", "mins")
+      }
+      runToParquet(scored, out, tmp("sminh_ckpt"))
+      s.read.parquet(out).groupBy("source")
+        .agg(max(struct(col("n"), col("mins"))).as("f"))
+        .select(col("source"), col("f.n").as("n_docs"),
+          posexplode(col("f.mins")).as(Seq("lane", "min_h")))
+        .select(col("source"), col("n_docs"),
+          col("lane").cast("long").as("lane"), col("min_h"))
+        .orderBy("source", "lane")
     })
   )
 
@@ -345,6 +402,24 @@ object StreamOpsR10 {
     "((CAST(event_id AS HUGEINT) * 2654435761) % 9223372036854775808)"
 
   val oracle: Map[String, String] = Map(
+    // batch per-(source, lane) minimum — the exact twin of the
+    // order-independent min-merge state
+    "s_stream_minhash" ->
+      """WITH x AS (
+        |  SELECT source,
+        |    CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS x
+        |  FROM documents),
+        |lanes AS (SELECT unnest(generate_series(0, 15)) AS lane),
+        |m AS (
+        |  SELECT source, lane,
+        |    MIN(CAST((CAST(x AS HUGEINT) * (2654435761 + 2 * lane)
+        |      + 2246822519 * lane) % 9223372036854775808 AS BIGINT))
+        |      AS min_h,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM x, lanes GROUP BY 1, 2)
+        |SELECT source, n_docs, CAST(lane AS BIGINT) AS lane, min_h
+        |FROM m ORDER BY source, lane""".stripMargin,
+
     // the batch min-priority rank twin
     "s_stream_reservoir" ->
       s"""WITH ev AS (
