@@ -23,7 +23,7 @@ object Analytics {
   private val simsCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), DataFrame]()
 
-  private def custBrand(s: SparkSession, d: String): DataFrame = {
+  private[queries] def custBrand(s: SparkSession, d: String): DataFrame = {
     val it = cbCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     cbCache.computeIfAbsent((s.sparkContext, d), _ =>
@@ -37,7 +37,7 @@ object Analytics {
   }
 
   /** Directed (b, b2, cos) brand similarity — both orientations. */
-  private def brandSims(s: SparkSession, d: String): DataFrame = {
+  private[queries] def brandSims(s: SparkSession, d: String): DataFrame = {
     val it = simsCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     simsCache.computeIfAbsent((s.sparkContext, d), _ => {
