@@ -395,6 +395,57 @@ object StreamOpsR10 {
         .select(col("source"), col("n_docs"),
           col("lane").cast("long").as("lane"), col("min_h"))
         .orderBy("source", "lane")
+    }),
+
+    // Streaming SLO burn-rate monitor: state = per-HOUR exact
+    // (events, errors) counters — count-merge commutes, so the state
+    // is ORDER-INDEPENDENT; the read-back assembles the identical
+    // multiwindow page/ticket table as q_slo_burn (whose oracle this
+    // key reuses verbatim at the contract level).
+    "s_stream_slo" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sslo_out")
+      val ev = readEventsStream(s, eventsDir(d, "sslo_in"))
+        .select(unix_micros(date_trunc("hour", col("ts"))).as("hus"),
+          when(col("event_type") === "error", 1L).otherwise(0L)
+            .as("e"))
+        .as[(Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (h, rows, state: GroupState[(Long, Long)]) =>
+              var (n, x) = state.getOption.getOrElse((0L, 0L))
+              rows.foreach { r => n += 1; x += r._2 }
+              state.update((n, x))
+              Iterator((h, n, x))
+          }
+          .toDF("hus", "n", "x")
+      }
+      runToParquet(scored, out, tmp("sslo_ckpt"))
+      val wo = org.apache.spark.sql.expressions.Window.orderBy("h")
+      s.read.parquet(out).groupBy("hus")
+        .agg(max(struct(col("n"), col("x"))).as("f"))
+        .select(expr("timestamp_micros(hus)").as("h"),
+          col("f.n").as("n"), col("f.x").as("x"))
+        .withColumn("n6", sum("n").over(wo.rowsBetween(-5, 0)))
+        .withColumn("x6", sum("x").over(wo.rowsBetween(-5, 0)))
+        .withColumn("n24", sum("n").over(wo.rowsBetween(-23, 0)))
+        .withColumn("x24", sum("x").over(wo.rowsBetween(-23, 0)))
+        .withColumn("b1", col("x").cast("double") / col("n") / 0.01)
+        .withColumn("b6", col("x6").cast("double") / col("n6") / 0.01)
+        .withColumn("b24",
+          col("x24").cast("double") / col("n24") / 0.01)
+        .select(col("h").cast("timestamp_ntz").as("h"), col("n"),
+          col("x"),
+          round(col("b1"), 4).as("burn_1h"),
+          round(col("b6"), 4).as("burn_6h"),
+          round(col("b24"), 4).as("burn_24h"),
+          when(col("b1") > 14.4 && col("b6") > 14.4, 1L).otherwise(0L)
+            .as("page"),
+          when(col("b6") > 6.0 && col("b24") > 6.0, 1L).otherwise(0L)
+            .as("ticket"))
+        .orderBy("h")
     })
   )
 
@@ -402,6 +453,10 @@ object StreamOpsR10 {
     "((CAST(event_id AS HUGEINT) * 2654435761) % 9223372036854775808)"
 
   val oracle: Map[String, String] = Map(
+    // the q_slo_burn batch oracle verbatim — hourly count-merge state
+    // reconstructs the identical hour grid
+    "s_stream_slo" -> graft.queries.StatsR10q.oracle("q_slo_burn"),
+
     // batch per-(source, lane) minimum — the exact twin of the
     // order-independent min-merge state
     "s_stream_minhash" ->
