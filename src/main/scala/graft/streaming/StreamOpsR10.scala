@@ -446,6 +446,44 @@ object StreamOpsR10 {
           when(col("b6") > 6.0 && col("b24") > 6.0, 1L).otherwise(0L)
             .as("ticket"))
         .orderBy("h")
+    }),
+
+    // Streaming log2 value histogram per type: state = counts per
+    // power-of-two bucket (≤ 40 longs — count-merge commutes, so the
+    // state is ORDER-INDEPENDENT); read-back rebuilds the exact
+    // q_log2_hist table and reuses its oracle verbatim.
+    "s_stream_log2_hist" -> ((s, d) => {
+      import s.implicits._
+      val out = tmp("sl2h_out")
+      val ev = readEventsStream(s, eventsDir(d, "sl2h_in"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .filter(col("v_c") >= 1)
+        .withColumn("bucket", (length(expr("bin(v_c)")) - 1)
+          .cast("long"))
+        .as[(String, Long, Long)]
+      val scored = withBoundedStatePartitions(s) {
+        ev.groupByKey(_._1)
+          .flatMapGroupsWithState[Map[Long, Long],
+            (String, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (t, rows, state: GroupState[Map[Long, Long]]) =>
+              var m = state.getOption.getOrElse(Map.empty[Long, Long])
+              rows.foreach { r =>
+                m = m.updated(r._3, m.getOrElse(r._3, 0L) + 1) }
+              state.update(m)
+              m.iterator.map { case (b, n) => (t, b, n) }
+          }
+          .toDF("event_type", "bucket", "n")
+      }
+      runToParquet(scored, out, tmp("sl2h_ckpt"))
+      s.read.parquet(out).groupBy("event_type", "bucket")
+        .agg(max("n").as("n"))
+        .select(col("event_type"), col("bucket"),
+          expr("shiftleft(1L, cast(bucket as int))").as("lo"),
+          (expr("shiftleft(1L, cast(bucket as int) + 1)") - 1).as("hi"),
+          col("n"))
+        .orderBy("event_type", "bucket")
     })
   )
 
@@ -456,6 +494,10 @@ object StreamOpsR10 {
     // the q_slo_burn batch oracle verbatim — hourly count-merge state
     // reconstructs the identical hour grid
     "s_stream_slo" -> graft.queries.StatsR10q.oracle("q_slo_burn"),
+
+    // the q_log2_hist batch oracle verbatim — per-bucket count-merge
+    // state reconstructs the identical histogram
+    "s_stream_log2_hist" -> graft.queries.StatsR9p.oracle("q_log2_hist"),
 
     // batch per-(source, lane) minimum — the exact twin of the
     // order-independent min-merge state
