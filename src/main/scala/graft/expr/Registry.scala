@@ -59,6 +59,7 @@ object Registry {
     "keccak256" -> ((es: Seq[Expression]) => Keccak256(es(0))),
     "lcs_len" -> ((es: Seq[Expression]) => LcsLen(es(0), es(1))),
     "dtw_dist" -> ((es: Seq[Expression]) => DtwDist(es(0), es(1))),
+    "lz76" -> ((es: Seq[Expression]) => Lz76(es(0))),
     "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
     "deflate_len" -> ((es: Seq[Expression]) => DeflateLen(es(0))),
     "eth_checksum_address" -> ((es: Seq[Expression]) => ChecksumAddress(es(0))),
