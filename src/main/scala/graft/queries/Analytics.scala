@@ -1114,23 +1114,40 @@ object Analytics {
     }),
 
     // End-to-end entity resolution (the full ER pipeline as ONE
-    // operator): sorted-neighborhood blocking → Jaro-Winkler ≥ 0.92
-    // verify (both reused from q_sorted_neighborhood) → connected-
-    // component resolution (operators/ConnectedComponents — the
-    // dedup-graph machinery applied to entities) → per-entity
-    // canonical record (min name, member envelope). Only multi-member
-    // entities ship — the "what merged" report a master-data pass
-    // reviews. Scale posture: blocking bounds candidates to 2 per
-    // record, CC is the localCheckpoint-bounded label propagation.
+    // operator): sorted-neighborhood blocking with a WINDOW-SLIDE
+    // BLOCK CAP → Jaro-Winkler ≥ 0.92 verify → connected-component
+    // resolution (operators/ConnectedComponents — the dedup-graph
+    // machinery applied to entities) → per-entity canonical record
+    // (min name, member envelope). Only multi-member entities ship —
+    // the "what merged" report a master-data pass reviews. The block
+    // cap (r10 VERDICT task 8, standard Hernández–Stolfo practice):
+    // a candidate pair never crosses a W=1024-row boundary of the
+    // name sort, so a transitively-chained component is confined to
+    // one block (diameter ≤ W) and pointer-jumping CC converges in
+    // ≤ log₂W + O(1) rounds INDEPENDENT of corpus size — maxIter
+    // stays at the operator default. The oracle applies the same cap.
     "q_er_resolve" -> ((s, d) => {
-      val pairs = queries("q_sorted_neighborhood")(s, d)
-        .select("a_id", "b_id")
+      graft.expr.Registry.ensure(s)
+      val W = 1024
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_name"), col("p_partkey"))
+      val pairs = Tables.part(s, d).select("p_partkey", "p_name")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cand", array(
+          struct(lit(1).as("i"), lead("p_partkey", 1).over(w).as("b_id"),
+            lead("p_name", 1).over(w).as("b_name")),
+          struct(lit(2).as("i"), lead("p_partkey", 2).over(w).as("b_id"),
+            lead("p_name", 2).over(w).as("b_name"))))
+        .select(col("p_partkey").as("a_id"), col("p_name"), col("rn"),
+          explode(col("cand")).as("c"))
+        .filter(col("c.b_id").isNotNull)
+        .filter(expr(s"(rn - 1) div $W") === expr(s"(rn + c.i - 1) div $W"))
+        .withColumn("jw", round(expr("jaro_winkler(p_name, c.b_name)"), 6))
+        .filter(col("jw") >= 0.92)
+        .select(col("a_id"), col("c.b_id").as("b_id"))
       val nodes = Tables.part(s, d).select(col("p_partkey").as("doc_id"))
-      // name-sorted blocking chains transitively (diameter ≈ |block|,
-      // thousands at sf0.1) — pointer jumping is REQUIRED here, unlike
-      // the shallow near-dup clusters the other CC consumers resolve
       graft.operators.ConnectedComponents
-        .components(s, nodes, pairs, maxIter = 60, jump = true)
+        .components(s, nodes, pairs, jump = true)
         .join(Tables.part(s, d)
           .select(col("p_partkey").as("doc_id"), col("p_name")), "doc_id")
         .groupBy("label")
@@ -1689,6 +1706,7 @@ object Analytics {
       }.mkString(",\n")
       s"""WITH s AS (
          |  SELECT p_partkey, p_name,
+         |    row_number() OVER w AS rn,
          |    lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS m1,
          |    lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS m2
          |  FROM part WINDOW w AS (ORDER BY p_name, p_partkey)),
@@ -1696,10 +1714,12 @@ object Analytics {
          |  SELECT p_partkey AS a_id, k1 AS b_id,
          |    ROUND(jaro_winkler_similarity(p_name, m1), 6) AS jw
          |  FROM s WHERE k1 IS NOT NULL
+         |    AND (rn - 1) // 1024 = rn // 1024
          |  UNION ALL
          |  SELECT p_partkey, k2,
          |    ROUND(jaro_winkler_similarity(p_name, m2), 6)
-         |  FROM s WHERE k2 IS NOT NULL),
+         |  FROM s WHERE k2 IS NOT NULL
+         |    AND (rn - 1) // 1024 = (rn + 1) // 1024),
          |e AS MATERIALIZED (SELECT a_id, b_id FROM c WHERE jw >= 0.92),
          |sym AS (SELECT a_id AS src, b_id AS dst FROM e
          |        UNION SELECT b_id, a_id FROM e),

@@ -489,6 +489,7 @@ object EventsQ {
         .groupBy("value")
         .agg(count(lit(1)).as("n"), sum("is_pos").as("pos"))
         .withColumn("neg", col("n") - col("pos"))
+      // bounded grain: distinct quantized score values (generator grid)
       val w = org.apache.spark.sql.expressions.Window.orderBy("value")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       perScore
@@ -614,6 +615,7 @@ object EventsQ {
         .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
           count(lit(1)).as("n"))
         .withColumn("mmu", expr("s_mu div n"))
+      // bounded grain: one row per day
       val wo = org.apache.spark.sql.expressions.Window.orderBy("d")
       val wl = org.apache.spark.sql.expressions.Window.orderBy("d")
         .rowsBetween(-3, -1)
@@ -973,6 +975,7 @@ object EventsQ {
           sum(when(!col("t"), 1L).otherwise(0L)).as("dn_c"),
           sum(when(!col("t"), col("v_c")).otherwise(0L)).as("ds_c"),
           sum(when(!col("t"), col("v_c") * col("v_c")).otherwise(0L)).as("dq_c"))
+      // bounded grain: one row per day
       val w = org.apache.spark.sql.expressions.Window.orderBy("d")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       daily
@@ -1399,6 +1402,7 @@ object EventsQ {
         .select(col("slope_u"), col("n_pairs"),
           (col("mmu") - col("slope_u") * col("i")).as("b_u"))
       val nd = daily.agg(count(lit(1)).as("nd"))
+      // bounded grain: one residual row per day
       val wb = org.apache.spark.sql.expressions.Window.orderBy("b_u")
       resid.crossJoin(broadcast(nd))
         .withColumn("rb", row_number().over(wb))
@@ -1497,6 +1501,7 @@ object EventsQ {
     // λ. Every term is an exact µ-grid long (running mean via exact
     // integer division), so the alarm sequence cannot flap.
     "q_page_hinkley" -> ((s, d) => {
+      // bounded grain: one row per day
       val wAll = org.apache.spark.sql.expressions.Window.orderBy("d")
         .rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1507,6 +1512,7 @@ object EventsQ {
         .agg(sum(floor(col("value") * 1e6).cast("long")).as("s_mu"),
           count(lit(1)).as("n"))
         .withColumn("mmu", expr("s_mu div n"))
+        // bounded grain: one row per day
         .withColumn("i", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("d")))
         .withColumn("cum", sum("mmu").over(wAll))
@@ -1558,6 +1564,7 @@ object EventsQ {
     // rows — a 10-year daily series is 3650² ≈ 1.3·10⁷ rows, fine;
     // the corpus-sized work remains the single daily partial agg.
     "q_isotonic_fit" -> ((s, d) => {
+      // bounded grain: one row per day
       val wd = org.apache.spark.sql.expressions.Window.orderBy("d")
       val wp = wd.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -299,17 +299,67 @@ object LlmOps {
         .orderBy("a_id", "rn")
     }),
 
-    // Embedding-cosine near-duplicate pairs (the semantic-dedup mode):
-    // label partitions bound the pair space (the IVF-list analog);
-    // at corpus scale the label key is the coarse quantizer bucket.
+    // Embedding-cosine near-duplicate pairs (the semantic-dedup mode).
+    // r10 VERDICT task 3: the old label-blocked self-join was
+    // quadratic WITHIN label — at 100 TB with bounded label
+    // cardinality that's corpus²/|labels|. Now routed through the
+    // same per-label seeded-cell assignment as q_knn_per_label: each
+    // vector probes only cells whose SOUND cosine bound can reach τ
+    // (angular triangle inequality: for any member x of cell C,
+    // angle(a,x) ≥ angle(a,seed_C) − radius_C, so cos(a,x) ≤
+    // cos(max(0, θ−r)); a pair (a,b) with cos ≥ τ forces a's bound on
+    // cell(b) ≥ τ, so the probe always survives — the 1e-9 margin
+    // covers acos/cos roundoff). Extra probes only add candidates the
+    // exact `c ≥ τ` filter removes, so the pair set is IDENTICAL to
+    // the exhaustive within-label join (the oracle, hash-checked).
     "q_dedup_embed" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
+      val tau = 0.3
+      val cellsK = 4
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("label").as("label_b"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-      a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+      def angle(c: Column): Column =
+        acos(least(greatest(c, lit(-1.0)), lit(1.0)))
+      val wSeed = Window.partitionBy("label").orderBy("vec_id")
+      val seeds = e.withColumn("cell", row_number().over(wSeed))
+        .filter(col("cell") <= cellsK)
+        .select(col("label"), col("cell"), col("embedding").as("c_emb"))
+      val packed = seeds.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
+          .as("cents"))
+      val csCols = (1 to cellsK).map { i =>
+        expr(s"cosine_sim(embedding, try_element_at(cents, $i).c_emb)")
+          .as(s"cs$i")
+      }
+      val best = greatest((1 to cellsK).map { i =>
+        struct(col(s"cs$i").as("cs"), lit(-i).as("negcell"))
+      }: _*)
+      val assigned = e.join(broadcast(packed), "label")
+        .select(Seq(col("label"), col("vec_id"), col("embedding")) ++ csCols: _*)
+        .withColumn("best", best)
+        .withColumn("cell", -col("best.negcell"))
+        .withColumn("own_cs", col("best.cs"))
+        .drop("best")
+        .localCheckpoint(true)
+      val radii = assigned.groupBy("label", "cell")
+        .agg(max(angle(col("own_cs"))).as("r"))
+      val members = assigned.select(col("label").as("lb"),
+        col("cell").as("cb"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      // (a, cell) probe set: own cell has θ ≤ r so its bound is cos(0)
+      val csStack = assigned.select(col("label"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"),
+        expr(s"stack($cellsK, ${(1 to cellsK).map(i => s"$i, cs$i").mkString(", ")}) AS (cell, cs)"))
+        .select(col("label"), col("a_id"), col("a_emb"), col("cell"), col("cs"))
+      val probes = csStack
+        .join(broadcast(radii), Seq("label", "cell"))
+        .filter(cos(greatest(lit(0.0), angle(col("cs")) - col("r"))) + lit(1e-9)
+          >= lit(tau))
+        .select(col("label"), col("cell"), col("a_id"), col("a_emb"))
+      probes.join(members,
+          col("label") === col("lb") && col("cell") === col("cb") &&
+          col("a_id") < col("b_id"))
         .withColumn("c", expr("cosine_sim(a_emb, b_emb)"))
-        .filter(col("c") >= 0.3)
+        .filter(col("c") >= tau)
         .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos"))
         .orderBy("a_id", "b_id")
     }),
@@ -672,6 +722,7 @@ object LlmOps {
         .withColumn("c_u", expr("(w_u * qw_u) div 1000000"))
         .groupBy("doc_id").agg(sum("c_u").as("s_u"))
         .orderBy(col("s_u").desc, col("doc_id")).limit(10)
+        // bounded grain: ranks the 10-row limit output
         .withColumn("rn", row_number().over(
           Window.orderBy(col("s_u").desc, col("doc_id"))))
         .select(col("doc_id"), round(col("s_u") / 1e6, 6).as("score"),
@@ -682,16 +733,30 @@ object LlmOps {
     // Sequence packing (concat-and-chunk): assign documents to fixed
     // token-budget training bins (512 tokens) in deterministic
     // (lang, doc_id) order — the step that turns a filtered corpus
-    // into packed training sequences. A window cumsum keys the bin, so
-    // packing is one pass, partitioned by lang; at 100 TB the order
-    // key becomes (shard, position) and bins stay shard-local.
+    // into packed training sequences. r10 VERDICT task 2: the old
+    // per-lang window cumsum put a whole language in ONE task (~5
+    // langs over a 100 TB corpus). Now the running token count is a
+    // range-partitioned GLOBAL prefix sum over (lang, doc_id) order
+    // (operators/PrefixSum — parallel across the corpus), and the
+    // per-lang view is recovered by subtracting each language's
+    // exclusive offset (a ≤|langs|-row broadcast). Long addition is
+    // associative, so the bins are bit-identical to the windowed form.
     "q_pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("n_toks"))
+      val sized = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_toks"))
+      val cum = graft.operators.PrefixSum.rankAndCumSum(sized,
+        Seq(col("lang"), col("doc_id")), col("n_toks"), "__rn", "__gcum")
+      val offs = cum.groupBy("lang").agg(sum("n_toks").as("__ls"))
+        // bounded grain: ≤|langs| rows (one per language)
+        .withColumn("__loff", coalesce(sum("__ls").over(
+          Window.orderBy("lang")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("lang", "__loff")
+      cum.join(broadcast(offs), "lang")
+        // per-lang EXCLUSIVE cumsum = global inclusive − lang offset − own
         .withColumn("bin",
-          (coalesce(sum("n_toks").over(w), lit(0L)) / 512).cast("int"))
+          ((col("__gcum") - col("__loff") - col("n_toks")) / 512).cast("int"))
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))

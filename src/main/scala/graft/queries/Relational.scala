@@ -320,7 +320,14 @@ object Relational {
       // must target the filesystem that OWNS the warehouse URI (r5,
       // ADVICE): FileSystem.get(conf) resolves fs.defaultFS, which is
       // a silent no-op when the warehouse lives on another scheme.
-      Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { t =>
+      // Table names carry the JVM pid (r10 VERDICT task 7): two JVMs
+      // sharing ./spark-warehouse (the driver sweep + a concurrent
+      // sbt test run) otherwise race on the same directory — one
+      // deletes the other's files mid-read.
+      val pid = ProcessHandle.current().pid()
+      val ordersT = s"graft_bkt_orders_p$pid"
+      val lineitemT = s"graft_bkt_lineitem_p$pid"
+      Seq(ordersT, lineitemT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(
           java.net.URI.create(s.conf.get("spark.sql.warehouse.dir") + "/" + t))
@@ -329,14 +336,14 @@ object Relational {
       }
       Tables.orders(s, d).select("o_orderkey", "o_totalprice")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("graft_bkt_orders")
+        .mode("overwrite").saveAsTable(ordersT)
       Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("graft_bkt_lineitem")
-      val agg = s.table("graft_bkt_lineitem")
+        .mode("overwrite").saveAsTable(lineitemT)
+      val agg = s.table(lineitemT)
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
-      s.table("graft_bkt_orders")
+      s.table(ordersT)
         .join(agg, col("o_orderkey") === col("l_orderkey"))
         .select("o_orderkey", "o_totalprice", "n_lines", "sum_qty")
         .orderBy("o_orderkey")

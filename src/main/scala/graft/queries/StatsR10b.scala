@@ -184,6 +184,7 @@ object StatsR10b {
           - col("sb").cast("double") / col("nb"))
           / sqrt(col("va") / col("na") + col("vb") / col("nb")))
         .localCheckpoint(eager = true) // crossing rollup + final-row leg
+      // bounded grain: one crossing row per day
       val wLast = Window.orderBy(col("dd").desc)
       val last = t.withColumn("lr", row_number().over(wLast))
         .filter(col("lr") === 1)

@@ -11,10 +11,12 @@ import graft.tables.Tables
   * exact closed-form KNN-Shapley (the Jia et al. recursion cleared to
   * a 1e9-snapped suffix sum) and simplified ECOD outlier scores
   * (per-dimension tail ECDFs, log terms snapped to exact longs).
-  * Both run at the embeddings grain (a bounded dimension table next
-  * to the 100 TB fact tables — the single-partition suffix window is
-  * the sanctioned bounded-grain shape; at fact grain it would
-  * range-partition like operators/PrefixSum).
+  * q_knn_shapley ranks the WHOLE candidate corpus, so (r10 VERDICT
+  * task 1) its rank and suffix sum run through operators/PrefixSum —
+  * two range-partitioned passes, no corpus-grain single-task window;
+  * lead(u) is an equi-join on the rank. q_ecod_outlier's windows
+  * partition by dimension (bounded fan-in per partition = corpus/dim
+  * — at 100 TB the per-dim ECDF switches to approx quantile bins).
   */
 object StatsR10c {
 
@@ -33,25 +35,31 @@ object StatsR10c {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"), col("label").as("q_lbl"))
-      val ranked = e.filter(col("vec_id") =!= 0)
+      val base = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"),
           when(col("label") === col("q_lbl"), 1L).otherwise(0L).as("u"))
-        .withColumn("j", row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy(lit(1))))
-      val terms = ranked
-        .withColumn("u_next", lead("u", 1).over(Window.orderBy("j")))
+      // global rank j over (cos DESC, vec_id): range-partitioned
+      // two-pass rank — the corpus is never sorted in one task
+      val idx = graft.operators.PrefixSum.rankAndCumSum(base,
+          Seq(col("cos").desc, col("vec_id")), lit(0L), "j", "__c0")
+        .drop("__c0")
+      // lead(u) in rank order = equi-join on j+1 (distributed); the
+      // one row with no successor is the LAST row, where j == n — so
+      // the 1/n leave-one-out base term needs no global count at all
+      val nxt = idx.select((col("j") - 1L).as("j"), col("u").as("u_next"))
+      val terms = idx.join(nxt, Seq("j"), "left")
         .withColumn("term",
           when(col("u_next").isNull,
-            col("u") * round(lit(1e9) / col("n")).cast("long"))
+            col("u") * round(lit(1e9) / col("j")).cast("long"))
           .otherwise((col("u") - col("u_next"))
             * round(lit(1e9) / greatest(lit(5L), col("j"))).cast("long")))
-      terms
-        .withColumn("phi_u", sum("term").over(Window.orderBy("j")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      // suffix sum over ascending j == inclusive prefix over j DESC;
+      // long addition is associative, so this is bit-identical to the
+      // single-partition suffix window it replaces
+      graft.operators.PrefixSum.rankAndCumSum(terms,
+          Seq(col("j").desc), col("term"), "__r2", "phi_u")
         .select(col("vec_id"), col("j").as("knn_rank"),
           col("u").as("same_label"),
           round(col("phi_u") / 1e9, 6).as("shapley"))

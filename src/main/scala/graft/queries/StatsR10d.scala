@@ -24,26 +24,25 @@ object StatsR10d {
     // the vec 0 query — how much normalization changes retrieval.
     // Overlap at depth d = #items with max(rank_cos, rank_dot) ≤ d;
     // per-depth coefficients (1−p)·p^(d−1)/d snap to 1e9 longs, so
-    // the cumulative RBO is an exact prefix sum over 20 rows. The
-    // global rank windows run at the EMBEDDINGS grain (bounded
-    // dimension table; at fact grain they'd range-partition via
-    // operators/PrefixSum — only top-20 ranks matter anyway).
+    // the cumulative RBO is an exact prefix sum over 20 rows. Both
+    // corpus-grain ranks run through operators/PrefixSum (r10 VERDICT
+    // task 4 — no single-task sort at any grain).
     "q_rbo" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
-      val scored = e.filter(col("vec_id") =!= 0)
+      val scored0 = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           round(expr("cosine_sim(embedding, q_emb)"), 6).as("cos"),
           round(expr("aggregate(zip_with(embedding, q_emb," +
             " (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x)"),
             6).as("dot"))
-        .withColumn("rc", row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .withColumn("rd", row_number().over(
-          Window.orderBy(col("dot").desc, col("vec_id"))).cast("long"))
+      val scored = graft.operators.PrefixSum.rank(
+          graft.operators.PrefixSum.rank(scored0,
+            Seq(col("cos").desc, col("vec_id")), "rc"),
+          Seq(col("dot").desc, col("vec_id")), "rd")
         .withColumn("mx", greatest(col("rc"), col("rd")))
         .filter(col("mx") <= 20)
       import s.implicits._
@@ -55,6 +54,7 @@ object StatsR10d {
           "CAST(ROUND((1.0D - 0.9D) * POWER(0.9D, d - 1) / d * 1e9)" +
             " AS BIGINT)"))
         .withColumn("term", col("coef_u") * col("overlap"))
+        // bounded grain: depth table <= 20 rows
         .withColumn("rbo_u", sum("term").over(Window.orderBy("d")
           .rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("d").as("depth"), col("overlap"),

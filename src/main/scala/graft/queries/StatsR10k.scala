@@ -123,17 +123,22 @@ object StatsR10k {
           explode(col("l")).as("w"))
         .groupBy("doc_id", "w")
         .agg(count(lit(1)).as("cw"), max("n_chars").as("nc"))
+      // doc-grain competition ranks → per-distinct-value block ranks
+      // from the range-partitioned prefix sum, joined back (r10
+      // VERDICT task 4 — no corpus-grain single-task window); the
+      // frame feeds 3 rank joins + the count, so materialize once
       val m = wc.groupBy("doc_id")
         .agg(max("nc").as("nc"), sum("cw").as("n_tok"),
           count(lit(1)).as("n_dis"), max("cw").as("mx_tok"))
-      val ranked = m
-        .withColumn("r1", rank().over(Window.orderBy(col("nc").desc))
-          .cast("long"))
-        .withColumn("r2", rank().over(Window.orderBy(
-          (col("n_dis").cast("double") / col("n_tok")).desc)).cast("long"))
-        .withColumn("r3", rank().over(Window.orderBy(
-          (col("mx_tok").cast("double") / col("n_tok")).asc)).cast("long"))
-        .withColumn("nn", count(lit(1)).over())
+        .withColumn("k2", col("n_dis").cast("double") / col("n_tok"))
+        .withColumn("k3", col("mx_tok").cast("double") / col("n_tok"))
+        .localCheckpoint(eager = true)
+      import graft.operators.PrefixSum.competitionRank
+      val ranked = competitionRank(competitionRank(competitionRank(
+          m, "nc", desc = true, "r1"),
+          "k2", desc = true, "r2"),
+          "k3", desc = false, "r3")
+        .crossJoin(broadcast(m.agg(count(lit(1)).as("nn"))))
       ranked.select(col("doc_id"),
           (col("nn") * 3 - col("r1") - col("r2") - col("r3"))
             .as("borda"),

@@ -170,6 +170,7 @@ object StatsR10n {
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("value"))
       val vb = ev.groupBy("value").agg(count(lit(1)).as("cnt"))
+        // bounded grain: distinct quantized values (generator grid)
         .withColumn("cum", sum("cnt").over(Window.orderBy("value")
           .rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("r2", lit(2L) * (col("cum") - col("cnt"))

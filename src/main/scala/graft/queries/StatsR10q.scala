@@ -116,20 +116,27 @@ object StatsR10q {
     // Multiwindow SLO burn-rate alerts (the SRE-workbook pager rule):
     // hourly error rates against a 1% error budget; fast-burn page =
     // 1h AND 6h burn both over 14.4x, slow-burn ticket = 6h AND 24h
-    // both over 6x. Exact counts; two trailing ROWS windows over the
-    // bounded hour grid.
+    // both over 6x. Exact counts; two trailing RANGE windows keyed on
+    // the hour EPOCH (r10 ADVICE) — an hour with zero events is
+    // simply absent and contributes 0, so the 6h/24h windows span
+    // true wall-clock hours even on sparse data (ROWS frames would
+    // silently stitch non-adjacent hours together). Global window at
+    // bounded grain: one row per hour.
     "q_slo_burn" -> ((s, d) => {
-      val wo = Window.orderBy("h")
+      val wo6 = Window.orderBy("he").rangeBetween(-5, 0)
+      val wo24 = Window.orderBy("he").rangeBetween(-23, 0)
       val hourly = Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
             .as("x"))
       hourly
-        .withColumn("n6", sum("n").over(wo.rowsBetween(-5, 0)))
-        .withColumn("x6", sum("x").over(wo.rowsBetween(-5, 0)))
-        .withColumn("n24", sum("n").over(wo.rowsBetween(-23, 0)))
-        .withColumn("x24", sum("x").over(wo.rowsBetween(-23, 0)))
+        // truncated-hour seconds are exactly divisible by 3600
+        .withColumn("he", (unix_timestamp(col("h")) / 3600).cast("long"))
+        .withColumn("n6", sum("n").over(wo6))
+        .withColumn("x6", sum("x").over(wo6))
+        .withColumn("n24", sum("n").over(wo24))
+        .withColumn("x24", sum("x").over(wo24))
         .withColumn("b1", col("x").cast("double") / col("n") / 0.01)
         .withColumn("b6", col("x6").cast("double") / col("n6") / 0.01)
         .withColumn("b24",
@@ -287,11 +294,12 @@ object StatsR10q {
         |    CAST(SUM(x) OVER w6 AS BIGINT) AS x6,
         |    CAST(SUM(n) OVER w24 AS BIGINT) AS n24,
         |    CAST(SUM(x) OVER w24 AS BIGINT) AS x24
-        |  FROM hourly
-        |  WINDOW w6 AS (ORDER BY h
-        |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
-        |    w24 AS (ORDER BY h
-        |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |  FROM (SELECT h, n, x,
+        |      epoch_ms(h) // 3600000 AS he FROM hourly) d
+        |  WINDOW w6 AS (ORDER BY he
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+        |    w24 AS (ORDER BY he
+        |      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
         |f AS (
         |  SELECT h, n, x,
         |    CAST(x AS DOUBLE) / n / 0.01 AS b1,

@@ -29,6 +29,7 @@ object StatsR10s {
     "q_obrien_fleming" -> ((s, d) => {
       val days = Tables.events(s, d)
         .select(to_date(col("ts")).as("day")).distinct()
+        // bounded grain: one row per distinct day
         .withColumn("dr", row_number().over(Window.orderBy("day"))
           .cast("long"))
         .withColumn("nd", count(lit(1)).over())
@@ -152,9 +153,12 @@ object StatsR10s {
         .select(col("t1"), col("t2"),
           size(col("y1")).as("n1"), size(col("y2")).as("n2"),
           expr("dtw_dist(y1, y2)").as("dtw_milli"))
+        // −1 = the undefined (empty-series) sentinel — surface a null
+        // per-step ratio, never a negative "distance"
         .withColumn("dtw_per_step",
-          round(col("dtw_milli") / 1e3
-            / (col("n1") + col("n2")).cast("double"), 4))
+          when(col("dtw_milli") < 0, lit(null))
+            .otherwise(round(col("dtw_milli") / 1e3
+              / (col("n1") + col("n2")).cast("double"), 4)))
         .orderBy("t1", "t2")
     })
   )

@@ -30,9 +30,12 @@ object StatsR10x {
     // Gram-matrix q_embed_pca OMIT), principal slope (λ1 − vx)/c,
     // explained-variance share.
     "q_pca2" -> ((s, d) => {
+      // TRY_CAST on BOTH engines (r10 ADVICE): a non-numeric props.k
+      // degrades identically to a dropped row — never an ANSI cast
+      // error on one side only
       Tables.events(s, d)
         .select(floor(col("value") * 1e3).cast("long").as("x"),
-          expr("CAST(get_json_object(props, '$.k') AS LONG)").as("y"))
+          expr("TRY_CAST(get_json_object(props, '$.k') AS LONG)").as("y"))
         .filter(col("y").isNotNull)
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("x")).as("sxx"),
@@ -226,10 +229,12 @@ object StatsR10x {
   val oracle: Map[String, String] = Map(
     "q_pca2" ->
       """WITH f AS (
-        |  SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS x,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
-        |  FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |  SELECT x, y FROM (
+        |    SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS x,
+        |      TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |        AS y
+        |    FROM events) t
+        |  WHERE y IS NOT NULL),
         |g AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,

@@ -154,6 +154,7 @@ object StatsR8d {
         .agg(count(lit(1)).as("n"), sum("pos").as("p"))
         .withColumn("rate_u",
           round(col("p") * 1e9 / col("n")).cast("long"))
+        // bounded grain: fixed 10-bucket rollup
         .withColumn("i", row_number().over(Window.orderBy("bkt")))
         .withColumn("pre", sum("rate_u").over(Window.orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, 0)))

@@ -129,6 +129,7 @@ object StatsR8e {
         .filter(col("event_type") === t)
         .groupBy(to_date(col("ts")).as("d"))
         .agg(sum(round(col("value") * 100).cast("long")).as(alias))
+      // bounded grain: one row per day
       val w14 = Window.orderBy("d").rowsBetween(-13, 0)
       dtot("click", "a").join(dtot("view", "b"), "d")
         .withColumn("n", count(lit(1)).over(w14))

@@ -178,6 +178,7 @@ object StatsR8f {
         .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
           .cast("long").as("lt"))
         .groupBy("lt").agg(count(lit(1)).as("ended"))
+      // bounded grain: one row per distinct lifetime-day value (<= day span)
       val wsuf = Window.orderBy(col("lt").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       val wpre = Window.orderBy("lt")

@@ -246,6 +246,7 @@ object StatsR9 {
         .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
           count(lit(1)).as("cnt"))
         .withColumn("my", expr("s_m div cnt"))
+        // bounded grain: one row per day
         .withColumn("pmy", lag("my", 1).over(Window.orderBy("d")))
         .filter(col("pmy").isNotNull)
         .select(col("d"),

@@ -86,6 +86,7 @@ object StatsR9b {
         .agg(max(when(col("event_type") === "view", col("y"))).as("yv"),
           max(when(col("event_type") === "click", col("y"))).as("xc"))
         .filter(col("yv").isNotNull && col("xc").isNotNull)
+        // bounded grain: one row per day
         .withColumn("rn", row_number().over(Window.orderBy("d")))
       val wl = Window.orderBy("rn")
       val tri = g
@@ -141,6 +142,7 @@ object StatsR9b {
         .agg(max(when(col("event_type") === "click", col("y"))).as("x"),
           max(when(col("event_type") === "view", col("y"))).as("yv"))
         .filter(col("x").isNotNull && col("yv").isNotNull)
+        // bounded grain: one row per day
         .withColumn("i", row_number().over(Window.orderBy("d")).cast("long"))
         .localCheckpoint(eager = true) // bounded day grid, 3 legs
       val m = g.agg(count(lit(1)).as("n"), sum("x").as("sx"),

@@ -84,9 +84,11 @@ object StatsR9d {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("v3"),
           sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("v4"),
           sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("v5"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("cnt").desc, col("user_id"))))
-        .filter(col("rk") <= 50)
+        // top-50 cut as orderBy+limit → TakeOrderedAndProject (a
+        // per-partition top-50 + merge, never a global sort; r10
+        // VERDICT task 4 — replaces the corpus-grain rank window)
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(50)
         .withColumn("nrm", col("v1") * col("v1") + col("v2") * col("v2")
           + col("v3") * col("v3") + col("v4") * col("v4")
           + col("v5") * col("v5"))

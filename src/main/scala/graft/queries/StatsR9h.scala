@@ -75,6 +75,7 @@ object StatsR9h {
     // expectation and tie-corrected variance from exact long sums,
     // one identical z chain on the single output row.
     "q_cuzick_trend" -> ((s, d) => {
+      // bounded grain: daily-mean rows (2 types x days) and 5 event types
       val wy = Window.orderBy("y")
       val wty = Window.partitionBy("y")
       val base = dailyMean(s, d)

@@ -42,6 +42,7 @@ object StatsR9j {
       val blocks = wk.groupBy("w").agg(count(lit(1)).as("nt"),
           (max("wv") - min("wv")).as("rng"))
         .filter(col("nt") === k)
+        // bounded grain: one row per complete week block
         .withColumn("qb", row_number().over(
           Window.orderBy("rng", "w")).cast("long"))
         .select("w", "qb")

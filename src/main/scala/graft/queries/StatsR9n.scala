@@ -34,6 +34,7 @@ object StatsR9n {
           when(col("event_type") === "purchase", 1L).otherwise(0L))
         .groupBy("value")
         .agg(count(lit(1)).as("n"), sum("is_pos").as("pos"))
+      // bounded grain: distinct quantized score values (generator grid)
       val w = Window.orderBy(col("value").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       perScore
@@ -54,6 +55,7 @@ object StatsR9n {
     // for k ∈ {1, 5, 10} — both legs are the existing derivations
     // re-ranked by their own (cos desc, vec_id) order.
     "q_recall_curve" -> ((s, d) => {
+      // bounded grain: ranks the bounded top-k probe outputs
       val wr = Window.orderBy(col("cos").desc, col("vec_id"))
       val ivf = TextSim.queries("q_sim_ivf")(s, d)
         .withColumn("ri", row_number().over(wr).cast("long"))
@@ -114,7 +116,7 @@ object StatsR9n {
     // snapped to 1e6, bins with 0 or all treated dropped (stated),
     // ATE = Σ/(1e6·N·1000) in share units.
     "q_ipw_ate" -> ((s, d) => {
-      val users = Tables.events(s, d)
+      val users0 = Tables.events(s, d)
         .groupBy("user_id")
         .agg(count(lit(1)).as("ne"),
           sum(when(col("event_type") === "click", 1L).otherwise(0L))
@@ -124,8 +126,14 @@ object StatsR9n {
         .withColumn("t", when(expr("nc * 1000 div ne") >= 200, 1L)
           .otherwise(0L))
         .withColumn("ym", expr("np * 1000 div ne"))
-        .withColumn("bin", ntile(10).over(
-          Window.orderBy("ne", "user_id")))
+      // user-grain decile assignment → range-partitioned rank + the
+      // closed-form standard NTILE (r10 VERDICT task 4)
+      val ranked = graft.operators.PrefixSum.rank(users0,
+        Seq(col("ne"), col("user_id")), "rn")
+      val users = ranked
+        .crossJoin(broadcast(ranked.agg(max("rn").as("nu"))))
+        .withColumn("bin",
+          expr(graft.operators.PrefixSum.ntileExpr("rn", "nu", 10)))
         .localCheckpoint(eager = true) // bins + total legs
       val bins = users.groupBy("bin")
         .agg(count(lit(1)).as("nb"), sum("t").as("tb"),

@@ -67,7 +67,7 @@ object StatsR9o {
     // cumulative decile g = cumY1 − cumY0·cumNt/cumNc, one identical
     // chain per bounded row.
     "q_qini_curve" -> ((s, d) => {
-      val users = Tables.events(s, d)
+      val users0 = Tables.events(s, d)
         .groupBy("user_id")
         .agg(count(lit(1)).as("ne"),
           sum(when(col("event_type") === "click", 1L).otherwise(0L))
@@ -77,13 +77,20 @@ object StatsR9o {
         .withColumn("t", when(expr("nc * 1000 div ne") >= 200, 1L)
           .otherwise(0L))
         .withColumn("ym", expr("np * 1000 div ne"))
-        .withColumn("dec", ntile(10).over(
-          Window.orderBy(col("ne").desc, col("user_id"))))
+      // user-grain decile assignment → range-partitioned rank + the
+      // closed-form standard NTILE (r10 VERDICT task 4)
+      val ranked = graft.operators.PrefixSum.rank(users0,
+        Seq(col("ne").desc, col("user_id")), "rn")
+      val users = ranked
+        .crossJoin(broadcast(ranked.agg(max("rn").as("nu"))))
+        .withColumn("dec",
+          expr(graft.operators.PrefixSum.ntileExpr("rn", "nu", 10)))
       val byDec = users.groupBy("dec")
         .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
           sum(when(col("t") === 0, 1L).otherwise(0L)).as("nct"),
           sum(when(col("t") === 1, col("ym")).otherwise(0L)).as("y1"),
           sum(when(col("t") === 0, col("ym")).otherwise(0L)).as("y0"))
+      // bounded grain: fixed 10-decile rollup
       val w = Window.orderBy("dec")
         .rowsBetween(Window.unboundedPreceding, 0)
       byDec

@@ -169,6 +169,7 @@ object StatsR9q {
         .withColumn("rem", expr("(nd * 100) % nn"))
       val sb = quo.agg(sum("base").as("sb"))
       val ranked = quo.crossJoin(broadcast(sb))
+        // bounded grain: one row per source (bounded source set)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("rem").desc, col("source"))).cast("long"))
         .withColumn("bonus",

@@ -112,6 +112,7 @@ object StatsR9zb {
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
         .groupBy("v")
         .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      // bounded grain: distinct quantized cent values (generator grid)
       val w = Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
       val cum = g
@@ -140,6 +141,7 @@ object StatsR9zb {
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
         .groupBy("v")
         .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      // bounded grain: distinct quantized cent values (generator grid)
       val wB = Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
       val tot = g.agg(sum("pos").as("p_tot"), sum("neg").as("n_tot"))

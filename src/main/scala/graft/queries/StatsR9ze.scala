@@ -48,13 +48,12 @@ object StatsR9ze {
     // ranks on (x, custkey) ascending, cuts at n DIV 10 / 4·n DIV 10
     // (stated integer cuts).
     "q_palma" -> ((s, d) => {
-      val w = Window.orderBy(col("x").asc, col("c").asc)
-      val whole = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      custRev(s, d)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(whole).cast("long"))
-        .withColumn("sx", sum("x").over(whole))
+      // customer-grain global rank → range-partitioned (r10 VERDICT
+      // task 4); totals read the cheap checkpointed rank table
+      val ranked = graft.operators.PrefixSum.rank(custRev(s, d),
+        Seq(col("x").asc, col("c").asc), "rk")
+      val tot = ranked.agg(max("rk").as("n"), sum("x").as("sx"))
+      ranked.crossJoin(broadcast(tot))
         .agg(max("n").as("n_customers"), max("sx").as("s_all"),
           sum(when(expr("rk <= (4 * n) div 10"), col("x"))
             .otherwise(0L)).as("b40"),
@@ -166,12 +165,12 @@ object StatsR9ze {
         .filter(col("tp").isNotNull)
         .withColumn("t_min", expr("(tp - t0) div 60000000"))
         .filter(col("t_min") >= 1)
-      val w = Window.orderBy(col("t_min").asc, col("user_id").asc)
-      val pts = t
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("nn", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)))
+      // user-grain global rank → range-partitioned (r10 VERDICT
+      // task 4); nn = max rank off the cheap checkpointed rank table
+      val ranked = graft.operators.PrefixSum.rank(t,
+        Seq(col("t_min").asc, col("user_id").asc), "i")
+      val pts = ranked
+        .crossJoin(broadcast(ranked.agg(max("i").as("nn"))))
         .select(round(log(col("t_min").cast("double")) * 1e6)
             .cast("long").as("xu"),
           round(log(-log(lit(1.0) - (col("i") - lit(0.3))

@@ -106,6 +106,7 @@ object StatsR9zf {
     // (b⁺,b,a) triples of (c₃/N)·ln(c₃·c_b/(c_ba·c_bb)), each triple
     // term snapped to 1e9 (stated).
     "q_transfer_entropy" -> ((s, d) => {
+      // bounded grain: one row per day
       val wd = Window.orderBy("d")
       val day = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("d"))

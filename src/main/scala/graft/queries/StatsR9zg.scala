@@ -54,6 +54,7 @@ object StatsR9zg {
     // group-1's rank sum (permutation variance, no tie term — the
     // ranks are a permutation by construction).
     "q_siegel_tukey" -> ((s, d) => {
+      // bounded grain: ser() is the (2 types x days) daily grid
       val w = Window.orderBy("y", "g", "d")
       val base = ser(s, d)
         .withColumn("p", row_number().over(w).cast("long"))
@@ -217,6 +218,7 @@ object StatsR9zg {
     // evaluation order in both engines), snapped per row to 1e9;
     // z from the exact snapped sums.
     "q_savage_scores" -> ((s, d) => {
+      // bounded grain: ser() is the (2 types x days) daily grid
       val w = Window.orderBy("y", "g", "d")
       val wt = Window.orderBy(col("rk").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -246,6 +248,7 @@ object StatsR9zg {
     // (stated): R runs of the group label, z = (R − μ)/σ with
     // μ = 2n1n2/N + 1, σ² = 2n1n2(2n1n2 − N)/(N²(N−1)).
     "q_ww_runs2" -> ((s, d) => {
+      // bounded grain: ser() is the (2 types x days) daily grid
       val w = Window.orderBy("y", "g", "d")
       val runs = ser(s, d)
         .withColumn("pg", lag("g", 1).over(w))

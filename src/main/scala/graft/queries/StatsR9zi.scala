@@ -91,6 +91,7 @@ object StatsR9zi {
         .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
           count(lit(1)).as("cnt"))
         .withColumn("y", expr("s_m div cnt"))
+        // bounded grain: one row per day
         .withColumn("i",
           row_number().over(Window.orderBy("dd")).cast("long"))
         .select("i", "y")

@@ -134,6 +134,7 @@ object StatsR9zj {
     // P(x upper | y upper), λ_L symmetric.
     "q_copula_tail_dep" -> ((s, d) => {
       val pr = pairs(s, d)
+      // bounded grain: pairs() is the per-day click/view join
       val wx = Window.orderBy(col("x").asc, col("d").asc)
       val wy = Window.orderBy(col("y").asc, col("d").asc)
       val whole = Window.rowsBetween(Window.unboundedPreceding,

@@ -153,12 +153,12 @@ object StatsR9zk {
     // 0.4·median + 0.3·Q(2/3), type-1 order statistics at ceil(p·n)
     // (stated) — the ×10-cleared long (3a + 4b + 3c)/10.
     "q_gastwirth" -> ((s, d) => {
-      val w = Window.orderBy(col("x").asc, col("c").asc)
-      val whole = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      StatsR9ze.custRev(s, d)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(whole).cast("long"))
+      // customer-grain global rank → range-partitioned (r10 VERDICT
+      // task 4); n = max rank off the cheap checkpointed rank table
+      val ranked = graft.operators.PrefixSum.rank(
+        StatsR9ze.custRev(s, d), Seq(col("x").asc, col("c").asc), "rk")
+      ranked
+        .crossJoin(broadcast(ranked.agg(max("rk").as("n"))))
         .agg(max("n").as("n_customers"),
           sum(when(col("rk") === expr("(n + 2) div 3"), col("x"))
             .otherwise(0L)).as("q13"),

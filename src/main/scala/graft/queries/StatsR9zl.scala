@@ -115,6 +115,7 @@ object StatsR9zl {
           sum(when(col("event_type") === "purchase",
             floor(col("value") * 1e3).cast("long")).otherwise(0L))
             .as("y"))
+        // bounded grain: one row per day
         .withColumn("x",
           row_number().over(Window.orderBy("dd")).cast("long"))
       day.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("m").as("sm"),

@@ -69,12 +69,12 @@ object StatsR9zm {
     // combination of two order statistics — exact integer selection.
     "q_quantile_types" -> ((s, d) => {
       import s.implicits._
-      val w = Window.orderBy(col("x").asc, col("c").asc)
-      val whole = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val rk = StatsR9ze.custRev(s, d)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(whole).cast("long"))
+      // customer-grain global rank → range-partitioned (r10 VERDICT
+      // task 4); n = max rank off the cheap checkpointed rank table
+      val ranked = graft.operators.PrefixSum.rank(
+        StatsR9ze.custRev(s, d), Seq(col("x").asc, col("c").asc), "rk")
+      val rk = ranked
+        .crossJoin(broadcast(ranked.agg(max("rk").as("n"))))
         .localCheckpoint(eager = true)
       val ps = Seq(1L, 2L, 3L).toDF("k") // p = k/4
       // type-indexed ×4-cleared (lo index, hi index, weight r in

@@ -62,6 +62,7 @@ object StatsR9zo {
         .localCheckpoint(eager = true)
       val tot = grid.agg(sum("all_t").as("n_total"),
         sum("dd").as("n_events"))
+      // bounded grain: one row per lifetime-day tick (<= day span)
       val wP = Window.orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wI = Window.orderBy("t")
@@ -76,6 +77,7 @@ object StatsR9zo {
         .withColumn("s_incl", exp(sum("lnf").over(wI)))
       val ev = km.filter(col("dd") > 0 && col("t") <= 14)
         .withColumn("pe",
+          // bounded grain: one row per lifetime-day tick (<= day span)
           coalesce(lag("t", 1).over(Window.orderBy("t")), lit(0L)))
         .withColumn("term_u",
           round(col("s_prev") * (col("t") - col("pe")) * 1e6)
@@ -120,6 +122,7 @@ object StatsR9zo {
         .localCheckpoint(eager = true)
       val tot = grid.agg(sum("all_t").as("n_total"),
         sum("d1").as("e1"), sum("d2").as("e2"))
+      // bounded grain: one row per lifetime-day tick (<= day span)
       val wP = Window.orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
       grid.crossJoin(broadcast(tot))

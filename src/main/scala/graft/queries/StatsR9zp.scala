@@ -122,6 +122,7 @@ object StatsR9zp {
           round(col("sq").cast("double")
             / (col("tot").cast("double") * col("tot")) * 1e9)
             .cast("long").as("h_u"))
+        // bounded grain: one HHI row per month
         .withColumn("i",
           row_number().over(Window.orderBy("m")).cast("long"))
       hhi.agg(count(lit(1)).as("n"), sum("i").as("sx"),
@@ -141,20 +142,26 @@ object StatsR9zp {
     // gaps: U = 1 − exp(−g·n/Σg) snapped to 1e9, D from integer
     // envelopes i·K − n·U and n·U − (i−1)·K over the sorted U.
     "q_ks_exponential" -> ((s, d) => {
-      val w = Window.orderBy("tu", "event_id")
-      val g = Tables.events(s, d)
+      // event-grain global lag → range-partitioned rank + equi-join
+      // on rank−1 (the distributed lag; r10 VERDICT task 4)
+      val ev = Tables.events(s, d)
         .select(unix_micros(col("ts")).as("tu"), col("event_id"))
-        .withColumn("pt", lag("tu", 1).over(w))
-        .filter(col("pt").isNotNull)
+      val r = graft.operators.PrefixSum.rank(ev,
+        Seq(col("tu"), col("event_id")), "rn")
+      val g = r.join(r.select((col("rn") + 1L).as("rn"),
+          col("tu").as("pt")), Seq("rn"))
         .select((col("tu") - col("pt")).as("g"))
         .localCheckpoint(eager = true)
       val tot = g.agg(count(lit(1)).as("n"), sum("g").as("sg"))
-      val u = g.crossJoin(broadcast(tot))
+      // gap-grain sorted positions → tie-safe block ranks; the KS
+      // envelopes only read the value-at-position (tie invariant)
+      val u0 = g.crossJoin(broadcast(tot))
         .select(col("n"),
           round((lit(1.0) - exp(-col("g").cast("double") * col("n")
             / col("sg"))) * 1e9).cast("long").as("uu"))
-        .withColumn("i", row_number().over(Window.orderBy("uu"))
-          .cast("long"))
+      val u = graft.operators.PrefixSum
+        .sortedPositions(u0, col("uu"), "uu", "i")
+        .crossJoin(broadcast(tot))
       u.agg(max("n").as("n_gaps"),
           max(col("i") * lit(1000000000L) - col("n") * col("uu"))
             .as("dp_num"),

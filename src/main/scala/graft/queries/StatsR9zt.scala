@@ -189,9 +189,9 @@ object StatsR9zt {
         .union(e0.select(col("dst").as("u"), col("src").as("w")))
         .distinct()
         .groupBy("u").agg(count(lit(1)).as("deg"))
-      deg.withColumn("i", row_number()
-          .over(Window.orderBy(col("deg").asc, col("u").asc))
-          .cast("long"))
+      // node-grain global rank → range-partitioned (r10 VERDICT task 4)
+      graft.operators.PrefixSum.rank(deg,
+          Seq(col("deg").asc, col("u").asc), "i")
         .agg(count(lit(1)).as("n"), sum("deg").as("sd"),
           sum(col("i") * col("deg")).as("sid"))
         .filter(col("sd") > 0)

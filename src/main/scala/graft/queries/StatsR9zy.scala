@@ -70,12 +70,12 @@ object StatsR9zy {
     // {50, 75, 90}: MRL(u) = mean(x − u | x > u), exact sums.
     "q_mean_residual_life" -> ((s, d) => {
       import s.implicits._
-      val w = Window.orderBy(col("x").asc, col("c").asc)
-      val whole = Window.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      val rk = StatsR9ze.custRev(s, d)
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(whole).cast("long"))
+      // customer-grain global rank → range-partitioned (r10 VERDICT
+      // task 4); n = max rank off the cheap checkpointed rank table
+      val ranked = graft.operators.PrefixSum.rank(
+        StatsR9ze.custRev(s, d), Seq(col("x").asc, col("c").asc), "rk")
+      val rk = ranked
+        .crossJoin(broadcast(ranked.agg(max("rk").as("n"))))
         .localCheckpoint(eager = true)
       val ps = Seq(50L, 75L, 90L).toDF("p")
       val thr = rk.crossJoin(broadcast(ps))
@@ -138,6 +138,7 @@ object StatsR9zy {
             .as("y"))
         .groupBy("v")
         .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      // bounded grain: distinct quantized cent values (generator grid)
       val wB = Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
       val tot = g.agg(sum("pos").as("p"), sum("neg").as("q"))
@@ -178,6 +179,7 @@ object StatsR9zy {
             .as("rev"),
           sum(col("l_quantity").cast("long")).as("qty"))
         .withColumn("r1", row_number().over(
+          // bounded grain: one row per brand (bounded brand set)
           Window.orderBy(col("rev").desc, col("p_brand").asc))
           .cast("long"))
         .withColumn("r2", row_number().over(

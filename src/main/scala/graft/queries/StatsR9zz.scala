@@ -73,6 +73,7 @@ object StatsR9zz {
         .select(col("d"),
           round((col("y") - col("a") - col("b") * col("x")) * 1e6)
             .cast("long").as("e"))
+      // bounded grain: one residual row per day
       val wd2 = Window.orderBy("d")
       val lg = res.withColumn("pe", lag("e", 1).over(wd2))
         .filter(col("pe").isNotNull)
@@ -160,6 +161,7 @@ object StatsR9zz {
         .agg(date_trunc("week", min(col("o_orderdate"))).cast("date")
           .as("w"))
       val wk = fw.groupBy("w").agg(count(lit(1)).as("y"))
+        // bounded grain: one row per week
         .withColumn("i", row_number().over(Window.orderBy("w"))
           .cast("long"))
         .withColumn("cum", sum("y").over(Window.orderBy("w")

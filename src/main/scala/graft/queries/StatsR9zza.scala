@@ -112,12 +112,14 @@ object StatsR9zza {
       val adj = e0.select(col("src").as("u"), col("dst").as("w"))
         .union(e0.select(col("dst").as("u"), col("src").as("w")))
         .distinct()
-      val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("deg").desc, col("u").asc)).cast("long"))
-        .withColumn("n", count(lit(1)).over(
-          Window.rowsBetween(Window.unboundedPreceding,
-            Window.unboundedFollowing)).cast("long"))
+      // node-grain global rank + total → range-partitioned rank and a
+      // broadcast 1-row count (r10 VERDICT task 4)
+      val deg0 = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      val ranked = graft.operators.PrefixSum.rank(deg0,
+          Seq(col("deg").desc, col("u").asc), "rk")
+      // n = max rank (ranks are dense 1..n; reads the cheap
+      // checkpointed rank table, no second degree pass)
+      val deg = ranked.crossJoin(broadcast(ranked.agg(max("rk").as("n"))))
       val hubs = deg.filter(col("rk") <= expr("(n + 19) div 20"))
         .select(col("u").as("hub")).localCheckpoint(eager = true)
       val tot = e0.agg(count(lit(1)).as("ee"))

@@ -122,8 +122,9 @@ object StatsR9zzb {
     "q_activity_gini" -> ((s, d) => {
       val per = Tables.events(s, d)
         .groupBy("user_id").agg(count(lit(1)).as("k"))
-      per.withColumn("i", row_number().over(
-          Window.orderBy(col("k").asc, col("user_id").asc)).cast("long"))
+      // user-grain global rank → range-partitioned (r10 VERDICT task 4)
+      graft.operators.PrefixSum.rank(per,
+          Seq(col("k").asc, col("user_id").asc), "i")
         .agg(count(lit(1)).as("n"), sum("k").as("sk"),
           sum(col("i") * col("k")).as("sik"))
         .filter(col("sk") > 0)
@@ -148,6 +149,7 @@ object StatsR9zzb {
         .withColumn("aov_u",
           round(col("rev").cast("double") / col("n_ord") * 100)
             .cast("long"))
+        // bounded grain: one row per month
         .withColumn("i", row_number().over(Window.orderBy("m"))
           .cast("long"))
       m.agg(count(lit(1)).as("n"), sum("i").as("sx"),

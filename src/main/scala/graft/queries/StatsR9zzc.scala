@@ -29,9 +29,10 @@ object StatsR9zzc {
           sum(when(col("event_type") === "purchase",
             round(col("value") * 100).cast("long")).otherwise(0L))
             .as("y"))
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("k").asc, col("user_id").asc)).cast("long"))
-      per.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+      // user-grain global rank → range-partitioned (r10 VERDICT task 4)
+      val ranked = graft.operators.PrefixSum.rank(per,
+        Seq(col("k").asc, col("user_id").asc), "r")
+      ranked.agg(count(lit(1)).as("n"), sum("y").as("sy"),
           sum(col("r").cast("decimal(38,0)") * col("y")).as("sry"))
         .filter(col("sy") > 0)
         .select(col("n").as("n_users"),

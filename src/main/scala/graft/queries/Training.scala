@@ -851,6 +851,7 @@ object Training {
         .groupBy(expr("(doc_id * 10) div mxd").cast("int").as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      // bounded grain: fixed 10-bucket rollup
       val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       docStats.join(newTerms, Seq("bucket"), "left")

@@ -142,7 +142,8 @@ private class BurnScanBuilder(opts: CaseInsensitiveStringMap)
   override def build(): Scan = new BurnScan(lo, hi,
     opts.getLong("blocksPerTrigger", 100L), opts.getInt("numPartitions", 4), addrEq,
     opts.getLong("confirmations", 0L),
-    ChainFork(opts.getLong("reorgSalt", 0L), opts.getLong("reorgAbove", Long.MaxValue)))
+    ChainFork(opts.getLong("reorgSalt", 0L), opts.getLong("reorgAbove", Long.MaxValue)),
+    Option(opts.get("rpcClass")), opts.getInt("rpcMaxAttempts", 3))
 }
 
 /** A11 reorg simulation knob (test harness for the node's view of the
@@ -154,9 +155,33 @@ private[sources] case class ChainFork(salt: Long, above: Long) {
     if (b > above) BurnEvents.eventsInBlock(b, salt) else BurnEvents.eventsInBlock(b)
 }
 
+/** The production JSON-RPC seam (r10 VERDICT task 10). Everything
+  * above this trait — offsets, admission control, partition planning,
+  * restart-resume, pushdown — is node-agnostic; a real deployment
+  * implements `getLogs` with an HTTP JSON-RPC client (eth_getLogs
+  * over an inclusive block range) and injects it via
+  * `.option("rpcClass", "com.example.NodeRpc")` (no-arg constructor,
+  * instantiated on the EXECUTOR — carry endpoints via system
+  * properties or a static config, not constructor args). Contract:
+  *  - deterministic per range: exactly-once replay re-reads committed
+  *    ranges after a restart, so the same range must yield the same
+  *    rows (serve from a fixed confirmation depth — see
+  *    `confirmations`)
+  *  - transient faults may THROW from getLogs: the reader retries the
+  *    call up to `rpcMaxAttempts` times before failing the task, then
+  *    Spark's task retry takes over; faults thrown mid-iteration are
+  *    task-retry territory (connect/validate eagerly in getLogs)
+  *  - rows must match BurnEvents.schema (InternalRow field order)
+  * The default (no option) is the zero-egress synthetic chain.
+  */
+trait BlockRangeRpc extends Serializable {
+  def getLogs(fromBlock: Long, toBlock: Long): Iterator[InternalRow]
+}
+
 private class BurnScan(lo: Long, hi: Long, blocksPerTrigger: Long,
                        numPartitions: Int, addrEq: List[(String, String)],
-                       confirmations: Long, fork: ChainFork)
+                       confirmations: Long, fork: ChainFork,
+                       rpcClass: Option[String] = None, rpcMaxAttempts: Int = 3)
     extends Scan {
   override def readSchema(): StructType = BurnEvents.schema
   override def description(): String =
@@ -164,7 +189,7 @@ private class BurnScan(lo: Long, hi: Long, blocksPerTrigger: Long,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BurnMicroBatchStream(lo, hi, blocksPerTrigger, numPartitions, addrEq,
-      confirmations, fork)
+      confirmations, fork, rpcClass, rpcMaxAttempts)
 
   // A2 backfill as a first-class batch read: same balanced block-range
   // partitions, no streaming machinery
@@ -172,7 +197,7 @@ private class BurnScan(lo: Long, hi: Long, blocksPerTrigger: Long,
     override def planInputPartitions(): Array[InputPartition] =
       BurnEventSourceUtil.slice(lo, hi, numPartitions, blocksPerTrigger)
     override def createReaderFactory(): PartitionReaderFactory =
-      new BurnReaderFactory(addrEq, fork)
+      new BurnReaderFactory(addrEq, fork, rpcClass, rpcMaxAttempts)
   }
 }
 
@@ -200,7 +225,9 @@ private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
                                    blocksPerTrigger: Long, numPartitions: Int,
                                    addrEq: List[(String, String)] = Nil,
                                    confirmations: Long = 0L,
-                                   fork: ChainFork = ChainFork(0L, Long.MaxValue))
+                                   fork: ChainFork = ChainFork(0L, Long.MaxValue),
+                                   rpcClass: Option[String] = None,
+                                   rpcMaxAttempts: Int = 3)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -247,20 +274,48 @@ private class BurnMicroBatchStream(startBlock: Long, endBlock: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BurnReaderFactory(addrEq, fork)
+    new BurnReaderFactory(addrEq, fork, rpcClass, rpcMaxAttempts)
 }
 
 /** Applies pushed address-equality filters at generation — the analog
   * of the node evaluating the getLogs address/topics filter before
-  * anything crosses the wire. */
+  * anything crosses the wire. The log fetch itself goes through the
+  * BlockRangeRpc seam: the injected `rpcClass` if given (instantiated
+  * here, on the executor), else the synthetic chain; the call is
+  * retried `rpcMaxAttempts` times so a transiently-failing node
+  * doesn't burn a whole Spark task attempt. */
 private class BurnReaderFactory(addrEq: List[(String, String)],
-                                fork: ChainFork = ChainFork(0L, Long.MaxValue))
+                                fork: ChainFork = ChainFork(0L, Long.MaxValue),
+                                rpcClass: Option[String] = None,
+                                rpcMaxAttempts: Int = 3)
     extends PartitionReaderFactory {
+  private def newRpc(): BlockRangeRpc = rpcClass match {
+    case Some(c) => Class.forName(c).getDeclaredConstructor()
+      .newInstance().asInstanceOf[BlockRangeRpc]
+    case None => new BlockRangeRpc {
+      override def getLogs(lo: Long, hi: Long): Iterator[InternalRow] =
+        (lo to hi).iterator.flatMap(fork.eventsIn)
+    }
+  }
+
+  private def getLogsWithRetry(rpc: BlockRangeRpc, lo: Long,
+      hi: Long): Iterator[InternalRow] = {
+    var attempt = 1
+    while (true) {
+      try return rpc.getLogs(lo, hi)
+      catch {
+        case _: Exception if attempt < rpcMaxAttempts => attempt += 1
+        case e: Exception => throw new RuntimeException(
+          s"getLogs([$lo,$hi]) failed after $rpcMaxAttempts attempts", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BurnRangePartition]
     new PartitionReader[InternalRow] {
-      private val it = (p.fromBlock to p.toBlock).iterator
-        .flatMap(fork.eventsIn)
+      private val it = getLogsWithRetry(newRpc(), p.fromBlock, p.toBlock)
         .filter(row => addrEq.forall {
           case ("fromAddress", v) => row.getUTF8String(3).toString == v
           case ("aeAddress", v) => row.getUTF8String(4).toString == v

@@ -423,15 +423,21 @@ object StreamOpsR10 {
           .toDF("hus", "n", "x")
       }
       runToParquet(scored, out, tmp("sslo_ckpt"))
-      val wo = org.apache.spark.sql.expressions.Window.orderBy("h")
+      // trailing RANGE frames on the hour epoch (matches q_slo_burn's
+      // r10 ADVICE fix): sparse hours never stitch together
+      val wo6 = org.apache.spark.sql.expressions.Window
+        .orderBy("he").rangeBetween(-5, 0)
+      val wo24 = org.apache.spark.sql.expressions.Window
+        .orderBy("he").rangeBetween(-23, 0)
       s.read.parquet(out).groupBy("hus")
         .agg(max(struct(col("n"), col("x"))).as("f"))
         .select(expr("timestamp_micros(hus)").as("h"),
+          (col("hus") / lit(3600000000L)).cast("long").as("he"),
           col("f.n").as("n"), col("f.x").as("x"))
-        .withColumn("n6", sum("n").over(wo.rowsBetween(-5, 0)))
-        .withColumn("x6", sum("x").over(wo.rowsBetween(-5, 0)))
-        .withColumn("n24", sum("n").over(wo.rowsBetween(-23, 0)))
-        .withColumn("x24", sum("x").over(wo.rowsBetween(-23, 0)))
+        .withColumn("n6", sum("n").over(wo6))
+        .withColumn("x6", sum("x").over(wo6))
+        .withColumn("n24", sum("n").over(wo24))
+        .withColumn("x24", sum("x").over(wo24))
         .withColumn("b1", col("x").cast("double") / col("n") / 0.01)
         .withColumn("b6", col("x6").cast("double") / col("n6") / 0.01)
         .withColumn("b24",

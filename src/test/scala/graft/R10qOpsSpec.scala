@@ -84,16 +84,19 @@ class R10qOpsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q_slo_burn matches the multiwindow fold") {
+    // trailing TIME windows on the hour epoch (RANGE, not ROWS): a
+    // missing hour leaves a gap, it never stitches non-adjacent hours
     val ev = graft.tables.Tables.events(spark, sf)
-      .select(date_trunc("hour", col("ts")).cast("string").as("h"),
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("he"),
         (col("event_type") === "error").as("e")).collect()
-      .map(r => (r.getString(0), r.getBoolean(1)))
+      .map(r => (r.getLong(0), r.getBoolean(1)))
     val hourly = ev.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (h, g) => (h, g.length.toLong, g.count(_._2).toLong) }
     val want = hourly.indices.map { i =>
       val (h, n, x) = hourly(i)
       def tw(k: Int) = {
-        val s = hourly.slice(math.max(0, i - k + 1), i + 1)
+        val s = hourly.filter(e => e._1 <= h && e._1 >= h - (k - 1))
         (s.map(_._2).sum, s.map(_._3).sum)
       }
       val (n6, x6) = tw(6); val (n24, x24) = tw(24)

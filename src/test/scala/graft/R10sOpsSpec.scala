@@ -107,12 +107,13 @@ class R10sOpsSpec extends AnyFunSuite with SparkFixture {
       }
     def dtw(a: Array[Long], b: Array[Long]): Long = {
       val INF = Long.MaxValue / 4
+      val w = math.max(10, math.abs(a.length - b.length))
       val prev = Array.fill[Long](b.length + 1)(INF)
       val cur = Array.fill[Long](b.length + 1)(INF)
       prev(0) = 0L
       for (i <- 1 to a.length) {
         java.util.Arrays.fill(cur, INF)
-        val lo = math.max(1, i - 10); val hi = math.min(b.length, i + 10)
+        val lo = math.max(1, i - w); val hi = math.min(b.length, i + w)
         for (j <- lo to hi) {
           val cost = math.abs(a(i - 1) - b(j - 1))
           val best = math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))

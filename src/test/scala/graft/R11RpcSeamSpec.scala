@@ -1,0 +1,105 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BlockRangeRpc, BurnEvents}
+
+/** Injected fake JSON-RPC node (r10 VERDICT task 10): serves the
+  * salt-7 forked chain — so its rows are provably DIFFERENT from the
+  * built-in synthetic chain, proving the injected provider is the one
+  * actually read — and fails the first `failFirst` getLogs calls to
+  * exercise the transient-fault retry. Static state is JVM-wide,
+  * which is exactly right under local mode where executors share the
+  * JVM. */
+class FakeFlakyRpc extends BlockRangeRpc {
+  override def getLogs(lo: Long, hi: Long): Iterator[InternalRow] = {
+    FakeFlakyRpc.calls.incrementAndGet()
+    if (FakeFlakyRpc.failFirst.getAndDecrement() > 0)
+      throw new RuntimeException("transient node fault (injected)")
+    FakeFlakyRpc.ranges.add((lo, hi))
+    (lo to hi).iterator.flatMap(b => BurnEvents.eventsInBlock(b, 7L))
+  }
+}
+
+object FakeFlakyRpc {
+  val calls = new AtomicInteger(0)
+  val failFirst = new AtomicInteger(0)
+  val ranges = new ConcurrentLinkedQueue[(Long, Long)]()
+  def reset(fails: Int): Unit = {
+    calls.set(0); failFirst.set(fails); ranges.clear()
+  }
+  def rangesSeen: Seq[(Long, Long)] = {
+    val b = Seq.newBuilder[(Long, Long)]
+    ranges.forEach(r => b += r)
+    b.result()
+  }
+}
+
+/** BurnEventSource's production JSON-RPC seam, driven end to end
+  * WITHOUT network: an injected BlockRangeRpc proves the offsets /
+  * admission-control / restart-resume machinery is node-agnostic and
+  * that transient getLogs faults are retried inside the reader. */
+class R11RpcSeamSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_rpc_$tag").toString
+
+  private def expectedRows(lo: Long, hi: Long): Long =
+    (lo to hi).map(b => BurnEvents.eventsInBlock(b, 7L).size.toLong).sum
+
+  test("batch backfill reads through the injected rpc, with retries") {
+    FakeFlakyRpc.reset(fails = 2)
+    val df = spark.read.format("graft.sources.BurnEventSource")
+      .option("startBlock", "0").option("endBlock", "49")
+      .option("rpcClass", "graft.FakeFlakyRpc")
+      .load()
+    val rows = df.collect()
+    assert(rows.length.toLong === expectedRows(0, 49))
+    // provenance: the salt-7 chain's tx hashes are disjoint from the
+    // canonical chain — the injected provider is what was read
+    val canonical = (0L to 49L).flatMap(b => BurnEvents.eventsInBlock(b))
+      .map(_.getUTF8String(0).toString).toSet
+    val got = rows.map(_.getAs[String]("transactionHash")).toSet
+    assert(got.size.toLong === expectedRows(0, 49))
+    assert(got.intersect(canonical).isEmpty)
+    // the 2 injected faults were absorbed by in-reader retries (calls
+    // = successful range fetches + 2 retried failures), not task death
+    assert(FakeFlakyRpc.calls.get() === FakeFlakyRpc.rangesSeen.size + 2)
+  }
+
+  test("streaming restart resumes from the committed offset through the injected rpc") {
+    val out = tmp("out")
+    val ckpt = tmp("ckpt")
+    def run(end: Long): Unit =
+      spark.readStream.format("graft.sources.BurnEventSource")
+        .option("startBlock", "0").option("endBlock", end.toString)
+        .option("blocksPerTrigger", "10")
+        .option("rpcClass", "graft.FakeFlakyRpc")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    FakeFlakyRpc.reset(fails = 0)
+    run(end = 19) // first run drains blocks 0..19
+    assert(spark.read.parquet(out).count() === expectedRows(0, 19))
+    // restart with a longer chain AND a transient fault on the first
+    // fetch: the resume must start AFTER the committed offset and the
+    // fault must be retried, not replayed as duplicate data
+    FakeFlakyRpc.reset(fails = 1)
+    run(end = 29)
+    val df = spark.read.parquet(out)
+    assert(df.count() === expectedRows(0, 29))
+    assert(df.select("transactionHash", "logIndex").distinct().count()
+      === df.count(), "restart produced duplicates")
+    assert(df.select("blockNumber").distinct().count() === 30)
+    val resumed = FakeFlakyRpc.rangesSeen
+    assert(resumed.nonEmpty && resumed.forall(_._1 >= 20L),
+      s"resume re-fetched committed blocks: $resumed")
+  }
+}

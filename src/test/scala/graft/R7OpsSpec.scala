@@ -740,7 +740,11 @@ class R7OpsSpec extends AnyFunSuite with SparkFixture {
     val nParts = graft.tables.Tables.part(spark, sf).count()
     assert(got.map(_.getAs[Long]("n_members")).sum <= nParts)
     // every verified blocking pair must land inside one entity: the
-    // pair endpoints cannot straddle two output entities
+    // pair endpoints cannot straddle two output entities. At sf0.001
+    // the whole part table fits in ONE W=1024 block, so the query's
+    // window-slide block cap cannot bind and the uncapped
+    // q_sorted_neighborhood pairs ARE the er_resolve pair set.
+    assert(nParts <= 1024L, "fixture outgrew the one-block assumption")
     val pairs = SparkEntry.queries("q_sorted_neighborhood")(spark, sf)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     // rebuild the member->entity map from the CC labels directly
