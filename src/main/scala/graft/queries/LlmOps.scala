@@ -312,6 +312,11 @@ object LlmOps {
     // covers acos/cos roundoff). Extra probes only add candidates the
     // exact `c ≥ τ` filter removes, so the pair set is IDENTICAL to
     // the exhaustive within-label join (the oracle, hash-checked).
+    // Documented residual: at this low τ (0.3 ⇒ θ ≈ 72°) wide cells
+    // prune weakly, so the win over label-blocking tracks cluster
+    // quality; at production τ (≥ 0.7, the semantic-dedup regime) and
+    // k ∝ corpus/cell-budget cells, pruning is sharp and pair work is
+    // per-cell — the same bound, no code change.
     "q_dedup_embed" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val tau = 0.3

@@ -82,10 +82,11 @@ object StatsR9zs {
       // revenue-grain sorted positions → tie-safe range-partitioned
       // block ranks (r10 VERDICT task 4); the KS envelopes only read
       // the value-at-position, which is tie-order invariant
-      val base = phiU(logRev(s, d))
-      val u = graft.operators.PrefixSum
-        .sortedPositions(base, col("uu"), "uu", "i")
-        .crossJoin(broadcast(base.agg(max("n").as("n"))))
+      val pos = graft.operators.PrefixSum
+        .sortedPositions(phiU(logRev(s, d)), col("uu"), "uu", "i")
+      // n = max position (positions are dense 1..n; reads the cheap
+      // checkpointed block table, not a second revenue derivation)
+      val u = pos.crossJoin(broadcast(pos.agg(max("i").as("n"))))
       u.agg(max("n").as("n_obs"),
           max(col("i") * lit(1000000000L) - col("n") * col("uu"))
             .as("dp"),
@@ -108,10 +109,11 @@ object StatsR9zs {
       // revenue-grain sorted positions → tie-safe range-partitioned
       // block ranks (r10 VERDICT task 4); the (2i−1) weights read the
       // value-at-position, which is tie-order invariant
-      val base = phiU(logRev(s, d))
-      val u = graft.operators.PrefixSum
-        .sortedPositions(base, col("uu"), "uu", "i")
-        .crossJoin(broadcast(base.agg(max("n").as("n"))))
+      val pos = graft.operators.PrefixSum
+        .sortedPositions(phiU(logRev(s, d)), col("uu"), "uu", "i")
+      // n = max position (dense 1..n; reads the cheap checkpointed
+      // block table, not a second revenue derivation)
+      val u = pos.crossJoin(broadcast(pos.agg(max("i").as("n"))))
         .select("n", "i", "uu")
         .localCheckpoint(eager = true)
       val j = u.join(u.select((col("n") + 1 - col("i")).as("i"),

@@ -52,6 +52,53 @@ class PrefixSumSpec extends AnyFunSuite with SparkFixture {
       ("b", 3L, 70L), ("d", 4L, 75L)))
   }
 
+  test("sortedPositions equals any-valid-tie-order row_number on a tie-heavy frame") {
+    // 5000 rows over only 23 distinct values — every range boundary
+    // splits a tie block; value-at-position must match the sorted
+    // multiset exactly
+    val df = spark.range(0, 5000)
+      .select(pmod(col("id") * 48271L, lit(23L)).as("v"))
+      .repartition(16)
+    val got = PrefixSum.sortedPositions(df, col("v"), "v", "i")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(_._1)
+    val want = df.collect().map(_.getLong(0)).sorted.zipWithIndex
+      .map { case (v, i) => (i + 1L, v) }
+    assert(got.toSeq == want.toSeq)
+    // positions are a bijection 1..n
+    assert(got.map(_._1).toSeq == (1L to 5000L).toSeq)
+  }
+
+  test("competitionRank equals rank() over the global order, ties included") {
+    val df = spark.range(0, 3000)
+      .select(col("id"), pmod(col("id") * 69621L, lit(17L)).as("k"))
+      .repartition(8)
+    for (desc <- Seq(true, false)) {
+      val got = PrefixSum.competitionRank(df, "k", desc, "r")
+        .select("id", "r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val ord = if (desc) col("k").desc else col("k").asc
+      val want = df.withColumn("r", rank().over(Window.orderBy(ord)).cast("long"))
+        .select("id", "r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"desc=$desc")
+    }
+  }
+
+  test("ntileExpr equals ntile() for every n in 1..40 and k=10") {
+    // closed-form standard NTILE: first n%k buckets take n/k+1 rows —
+    // sweep small n so every remainder shape is hit
+    for (n <- 1 to 40) {
+      val df = spark.range(1, n + 1).select(col("id"))
+      val want = df.withColumn("t", ntile(10).over(Window.orderBy("id")))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      val got = df
+        .crossJoin(broadcast(df.agg(max("id").as("nn"))))
+        .select(col("id"), expr(PrefixSum.ntileExpr("id", "nn", 10)).as("t"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+  }
+
   test("q_lorenz_curve adoption matches the windowed fold at sf0.001") {
     val u = graft.tables.Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")

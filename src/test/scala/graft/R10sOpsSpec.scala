@@ -96,6 +96,28 @@ class R10sOpsSpec extends AnyFunSuite with SparkFixture {
       == want)
   }
 
+  test("dtw_dist widens the band for length-mismatched series; empty is the sentinel") {
+    graft.expr.Registry.ensure(spark)
+    def dtw(a: String, b: String): Long =
+      spark.sql(s"SELECT dtw_dist($a, $b)").head().getLong(0)
+    // |n-m| = 25 > 10: a fixed w=10 band leaves (n,m) unreachable and
+    // could only return the sentinel; the widened band must find the
+    // true alignment. Constant zeros vs zeros: true DTW distance = 0.
+    val a30 = "array(" + Seq.fill(30)("0L").mkString(",") + ")"
+    val b5 = "array(0L, 0L, 0L, 0L, 0L)"
+    assert(dtw(a30, b5) === 0L)
+    // monotone ramp vs its 3-point subsample: alignment absorbs the
+    // length gap; result must be finite and nonnegative, never -1
+    val ramp = "array(" + (1 to 20).map(i => s"${i}L").mkString(",") + ")"
+    val sub = "array(1L, 10L, 20L)"
+    val dRamp = dtw(ramp, sub)
+    assert(dRamp >= 0L)
+    // the undefined case: empty input returns the -1 sentinel (mapped
+    // to null by q_dtw_pairs before any per-step division)
+    assert(dtw("CAST(array() AS ARRAY<BIGINT>)", b5) === -1L)
+    assert(dtw(b5, "CAST(array() AS ARRAY<BIGINT>)") === -1L)
+  }
+
   test("q_dtw_pairs matches the banded DP fold") {
     val byType = graft.tables.Tables.events(spark, sf)
       .select(col("event_type"), to_date(col("ts")).cast("string").as("d"),
