@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r11 key-level pins (queries/StatsR11.scala): the NSW-style
+  * graph-ANN — cell-local top-8 graph + deterministic 3-hop beam
+  * search — recomputed as a straight Scala fold and compared row for
+  * row.
+  */
+class R11OpsSpec extends AnyFunSuite with SparkFixture {
+
+  private def rnd6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  test("q_ann_nsw matches the brute build+beam fold") {
+    val rows = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val emb = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = rows.filter(_._1 != 0L).map(_._1).sorted
+    // assignment: 6dp argmax over seeds 1..4, min-cid tiebreak
+    val seeds = (1L to 4L).map(i => i -> emb(i))
+    val cell = corpus.map { v =>
+      v -> seeds.map { case (cid, c) => (-rnd6(cos(emb(v), c)), cid) }
+        .min._2
+    }.toMap
+    // cell-local top-8 by (cos DESC, b_id ASC)
+    val graph = corpus.map { a =>
+      a -> corpus.filter(b => b != a && cell(b) == cell(a))
+        .map(b => (b, rnd6(cos(emb(a), emb(b)))))
+        .sortBy { case (b, c) => (-c, b) }.take(8).map(_._1)
+    }.toMap
+    val cq = corpus.map(v => v -> rnd6(cos(emb(v), emb(0L)))).toMap
+    // 3-hop beam from entry 1, beam 4
+    var visited = Vector(1L)
+    var frontier = Vector(1L)
+    for (_ <- 1 to 3) {
+      val next = frontier.flatMap(v => graph(v)).distinct
+        .filterNot(v => visited.contains(v))
+        .sortBy(v => (-cq(v), v)).take(4)
+      visited ++= next
+      frontier = next
+    }
+    val exact = corpus.sortBy(v => (-cq(v), v)).take(5).toSet
+    val want = visited.sortBy(v => (-cq(v), v)).take(5).zipWithIndex
+      .map { case (v, i) =>
+        (i + 1L, v, cq(v), if (exact(v)) 1L else 0L)
+      }
+    val got = SparkEntry.queries("q_ann_nsw")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toVector
+    assert(got == want)
+    assert(got.nonEmpty && got.map(_._1) == (1L to got.length).toVector)
+  }
+}
