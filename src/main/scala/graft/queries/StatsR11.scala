@@ -37,56 +37,60 @@ import graft.tables.Tables
   */
 object StatsR11 {
 
+  /** Cell-local top-M cosine graph (IVF-graph hybrid). Assignment =
+    * the q_semdedup shape: packed broadcast seeds (vec_ids
+    * 1..cellsK), projection-only argmax on the 6dp grid, min-cid
+    * tiebreak; neighbor edges stay WITHIN the assigned cell, so
+    * build pair work is Σ|cell|² = n²/k — with k ∝ corpus/cell-budget
+    * seeds (production) the build is linear in the corpus, and the
+    * searchers' recall columns are the honest quality meter for what
+    * cell-locality costs.
+    */
+  private def cellGraph(e: DataFrame, cellsK: Int, m: Int): DataFrame = {
+    val packed = e.filter(col("vec_id").between(1, cellsK))
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("c_emb"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
+        .as("cents"))
+    val cand = (1 to cellsK).map { i =>
+      struct(
+        round(expr(s"cosine_sim(embedding, try_element_at(cents, $i).c_emb)"), 6)
+          .as("cs"),
+        lit(-i).as("negcell"))
+    }
+    val assigned = e.crossJoin(broadcast(packed))
+      .withColumn("best", greatest(cand: _*))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.negcell")).as("cell"))
+      .localCheckpoint(true) // both sides of the cell-local join
+    val members = assigned.select(col("cell").as("cb"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val wTop = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id"))
+    assigned
+      .select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(members,
+        col("cell") === col("cb") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= m)
+      .select("a_id", "b_id")
+      .localCheckpoint(true) // scanned once per hop
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
 
     "q_ann_nsw" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      val M = 8
       val B = 4
       val hops = 3
-      val cellsK = 4
       val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
-      // ---- stage 1: cell-local top-M graph (IVF-graph hybrid) ----
-      // assignment = the q_semdedup shape: packed broadcast seeds,
-      // projection-only argmax on the 6dp grid, min-cid tiebreak;
-      // neighbor edges stay WITHIN the assigned cell, so build pair
-      // work is Σ|cell|² = n²/k — with k ∝ corpus/cell-budget seeds
-      // (production) the build is linear in the corpus, and the
-      // recall column below is the honest quality meter for what
-      // cell-locality costs the search
-      val packed = e.filter(col("vec_id").between(1, cellsK))
-        .select(col("vec_id").cast("int").as("cell"),
-          col("embedding").as("c_emb"))
-        .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
-          .as("cents"))
-      val cand = (1 to cellsK).map { i =>
-        struct(
-          round(expr(s"cosine_sim(embedding, try_element_at(cents, $i).c_emb)"), 6)
-            .as("cs"),
-          lit(-i).as("negcell"))
-      }
-      val assigned = e.crossJoin(broadcast(packed))
-        .withColumn("best", greatest(cand: _*))
-        .select(col("vec_id"), col("embedding"),
-          (-col("best.negcell")).as("cell"))
-        .localCheckpoint(true) // both sides of the cell-local join
-      val members = assigned.select(col("cell").as("cb"),
-        col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-      val wTop = Window.partitionBy("a_id")
-        .orderBy(col("cos").desc, col("b_id"))
-      val graph = assigned
-        .select(col("cell"), col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"))
-        .join(members,
-          col("cell") === col("cb") && col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= M)
-        .select("a_id", "b_id")
-        .localCheckpoint(true) // scanned once per hop
+      // ---- stage 1: cell-local top-8 graph over the held-out corpus
+      val graph = cellGraph(e, cellsK = 4, m = 8)
       // ---- stage 2: beam search, unrolled bounded broadcasts ----
       val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
@@ -119,6 +123,74 @@ object StatsR11 {
         .select(col("rnk"), col("vec_id"), col("cq").as("cos_q"),
           coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
         .orderBy("rnk")
+    }),
+
+    // Eval-grade multi-query beam: the q_ann_nsw walk for EVERY
+    // query of the standard 1-in-17 sample (the q_precision_recall_k
+    // sampling contract) in ONE plan — per-query frontiers ride the
+    // same bounded joins keyed by (qid, vec), hop selection is a
+    // PARTITIONED window (per qid), and the output is the per-query
+    // recall@5 table a retrieval eval reads. Graph built once over
+    // the FULL corpus; each query only excludes itself from scoring.
+    // Scale: |sample| ∝ corpus/17 — the score/frontier tables are
+    // (corpus/17)·bounded rows, never corpus².
+    "q_ann_nsw_multi" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val B = 4
+      val hops = 3
+      val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val graph = cellGraph(all, cellsK = 4, m = 8)
+      val qs = all.filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val sc = all.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cq"))
+        .localCheckpoint(true) // one leg per hop + exact ranks
+      // entry = vec 1 for every query (qids are multiples of 17,
+      // never 1, so the entry never collides with a query)
+      var visited = sc.filter(col("vec_id") === 1)
+        .localCheckpoint(true)
+      var frontier = visited
+      val wBeam = Window.partitionBy("qid")
+        .orderBy(col("cq").desc, col("vec_id"))
+      for (_ <- 1 to hops) {
+        val cand = graph
+          .join(broadcast(frontier.select(col("qid"), col("vec_id").as("a_id"))),
+            "a_id")
+          .select(col("qid"), col("b_id").as("vec_id")).distinct()
+        val next = cand.join(sc, Seq("qid", "vec_id"))
+          .join(broadcast(visited.select(col("qid").as("vq"),
+            col("vec_id").as("vv"))),
+            col("qid") === col("vq") && col("vec_id") === col("vv"),
+            "left_anti")
+          .withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") <= B)
+          .select("qid", "vec_id", "cq")
+          .localCheckpoint(true) // ≤ B·|sample| rows
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      val res = visited
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= 5)
+      val exact = sc
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= 5)
+      val hits = res.join(exact
+          .select(col("qid").as("eq"), col("vec_id").as("ev"),
+            col("rn").as("ern")),
+          col("qid") === col("eq") && col("vec_id") === col("ev"), "left")
+        .groupBy("qid")
+        .agg(count(col("ev")).as("n_hit"),
+          max(when(col("rn") === 1, col("cq"))).as("found_top1"))
+      val exTop = exact.filter(col("rn") === 1)
+        .select(col("qid"), col("cq").as("exact_top1"))
+      hits.join(exTop, "qid")
+        .select(col("qid"),
+          round(col("n_hit") / 5.0, 2).as("recall_at_5"),
+          col("found_top1").as("cos_found_top1"),
+          col("exact_top1").as("cos_exact_top1"))
+        .orderBy("qid")
     })
   )
 
@@ -182,6 +254,84 @@ object StatsR11 {
          |  CAST(CASE WHEN res.vec_id IN (SELECT vec_id FROM ex)
          |    THEN 1 ELSE 0 END AS BIGINT) AS in_exact_top5
          |FROM res ORDER BY rnk""".stripMargin
+    },
+
+    // graph over the full corpus + per-query unrolled hops (windows
+    // partitioned by qid), recall@5 per sampled query
+    "q_ann_nsw_multi" -> {
+      val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
+      val cosEQ = LlmOps.duckCos("e.embedding", "qs.q_emb")
+      def hop(h: Int): String = {
+        val pf = s"f${h - 1}"
+        val pv = s"v${h - 1}"
+        s"""f$h AS MATERIALIZED (
+           |  SELECT qid, vec_id, cq FROM (
+           |    SELECT sc.qid, sc.vec_id, sc.cq,
+           |      row_number() OVER (PARTITION BY sc.qid
+           |        ORDER BY sc.cq DESC, sc.vec_id) AS rn
+           |    FROM (SELECT DISTINCT $pf.qid, nb.b_id FROM nb
+           |          JOIN $pf ON nb.a_id = $pf.vec_id) c
+           |    JOIN sc ON sc.qid = c.qid AND sc.vec_id = c.b_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM $pv
+           |      WHERE $pv.qid = c.qid AND $pv.vec_id = c.b_id)) t
+           |  WHERE rn <= 4),
+           |v$h AS MATERIALIZED (
+           |  SELECT * FROM $pv UNION ALL SELECT * FROM f$h)""".stripMargin
+      }
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id % 17 = 0),
+         |sc AS MATERIALIZED (
+         |  SELECT qs.qid, e.vec_id, ROUND($cosEQ, 6) AS cq
+         |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+         |c0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 4),
+         |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid) AS rn
+         |  FROM (SELECT e.vec_id, c0.cid, e.embedding,
+         |      ROUND(${LlmOps.duckCos("e.embedding", "c0.c")}, 6) AS cos
+         |    FROM embeddings e CROSS JOIN c0)),
+         |asg AS MATERIALIZED (SELECT vec_id, cid, embedding FROM s1
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ROUND($cosAB, 6) AS cos
+         |  FROM asg a JOIN asg b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |nb AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id) AS rnk
+         |    FROM pairs) t
+         |  WHERE rnk <= 8),
+         |f0 AS (SELECT qid, vec_id, cq FROM sc WHERE vec_id = 1),
+         |v0 AS (SELECT * FROM f0),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)},
+         |res AS (
+         |  SELECT qid, vec_id, cq,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cq DESC, vec_id) AS rn
+         |  FROM v3 QUALIFY rn <= 5),
+         |ex AS (
+         |  SELECT qid, vec_id, cq,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cq DESC, vec_id) AS rn
+         |  FROM sc QUALIFY rn <= 5),
+         |hits AS (
+         |  SELECT res.qid,
+         |    CAST(COUNT(ex.vec_id) AS BIGINT) AS n_hit,
+         |    MAX(CASE WHEN res.rn = 1 THEN res.cq END) AS found_top1
+         |  FROM res LEFT JOIN ex
+         |    ON res.qid = ex.qid AND res.vec_id = ex.vec_id
+         |  GROUP BY res.qid)
+         |SELECT h.qid,
+         |  ROUND(n_hit / 5.0, 2) AS recall_at_5,
+         |  found_top1 AS cos_found_top1,
+         |  e1.cq AS cos_exact_top1
+         |FROM hits h JOIN (SELECT qid, cq FROM ex WHERE rn = 1) e1
+         |  ON h.qid = e1.qid
+         |ORDER BY h.qid""".stripMargin
     }
   )
 }

@@ -62,4 +62,60 @@ class R11OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == want)
     assert(got.nonEmpty && got.map(_._1) == (1L to got.length).toVector)
   }
+
+  test("q_ann_nsw_multi: invariants hold and qid=17 matches the fold") {
+    val rows = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val emb = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = rows.map(_._1).sorted
+    val seeds = (1L to 4L).map(i => i -> emb(i))
+    val cell = all.map { v =>
+      v -> seeds.map { case (cid, c) => (-rnd6(cos(emb(v), c)), cid) }
+        .min._2
+    }.toMap
+    val graph = all.map { a =>
+      a -> all.filter(b => b != a && cell(b) == cell(a))
+        .map(b => (b, rnd6(cos(emb(a), emb(b)))))
+        .sortBy { case (b, c) => (-c, b) }.take(8).map(_._1)
+    }.toMap
+    val got = SparkEntry.queries("q_ann_nsw_multi")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // global invariants: one row per sampled query; recall in [0,1];
+    // a beam result can never beat the exact top-1
+    val sample = all.filter(_ % 17 == 0)
+    assert(got.map(_._1).toSeq == sample.toSeq)
+    got.foreach { case (qid, rec, f1, e1) =>
+      assert(rec >= 0.0 && rec <= 1.0, s"qid=$qid recall=$rec")
+      assert(f1 <= e1 + 1e-9, s"qid=$qid found=$f1 exact=$e1")
+    }
+    // fold one query end to end (qid = 17, entry = 1)
+    val qid = 17L
+    val cq = all.filter(_ != qid)
+      .map(v => v -> rnd6(cos(emb(v), emb(qid)))).toMap
+    var visited = Vector(1L)
+    var frontier = Vector(1L)
+    for (_ <- 1 to 3) {
+      val next = frontier.flatMap(v => graph(v)).distinct
+        .filter(v => v != qid && !visited.contains(v))
+        .sortBy(v => (-cq(v), v)).take(4)
+      visited ++= next
+      frontier = next
+    }
+    val res = visited.sortBy(v => (-cq(v), v)).take(5)
+    val exact = all.filter(_ != qid).sortBy(v => (-cq(v), v)).take(5)
+    val wantRow = (qid,
+      math.round(res.count(exact.contains) / 5.0 * 100) / 100.0,
+      cq(res.head), cq(exact.head))
+    val gotRow = got.find(_._1 == qid).get
+    assert(gotRow == wantRow)
+  }
 }
