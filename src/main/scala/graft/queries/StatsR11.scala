@@ -46,8 +46,9 @@ object StatsR11 {
     * searchers' recall columns are the honest quality meter for what
     * cell-locality costs.
     */
-  private def cellGraph(e: DataFrame, cellsK: Int, m: Int): DataFrame = {
-    val packed = e.filter(col("vec_id").between(1, cellsK))
+  private def cellGraph(e: DataFrame, cellsK: Int, m: Int,
+                        seedBase: Int = 1): DataFrame = {
+    val packed = e.filter(col("vec_id").between(seedBase, seedBase + cellsK - 1))
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").as("c_emb"))
       .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
@@ -191,6 +192,69 @@ object StatsR11 {
           col("found_top1").as("cos_found_top1"),
           col("exact_top1").as("cos_exact_top1"))
         .orderBy("qid")
+    }),
+
+    // One NN-descent refinement round (Dong et al. WWW'11) over the
+    // cell-local graph — the standard fix for what cell-locality
+    // misses. A single clustering's neighbor-of-neighbor closure
+    // never leaves the cell (the within-cell top-M is already exact
+    // there), so the initial graph unions TWO cell-local graphs from
+    // DISAGREEING seeds (1..4 and 5..8) — exactly NN-descent's
+    // random-init role, deterministic here — and each node re-ranks
+    // {union edges} ∪ {reverse} ∪ {neighbor-of-neighbor over the
+    // union} down to its top-8. Candidate fan-in is ≤ 2M + 2M + 4M²
+    // per node — LINEAR in the corpus, every step an equi-join on
+    // node ids; production iterates this to convergence, one round
+    // keeps the oracle exact. Output: per-node edge quality of the
+    // PRIMARY (seeds 1..4) graph before vs after (µ-snapped exact
+    // half-up means) + how many edges the round replaced.
+    "q_ann_nndescent" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val gA = cellGraph(all, cellsK = 4, m = 8)
+      val gB = cellGraph(all, cellsK = 4, m = 8, seedBase = 5)
+      val g0 = gA.unionByName(gB).distinct().localCheckpoint(true)
+      val rev = g0.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+      val nn2 = g0.join(g0.select(col("a_id").as("m"), col("b_id").as("b2")),
+          col("b_id") === col("m"))
+        .select(col("a_id"), col("b2").as("b_id"))
+      val cand = g0.unionByName(rev).unionByName(nn2)
+        .filter(col("a_id") =!= col("b_id"))
+        .distinct()
+      val ea = all.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val eb = all.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val wTop = Window.partitionBy("a_id")
+        .orderBy(col("cos").desc, col("b_id"))
+      val g1 = cand.join(ea, "a_id").join(eb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 8)
+        .select(col("a_id"), col("b_id"),
+          expr("CAST(ROUND(cos * 1e6) AS BIGINT)").as("cu"))
+        .localCheckpoint(true) // stats + membership legs
+      val s0 = gA.join(ea, "a_id").join(eb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("CAST(ROUND(ROUND(cosine_sim(a_emb, b_emb), 6) * 1e6) AS BIGINT)")
+            .as("cu"))
+      val before = s0.groupBy("a_id")
+        .agg(count(lit(1)).as("n0"), sum("cu").as("su0"))
+      val kept = g1.join(s0.select(col("a_id"), col("b_id"),
+          lit(1L).as("old")), Seq("a_id", "b_id"), "left")
+      val after = kept.groupBy("a_id")
+        .agg(count(lit(1)).as("n1"), sum("cu").as("su1"),
+          sum(when(col("old").isNull, 1L).otherwise(0L)).as("n_new"))
+      before.join(after, "a_id")
+        // mean on the µ grid via EXACT half-up integer division —
+        // a double mean can land on an x.5µ tie and round apart
+        // across engines (measured: 6/500 rows at sf0.01)
+        .select(col("a_id").as("vec_id"), col("n1").as("n_nb"),
+          round(expr("(2 * su0 + n0) div (2 * n0)") / 1e6, 6)
+            .as("mean_cos_before"),
+          round(expr("(2 * su1 + n1) div (2 * n1)") / 1e6, 6)
+            .as("mean_cos_after"),
+          col("n_new").as("n_replaced"))
+        .orderBy("vec_id")
     })
   )
 
@@ -332,6 +396,81 @@ object StatsR11 {
          |FROM hits h JOIN (SELECT qid, cq FROM ex WHERE rn = 1) e1
          |  ON h.qid = e1.qid
          |ORDER BY h.qid""".stripMargin
+    },
+
+    // identical two-clustering init + one candidate-union re-rank
+    "q_ann_nndescent" -> {
+      val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
+      val cosXY = LlmOps.duckCos("x.embedding", "y.embedding")
+      def nbCte(tag: String, lo: Int, hi: Int): String =
+        s"""c$tag AS (SELECT vec_id AS cid, embedding AS c
+           |  FROM embeddings WHERE vec_id BETWEEN $lo AND $hi),
+           |s$tag AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY cos DESC, cid) AS rn
+           |  FROM (SELECT e.vec_id, c$tag.cid, e.embedding,
+           |      ROUND(${LlmOps.duckCos("e.embedding", s"c$tag.c")}, 6) AS cos
+           |    FROM embeddings e CROSS JOIN c$tag)),
+           |asg$tag AS MATERIALIZED (SELECT vec_id, cid, embedding
+           |  FROM s$tag WHERE rn = 1),
+           |prs$tag AS (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ROUND($cosAB, 6) AS cos
+           |  FROM asg$tag a JOIN asg$tag b
+           |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+           |nb$tag AS MATERIALIZED (
+           |  SELECT a_id, b_id FROM (
+           |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY cos DESC, b_id) AS rnk
+           |    FROM prs$tag) t
+           |  WHERE rnk <= 8)""".stripMargin
+      s"""WITH ${nbCte("a", 1, 4)},
+         |${nbCte("b", 5, 8)},
+         |nb AS MATERIALIZED (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a_id, b_id FROM nba
+         |    UNION ALL SELECT a_id, b_id FROM nbb) u),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a_id, b_id FROM nb
+         |    UNION ALL SELECT b_id, a_id FROM nb
+         |    UNION ALL SELECT g1.a_id, g2.b_id FROM nb g1
+         |      JOIN nb g2 ON g1.b_id = g2.a_id) u
+         |  WHERE a_id <> b_id),
+         |scored AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(ROUND(ROUND($cosXY, 6) * 1e6) AS BIGINT) AS cu
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.a_id
+         |  JOIN embeddings y ON y.vec_id = c.b_id),
+         |g1 AS MATERIALIZED (
+         |  SELECT a_id, b_id, cu FROM (
+         |    SELECT a_id, b_id, cu, row_number() OVER (
+         |      PARTITION BY a_id ORDER BY cu DESC, b_id) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 8),
+         |s0 AS MATERIALIZED (
+         |  SELECT nba.a_id, nba.b_id,
+         |    CAST(ROUND(ROUND($cosXY, 6) * 1e6) AS BIGINT) AS cu
+         |  FROM nba JOIN embeddings x ON x.vec_id = nba.a_id
+         |  JOIN embeddings y ON y.vec_id = nba.b_id),
+         |bef AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n0,
+         |    SUM(cu) AS su0
+         |  FROM s0 GROUP BY 1),
+         |aft AS (
+         |  SELECT g1.a_id, CAST(COUNT(*) AS BIGINT) AS n1,
+         |    SUM(g1.cu) AS su1,
+         |    CAST(SUM(CASE WHEN s0.b_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM g1 LEFT JOIN s0
+         |    ON g1.a_id = s0.a_id AND g1.b_id = s0.b_id
+         |  GROUP BY 1)
+         |SELECT bef.a_id AS vec_id, n1 AS n_nb,
+         |  ROUND(((2 * su0 + n0) // (2 * n0)) / 1e6, 6)
+         |    AS mean_cos_before,
+         |  ROUND(((2 * su1 + n1) // (2 * n1)) / 1e6, 6)
+         |    AS mean_cos_after,
+         |  n_new AS n_replaced
+         |FROM bef JOIN aft ON bef.a_id = aft.a_id
+         |ORDER BY vec_id""".stripMargin
     }
   )
 }

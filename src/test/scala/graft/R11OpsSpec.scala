@@ -118,4 +118,25 @@ class R11OpsSpec extends AnyFunSuite with SparkFixture {
     val gotRow = got.find(_._1 == qid).get
     assert(gotRow == wantRow)
   }
+
+  test("q_ann_nndescent: refinement never degrades a node; replaced edges counted") {
+    val got = SparkEntry.queries("q_ann_nndescent")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    var improved = 0
+    got.foreach { case (v, nNb, before, after, nNew) =>
+      // re-ranking over a SUPERSET of the old neighbor set can only
+      // raise (or keep) the mean neighbor cosine — the NN-descent
+      // soundness invariant (µ-grid half-up means, so >= is exact up
+      // to one µ of rounding)
+      assert(after >= before - 1e-6, s"node $v degraded: $before -> $after")
+      assert(nNb >= 1 && nNb <= 8, s"node $v n_nb=$nNb")
+      assert(nNew >= 0 && nNew <= nNb, s"node $v n_replaced=$nNew")
+      if (after > before) improved += 1
+    }
+    // the fixture's cell boundaries must cost SOMETHING, or the key
+    // measures nothing: at least one node improves
+    assert(improved > 0, "no node improved — candidate union is broken")
+  }
 }
