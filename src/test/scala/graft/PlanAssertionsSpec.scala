@@ -659,6 +659,19 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("r11 graph-ANN keys: no cartesian, beam/top-k windows per-group") {
+    for (k <- Seq("q_ann_nsw", "q_ann_nsw_multi", "q_ann_nndescent")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian\n" + p.take(2000))
+    }
+    // the multi-query beam must rank per qid, never globally: every
+    // visible windowspec carries a partition column
+    val pm = plan("q_ann_nsw_multi")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(pm).toList
+    assert(specs.forall(s => s.contains("qid") || s.contains("a_id")),
+      specs.mkString("\n"))
+  }
+
   test("PrefixSum plans its rank/cumsum partitioned by the range bucket") {
     // operators/PrefixSum: the fact-grain window must be partitioned
     // by __pid (the range bucket) — a bare Window.orderBy at that
