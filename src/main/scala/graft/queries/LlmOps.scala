@@ -1244,7 +1244,7 @@ object LlmOps {
 
   // Double-precision cosine in DuckDB SQL (list_cosine_similarity is
   // float32 — verified locally; SURVEY.md §7.6.10).
-  private[queries] def duckCos(a: String, b: String): String =
+  private[graft] def duckCos(a: String, b: String): String =
     s"""(list_sum(list_transform(list_zip($a, $b),
        |   p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))

@@ -139,4 +139,17 @@ class R11OpsSpec extends AnyFunSuite with SparkFixture {
     // measures nothing: at least one node improves
     assert(improved > 0, "no node improved — candidate union is broken")
   }
+
+  test("s_stream_cell_assign: every vector assigned exactly once, to a real cell") {
+    val got = SparkEntry.queries("s_stream_cell_assign")(spark, sf).collect()
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum === n,
+      "assignment must partition the corpus")
+    assert(got.map(_.getAs[Long]("cell")).toSet.subsetOf((1L to 4L).toSet))
+    got.foreach { r =>
+      val m = r.getAs[Double]("mean_own_cos")
+      assert(m >= -1.0 && m <= 1.0)
+      assert(r.getAs[Long]("min_vec") <= r.getAs[Long]("max_vec"))
+    }
+  }
 }
