@@ -26,13 +26,18 @@ object StatsR9za {
   /** Distinct supplier→supplier handoff edges: consecutive lines of
     * each sampled order (l_orderkey % 10 = 0), self-loops dropped.
     * Reused by katz (4 refs) and reciprocity (2 refs) — checkpointed.
+    * ORDER MUST BE TOTAL (r11, found by the sf0.1 full compare):
+    * (l_orderkey, l_linenumber) has duplicate pairs at every SF, so a
+    * bare l_linenumber lead order let each engine break ties its own
+    * way and the whole handoff-graph family silently diverged at
+    * sf0.1; (l_linenumber, l_suppkey, l_partkey) is unique per order.
     */
   private[queries] def handoff(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(expr("l_orderkey % 10 = 0"))
       .select(col("l_suppkey").as("src"),
         lead("l_suppkey", 1).over(Window.partitionBy("l_orderkey")
-          .orderBy("l_linenumber")).as("dst"))
+          .orderBy("l_linenumber", "l_suppkey", "l_partkey")).as("dst"))
       .filter(col("dst").isNotNull && col("dst") =!= col("src"))
       .distinct()
       .localCheckpoint(eager = true)
@@ -264,7 +269,7 @@ object StatsR9za {
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT l_suppkey AS src,
       |      LEAD(l_suppkey) OVER (PARTITION BY l_orderkey
-      |        ORDER BY l_linenumber) AS dst
+      |        ORDER BY l_linenumber, l_suppkey, l_partkey) AS dst
       |    FROM lineitem WHERE l_orderkey % 10 = 0)
       |  WHERE dst IS NOT NULL AND dst <> src)""".stripMargin
 

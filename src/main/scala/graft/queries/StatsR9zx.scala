@@ -131,9 +131,14 @@ object StatsR9zx {
     }),
 
     // Bloom cardinality algebra: purchase vs click user-id filters
-    // (m=4096, k=3, the q_bloom_fpr hashes); n̂ = −(m/k)·ln(1−X/m),
-    // intersection estimate n̂_a + n̂_b − n̂_union vs the true distinct
-    // intersection.
+    // (m=4096, k=3 PARTITIONED arrays — one per hash j, the (j, h)
+    // state below); the matching partitioned-bloom estimator is
+    // n̂ = −m·ln(1 − X/(k·m)) with X = total set bits across the k
+    // arrays (r11 fix: the old single-array form −(m/k)·ln(1−X/m)
+    // went ln(negative) once X > m, which sf0.1 reaches — Spark
+    // nulled, DuckDB errored). The 1/(k·m) clamp is the standard
+    // "one empty bit" saturation floor. Intersection estimate
+    // n̂_a + n̂_b − n̂_union vs the true distinct intersection.
     "q_bloom_cardinality" -> ((s, d) => {
       def bits(t: String) = Tables.events(s, d)
         .filter(col("event_type") === t)
@@ -162,7 +167,8 @@ object StatsR9zx {
           .select(col("user_id")).distinct(), "user_id")
         .agg(count(lit(1)).as("true_inter"))
       def est(c: org.apache.spark.sql.Column) =
-        lit(-4096.0 / 3) * log(lit(1.0) - c / 4096.0)
+        lit(-4096.0) * log(greatest(lit(1.0) - c / 12288.0,
+          lit(1.0 / 12288.0)))
       xa.crossJoin(xb).crossJoin(xu).crossJoin(broadcast(tru))
         .select(col("xa").as("bits_a"), col("xb").as("bits_b"),
           col("xu").as("bits_union"),
@@ -341,13 +347,16 @@ object StatsR9zx {
         |           WHERE event_type = 'click') c
         |       ON p.user_id = c.user_id) AS true_inter)
         |SELECT xa AS bits_a, xb AS bits_b, xu AS bits_union,
-        |  ROUND(-4096e0 / 3 * LN(1.0 - xa / 4096.0), 4)
-        |    AS est_purchasers,
-        |  ROUND(-4096e0 / 3 * LN(1.0 - xb / 4096.0), 4)
-        |    AS est_clickers,
-        |  ROUND(-4096e0 / 3 * LN(1.0 - xa / 4096.0)
-        |    + -4096e0 / 3 * LN(1.0 - xb / 4096.0)
-        |    - -4096e0 / 3 * LN(1.0 - xu / 4096.0), 4)
+        |  ROUND(-4096e0 * LN(GREATEST(1.0 - xa / 12288.0,
+        |    1.0 / 12288.0)), 4) AS est_purchasers,
+        |  ROUND(-4096e0 * LN(GREATEST(1.0 - xb / 12288.0,
+        |    1.0 / 12288.0)), 4) AS est_clickers,
+        |  ROUND(-4096e0 * LN(GREATEST(1.0 - xa / 12288.0,
+        |      1.0 / 12288.0))
+        |    + -4096e0 * LN(GREATEST(1.0 - xb / 12288.0,
+        |      1.0 / 12288.0))
+        |    - -4096e0 * LN(GREATEST(1.0 - xu / 12288.0,
+        |      1.0 / 12288.0)), 4)
         |    AS est_intersection,
         |  true_inter
         |FROM xs""".stripMargin,

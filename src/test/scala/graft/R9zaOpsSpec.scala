@@ -46,7 +46,9 @@ class R9zaOpsSpec extends AnyFunSuite with SparkFixture {
   private lazy val edges: Set[(Long, Long)] =
     li.filter(_._5 % 10 == 0)
       .groupBy(_._5).values.flatMap { g =>
-        val sorted = g.sortBy(_._6).map(_._7)
+        // total order (r11): (orderkey, linenumber) ties exist at
+        // every SF — tiebreak by (suppkey, partkey) like the query
+        val sorted = g.sortBy(e => (e._6, e._7, e._1)).map(_._7)
         sorted.zip(sorted.drop(1)).filter(p => p._1 != p._2)
       }.toSet
 

@@ -18,10 +18,12 @@ class R9zhOpsSpec extends AnyFunSuite with SparkFixture {
   /** Distinct handoff edges (the wave-27 fixture fold). */
   private lazy val edges: Set[(Long, Long)] = {
     val li = graft.tables.Tables.lineitem(spark, sf)
-      .select("l_orderkey", "l_linenumber", "l_suppkey").collect()
-      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2)))
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2), r.getLong(3)))
     li.filter(_._1 % 10 == 0).groupBy(_._1).values.flatMap { g =>
-      val sorted = g.sortBy(_._2).map(_._3)
+      // total order (r11): (orderkey, linenumber) ties exist at
+      // every SF — tiebreak by (suppkey, partkey) like the query
+      val sorted = g.sortBy(e => (e._2, e._3, e._4)).map(_._3)
       sorted.zip(sorted.drop(1)).filter(p => p._1 != p._2)
     }.toSet
   }

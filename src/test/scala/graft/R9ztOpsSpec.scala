@@ -21,12 +21,15 @@ class R9ztOpsSpec extends AnyFunSuite with SparkFixture {
   /** Symmetrized handoff adjacency + degrees. */
   private lazy val (undEdges, degOf) = {
     val li = graft.tables.Tables.lineitem(spark, sf)
-      .select("l_orderkey", "l_linenumber", "l_suppkey").collect()
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+      .collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
-        r.getLong(2)))
+        r.getLong(2), r.getLong(3)))
     val edges = li.filter(_._1 % 10 == 0).groupBy(_._1).values
       .flatMap { g =>
-        val sorted = g.sortBy(_._2).map(_._3)
+        // total order (r11): (orderkey, linenumber) ties exist at
+        // every SF — tiebreak by (suppkey, partkey) like the query
+        val sorted = g.sortBy(e => (e._2, e._3, e._4)).map(_._3)
         sorted.zip(sorted.drop(1)).filter(p => p._1 != p._2)
       }.toSet
     val adj = edges ++ edges.map(e => (e._2, e._1))

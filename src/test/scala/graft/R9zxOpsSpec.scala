@@ -118,7 +118,9 @@ class R9zxOpsSpec extends AnyFunSuite with SparkFixture {
         (j, (u * ps(j) + qs(j)) % 2147483647L % 4096L))).toSet
     }
     val a = bits("purchase"); val b = bits("click")
-    def est(x: Long): Double = -4096.0 / 3 * math.log(1.0 - x / 4096.0)
+    // partitioned-bloom estimator over k=3 separate 4096-bit arrays
+    def est(x: Long): Double =
+      -4096.0 * math.log(math.max(1.0 - x / 12288.0, 1.0 / 12288.0))
     val tru = perUser.count { case (_, es) =>
       es.exists(_._1 == "purchase") && es.exists(_._1 == "click")
     }.toLong
