@@ -1443,7 +1443,10 @@ object Training {
         |  SELECT tok.doc_id, COUNT(*) AS n_tokens, SUM(model.lr_u) AS su
         |  FROM tok JOIN model ON tok.b = model.b GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        |  ROUND(su / (n_tokens * 1000000.0), 4) AS dsir_score,
+        |  -- + 0.0 canonicalizes IEEE -0.0 (DuckDB ROUND preserves the
+        |  -- sign of a tiny negative; Spark's BigDecimal round never
+        |  -- emits -0.0 — r11, found by the sf0.1 sweep)
+        |  ROUND(su / (n_tokens * 1000000.0), 4) + 0.0 AS dsir_score,
         |  su > 0 AS selected
         |FROM sc ORDER BY doc_id""".stripMargin,
 
