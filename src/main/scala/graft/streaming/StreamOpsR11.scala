@@ -70,7 +70,125 @@ object StreamOpsR11 {
     })
   )
 
+  val queriesB: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
+
+    // Streaming semantic-dedup gate — the ingest-time decision a
+    // training pipeline actually runs: does this arriving embedding
+    // near-duplicate anything already in the corpus? Each arriving
+    // vector assigns to its cell (the stateless projection above)
+    // and joins ONLY that cell's static members (stream-static
+    // equi-join on the cell id — the IVF-list probe, never a corpus
+    // cross join); flag = max cosine ≥ τ. Self-matches excluded
+    // (the staged stream IS the corpus, so the honest fixture reads
+    // "would this doc be flagged against everyone else"). Stateless
+    // APPEND, offset-replayable. Read-back: per-cell arrival count,
+    // flagged count, µ-grid half-up mean of the max-cos.
+    "s_stream_neardup_gate" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val cellsK = 4
+      val tau = 0.45 // the q_semdedup boundary (p99 of prior-cos)
+      val out = tmp("sng_out")
+      val dir = stageTable(d, "embeddings", "sng_in")
+      val stat = Tables.embeddings(s, d)
+      val packed = stat
+        .filter(col("vec_id").between(1, cellsK))
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("c_emb"))
+        .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
+          .as("cents"))
+        .withColumn("k", lit(1))
+      def cand(in: DataFrame): DataFrame = {
+        val cs = (1 to cellsK).map { i =>
+          struct(
+            round(expr(s"cosine_sim(embedding, try_element_at(cents, $i).c_emb)"), 6)
+              .as("cs"),
+            lit(-i).as("negcell"))
+        }
+        in.withColumn("k", lit(1))
+          .join(broadcast(packed), "k")
+          .withColumn("best", greatest(cs: _*))
+          .select(col("vec_id"), col("embedding"),
+            (-col("best.negcell")).as("cell"))
+      }
+      // static members with their cells, batch-side once
+      val members = cand(stat).select(col("cell").as("cb"),
+        col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        .localCheckpoint(true)
+      val arriving = cand(s.readStream.schema(embSchema).parquet(dir)
+        .select(col("vec_id"), col("embedding")))
+      // per-vector running max via flatMapGroupsWithState (the
+      // s_stream_slo posture): state = ONE long per (vec, cell) —
+      // max-merge commutes, so the state is ORDER-INDEPENDENT and the
+      // sink carries one row per vector per batch, never the n²/k
+      // candidate stream (the first draft sank the raw join and paid
+      // 100M parquet rows at sf1)
+      import s.implicits._
+      val gated0 = arriving.join(members,
+          col("cell") === col("cb") && col("vec_id") =!= col("b_id"))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          expr("CAST(ROUND(ROUND(cosine_sim(embedding, b_emb), 6) * 1e6) AS BIGINT)")
+            .as("c_u"))
+        .as[(Long, Int, Long)]
+      val gated = StreamOps.withBoundedStatePartitions(s) {
+        gated0.groupByKey(r => (r._1, r._2))
+          .flatMapGroupsWithState[Long, (Long, Int, Long)](
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+            case ((vid, cell), rows,
+                state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+              var mx = state.getOption.getOrElse(Long.MinValue)
+              rows.foreach(r => if (r._3 > mx) mx = r._3)
+              state.update(mx)
+              Iterator((vid, cell, mx))
+          }.toDF("vec_id", "cell", "mx_u")
+      }
+      runToParquet(gated, out, tmp("sng_ckpt"))
+      s.read.parquet(out)
+        .groupBy("vec_id", "cell")
+        .agg(max("mx_u").as("mx_u"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_arrived"),
+          sum(when(col("mx_u") >= (tau * 1e6).toLong, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum("mx_u").as("su"))
+        .select(col("cell").cast("long").as("cell"), col("n_arrived"),
+          col("n_flagged"),
+          round(expr("(2 * su + n_arrived) div (2 * n_arrived)") / 1e6, 6)
+            .as("mean_max_cos"))
+        .orderBy("cell")
+    })
+  )
+
   val oracle: Map[String, String] = Map(
+    // identical assignment + within-cell max-cos gate, batch-side
+    "s_stream_neardup_gate" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid) AS rn
+         |  FROM (SELECT e.vec_id, c0.cid, e.embedding,
+         |      ROUND(${graft.queries.LlmOps.duckCos("e.embedding", "c0.c")}, 6)
+         |        AS cos
+         |    FROM embeddings e CROSS JOIN c0)),
+         |a AS MATERIALIZED (SELECT vec_id, cid, embedding FROM s1
+         |  WHERE rn = 1),
+         |mx AS (
+         |  SELECT x.vec_id, x.cid,
+         |    MAX(CAST(ROUND(ROUND(${graft.queries.LlmOps.duckCos("x.embedding", "y.embedding")}, 6)
+         |      * 1e6) AS BIGINT)) AS mx_u
+         |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+         |  GROUP BY 1, 2),
+         |g AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_arrived,
+         |    CAST(SUM(CASE WHEN mx_u >= 450000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_flagged,
+         |    SUM(mx_u) AS su
+         |  FROM mx GROUP BY 1)
+         |SELECT CAST(cid AS BIGINT) AS cell, n_arrived, n_flagged,
+         |  ROUND(((2 * su + n_arrived) // (2 * n_arrived)) / 1e6, 6)
+         |    AS mean_max_cos
+         |FROM g ORDER BY cell""".stripMargin,
+
     // identical packed-seed assignment, batch-side in DuckDB
     "s_stream_cell_assign" ->
       s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c

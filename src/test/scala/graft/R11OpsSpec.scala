@@ -140,6 +140,21 @@ class R11OpsSpec extends AnyFunSuite with SparkFixture {
     assert(improved > 0, "no node improved — candidate union is broken")
   }
 
+  test("s_stream_neardup_gate: totals partition the corpus; flags bounded; max-cos sane") {
+    val got = SparkEntry.queries("s_stream_neardup_gate")(spark, sf).collect()
+    val n = graft.tables.Tables.embeddings(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n_arrived")).sum === n)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") >= 0 &&
+        r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_arrived"))
+      val m = r.getAs[Double]("mean_max_cos")
+      assert(m >= -1.0 && m <= 1.0)
+    }
+    // the gate must fire somewhere on this fixture (q_semdedup's τ
+    // drops ~2% of vectors at the same boundary)
+    assert(got.map(_.getAs[Long]("n_flagged")).sum > 0)
+  }
+
   test("s_stream_cell_assign: every vector assigned exactly once, to a real cell") {
     val got = SparkEntry.queries("s_stream_cell_assign")(spark, sf).collect()
     val n = graft.tables.Tables.embeddings(spark, sf).count()
