@@ -90,6 +90,15 @@ object PrefixSum {
     * @param vOut output name for the value column
     * @param pos  output name for the 1-based LONG sorted position
     */
+  def sortedPositions(df: DataFrame, value: Column, vOut: String,
+                      pos: String): DataFrame = {
+    val blocks = df.select(value.as("__v")).groupBy("__v")
+      .agg(count(lit(1)).as("__cnt"))
+    rankAndCumSum(blocks, Seq(col("__v")), col("__cnt"), "__br", "__cum")
+      .select(col("__v").as(vOut),
+        explode(expr("sequence(__cum - __cnt + 1, __cum)")).as(pos))
+  }
+
   /** SQL-standard NTILE(k) as a closed form over (global rank, total
     * count) — bit-identical to `ntile(k).over(Window.orderBy(...))`
     * (both Spark and DuckDB follow the standard: the first n%k
@@ -105,15 +114,6 @@ object PrefixSum {
       s"WHEN $n div $k > 0 " +
       s"THEN $n % $k + ($rn - 1 - ($n div $k + 1) * ($n % $k)) div ($n div $k) + 1 " +
       s"ELSE NULL END AS INT)"
-
-  def sortedPositions(df: DataFrame, value: Column, vOut: String,
-                      pos: String): DataFrame = {
-    val blocks = df.select(value.as("__v")).groupBy("__v")
-      .agg(count(lit(1)).as("__cnt"))
-    rankAndCumSum(blocks, Seq(col("__v")), col("__cnt"), "__br", "__cum")
-      .select(col("__v").as(vOut),
-        explode(expr("sequence(__cum - __cnt + 1, __cum)")).as(pos))
-  }
 
   /** Competition rank (SQL `rank()`: ties share the FIRST position of
     * their value block) over a single key column, with no

@@ -231,6 +231,8 @@ object Analytics {
     "q_skyline" -> ((s, d) => {
       val p = Tables.part(s, d)
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      // bounded grain: runs over the distinct-price AGGREGATE (the
+      // per-price groupBy below), not the corpus — see header comment
       val w = org.apache.spark.sql.expressions.Window
         .orderBy("p_retailprice")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -722,22 +724,28 @@ object Analytics {
     // name key, compare each record ONLY to its w=2 window neighbors
     // — O(n·w) candidates instead of O(n²), the classic alternative
     // to q_fuzzy_match's band blocking and q_string_cluster's
-    // fingerprint collapse. The un-partitioned sort runs at DIMENSION
-    // grain; at fact scale the key becomes the range partitioner.
+    // fingerprint collapse. The name-sort rank is PrefixSum.rank (r11
+    // VERDICT task 1 — the range-partitioned two-pass rank, never a
+    // single-task sort) and the w=2 neighbors are successor equi-joins
+    // on rn+1/rn+2, bit-identical to the lead() window they replace.
     // Candidates verified by the codegen'd Jaro-Winkler ≥ 0.92, cut
     // on the 6dp-rounded grid (the fuzzy_jw rule).
     "q_sorted_neighborhood" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("p_name"), col("p_partkey"))
-      Tables.part(s, d).select("p_partkey", "p_name")
-        .withColumn("cand", array(
-          struct(lead("p_partkey", 1).over(w).as("b_id"),
-            lead("p_name", 1).over(w).as("b_name")),
-          struct(lead("p_partkey", 2).over(w).as("b_id"),
-            lead("p_name", 2).over(w).as("b_name"))))
+      val ranked = graft.operators.PrefixSum.rank(
+          Tables.part(s, d).select("p_partkey", "p_name"),
+          Seq(col("p_name"), col("p_partkey")), "rn")
+        .localCheckpoint(eager = true) // reused by the 2 successor joins
+      def succ(i: Int) = ranked.select((col("rn") - i).as("rn"),
+        col("p_partkey").as(s"b${i}_id"), col("p_name").as(s"b${i}_name"))
+      ranked
+        .join(succ(1), Seq("rn"), "left")
+        .join(succ(2), Seq("rn"), "left")
         .select(col("p_partkey").as("a_id"), col("p_name"),
-          explode(col("cand")).as("c"))
+          explode(array(
+            struct(col("b1_id").as("b_id"), col("b1_name").as("b_name")),
+            struct(col("b2_id").as("b_id"), col("b2_name").as("b_name"))))
+            .as("c"))
         .filter(col("c.b_id").isNotNull)
         .withColumn("jw",
           round(expr("jaro_winkler(p_name, c.b_name)"), 6))
@@ -832,6 +840,9 @@ object Analytics {
           .as("rev"))
         .localCheckpoint(eager = true)
       val tot = byPart.agg(sum("rev").as("tot"))
+      // bounded grain: per-PART revenue rollup (dimension-sized), and
+      // the cum mass is DOUBLE — PrefixSum is long-only by contract,
+      // so the scale plan is snap-to-cents at ingestion, then adopt it
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -872,6 +883,8 @@ object Analytics {
           .as("rev"))
         .localCheckpoint(eager = true)
       val tot = byPart.agg(sum("rev").as("tot"))
+      // bounded grain: per-PART revenue rollup (dimension-sized),
+      // double mass — same posture as q_pareto_abc above
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1114,32 +1127,44 @@ object Analytics {
     }),
 
     // End-to-end entity resolution (the full ER pipeline as ONE
-    // operator): sorted-neighborhood blocking with a WINDOW-SLIDE
-    // BLOCK CAP → Jaro-Winkler ≥ 0.92 verify → connected-component
+    // operator): sorted-neighborhood blocking with a DISJOINT BLOCK
+    // CUT → Jaro-Winkler ≥ 0.92 verify → connected-component
     // resolution (operators/ConnectedComponents — the dedup-graph
     // machinery applied to entities) → per-entity canonical record
     // (min name, member envelope). Only multi-member entities ship —
     // the "what merged" report a master-data pass reviews. The block
-    // cap (r10 VERDICT task 8, standard Hernández–Stolfo practice):
-    // a candidate pair never crosses a W=1024-row boundary of the
-    // name sort, so a transitively-chained component is confined to
-    // one block (diameter ≤ W) and pointer-jumping CC converges in
-    // ≤ log₂W + O(1) rounds INDEPENDENT of corpus size — maxIter
-    // stays at the operator default. The oracle applies the same cap.
+    // cap (r10 VERDICT task 8): a candidate pair never crosses a
+    // W=1024-row boundary of the name sort. Unlike Hernández–Stolfo's
+    // sliding window (which keeps boundary-straddling pairs), this is
+    // a disjoint cut, deliberately: pairs straddling each boundary are
+    // dropped (a small deterministic recall loss at every 1024th row,
+    // mirrored exactly in the oracle) so a transitively-chained
+    // component is confined to one block (diameter ≤ W) and
+    // pointer-jumping CC converges in ≤ log₂W + O(1) rounds
+    // INDEPENDENT of corpus size — maxIter stays at the operator
+    // default. The name-sort rank itself is PrefixSum.rank (r11
+    // VERDICT task 1: the previous un-partitioned window sorted the
+    // whole part dimension in ONE task) and lead(1)/lead(2) are
+    // successor equi-joins on rn+i — the q_knn_shapley pattern, fully
+    // distributed and bit-identical to the window it replaces.
     "q_er_resolve" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val W = 1024
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("p_name"), col("p_partkey"))
-      val pairs = Tables.part(s, d).select("p_partkey", "p_name")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cand", array(
-          struct(lit(1).as("i"), lead("p_partkey", 1).over(w).as("b_id"),
-            lead("p_name", 1).over(w).as("b_name")),
-          struct(lit(2).as("i"), lead("p_partkey", 2).over(w).as("b_id"),
-            lead("p_name", 2).over(w).as("b_name"))))
+      val ranked = graft.operators.PrefixSum.rank(
+          Tables.part(s, d).select("p_partkey", "p_name"),
+          Seq(col("p_name"), col("p_partkey")), "rn")
+        .localCheckpoint(eager = true) // reused by the 2 successor joins
+      def succ(i: Int) = ranked.select((col("rn") - i).as("rn"),
+        col("p_partkey").as(s"b${i}_id"), col("p_name").as(s"b${i}_name"))
+      val pairs = ranked
+        .join(succ(1), Seq("rn"), "left")
+        .join(succ(2), Seq("rn"), "left")
         .select(col("p_partkey").as("a_id"), col("p_name"), col("rn"),
-          explode(col("cand")).as("c"))
+          explode(array(
+            struct(lit(1).as("i"), col("b1_id").as("b_id"),
+              col("b1_name").as("b_name")),
+            struct(lit(2).as("i"), col("b2_id").as("b_id"),
+              col("b2_name").as("b_name")))).as("c"))
         .filter(col("c.b_id").isNotNull)
         .filter(expr(s"(rn - 1) div $W") === expr(s"(rn + c.i - 1) div $W"))
         .withColumn("jw", round(expr("jaro_winkler(p_name, c.b_name)"), 6))
@@ -1168,6 +1193,8 @@ object Analytics {
     // the running IV — the per-bin table is O(bins) regardless of
     // corpus size. Counts stay exact longs until the ln.
     "q_woe_binning" -> ((s, d) => {
+      // bounded grain: the running-IV window runs over the 10-row
+      // equi-width bin table, never the corpus
       val w = org.apache.spark.sql.expressions.Window
         .orderBy("bin").rowsBetween(Long.MinValue, 0)
       val bins = Tables.events(s, d)

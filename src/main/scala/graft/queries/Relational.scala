@@ -373,9 +373,16 @@ object Relational {
           pmod(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
             .cast("long"), lit(65536L)).as("yk"))
         .withColumn("zkey", expr("zorder2(xk, yk)"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("zkey"), col("o_orderkey"))
-      z.withColumn("bucket", ntile(16).over(w))
+      // file-number assignment = closed-form NTILE over the range-
+      // partitioned global rank (operators/PrefixSum) — the production
+      // write path is repartitionByRange on zkey; this stand-in keeps
+      // the same semantics with no single-task corpus sort
+      val ranked = graft.operators.PrefixSum.rank(z,
+        Seq(col("zkey"), col("o_orderkey")), "rn")
+      val tot = z.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bucket",
+          expr(graft.operators.PrefixSum.ntileExpr("rn", "n", 16)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("xk").as("x_min"), max("xk").as("x_max"),
@@ -401,9 +408,14 @@ object Relational {
           pmod(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
             .cast("long"), lit(65536L)).as("yk"))
         .withColumn("hkey", expr("hilbert2(xk, yk)"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("hkey"), col("o_orderkey"))
-      z.withColumn("bucket", ntile(16).over(w))
+      // same range-partitioned NTILE stand-in as q_zorder_layout —
+      // no single-task corpus sort (production = repartitionByRange)
+      val ranked = graft.operators.PrefixSum.rank(z,
+        Seq(col("hkey"), col("o_orderkey")), "rn")
+      val tot = z.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bucket",
+          expr(graft.operators.PrefixSum.ntileExpr("rn", "n", 16)))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min("xk").as("x_min"), max("xk").as("x_max"),

@@ -424,7 +424,9 @@ object StreamOpsR10 {
       }
       runToParquet(scored, out, tmp("sslo_ckpt"))
       // trailing RANGE frames on the hour epoch (matches q_slo_burn's
-      // r10 ADVICE fix): sparse hours never stitch together
+      // r10 ADVICE fix): sparse hours never stitch together.
+      // bounded grain: input is the per-hour SLO rollup — one row per
+      // hour-of-history, never corpus-sized
       val wo6 = org.apache.spark.sql.expressions.Window
         .orderBy("he").rangeBetween(-5, 0)
       val wo24 = org.apache.spark.sql.expressions.Window

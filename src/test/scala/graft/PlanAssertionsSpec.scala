@@ -689,4 +689,24 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Window"), p.take(1000))
     assert(p.contains("__pid"), "range-bucket window lost\n" + p.take(2000))
   }
+
+  test("ER / layout keys carry no un-partitioned corpus-grain window") {
+    // r11 VERDICT task 1: q_er_resolve used to rank the whole part
+    // dimension with Window.orderBy(p_name, p_partkey) — a single-task
+    // sort at 1000 executors that also evaded WindowAuditSpec's old
+    // matcher. Rank now comes from PrefixSum + successor equi-joins;
+    // an un-partitioned windowspecdefinition over the sort keys in any
+    // of these plans means the rewrite regressed.
+    for (k <- Seq("q_er_resolve", "q_sorted_neighborhood")) {
+      val p = plan(k)
+      assert(!p.contains("windowspecdefinition(p_name"),
+        s"$k re-grew the global name-sort window\n" + p.take(2000))
+    }
+    for (k <- Seq("q_zorder_layout", "q_hilbert_layout")) {
+      val p = plan(k)
+      assert(!p.contains("ntile(16)"),
+        s"$k re-grew the global ntile window (use PrefixSum.ntileExpr)\n"
+          + p.take(2000))
+    }
+  }
 }

@@ -34,9 +34,15 @@ class WindowAuditSpec extends AnyFunSuite {
       val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n", -1)
       for (i <- lines.indices) {
         val l = lines(i)
+        // a site is any Window.orderBy spelling: single-line (bare or
+        // fully qualified — substring match covers both), or wrapped —
+        // a line ENDING in `Window` (any qualification, e.g.
+        // `val w = org.apache.spark.sql.expressions.Window`) whose
+        // next line carries the `.orderBy` (r11 VERDICT task 1: the
+        // qualified wrapped spelling used to slip past this matcher)
         val site = l.contains("Window.orderBy") ||
-          (l.trim == "Window" && i + 1 < lines.length &&
-            lines(i + 1).contains(".orderBy"))
+          (l.trim.endsWith("Window") && !l.trim.startsWith("import") &&
+            i + 1 < lines.length && lines(i + 1).contains(".orderBy"))
         if (site && !isPrefixSum) {
           val ctx = lines.slice(math.max(0, i - 1), math.min(lines.length, i + 3))
             .mkString(" ")
