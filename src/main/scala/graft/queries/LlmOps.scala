@@ -43,23 +43,26 @@ object LlmOps {
     * broadcast-cross + window per (session, sfDir), materialized via
     * localCheckpoint so each metric key pays only its own rollup).
     *
-    * SAMPLING CONTRACT (r8 VERDICT task 4): the QUERY side is the
-    * deterministic 1-in-17 slice `vec_id % 17 == 0` — eval on a query
-    * sample is standard practice and keeps the pair space
-    * (corpus/17)·corpus instead of corpus², which is the difference
-    * between a tail key and a scale-killer at sf10+. The corpus side
-    * stays exact (every query still ranks against ALL vectors, so
-    * per-query metrics are unchanged — only the query population is
-    * sampled), and the DuckDB oracles apply the identical `% 17`
-    * predicate. At 100 TB the corpus side additionally routes through
-    * the IVF cells (q_sim_ivf); the scoring tail here is unchanged. */
+    * SAMPLING CONTRACT (r8 VERDICT task 4; absolute cap r11 task 3):
+    * the QUERY side is operators/EvalSample — the deterministic
+    * 1-in-17 slice CAPPED at the first maxQueries members by vec_id
+    * (`vec_id % 17 = 0 AND vec_id < 17·maxQueries`). The proportional
+    * slice alone keeps the pair space (corpus/17)·corpus — still
+    * quadratic; the absolute cap makes it ≤ maxQueries·corpus, LINEAR
+    * in the corpus. The corpus side stays exact (every query still
+    * ranks against ALL vectors, so per-query metrics are unchanged —
+    * only the query population is sampled), and the DuckDB oracles
+    * apply the identical predicate via EvalSample.sqlPred. At 100 TB
+    * the corpus side additionally routes through the IVF cells
+    * (q_sim_ivf); the scoring tail here is unchanged. */
   private[queries] def rankedTop10(s: SparkSession, d: String): DataFrame = {
     val it = topkCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     topkCache.computeIfAbsent((s.sparkContext, d), _ => {
       graft.expr.Registry.ensure(s)
       val e = Tables.embeddings(s, d)
-      val a = e.filter(col("vec_id") % 17 === 0)
+      val a = e.filter(col("vec_id") % graft.operators.EvalSample.every === 0
+          && col("vec_id") < graft.operators.EvalSample.bound)
         .select(col("vec_id").as("a_id"), col("label").as("a_lab"),
         col("embedding").as("a_emb"))
       val b = e.select(col("vec_id").as("b_id"), col("label").as("b_lab"),
@@ -229,8 +232,15 @@ object LlmOps {
     "q_knn_per_label" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val k = 3
-      val cellsK = 4
       val e = Tables.embeddings(s, d)
+      // cells per label from a one-row (count, |labels|) agg — bounded
+      // by design (operators/Cells, r11 VERDICT task 2). The routing
+      // is EXACT for any cellsK (angular bound below), so the
+      // exhaustive oracle needs no k at all.
+      val cellsK = {
+        val r = e.agg(count(lit(1)), countDistinct(col("label"))).head
+        graft.operators.Cells.kPerLabel(r.getLong(0), r.getLong(1))
+      }
       def angle(c: Column): Column = acos(least(greatest(c, lit(-1.0)), lit(1.0)))
       val wSeed = Window.partitionBy("label").orderBy("vec_id")
       val seeds = e.withColumn("cell", row_number().over(wSeed))
@@ -320,8 +330,15 @@ object LlmOps {
     "q_dedup_embed" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val tau = 0.3
-      val cellsK = 4
       val e = Tables.embeddings(s, d)
+      // cells per label from a one-row (count, |labels|) agg — bounded
+      // by design (operators/Cells): pair work stays per-cell-bounded
+      // at any corpus scale, and the pair set stays IDENTICAL to the
+      // exhaustive oracle for any cellsK (sound bound below)
+      val cellsK = {
+        val r = e.agg(count(lit(1)), countDistinct(col("label"))).head
+        graft.operators.Cells.kPerLabel(r.getLong(0), r.getLong(1))
+      }
       def angle(c: Column): Column =
         acos(least(greatest(c, lit(-1.0)), lit(1.0)))
       val wSeed = Window.partitionBy("label").orderBy("vec_id")
@@ -381,13 +398,16 @@ object LlmOps {
     // τ compare is grid-exact in both engines.
     "q_semdedup" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      val k = 4
       // τ picked from this corpus' prior-cos distribution (p99 ≈ 0.47):
       // ~2% of vectors drop — the realistic semantic-dedup rate; both
       // engines compare the same 6dp-rounded grid so the boundary is
       // exact
       val tau = 0.45
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // cluster count from a one-row count (bounded by design) —
+      // operators/Cells keeps per-cluster size ≈ budget; the oracle
+      // computes the identical k in SQL
+      val k = graft.operators.Cells.k(e.count())
       val packed = e.filter(col("vec_id").between(1, k))
         .select(col("vec_id").as("cid"), col("embedding").as("c"))
         .agg(array_sort(collect_list(struct(col("cid"), col("c")))).as("cents"))
@@ -1668,7 +1688,8 @@ object LlmOps {
 
     "q_semdedup" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e WHERE vec_id BETWEEN 1 AND 4),
+         |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e
+         |  WHERE vec_id BETWEEN 1 AND ${graft.operators.Cells.kSql("e")}),
          |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
          |       FROM (SELECT e.vec_id, c0.cid, e.embedding,
          |               ROUND(${duckCos("e.embedding", "c0.c")}, 6) AS cos
@@ -1905,7 +1926,7 @@ object LlmOps {
          |    b.label AS b_lab,
          |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 17 = 0),
+         |  WHERE ${graft.operators.EvalSample.sqlPred("a.vec_id")}),
          |top AS (
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY a_id
@@ -1927,7 +1948,7 @@ object LlmOps {
          |    b.vec_id AS b_id,
          |    ROUND(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
          |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 17 = 0),
+         |  WHERE ${graft.operators.EvalSample.sqlPred("a.vec_id")}),
          |top AS (
          |  SELECT a_id, a_lab, rn,
          |    CASE WHEN b_lab = a_lab THEN 1 ELSE 0 END AS rel

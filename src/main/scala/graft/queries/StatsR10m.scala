@@ -160,7 +160,7 @@ object StatsR10m {
        |    ROUND(${LlmOps.duckCos("a.embedding", "b.embedding")}, 6)
        |      AS cos
        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-       |  WHERE a.vec_id % 17 = 0),
+       |  WHERE ${graft.operators.EvalSample.sqlPred("a.vec_id")}),
        |top AS (
        |  SELECT a_id, a_lab, rn,
        |    CASE WHEN b_lab = a_lab THEN 1 ELSE 0 END AS rel

@@ -77,7 +77,8 @@ object StatsR10r {
     // to q_hubness. Pure self-join of the memoized ranking.
     "q_mutual_knn" -> ((s, d) => {
       val edges = LlmOps.rankedTop10(s, d)
-        .filter(col("b_id") % 17 === 0)
+        .filter(col("b_id") % graft.operators.EvalSample.every === 0
+          && col("b_id") < graft.operators.EvalSample.bound)
         .select(col("a_id"), col("b_id"))
         .localCheckpoint(eager = true) // two mutual legs
       val nSample = LlmOps.rankedTop10(s, d)
@@ -154,14 +155,14 @@ object StatsR10r {
         |    ROUND(${LlmOps.duckCos("a.embedding", "b.embedding")}, 6)
         |      AS cos
         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id % 17 = 0),
+        |  WHERE ${graft.operators.EvalSample.sqlPred("a.vec_id")}),
         |top AS (
         |  SELECT a_id, b_id FROM (
         |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
         |      ORDER BY cos DESC, b_id) AS rn
         |    FROM pairs) WHERE rn <= 10),
         |within AS (
-        |  SELECT a_id, b_id FROM top WHERE b_id % 17 = 0),
+        |  SELECT a_id, b_id FROM top WHERE ${graft.operators.EvalSample.sqlPred("b_id")}),
         |mutual AS (
         |  SELECT w1.a_id, w1.b_id
         |  FROM within w1 JOIN within w2

@@ -16,8 +16,9 @@ import graft.tables.Tables
   *     vectors assign to packed broadcast seeds by projection-only
   *     argmax (the q_semdedup shape, 6dp grid, min-cid tiebreak) and
   *     neighbor edges stay within the assigned cell, so pair work is
-  *     Σ|cell|² = n²/k and becomes LINEAR when production swaps the
-  *     4 fixture seeds for k ∝ corpus/cell-budget IVF centroids. The
+  *     Σ|cell|² = n²/k — and k derives from the corpus count
+  *     (operators/Cells: max(4, ⌈n/budget⌉), r11 VERDICT task 2), so
+  *     per-cell size stays ≈ budget rows and the build is LINEAR. The
   *     oracle replicates the assignment exactly, so the graph is
   *     hash-checked, and the recall column is the honest meter for
   *     what cell-locality costs the search. The graph is the
@@ -41,10 +42,10 @@ object StatsR11 {
     * the q_semdedup shape: packed broadcast seeds (vec_ids
     * 1..cellsK), projection-only argmax on the 6dp grid, min-cid
     * tiebreak; neighbor edges stay WITHIN the assigned cell, so
-    * build pair work is Σ|cell|² = n²/k — with k ∝ corpus/cell-budget
-    * seeds (production) the build is linear in the corpus, and the
-    * searchers' recall columns are the honest quality meter for what
-    * cell-locality costs.
+    * build pair work is Σ|cell|² = n²/k — callers derive cellsK from
+    * the corpus count (operators/Cells), which keeps the build linear
+    * in the corpus, and the searchers' recall columns are the honest
+    * quality meter for what cell-locality costs.
     */
   private def cellGraph(e: DataFrame, cellsK: Int, m: Int,
                         seedBase: Int = 1): DataFrame = {
@@ -91,7 +92,9 @@ object StatsR11 {
       val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
       // ---- stage 1: cell-local top-8 graph over the held-out corpus
-      val graph = cellGraph(e, cellsK = 4, m = 8)
+      // k = max(4, ⌈n/budget⌉) from a one-row count (bounded by
+      // design) — per-cell size stays ≈ budget at any corpus scale
+      val graph = cellGraph(e, cellsK = graft.operators.Cells.k(e.count()), m = 8)
       // ---- stage 2: beam search, unrolled bounded broadcasts ----
       val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
@@ -133,15 +136,22 @@ object StatsR11 {
     // PARTITIONED window (per qid), and the output is the per-query
     // recall@5 table a retrieval eval reads. Graph built once over
     // the FULL corpus; each query only excludes itself from scoring.
-    // Scale: |sample| ∝ corpus/17 — the score/frontier tables are
-    // (corpus/17)·bounded rows, never corpus².
+    // Scale (r11 VERDICT task 3): the raw 1-in-17 slice is
+    // PROPORTIONAL, so the score table would be corpus²/17 — still
+    // quadratic; operators/EvalSample caps the query set at an
+    // ABSOLUTE maxQueries (first members by vec_id), making the
+    // score/frontier tables ≤ maxQueries·corpus — linear. The cap
+    // binds at sf0.1 (118 → 64 queries) and is slack at sf0.01.
     "q_ann_nsw_multi" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val B = 4
       val hops = 3
       val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val graph = cellGraph(all, cellsK = 4, m = 8)
-      val qs = all.filter(col("vec_id") % 17 === 0)
+      // data-derived k (one-row count, bounded by design)
+      val graph = cellGraph(all, cellsK = graft.operators.Cells.k(all.count()), m = 8)
+      val qs = all.filter(
+          col("vec_id") % graft.operators.EvalSample.every === 0
+          && col("vec_id") < graft.operators.EvalSample.bound)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       val sc = all.join(broadcast(qs), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
@@ -211,8 +221,11 @@ object StatsR11 {
     "q_ann_nndescent" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val gA = cellGraph(all, cellsK = 4, m = 8)
-      val gB = cellGraph(all, cellsK = 4, m = 8, seedBase = 5)
+      // data-derived k; the disagreeing init uses seeds 1..k and
+      // k+1..2k (one-row count, bounded by design)
+      val k = graft.operators.Cells.k(all.count())
+      val gA = cellGraph(all, cellsK = k, m = 8)
+      val gB = cellGraph(all, cellsK = k, m = 8, seedBase = k + 1)
       val g0 = gA.unionByName(gB).distinct().localCheckpoint(true)
       val rev = g0.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
       val nn2 = g0.join(g0.select(col("a_id").as("m"), col("b_id").as("b2")),
@@ -284,7 +297,7 @@ object StatsR11 {
          |  SELECT e.vec_id, ROUND($cosEQ, 6) AS cq
          |  FROM e CROSS JOIN q),
          |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e
-         |  WHERE vec_id BETWEEN 1 AND 4),
+         |  WHERE vec_id BETWEEN 1 AND ${graft.operators.Cells.kSql("e")}),
          |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cos DESC, cid) AS rn
          |  FROM (SELECT e.vec_id, c0.cid, e.embedding,
@@ -343,12 +356,13 @@ object StatsR11 {
            |  SELECT * FROM $pv UNION ALL SELECT * FROM f$h)""".stripMargin
       }
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS q_emb
-         |  FROM embeddings WHERE vec_id % 17 = 0),
+         |  FROM embeddings
+         |  WHERE ${graft.operators.EvalSample.sqlPred("vec_id")}),
          |sc AS MATERIALIZED (
          |  SELECT qs.qid, e.vec_id, ROUND($cosEQ, 6) AS cq
          |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
          |c0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND 4),
+         |  WHERE vec_id BETWEEN 1 AND ${graft.operators.Cells.kSql("embeddings")}),
          |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cos DESC, cid) AS rn
          |  FROM (SELECT e.vec_id, c0.cid, e.embedding,
@@ -402,7 +416,7 @@ object StatsR11 {
     "q_ann_nndescent" -> {
       val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
       val cosXY = LlmOps.duckCos("x.embedding", "y.embedding")
-      def nbCte(tag: String, lo: Int, hi: Int): String =
+      def nbCte(tag: String, lo: String, hi: String): String =
         s"""c$tag AS (SELECT vec_id AS cid, embedding AS c
            |  FROM embeddings WHERE vec_id BETWEEN $lo AND $hi),
            |s$tag AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -423,8 +437,9 @@ object StatsR11 {
            |      ORDER BY cos DESC, b_id) AS rnk
            |    FROM prs$tag) t
            |  WHERE rnk <= 8)""".stripMargin
-      s"""WITH ${nbCte("a", 1, 4)},
-         |${nbCte("b", 5, 8)},
+      s"""WITH kk AS (SELECT ${graft.operators.Cells.kSql("embeddings")} AS k),
+         |${nbCte("a", "1", "(SELECT k FROM kk)")},
+         |${nbCte("b", "(SELECT k FROM kk) + 1", "2 * (SELECT k FROM kk)")},
          |nb AS MATERIALIZED (
          |  SELECT DISTINCT a_id, b_id FROM (
          |    SELECT a_id, b_id FROM nba

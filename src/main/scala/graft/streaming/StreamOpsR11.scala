@@ -34,7 +34,10 @@ object StreamOpsR11 {
 
     "s_stream_cell_assign" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      val cellsK = 4
+      // data-derived cell count (operators/Cells, r11 VERDICT task 2):
+      // one-row count of the STATIC corpus — bounded by design, read
+      // once at query start exactly like a production index's nlist
+      val cellsK = graft.operators.Cells.k(Tables.embeddings(s, d).count())
       val out = tmp("sca_out")
       val dir = stageTable(d, "embeddings", "sca_in")
       val packed = Tables.embeddings(s, d)
@@ -86,11 +89,13 @@ object StreamOpsR11 {
     // flagged count, µ-grid half-up mean of the max-cos.
     "s_stream_neardup_gate" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      val cellsK = 4
       val tau = 0.45 // the q_semdedup boundary (p99 of prior-cos)
       val out = tmp("sng_out")
       val dir = stageTable(d, "embeddings", "sng_in")
       val stat = Tables.embeddings(s, d)
+      // data-derived cell count from the static corpus (one-row
+      // count, bounded by design — operators/Cells)
+      val cellsK = graft.operators.Cells.k(stat.count())
       val packed = stat
         .filter(col("vec_id").between(1, cellsK))
         .select(col("vec_id").cast("int").as("cell"),
@@ -164,7 +169,8 @@ object StreamOpsR11 {
     // identical assignment + within-cell max-cos gate, batch-side
     "s_stream_neardup_gate" ->
       s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c
-         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |  FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND ${graft.operators.Cells.kSql("embeddings")}),
          |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cos DESC, cid) AS rn
          |  FROM (SELECT e.vec_id, c0.cid, e.embedding,
@@ -192,7 +198,8 @@ object StreamOpsR11 {
     // identical packed-seed assignment, batch-side in DuckDB
     "s_stream_cell_assign" ->
       s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c
-         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |  FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND ${graft.operators.Cells.kSql("embeddings")}),
          |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY cos DESC, cid) AS rn
          |  FROM (SELECT e.vec_id, c0.cid,
