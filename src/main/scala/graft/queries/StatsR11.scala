@@ -47,13 +47,24 @@ object StatsR11 {
     * in the corpus, and the searchers' recall columns are the honest
     * quality meter for what cell-locality costs.
     */
-  private def cellGraph(e: DataFrame, cellsK: Int, m: Int,
-                        seedBase: Int = 1): DataFrame = {
+  private[queries] def cellGraph(e: DataFrame, cellsK: Int, m: Int,
+                                 seedBase: Int = 1): DataFrame = {
     val packed = e.filter(col("vec_id").between(seedBase, seedBase + cellsK - 1))
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").as("c_emb"))
       .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
         .as("cents"))
+    cellGraphFromPacked(e, packed, cellsK, m)
+  }
+
+  /** Assignment + within-cell top-m edges from an ALREADY-PACKED
+    * 1-row seed frame (`cents` = sorted array of (cell 1..cellsK,
+    * c_emb) structs) — shared by [[cellGraph]] and the per-layer
+    * graphs of q_ann_hnsw (StatsR12), whose seeds are the first k
+    * layer members by vec_id rather than a vec_id range.
+    */
+  private[queries] def cellGraphFromPacked(e: DataFrame, packed: DataFrame,
+                                           cellsK: Int, m: Int): DataFrame = {
     val cand = (1 to cellsK).map { i =>
       struct(
         round(expr(s"cosine_sim(embedding, try_element_at(cents, $i).c_emb)"), 6)

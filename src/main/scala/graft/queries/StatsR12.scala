@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cells
+import graft.tables.Tables
+
+/** Round-12 wave 1 (SURVEY.md §2 B.10): hierarchical graph ANN —
+  * q_ann_hnsw closes the r11 VERDICT's "true HNSW hierarchy" gap.
+  * Where q_ann_nsw walks a single-layer graph from a FIXED entry
+  * (vec 1), HNSW descends a layer hierarchy so the layer-0 beam
+  * starts from a query-adapted entry and search cost grows with the
+  * (geometrically small) upper layers, not the cell size:
+  *
+  *  - LAYERS: deterministic hash-geometric assignment — the md5
+  *    bucket of vec_id (the house sampler posture, reproducible
+  *    across engines and re-runs) puts ~1% of vectors on layer 2 and
+  *    ~10% on layer ≥ 1; every vector is on layer 0. Layers NEST
+  *    (member of layer l ⇒ member of every layer below), the HNSW
+  *    invariant that makes cross-layer handoff safe.
+  *  - PER-LAYER GRAPHS: each layer reuses the cell-local top-8 graph
+  *    machinery (StatsR11.cellGraphFromPacked) over its OWN members;
+  *    seeds are the first k members by vec_id (TakeOrdered — k rows,
+  *    k = operators/Cells from the layer's count, so upper-layer
+  *    graphs stay linear in the layer size).
+  *  - DESCENT: from the top layer's single deterministic entry (min
+  *    vec_id of the highest non-empty layer), two greedy steps per
+  *    upper layer — candidate set = {current} ∪ out-edges(current),
+  *    keep the top-1 by (cos-to-query DESC, vec_id) on the 6dp grid.
+  *    Every frontier is ONE row, so the whole descent is bounded
+  *    broadcast joins.
+  *  - LAYER-0 BEAM: q_ann_nsw's beam (B=4, 3 unrolled hops) seeded
+  *    at the descended entry instead of vec 1. Output shape matches
+  *    q_ann_nsw (top-5 + exact-top-5 membership) so the two keys'
+  *    recall columns compare directly; R12OpsSpec pins
+  *    recall(hnsw) ≥ recall(nsw) on the same fixture.
+  *
+  * The DuckDB oracle unrolls the identical hierarchy — layer CTEs,
+  * two greedy steps per layer, three beam hops — so the whole
+  * descent is hash-checked, the q_ann_nsw verification pattern.
+  */
+object StatsR12 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
+
+    "q_ann_hnsw" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val B = 4
+      val hops = 3
+      val gsteps = 2
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      // deterministic geometric layer assignment: md5 bucket of the id
+      val lv = e
+        .withColumn("b",
+          conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % 10000)
+        .withColumn("lvl",
+          when(col("b") < 100, 2).when(col("b") < 1000, 1).otherwise(0))
+        .drop("b")
+        .localCheckpoint(true) // layer subsets + entry selection
+      // per-layer cell-local top-8 graph; seeds = first k members by
+      // vec_id (k from the LAYER's count — upper layers get small k)
+      def layerGraph(l: Int): DataFrame = {
+        val sub = lv.filter(col("lvl") >= l).select("vec_id", "embedding")
+        val k = Cells.k(sub.count()) // one-row count, bounded by design
+        // bounded grain: the seed window ranks the k-row limit output
+        val seeds = sub.orderBy("vec_id").limit(k)
+          .withColumn("cell",
+            row_number().over(Window.orderBy("vec_id")).cast("int"))
+          .select(col("cell"), col("embedding").as("c_emb"))
+        val packed = seeds
+          .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
+            .as("cents"))
+        StatsR11.cellGraphFromPacked(sub, packed, k, m = 8)
+      }
+      val g2 = layerGraph(2)
+      val g1 = layerGraph(1)
+      val g0 = StatsR11.cellGraph(e, cellsK = Cells.k(e.count()), m = 8)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val scores = e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(expr("cosine_sim(embedding, q_emb)"), 6).as("cq"))
+        .localCheckpoint(true) // descent legs + beam legs + exact top-5
+      // entry = min vec_id of the highest non-empty layer (1 row)
+      val top = lv.agg(max("lvl").as("ml"))
+      var cur = lv.crossJoin(broadcast(top))
+        .filter(col("lvl") === col("ml"))
+        .agg(min("vec_id").as("vec_id"))
+        .join(scores, "vec_id")
+        .localCheckpoint(true)
+      // greedy descent: 2 steps on layer 2's graph, 2 on layer 1's
+      for (g <- Seq(g2, g1); _ <- 1 to gsteps) {
+        val out = g
+          .join(broadcast(cur.select(col("vec_id").as("a_id"))), "a_id")
+          .select(col("b_id").as("vec_id")).distinct()
+          .join(scores, "vec_id")
+        cur = cur.select("vec_id", "cq")
+          .unionByName(out.select("vec_id", "cq"))
+          .orderBy(col("cq").desc, col("vec_id")).limit(1)
+          .localCheckpoint(true) // 1 row
+      }
+      // layer-0 beam from the descended entry (the q_ann_nsw walk)
+      var visited = cur
+      var frontier = cur
+      for (_ <- 1 to hops) {
+        val cand = g0
+          .join(broadcast(frontier.select(col("vec_id").as("a_id"))), "a_id")
+          .select(col("b_id").as("vec_id")).distinct()
+        val next = cand.join(scores, "vec_id")
+          .join(broadcast(visited.select(col("vec_id").as("vv"))),
+            col("vec_id") === col("vv"), "left_anti")
+          .orderBy(col("cq").desc, col("vec_id")).limit(B)
+          .localCheckpoint(true) // ≤ B rows, feeds visited + next hop
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      val exact = scores.orderBy(col("cq").desc, col("vec_id")).limit(5)
+        .select(col("vec_id").as("ev"), lit(1L).as("hit"))
+      visited.orderBy(col("cq").desc, col("vec_id")).limit(5)
+        // bounded grain: ranks the 5-row limit output
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cq").desc, col("vec_id"))).cast("long"))
+        .join(broadcast(exact), col("vec_id") === col("ev"), "left")
+        .select(col("rnk"), col("vec_id"), col("cq").as("cos_q"),
+          coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
+        .orderBy("rnk")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the identical hierarchy, unrolled: layer CTEs + per-layer
+    // graphs + 2 greedy steps per upper layer + the 3-hop beam
+    "q_ann_hnsw" -> {
+      val cosEQ = LlmOps.duckCos("e.embedding", "q.q_emb")
+      // per-layer graph CTEs over lv (lvl >= l): seeds = first k
+      // members by vec_id, assignment by (cos DESC, cell) rn = 1,
+      // within-cell top-8 edges — k from the layer's own count
+      def layerCtes(l: Int): String = {
+        val k = Cells.kSql(s"lv WHERE lvl >= $l")
+        val cosTS = LlmOps.duckCos("t.embedding", "sd.c_emb")
+        val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
+        s"""sd$l AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+           |      AS cell, embedding AS c_emb
+           |  FROM lv WHERE lvl >= $l
+           |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $k),
+           |a$l AS MATERIALIZED (
+           |  SELECT vec_id, cell, embedding FROM (
+           |    SELECT t.vec_id, sd.cell, t.embedding,
+           |      row_number() OVER (PARTITION BY t.vec_id
+           |        ORDER BY ROUND($cosTS, 6) DESC, sd.cell) AS rn
+           |    FROM (SELECT vec_id, embedding FROM lv WHERE lvl >= $l) t
+           |    CROSS JOIN sd$l sd) z
+           |  WHERE rn = 1),
+           |nb$l AS MATERIALIZED (
+           |  SELECT a_id, b_id FROM (
+           |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ROUND($cosAB, 6) DESC, b.vec_id) AS rnk
+           |    FROM a$l a JOIN a$l b
+           |      ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+           |  WHERE rnk <= 8)""".stripMargin
+      }
+      // one greedy step: cur ∪ out-edges(cur), top-1 by (cq, vec_id)
+      def step(i: Int, nb: String): String =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT vec_id, cq FROM (
+           |    SELECT vec_id, cq FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT sc.vec_id, sc.cq
+           |    FROM $nb JOIN d${i - 1} p ON $nb.a_id = p.vec_id
+           |    JOIN sc ON sc.vec_id = $nb.b_id) u
+           |  ORDER BY cq DESC, vec_id LIMIT 1)""".stripMargin
+      def hop(h: Int): String = {
+        val pf = s"f${h - 1}"
+        val pv = s"v${h - 1}"
+        s"""f$h AS MATERIALIZED (
+           |  SELECT sc.vec_id, sc.cq
+           |  FROM (SELECT DISTINCT nb0.b_id FROM nb0
+           |        JOIN $pf ON nb0.a_id = $pf.vec_id) c
+           |  JOIN sc ON sc.vec_id = c.b_id
+           |  WHERE c.b_id NOT IN (SELECT vec_id FROM $pv)
+           |  ORDER BY sc.cq DESC, sc.vec_id LIMIT 4),
+           |v$h AS MATERIALIZED (
+           |  SELECT * FROM $pv UNION ALL SELECT * FROM f$h)""".stripMargin
+      }
+      val cosAB0 = LlmOps.duckCos("a.embedding", "b.embedding")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id <> 0),
+         |q AS (SELECT embedding AS q_emb FROM embeddings
+         |  WHERE vec_id = 0),
+         |sc AS MATERIALIZED (
+         |  SELECT e.vec_id, ROUND($cosEQ, 6) AS cq
+         |  FROM e CROSS JOIN q),
+         |lv AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN b < 100 THEN 2 WHEN b < 1000 THEN 1 ELSE 0 END
+         |      AS lvl
+         |  FROM (SELECT vec_id, embedding,
+         |      CAST(CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+         |        1, 4) AS INT) % 10000 AS INT) AS b
+         |    FROM e) z),
+         |${layerCtes(2)},
+         |${layerCtes(1)},
+         |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e
+         |  WHERE vec_id BETWEEN 1 AND ${Cells.kSql("e")}),
+         |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid) AS rn
+         |  FROM (SELECT e.vec_id, c0.cid, e.embedding,
+         |      ROUND(${LlmOps.duckCos("e.embedding", "c0.c")}, 6) AS cos
+         |    FROM e CROSS JOIN c0)),
+         |asg AS MATERIALIZED (SELECT vec_id, cid, embedding FROM s1
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ROUND($cosAB0, 6) AS cos
+         |  FROM asg a JOIN asg b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |nb0 AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id) AS rnk
+         |    FROM pairs) t
+         |  WHERE rnk <= 8),
+         |ent AS (SELECT vec_id FROM lv
+         |  WHERE lvl = (SELECT MAX(lvl) FROM lv)
+         |  ORDER BY vec_id LIMIT 1),
+         |d0 AS (SELECT sc.vec_id, sc.cq FROM sc
+         |  JOIN ent ON sc.vec_id = ent.vec_id),
+         |${step(1, "nb2")},
+         |${step(2, "nb2")},
+         |${step(3, "nb1")},
+         |${step(4, "nb1")},
+         |f0 AS (SELECT vec_id, cq FROM d4),
+         |v0 AS (SELECT * FROM f0),
+         |${hop(1)},
+         |${hop(2)},
+         |${hop(3)},
+         |res AS (
+         |  SELECT vec_id, cq,
+         |    CAST(row_number() OVER (ORDER BY cq DESC, vec_id)
+         |      AS BIGINT) AS rnk
+         |  FROM (SELECT * FROM v3 ORDER BY cq DESC, vec_id LIMIT 5) t),
+         |ex AS (SELECT vec_id FROM sc ORDER BY cq DESC, vec_id LIMIT 5)
+         |SELECT rnk, res.vec_id, cq AS cos_q,
+         |  CAST(CASE WHEN res.vec_id IN (SELECT vec_id FROM ex)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS in_exact_top5
+         |FROM res ORDER BY rnk""".stripMargin
+    }
+  )
+}

@@ -55,3 +55,21 @@ class R12OpsSpec extends AnyFunSuite {
     assert(p === s"a.vec_id % 17 = 0 AND a.vec_id < 1088", p)
   }
 }
+
+/** q_ann_hnsw's reason to exist: the layer descent hands the layer-0
+  * beam a query-adapted entry, so its recall must not fall below the
+  * fixed-entry single-layer walk's on the same fixture (r11 VERDICT
+  * task 4's done-bar; measured 2 ≥ 2 at sf0.01 and 1 ≥ 0 at sf0.1).
+  */
+class R12AnnSpec extends org.scalatest.funsuite.AnyFunSuite
+    with SparkFixture {
+  test("q_ann_hnsw recall@5 >= q_ann_nsw on the same query") {
+    def hits(k: String): Long =
+      SparkEntry.queries(k)(spark, sf)
+        .agg(org.apache.spark.sql.functions.sum("in_exact_top5"))
+        .head.getLong(0)
+    val h = hits("q_ann_hnsw")
+    val n = hits("q_ann_nsw")
+    assert(h >= n, s"hnsw $h < nsw $n")
+  }
+}
