@@ -238,25 +238,11 @@ object StatsR11 {
       val gA = cellGraph(all, cellsK = k, m = 8)
       val gB = cellGraph(all, cellsK = k, m = 8, seedBase = k + 1)
       val g0 = gA.unionByName(gB).distinct().localCheckpoint(true)
-      val rev = g0.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
-      val nn2 = g0.join(g0.select(col("a_id").as("m"), col("b_id").as("b2")),
-          col("b_id") === col("m"))
-        .select(col("a_id"), col("b2").as("b_id"))
-      val cand = g0.unionByName(rev).unionByName(nn2)
-        .filter(col("a_id") =!= col("b_id"))
-        .distinct()
+      // the round is operators/NnDescent.round (r11 VERDICT task 5
+      // factored it out for the convergence loop + q_ann_nndescent2)
+      val g1 = graft.operators.NnDescent.round(all, g0)
       val ea = all.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
       val eb = all.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-      val wTop = Window.partitionBy("a_id")
-        .orderBy(col("cos").desc, col("b_id"))
-      val g1 = cand.join(ea, "a_id").join(eb, "b_id")
-        .select(col("a_id"), col("b_id"),
-          round(expr("cosine_sim(a_emb, b_emb)"), 6).as("cos"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 8)
-        .select(col("a_id"), col("b_id"),
-          expr("CAST(ROUND(cos * 1e6) AS BIGINT)").as("cu"))
-        .localCheckpoint(true) // stats + membership legs
       val s0 = gA.join(ea, "a_id").join(eb, "b_id")
         .select(col("a_id"), col("b_id"),
           expr("CAST(ROUND(ROUND(cosine_sim(a_emb, b_emb), 6) * 1e6) AS BIGINT)")
@@ -281,6 +267,64 @@ object StatsR11 {
         .orderBy("vec_id")
     })
   )
+
+  /** Shared CTE chain for the NN-descent oracles (q_ann_nndescent
+    * here; q_ann_nndescent2 in StatsR12): the two disagreeing
+    * cell-graph inits (seeds 1..k and k+1..2k, k data-derived), their
+    * union nb, and ONE refinement round's output g1 (candidate union
+    * → µ-snapped top-8). Ends at g1 so callers append their own
+    * stats or further rounds.
+    */
+  private[queries] val nndescentBaseCtes: String = {
+      val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
+      val cosXY = LlmOps.duckCos("x.embedding", "y.embedding")
+      def nbCte(tag: String, lo: String, hi: String): String =
+        s"""c$tag AS (SELECT vec_id AS cid, embedding AS c
+           |  FROM embeddings WHERE vec_id BETWEEN $lo AND $hi),
+           |s$tag AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY cos DESC, cid) AS rn
+           |  FROM (SELECT e.vec_id, c$tag.cid, e.embedding,
+           |      ROUND(${LlmOps.duckCos("e.embedding", s"c$tag.c")}, 6) AS cos
+           |    FROM embeddings e CROSS JOIN c$tag)),
+           |asg$tag AS MATERIALIZED (SELECT vec_id, cid, embedding
+           |  FROM s$tag WHERE rn = 1),
+           |prs$tag AS (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |    ROUND($cosAB, 6) AS cos
+           |  FROM asg$tag a JOIN asg$tag b
+           |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+           |nb$tag AS MATERIALIZED (
+           |  SELECT a_id, b_id FROM (
+           |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+           |      ORDER BY cos DESC, b_id) AS rnk
+           |    FROM prs$tag) t
+           |  WHERE rnk <= 8)""".stripMargin
+      s"""kk AS (SELECT ${graft.operators.Cells.kSql("embeddings")} AS k),
+         |${nbCte("a", "1", "(SELECT k FROM kk)")},
+         |${nbCte("b", "(SELECT k FROM kk) + 1", "2 * (SELECT k FROM kk)")},
+         |nb AS MATERIALIZED (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a_id, b_id FROM nba
+         |    UNION ALL SELECT a_id, b_id FROM nbb) u),
+         |cand AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a_id, b_id FROM nb
+         |    UNION ALL SELECT b_id, a_id FROM nb
+         |    UNION ALL SELECT x1.a_id, x2.b_id FROM nb x1
+         |      JOIN nb x2 ON x1.b_id = x2.a_id) u
+         |  WHERE a_id <> b_id),
+         |scored AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(ROUND(ROUND($cosXY, 6) * 1e6) AS BIGINT) AS cu
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.a_id
+         |  JOIN embeddings y ON y.vec_id = c.b_id),
+         |g1 AS MATERIALIZED (
+         |  SELECT a_id, b_id, cu FROM (
+         |    SELECT a_id, b_id, cu, row_number() OVER (
+         |      PARTITION BY a_id ORDER BY cu DESC, b_id) AS rnk
+         |    FROM scored) t
+         |  WHERE rnk <= 8)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // brute-force top-8 graph + the identical unrolled beam walk
@@ -425,54 +469,8 @@ object StatsR11 {
 
     // identical two-clustering init + one candidate-union re-rank
     "q_ann_nndescent" -> {
-      val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
       val cosXY = LlmOps.duckCos("x.embedding", "y.embedding")
-      def nbCte(tag: String, lo: String, hi: String): String =
-        s"""c$tag AS (SELECT vec_id AS cid, embedding AS c
-           |  FROM embeddings WHERE vec_id BETWEEN $lo AND $hi),
-           |s$tag AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-           |    ORDER BY cos DESC, cid) AS rn
-           |  FROM (SELECT e.vec_id, c$tag.cid, e.embedding,
-           |      ROUND(${LlmOps.duckCos("e.embedding", s"c$tag.c")}, 6) AS cos
-           |    FROM embeddings e CROSS JOIN c$tag)),
-           |asg$tag AS MATERIALIZED (SELECT vec_id, cid, embedding
-           |  FROM s$tag WHERE rn = 1),
-           |prs$tag AS (
-           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           |    ROUND($cosAB, 6) AS cos
-           |  FROM asg$tag a JOIN asg$tag b
-           |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-           |nb$tag AS MATERIALIZED (
-           |  SELECT a_id, b_id FROM (
-           |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
-           |      ORDER BY cos DESC, b_id) AS rnk
-           |    FROM prs$tag) t
-           |  WHERE rnk <= 8)""".stripMargin
-      s"""WITH kk AS (SELECT ${graft.operators.Cells.kSql("embeddings")} AS k),
-         |${nbCte("a", "1", "(SELECT k FROM kk)")},
-         |${nbCte("b", "(SELECT k FROM kk) + 1", "2 * (SELECT k FROM kk)")},
-         |nb AS MATERIALIZED (
-         |  SELECT DISTINCT a_id, b_id FROM (
-         |    SELECT a_id, b_id FROM nba
-         |    UNION ALL SELECT a_id, b_id FROM nbb) u),
-         |cand AS (
-         |  SELECT DISTINCT a_id, b_id FROM (
-         |    SELECT a_id, b_id FROM nb
-         |    UNION ALL SELECT b_id, a_id FROM nb
-         |    UNION ALL SELECT g1.a_id, g2.b_id FROM nb g1
-         |      JOIN nb g2 ON g1.b_id = g2.a_id) u
-         |  WHERE a_id <> b_id),
-         |scored AS (
-         |  SELECT c.a_id, c.b_id,
-         |    CAST(ROUND(ROUND($cosXY, 6) * 1e6) AS BIGINT) AS cu
-         |  FROM cand c JOIN embeddings x ON x.vec_id = c.a_id
-         |  JOIN embeddings y ON y.vec_id = c.b_id),
-         |g1 AS MATERIALIZED (
-         |  SELECT a_id, b_id, cu FROM (
-         |    SELECT a_id, b_id, cu, row_number() OVER (
-         |      PARTITION BY a_id ORDER BY cu DESC, b_id) AS rnk
-         |    FROM scored) t
-         |  WHERE rnk <= 8),
+      s"""WITH $nndescentBaseCtes,
          |s0 AS MATERIALIZED (
          |  SELECT nba.a_id, nba.b_id,
          |    CAST(ROUND(ROUND($cosXY, 6) * 1e6) AS BIGINT) AS cu
@@ -499,4 +497,5 @@ object StatsR11 {
          |ORDER BY vec_id""".stripMargin
     }
   )
+
 }

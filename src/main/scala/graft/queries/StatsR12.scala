@@ -129,6 +129,46 @@ object StatsR12 {
         .select(col("rnk"), col("vec_id"), col("cq").as("cos_q"),
           coalesce(col("hit"), lit(0L)).as("in_exact_top5"))
         .orderBy("rnk")
+    }),
+
+    // TWO unrolled NN-descent rounds (r11 VERDICT task 5): the
+    // convergence trajectory, hash-checked — round 2 re-ranks each
+    // node over {g1} ∪ {reverse g1} ∪ {g1∘g1} exactly like round 1
+    // did over the two-clustering union. Output per node: edge count,
+    // µ-grid half-up mean after round 1 and round 2, and how many
+    // round-2 edges are NEW vs g1 (the churn the convergence loop in
+    // operators/NnDescent watches — refineUntilConverged stops when
+    // this count falls under tol, and LOUD-FAILS at maxRounds rather
+    // than ship an unconverged graph; R12NnDescentSpec pins both the
+    // stopping rule and the monotone per-round quality sum).
+    "q_ann_nndescent2" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // data-derived k; disagreeing seeds 1..k and k+1..2k (one-row
+      // count, bounded by design)
+      val k = Cells.k(all.count())
+      val gA = StatsR11.cellGraph(all, cellsK = k, m = 8)
+      val gB = StatsR11.cellGraph(all, cellsK = k, m = 8, seedBase = k + 1)
+      val g0 = gA.unionByName(gB).distinct().localCheckpoint(true)
+      val g1 = graft.operators.NnDescent.round(all, g0)
+      val g2 = graft.operators.NnDescent.round(all, g1)
+      val r1 = g1.groupBy("a_id")
+        .agg(count(lit(1)).as("n1"), sum("cu").as("su1"))
+      val r2 = g2
+        .join(g1.select(col("a_id"), col("b_id"), lit(1L).as("old")),
+          Seq("a_id", "b_id"), "left")
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n2"), sum("cu").as("su2"),
+          sum(when(col("old").isNull, 1L).otherwise(0L)).as("n_new"))
+      r1.join(r2, "a_id")
+        // µ-grid half-up integer means — the q_ann_nndescent tie rule
+        .select(col("a_id").as("vec_id"), col("n2").as("n_nb"),
+          round(expr("(2 * su1 + n1) div (2 * n1)") / 1e6, 6)
+            .as("mean_cos_r1"),
+          round(expr("(2 * su2 + n2) div (2 * n2)") / 1e6, 6)
+            .as("mean_cos_r2"),
+          col("n_new").as("n_replaced_r2"))
+        .orderBy("vec_id")
     })
   )
 
@@ -251,6 +291,47 @@ object StatsR12 {
          |  CAST(CASE WHEN res.vec_id IN (SELECT vec_id FROM ex)
          |    THEN 1 ELSE 0 END AS BIGINT) AS in_exact_top5
          |FROM res ORDER BY rnk""".stripMargin
+    },
+
+    // round 2 appended to the shared round-1 CTE chain
+    "q_ann_nndescent2" -> {
+      val cosXY = LlmOps.duckCos("x.embedding", "y.embedding")
+      s"""WITH ${StatsR11.nndescentBaseCtes},
+         |cand2 AS (
+         |  SELECT DISTINCT a_id, b_id FROM (
+         |    SELECT a_id, b_id FROM g1
+         |    UNION ALL SELECT b_id, a_id FROM g1
+         |    UNION ALL SELECT x1.a_id, x2.b_id FROM g1 x1
+         |      JOIN g1 x2 ON x1.b_id = x2.a_id) u
+         |  WHERE a_id <> b_id),
+         |scored2 AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(ROUND(ROUND($cosXY, 6) * 1e6) AS BIGINT) AS cu
+         |  FROM cand2 c JOIN embeddings x ON x.vec_id = c.a_id
+         |  JOIN embeddings y ON y.vec_id = c.b_id),
+         |g2 AS MATERIALIZED (
+         |  SELECT a_id, b_id, cu FROM (
+         |    SELECT a_id, b_id, cu, row_number() OVER (
+         |      PARTITION BY a_id ORDER BY cu DESC, b_id) AS rnk
+         |    FROM scored2) t
+         |  WHERE rnk <= 8),
+         |r1 AS (SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n1,
+         |    SUM(cu) AS su1
+         |  FROM g1 GROUP BY 1),
+         |r2 AS (
+         |  SELECT g2.a_id, CAST(COUNT(*) AS BIGINT) AS n2,
+         |    SUM(g2.cu) AS su2,
+         |    CAST(SUM(CASE WHEN g1.b_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM g2 LEFT JOIN g1
+         |    ON g2.a_id = g1.a_id AND g2.b_id = g1.b_id
+         |  GROUP BY 1)
+         |SELECT r1.a_id AS vec_id, n2 AS n_nb,
+         |  ROUND(((2 * su1 + n1) // (2 * n1)) / 1e6, 6) AS mean_cos_r1,
+         |  ROUND(((2 * su2 + n2) // (2 * n2)) / 1e6, 6) AS mean_cos_r2,
+         |  n_new AS n_replaced_r2
+         |FROM r1 JOIN r2 ON r1.a_id = r2.a_id
+         |ORDER BY vec_id""".stripMargin
     }
   )
 }

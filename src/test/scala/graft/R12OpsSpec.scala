@@ -73,3 +73,66 @@ class R12AnnSpec extends org.scalatest.funsuite.AnyFunSuite
     assert(h >= n, s"hnsw $h < nsw $n")
   }
 }
+
+/** operators/NnDescent convergence contract (r11 VERDICT task 5):
+  * each round's candidate set CONTAINS the node's current edges, so
+  * the per-node top-8 sum of µ-cosines — hence the global sum — is
+  * provably non-decreasing round over round; and the loop must stop
+  * on low edge churn within its round budget, loud-failing otherwise
+  * rather than shipping an unconverged graph.
+  */
+class R12NnDescentSpec extends org.scalatest.funsuite.AnyFunSuite
+    with SparkFixture {
+  import org.apache.spark.sql.functions._
+
+  private def fixture() = {
+    graft.expr.Registry.ensure(spark)
+    val all = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val n = all.count()
+    // crude ring init (a → a±1, a → a±2 mod n): far from the true
+    // kNN graph, so the refinement has real work to do
+    val g0 = all.select(col("vec_id").as("a_id"))
+      .withColumn("d", explode(array(lit(1L), lit(2L), lit(n - 1), lit(n - 2))))
+      .select(col("a_id"), pmod(col("a_id") + col("d"), lit(n)).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    (all, g0)
+  }
+
+  test("round-over-round top-8 quality sum is monotone non-decreasing") {
+    val (all, g0) = fixture()
+    val g1 = graft.operators.NnDescent.round(all, g0)
+    val g2 = graft.operators.NnDescent.round(all, g1)
+    val g3 = graft.operators.NnDescent.round(all, g2)
+    def qual(g: org.apache.spark.sql.DataFrame): Long =
+      g.agg(sum("cu")).head.getLong(0)
+    val (q1, q2, q3) = (qual(g1), qual(g2), qual(g3))
+    assert(q2 >= q1, s"round 2 regressed: $q2 < $q1")
+    assert(q3 >= q2, s"round 3 regressed: $q3 < $q2")
+  }
+
+  test("refineUntilConverged stops on low churn within the budget") {
+    val (all, g0) = fixture()
+    // the ring init is deliberately adversarial — embedding-space
+    // structure has to propagate around the whole ring, so churn
+    // decays slowly (measured: 0.50 at round 1 → 0.031 at round 16 on
+    // the fixture). tol=0.05 with a 20-round budget converges at ~16;
+    // a production caller starting from the cell-graph union (the
+    // q_ann_nndescent init) converges in 1-2 rounds at tol=0.01.
+    val (g, rounds) = graft.operators.NnDescent
+      .refineUntilConverged(all, g0, maxRounds = 20, tol = 0.05)
+    assert(rounds >= 2 && rounds <= 20, s"rounds = $rounds")
+    assert(g.count() > 0)
+  }
+
+  test("refineUntilConverged loud-fails when the budget is exhausted") {
+    val (all, g0) = fixture()
+    // a zero-round budget can never observe convergence → must throw,
+    // never return an unconverged graph
+    val ex = intercept[IllegalStateException] {
+      graft.operators.NnDescent
+        .refineUntilConverged(all, g0, maxRounds = 0, tol = 0.0)
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
+}
