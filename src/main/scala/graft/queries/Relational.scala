@@ -302,6 +302,36 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // TIME TRAVEL through the sink's multi-generation commit log
+    // (r11 VERDICT task 6): two committed writes land two retained
+    // generations (retain=3), and the query reads generation N−1
+    // (the l_linenumber=1 subset) WHILE generation N (the full
+    // table) is live — equality with the oracle's subset aggregate
+    // proves the retained snapshot is byte-intact and the travel
+    // index points at the right commit. Retention/GC/horizon
+    // semantics are pinned in DSv2SinkSpec. Idempotent across
+    // re-runs: readAt(1) is always THIS run's first write because
+    // the log is commit-ordered.
+    "q_dsv2_time_travel" -> ((s, d) => {
+      val path = graft.util.Scratch.dirFor("staged_tt", d)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+      li.filter(col("l_linenumber") === 1)
+        .write.format("graft.sinks.StagedCommitSink")
+        .option("path", path).option("retain", "3")
+        .mode("overwrite").save()
+      li.write.format("graft.sinks.StagedCommitSink")
+        .option("path", path).option("retain", "3")
+        .mode("overwrite").save()
+      graft.sinks.StagedCommitSink.readAt(s, path, li.schema, stepsBack = 1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Bucketed co-located join: both fact tables land as 8-bucket
     // tables hashed AND sorted on the join key, so the per-order
     // aggregate and the orders⋈lineitem join both run WITHOUT a
@@ -719,6 +749,15 @@ object Relational {
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,
         |  ROUND(SUM(l_extendedprice), 2) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the oracle aggregates the FIRST write's subset: equality proves
+    // readAt(1) returned generation N-1 intact while N is live
+    "q_dsv2_time_travel" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_linenumber = 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the oracle aggregates the ORIGINAL table: equality proves the
     // csv+json round-trips were lossless

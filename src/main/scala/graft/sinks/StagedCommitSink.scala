@@ -33,8 +33,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  4. `BatchWrite.abort` removes the staging dir; the pointer never
   *     moved, so the previous generation stays live.
   *
-  * This is the one-generation-deep core of a table-format commit log
-  * (Delta/Iceberg keep N generations + a metadata log; same shape).
+  * MULTI-GENERATION (r11 VERDICT task 6): commits also append to a
+  * `_log` commit log (oldest → newest, temp + atomic rename) and the
+  * table retains the last `retain` generations (write option,
+  * default 1) — the Delta/Iceberg snapshot-retention shape.
+  * [[StagedCommitSink.readAt]] time-travels to any retained
+  * generation (stepsBack commits before the live one) and fails
+  * loudly past the horizon; GC deletes exactly the generations that
+  * fell off the log, so an in-flight reader of a retained prior
+  * snapshot finishes safely.
   * Files are CSV with Spark-reader-compatible quoting so the read
   * back is `spark.read.schema(...).csv(currentDir(path))` — the
   * format is deliberately boring; the SINK SEMANTICS (staging, task
@@ -42,9 +49,6 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Supported column types: long/int/double/string (text timestamp
   * formats are a config surface, excluded as in q_io_roundtrip).
   *
-  * Production note: generation GC here deletes the superseded dir
-  * right after the pointer swap; a deployment keeps N generations so
-  * in-flight readers of the old pointer finish safely.
   */
 class StagedCommitSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -52,8 +56,11 @@ class StagedCommitSink extends TableProvider {
     throw new IllegalArgumentException(
       "StagedCommitSink is write-only from SQL; read back via StagedCommitSink.read")
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new StagedTable(schema, properties.get("path"))
+                        properties: JMap[String, String]): Table = {
+    val retain = Option(properties.get("retain")).map(_.toInt).getOrElse(1)
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    new StagedTable(schema, properties.get("path"), retain)
+  }
 }
 
 object StagedCommitSink {
@@ -71,6 +78,44 @@ object StagedCommitSink {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).csv(currentDir(spark, path))
 
+  /** The `_log` commit log: retained generation names, oldest →
+    * newest; empty if the table predates the log (old layout). */
+  private[sinks] def readLog(fs: org.apache.hadoop.fs.FileSystem,
+                             root: Path): List[String] = {
+    val log = new Path(root, "_log")
+    if (!fs.exists(log)) Nil
+    else {
+      val in = fs.open(log)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Retained generations, oldest → newest (commit order). */
+  def generations(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readLog(fs, root)
+  }
+
+  /** TIME TRAVEL (r11 VERDICT task 6): read the generation
+    * `stepsBack` commits before the live one — stepsBack = 0 is the
+    * current generation, 1 is the previous. Requires the table to
+    * have been written with option("retain", n > stepsBack); a
+    * travel past the retention horizon fails loudly with what IS
+    * retained rather than silently reading the wrong snapshot.
+    */
+  def readAt(spark: SparkSession, path: String, schema: StructType,
+             stepsBack: Int): DataFrame = {
+    val gens = generations(spark, path)
+    require(stepsBack >= 0 && stepsBack < gens.size,
+      s"time travel $stepsBack steps back, but only ${gens.size} " +
+        s"generations are retained under $path: ${gens.mkString(", ")}")
+    val gen = gens(gens.size - 1 - stepsBack)
+    spark.read.schema(schema).csv(new Path(path, gen).toString)
+  }
+
   /** Read the union of all committed STREAMING epochs (the `_epochs`
     * manifest — see [[StagedStreamingWrite]]). */
   def readEpochs(spark: SparkSession, path: String, schema: StructType): DataFrame = {
@@ -85,7 +130,7 @@ object StagedCommitSink {
   }
 }
 
-private class StagedTable(schema: StructType, path: String)
+private class StagedTable(schema: StructType, path: String, retain: Int)
     extends Table with SupportsWrite {
   require(path != null, "StagedCommitSink requires option(\"path\", ...)")
   override def name(): String = s"staged_commit($path)"
@@ -97,7 +142,8 @@ private class StagedTable(schema: StructType, path: String)
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new StagedBatchWrite(path, info.schema())
+        override def toBatch: BatchWrite =
+          new StagedBatchWrite(path, info.schema(), retain)
         override def toStreaming: StreamingWrite =
           new StagedStreamingWrite(path, info.schema())
       }
@@ -106,7 +152,8 @@ private class StagedTable(schema: StructType, path: String)
 
 private case class StagedFileMessage(file: String) extends WriterCommitMessage
 
-private class StagedBatchWrite(path: String, schema: StructType) extends BatchWrite {
+private class StagedBatchWrite(path: String, schema: StructType,
+                               retain: Int) extends BatchWrite {
   // sanity-check the schema ONCE at planning, not per row
   schema.fields.foreach { f =>
     f.dataType match {
@@ -147,16 +194,30 @@ private class StagedBatchWrite(path: String, schema: StructType) extends BatchWr
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
     val ptr = new Path(root, "_current")
-    val prev: Option[String] =
-      if (fs.exists(ptr)) {
-        val in = fs.open(ptr)
-        try Some(scala.io.Source.fromInputStream(in).mkString.trim) finally in.close()
-      } else None
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.makeQualified(root).toUri, conf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(ptr),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // GC the superseded generation (production keeps N; see Scaladoc)
-    prev.filter(_ != gen).foreach(p => fs.delete(new Path(root, p), true))
+    // COMMIT LOG + retention (r11 VERDICT task 6): `_log` lists the
+    // retained generations in commit order, oldest first — the
+    // time-travel index. Append this commit, trim to the last
+    // `retain`, GC every gen-* dir that fell off the log (with
+    // retain=1 this is exactly the old swap-and-GC behavior; an
+    // in-flight reader of a retained prior generation finishes
+    // safely). The log write is temp + atomic rename like the
+    // pointer, so readers never see a torn log.
+    val priorLog = StagedCommitSink.readLog(fs, root)
+    val newLog = (priorLog.filterNot(_ == gen) :+ gen).takeRight(retain)
+    val logTmp = new Path(root, "_log.tmp")
+    val lo = fs.create(logTmp, true)
+    try lo.write(newLog.mkString("\n").getBytes("UTF-8")) finally lo.close()
+    fc.rename(fs.makeQualified(logTmp), fs.makeQualified(new Path(root, "_log")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // GC covers BOTH log-trimmed generations and any dir predating
+    // the log (old single-generation layout)
+    val keep = newLog.toSet
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("gen-") && !keep.contains(n))
+      .foreach(stale => fs.delete(new Path(root, stale), true))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -146,4 +146,57 @@ class DSv2SinkSpec extends AnyFunSuite with SparkFixture {
       .toDF("id", "ts")
     intercept[Exception] { writeDf(withTs, path) }
   }
+
+  // ---- multi-generation retention + time travel (r11 task 6) ----
+
+  private def writeRetained(df: org.apache.spark.sql.DataFrame,
+                            path: String, retain: Int): Unit =
+    df.write.format("graft.sinks.StagedCommitSink")
+      .option("path", path).option("retain", retain.toString)
+      .mode("overwrite").save()
+
+  test("retain=3 keeps three generations; the 4th commit GCs the oldest") {
+    import spark.implicits._
+    val path = freshPath("retain")
+    for (i <- 1 to 4)
+      writeRetained(Seq((i.toLong, i * 1.0, s"v$i")).toDF("id", "v", "s"),
+        path, retain = 3)
+    val gens = StagedCommitSink.generations(spark, path)
+    assert(gens.size === 3, gens.toString)
+    // on-disk dirs match the log exactly (GC removed commit 1's dir)
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("gen-")).toSet
+    assert(dirs === gens.toSet, s"dirs $dirs vs log $gens")
+    // generations are commit-ordered: steps back read v4, v3, v2
+    for ((expect, back) <- Seq("v4" -> 0, "v3" -> 1, "v2" -> 2)) {
+      val rows = StagedCommitSink.readAt(spark, path, schema, back).collect()
+      assert(rows.length === 1 && rows.head.getString(2) === expect,
+        s"stepsBack=$back")
+    }
+    // _current still points at the newest generation
+    assert(StagedCommitSink.read(spark, path, schema)
+      .collect().head.getString(2) === "v4")
+  }
+
+  test("time travel past the retention horizon fails loudly") {
+    import spark.implicits._
+    val path = freshPath("horizon")
+    writeRetained(Seq((1L, 1.0, "a")).toDF("id", "v", "s"), path, retain = 2)
+    writeRetained(Seq((2L, 2.0, "b")).toDF("id", "v", "s"), path, retain = 2)
+    val ex = intercept[IllegalArgumentException] {
+      StagedCommitSink.readAt(spark, path, schema, stepsBack = 2)
+    }
+    assert(ex.getMessage.contains("retained"), ex.getMessage)
+  }
+
+  test("default retain=1 preserves the original swap-and-GC behavior") {
+    import spark.implicits._
+    val path = freshPath("retain1")
+    writeDf(Seq((1L, 1.0, "a")).toDF("id", "v", "s"), path)
+    writeDf(Seq((2L, 2.0, "b")).toDF("id", "v", "s"), path)
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("gen-"))
+    assert(dirs.length === 1, dirs.mkString(","))
+    assert(StagedCommitSink.generations(spark, path).size === 1)
+  }
 }
