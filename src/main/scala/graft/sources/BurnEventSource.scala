@@ -290,8 +290,15 @@ private class BurnReaderFactory(addrEq: List[(String, String)],
                                 rpcMaxAttempts: Int = 3)
     extends PartitionReaderFactory {
   private def newRpc(): BlockRangeRpc = rpcClass match {
-    case Some(c) => Class.forName(c).getDeclaredConstructor()
-      .newInstance().asInstanceOf[BlockRangeRpc]
+    case Some(c) =>
+      // resolve via the task's context classloader (r11 ADVICE): on a
+      // real cluster an implementation shipped with --jars is visible
+      // to the executor's context loader, not necessarily this class's
+      // defining loader; fall back for bare local mode
+      val cl = Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(getClass.getClassLoader)
+      cl.loadClass(c).getDeclaredConstructor()
+        .newInstance().asInstanceOf[BlockRangeRpc]
     case None => new BlockRangeRpc {
       override def getLogs(lo: Long, hi: Long): Iterator[InternalRow] =
         (lo to hi).iterator.flatMap(fork.eventsIn)

@@ -102,4 +102,66 @@ class R11RpcSeamSpec extends AnyFunSuite with SparkFixture {
     assert(resumed.nonEmpty && resumed.forall(_._1 >= 20L),
       s"resume re-fetched committed blocks: $resumed")
   }
+
+  test("reorg within the confirmation depth: sink equals the straight-chain run") {
+    // r11 VERDICT task 7 — A11 parity at the CONNECTOR level: the
+    // injected node reorgs every block above height 14 between the
+    // two runs (salt 7 → salt 11 content). With confirmations=5 the
+    // first run (head 19) commits only blocks 0..14 — at or below the
+    // reorg point — so the rewrite never touches committed data; the
+    // resumed run (head 29) ingests 15..24 from the REORGED chain and
+    // the final sink must equal one straight run over the final chain.
+    val out = tmp("reorg_out")
+    val ckpt = tmp("reorg_ckpt")
+    def run(end: Long): Unit =
+      spark.readStream.format("graft.sources.BurnEventSource")
+        .option("startBlock", "0").option("endBlock", end.toString)
+        .option("blocksPerTrigger", "10")
+        .option("confirmations", "5")
+        .option("rpcClass", "graft.ReorgRpc")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    ReorgRpc.phase.set(1)
+    run(end = 19) // commits 0..14 (head 19 − confirmations 5)
+    val afterFirst = spark.read.parquet(out)
+    assert(afterFirst.agg(max("blockNumber")).head.getLong(0) === 14L,
+      "confirmation depth leaked unconfirmed blocks into the sink")
+    ReorgRpc.phase.set(2) // the node reorgs blocks > 14 and grows to 29
+    run(end = 29) // resumes at 15, commits 15..24 from the new chain
+    val df = spark.read.parquet(out)
+    val got = df.select("transactionHash", "logIndex")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // straight-chain reference: one batch read of the FINAL chain
+    // through the same rpc, blocks 0..24
+    val straight = spark.read.format("graft.sources.BurnEventSource")
+      .option("startBlock", "0").option("endBlock", "24")
+      .option("rpcClass", "graft.ReorgRpc")
+      .load()
+      .select("transactionHash", "logIndex")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got === straight,
+      s"sink diverged from the straight-chain run: " +
+        s"extra=${(got -- straight).take(3)} missing=${(straight -- got).take(3)}")
+    assert(df.count().toLong === got.size.toLong, "duplicates in the sink")
+  }
+}
+
+/** Injected node that REORGS between phases: phase 1 serves the
+  * salt-7 chain everywhere; phase 2 re-serves every block above
+  * [[ReorgRpc.reorgAbove]] with salt-11 content (same heights, new
+  * hashes) — a confirmation-depth rewind at the connector seam. */
+class ReorgRpc extends BlockRangeRpc {
+  override def getLogs(lo: Long, hi: Long): Iterator[InternalRow] =
+    (lo to hi).iterator.flatMap { b =>
+      val salt =
+        if (ReorgRpc.phase.get() == 2 && b > ReorgRpc.reorgAbove) 11L else 7L
+      BurnEvents.eventsInBlock(b, salt)
+    }
+}
+
+object ReorgRpc {
+  val reorgAbove = 14L
+  val phase = new AtomicInteger(1)
 }
