@@ -47,8 +47,8 @@ object StatsR11 {
     * in the corpus, and the searchers' recall columns are the honest
     * quality meter for what cell-locality costs.
     */
-  private[queries] def cellGraph(e: DataFrame, cellsK: Int, m: Int,
-                                 seedBase: Int = 1): DataFrame = {
+  private[graft] def cellGraph(e: DataFrame, cellsK: Int, m: Int,
+                               seedBase: Int = 1): DataFrame = {
     val packed = e.filter(col("vec_id").between(seedBase, seedBase + cellsK - 1))
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").as("c_emb"))

@@ -162,10 +162,72 @@ object StreamOpsR11 {
           round(expr("(2 * su + n_arrived) div (2 * n_arrived)") / 1e6, 6)
             .as("mean_max_cos"))
         .orderBy("cell")
+    }),
+
+    // Streaming index maintenance (r11 VERDICT task 8): an arriving
+    // vector acquires its top-8 NSW edges by a stateless stream-static
+    // equi-join against the MATERIALIZED cell graph (the write-once
+    // artifact q_ann_nsw builds) — the shard-freshness path a vector
+    // pipeline runs so new arrivals are searchable without rebuilding
+    // the index. Stateless APPEND, no watermark/state store,
+    // offset-replayable; the static side is the checkpointed graph, so
+    // each micro-batch pays one hash join probe per arrival. Read-back
+    // = per-vector edge envelope (count + id span + exact id sum),
+    // DuckDB-oracled against the batch-twin graph.
+    "s_stream_graph_insert" -> ((s, d) => {
+      graft.expr.Registry.ensure(s)
+      val out = tmp("sgi_out")
+      val dir = stageTable(d, "embeddings", "sgi_in")
+      val stat = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // data-derived cell count (one-row count, bounded by design)
+      val k = graft.operators.Cells.k(stat.count())
+      val graph = graft.queries.StatsR11.cellGraph(stat, cellsK = k, m = 8)
+      val arriving = s.readStream.schema(embSchema).parquet(dir)
+        .select(col("vec_id").as("a_id"))
+      val edges = arriving.join(graph, Seq("a_id")) // stream-static probe
+      runToParquet(edges, out, tmp("sgi_ckpt"))
+      s.read.parquet(out)
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_nb"), min("b_id").as("min_nb"),
+          max("b_id").as("max_nb"), sum("b_id").as("sum_nb"))
+        .select(col("a_id").as("vec_id"), col("n_nb"), col("min_nb"),
+          col("max_nb"), col("sum_nb"))
+        .orderBy("vec_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // batch-twin cell graph (the q_ann_nsw_multi graph CTEs over the
+    // full corpus, k data-derived), rolled up per vector
+    "s_stream_graph_insert" -> {
+      val cosAB = graft.queries.LlmOps.duckCos("a.embedding", "b.embedding")
+      val cosEC = graft.queries.LlmOps.duckCos("e.embedding", "c0.c")
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND ${graft.operators.Cells.kSql("embeddings")}),
+         |s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid) AS rn
+         |  FROM (SELECT e.vec_id, c0.cid, e.embedding,
+         |      ROUND($cosEC, 6) AS cos
+         |    FROM embeddings e CROSS JOIN c0)),
+         |asg AS MATERIALIZED (SELECT vec_id, cid, embedding FROM s1
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ROUND($cosAB, 6) AS cos
+         |  FROM asg a JOIN asg b
+         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |nb AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY cos DESC, b_id) AS rnk
+         |    FROM pairs) t
+         |  WHERE rnk <= 8)
+         |SELECT a_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_nb,
+         |  MIN(b_id) AS min_nb, MAX(b_id) AS max_nb,
+         |  CAST(SUM(b_id) AS BIGINT) AS sum_nb
+         |FROM nb GROUP BY 1 ORDER BY vec_id""".stripMargin
+    },
+
     // identical assignment + within-cell max-cos gate, batch-side
     "s_stream_neardup_gate" ->
       s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c
