@@ -357,6 +357,28 @@ object Relational {
       val pid = ProcessHandle.current().pid()
       val ordersT = s"graft_bkt_orders_p$pid"
       val lineitemT = s"graft_bkt_lineitem_p$pid"
+      // sweep STALE pid-suffixed tables/dirs from dead JVMs first
+      // (r11 ADVICE): each run only ever dropped its own pid's names,
+      // so repeated runs accumulated orphans in the shared warehouse.
+      // A pid is swept only when no live process owns it — a
+      // concurrent run's tables survive (the r10 race fix stands).
+      val whRoot = new org.apache.hadoop.fs.Path(
+        java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")))
+      val whFs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stale = "graft_bkt_[a-z]+_p(\\d+)".r
+      if (whFs.exists(whRoot)) whFs.listStatus(whRoot).foreach { st =>
+        st.getPath.getName match {
+          case stale(p) if p.toLong != pid &&
+              !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            s.sql(s"DROP TABLE IF EXISTS ${st.getPath.getName}")
+            whFs.delete(st.getPath, true)
+          // pre-r10 layout had no pid suffix — always an orphan now
+          case n @ ("graft_bkt_orders" | "graft_bkt_lineitem") =>
+            s.sql(s"DROP TABLE IF EXISTS $n")
+            whFs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
       Seq(ordersT, lineitemT).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new org.apache.hadoop.fs.Path(
