@@ -93,6 +93,34 @@ object StatsR11 {
       .localCheckpoint(true) // scanned once per hop
   }
 
+  /** Session-memoized corpus cell graphs (the rankedTop10/EdgeGraph
+    * posture): the cell graph is the WRITE-ONCE index artifact every
+    * graph-ANN key searches, so one (session, sfDir, variant) build
+    * is shared by q_ann_nsw / q_ann_nsw_multi / q_ann_hnsw /
+    * q_ann_nndescent(2) / s_stream_graph_insert instead of each key
+    * paying the n²/k build again. Variants: `heldOut` drops the
+    * query vector 0 (q_ann_nsw's contract); `altSeeds` uses seed set
+    * k+1..2k (NN-descent's disagreeing init). k is data-derived
+    * (operators/Cells) inside the memo, m = 8 everywhere.
+    */
+  private val graphMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String, Boolean, Boolean), DataFrame]()
+
+  private[graft] def corpusCellGraph(s: SparkSession, d: String,
+                                     heldOut: Boolean = false,
+                                     altSeeds: Boolean = false): DataFrame = {
+    val it = graphMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    graphMemo.computeIfAbsent((s.sparkContext, d, heldOut, altSeeds), _ => {
+      graft.expr.Registry.ensure(s)
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = if (heldOut) e0.filter(col("vec_id") =!= 0) else e0
+      // k = max(4, ⌈n/budget⌉) from a one-row count (bounded by design)
+      val k = graft.operators.Cells.k(e.count())
+      cellGraph(e, cellsK = k, m = 8, seedBase = if (altSeeds) k + 1 else 1)
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
 
@@ -103,9 +131,8 @@ object StatsR11 {
       val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
       // ---- stage 1: cell-local top-8 graph over the held-out corpus
-      // k = max(4, ⌈n/budget⌉) from a one-row count (bounded by
-      // design) — per-cell size stays ≈ budget at any corpus scale
-      val graph = cellGraph(e, cellsK = graft.operators.Cells.k(e.count()), m = 8)
+      // (session-memoized — shared with q_ann_hnsw's layer 0)
+      val graph = corpusCellGraph(s, d, heldOut = true)
       // ---- stage 2: beam search, unrolled bounded broadcasts ----
       val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
@@ -158,8 +185,7 @@ object StatsR11 {
       val B = 4
       val hops = 3
       val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // data-derived k (one-row count, bounded by design)
-      val graph = cellGraph(all, cellsK = graft.operators.Cells.k(all.count()), m = 8)
+      val graph = corpusCellGraph(s, d) // session-memoized
       val qs = all.filter(
           col("vec_id") % graft.operators.EvalSample.every === 0
           && col("vec_id") < graft.operators.EvalSample.bound)
@@ -232,11 +258,10 @@ object StatsR11 {
     "q_ann_nndescent" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // data-derived k; the disagreeing init uses seeds 1..k and
-      // k+1..2k (one-row count, bounded by design)
-      val k = graft.operators.Cells.k(all.count())
-      val gA = cellGraph(all, cellsK = k, m = 8)
-      val gB = cellGraph(all, cellsK = k, m = 8, seedBase = k + 1)
+      // session-memoized; the disagreeing init uses seeds 1..k and
+      // k+1..2k (k data-derived inside the memo)
+      val gA = corpusCellGraph(s, d)
+      val gB = corpusCellGraph(s, d, altSeeds = true)
       val g0 = gA.unionByName(gB).distinct().localCheckpoint(true)
       // the round is operators/NnDescent.round (r11 VERDICT task 5
       // factored it out for the convergence loop + q_ann_nndescent2)

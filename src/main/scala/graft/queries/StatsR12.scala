@@ -79,7 +79,8 @@ object StatsR12 {
       }
       val g2 = layerGraph(2)
       val g1 = layerGraph(1)
-      val g0 = StatsR11.cellGraph(e, cellsK = Cells.k(e.count()), m = 8)
+      // layer 0 = the session-memoized corpus graph q_ann_nsw shares
+      val g0 = StatsR11.corpusCellGraph(s, d, heldOut = true)
       val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"))
       val scores = e.crossJoin(broadcast(q))
@@ -144,11 +145,9 @@ object StatsR12 {
     "q_ann_nndescent2" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
       val all = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // data-derived k; disagreeing seeds 1..k and k+1..2k (one-row
-      // count, bounded by design)
-      val k = Cells.k(all.count())
-      val gA = StatsR11.cellGraph(all, cellsK = k, m = 8)
-      val gB = StatsR11.cellGraph(all, cellsK = k, m = 8, seedBase = k + 1)
+      // session-memoized graphs, shared with q_ann_nndescent
+      val gA = StatsR11.corpusCellGraph(s, d)
+      val gB = StatsR11.corpusCellGraph(s, d, altSeeds = true)
       val g0 = gA.unionByName(gB).distinct().localCheckpoint(true)
       val g1 = graft.operators.NnDescent.round(all, g0)
       val g2 = graft.operators.NnDescent.round(all, g1)

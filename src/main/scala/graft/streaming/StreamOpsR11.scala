@@ -178,10 +178,8 @@ object StreamOpsR11 {
       graft.expr.Registry.ensure(s)
       val out = tmp("sgi_out")
       val dir = stageTable(d, "embeddings", "sgi_in")
-      val stat = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // data-derived cell count (one-row count, bounded by design)
-      val k = graft.operators.Cells.k(stat.count())
-      val graph = graft.queries.StatsR11.cellGraph(stat, cellsK = k, m = 8)
+      // the session-memoized corpus graph (k data-derived inside)
+      val graph = graft.queries.StatsR11.corpusCellGraph(s, d)
       val arriving = s.readStream.schema(embSchema).parquet(dir)
         .select(col("vec_id").as("a_id"))
       val edges = arriving.join(graph, Seq("a_id")) // stream-static probe
