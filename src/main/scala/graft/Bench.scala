@@ -27,6 +27,29 @@ object Bench {
       try new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
         .split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    // Load-settle wait (r11 VERDICT task 9): the r10 AND r11 driver
+    // captures were both load-skewed (loadavg 3.32 / 4.23) because the
+    // bench ran right after the sweep + full suite. Rather than depend
+    // on driver sequencing, wait — bounded — for the 1-min loadavg to
+    // fall under 2.0 before timing anything; the capture then records
+    // the POST-settle load. Skipped for targeted SPARK_GRAFT_ONLY
+    // iteration runs; cap via SPARK_GRAFT_SETTLE_MAX (seconds, default
+    // 600, 0 disables). A capture that still starts loaded after the
+    // budget is stamped skewed as before — the wait is best-effort,
+    // the stamp is the guarantee.
+    def load1(): Double = loadavg().split(",").headOption
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(0.0)
+    val settleMax = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MAX", "600").toInt
+    if (only.isEmpty && settleMax > 0) {
+      val deadline = System.nanoTime() + settleMax * 1000000000L
+      var l = load1()
+      while (l > 2.0 && System.nanoTime() < deadline) {
+        System.err.println(
+          f"[bench] settling: loadavg $l%.2f > 2.0, waiting 15 s")
+        Thread.sleep(15000)
+        l = load1()
+      }
+    }
     val loadStart = loadavg()
     val startedAt = java.time.Instant.now().toString
     val spark = SparkSession.builder()
