@@ -88,12 +88,36 @@ object Bench {
     // absorbs the whole ~8 s derivation and reads as a per-key
     // regression. The derivation cost still lands inside this process'
     // wall-clock — it is amortization made visible, not hidden work.
+    // r12 VERDICT task 2: warm ALL of them, not just bigram-τ0.3 —
+    // otherwise whichever key is alphabetically first in each family
+    // absorbs a shared build (q_assortativity carried the token-τ0.8
+    // pair table, q_ann_hnsw the L0 cell graph) and per-key timings
+    // stop diffing across rounds. Each warm is the same derivation the
+    // first consumer would have paid; the wall-clock lands in this
+    // process but OUTSIDE every per-key timer.
     if (only.isEmpty) { // targeted SPARK_GRAFT_ONLY runs skip the warm
-      try {
-        graft.operators.EdgeGraph.pairs(spark, sfDir, "bigram", 0.3).count()
+      def warm(tag: String)(body: => Unit): Unit =
+        try body catch { case e: Throwable =>
+          System.err.println(s"[bench] memo pre-warm $tag failed: ${e.getMessage}")
+        }
+      warm("edge-pairs") {
+        for ((kind, tau) <- Seq(("bigram", 0.3), ("token", 0.7),
+            ("token", 0.8), ("token", 0.95)))
+          graft.operators.EdgeGraph.pairs(spark, sfDir, kind, tau).count()
+      }
+      warm("edge-labels") {
         graft.operators.EdgeGraph.components(spark, sfDir, "bigram", 0.3).count()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] memo pre-warm failed: ${e.getMessage}")
+        graft.operators.EdgeGraph.labelProp(spark, sfDir, "token", 0.8).count()
+      }
+      warm("cell-graphs") {
+        graft.queries.StatsR11.corpusCellGraph(spark, sfDir).count()
+        graft.queries.StatsR11.corpusCellGraph(spark, sfDir, heldOut = true).count()
+        graft.queries.StatsR11.corpusCellGraph(spark, sfDir, altSeeds = true).count()
+      }
+      warm("hnsw-layers") {
+        graft.queries.StatsR12.layeredCorpus(spark, sfDir).count()
+        graft.queries.StatsR12.layerGraph(spark, sfDir, 1).count()
+        graft.queries.StatsR12.layerGraph(spark, sfDir, 2).count()
       }
     }
     // Sorted, not Map (hash) order: hash order reshuffles every time a

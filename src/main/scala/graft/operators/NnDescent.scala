@@ -66,6 +66,13 @@ object NnDescent {
                            maxRounds: Int = 8,
                            tol: Double = 0.01): (DataFrame, Int) = {
     var g = g0.select("a_id", "b_id").localCheckpoint(true)
+    // superseded checkpoints are unpersisted as soon as the round's
+    // churn counts are done (r12 ADVICE: up to maxRounds full edge
+    // graphs otherwise stay pinned in executor storage until context-
+    // cleaner GC). `owned` = the checkpoint THIS loop created and no
+    // longer needs; g0 itself belongs to the caller and the returned
+    // graph stays live.
+    var owned = g
     var rounds = 0
     while (rounds < maxRounds) {
       val next = round(all, g, m)
@@ -75,6 +82,8 @@ object NnDescent {
         .join(g.withColumn("old", lit(1)), Seq("a_id", "b_id"), "left")
         .filter(col("old").isNull).count()
       val total = math.max(1L, next.count())
+      freeCheckpoint(owned)
+      owned = next
       g = next.select("a_id", "b_id")
       if (replaced.toDouble / total <= tol) return (next, rounds)
     }
@@ -83,4 +92,13 @@ object NnDescent {
         s"(edge churn still above $tol) — raise maxRounds or loosen " +
         "tol explicitly; refusing to ship an unconverged graph")
   }
+
+  /** Release a localCheckpoint's pinned storage: the checkpointed
+    * Dataset's plan IS a LogicalRDD over the persisted RDD, so
+    * unpersisting that RDD frees the blocks without waiting for the
+    * driver-side ContextCleaner to notice the reference lapse. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -289,7 +289,11 @@ object Relational {
     // proves the sink's write+commit+read path lossless. Abort/
     // overwrite/quoting semantics are pinned in DSv2SinkSpec.
     "q_dsv2_sink_roundtrip" -> ((s, d) => {
-      val path = graft.util.Scratch.dirFor("staged_sink", d)
+      // pid-keyed (r12 ADVICE): the sink's optimistic commit makes a
+      // concurrent harness JVM on the SAME table abort loudly by
+      // design, so each process writes its own table; dead-pid
+      // siblings are swept inside pidDirFor
+      val path = graft.util.Scratch.pidDirFor("staged_sink", d)
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
       li.write.format("graft.sinks.StagedCommitSink")
@@ -313,7 +317,9 @@ object Relational {
     // re-runs: readAt(1) is always THIS run's first write because
     // the log is commit-ordered.
     "q_dsv2_time_travel" -> ((s, d) => {
-      val path = graft.util.Scratch.dirFor("staged_tt", d)
+      // pid-keyed for the same reason as q_dsv2_sink_roundtrip, plus
+      // readAt(1) must be THIS process' first write, not a racer's
+      val path = graft.util.Scratch.pidDirFor("staged_tt", d)
       val li = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag")
@@ -362,6 +368,13 @@ object Relational {
       // so repeated runs accumulated orphans in the shared warehouse.
       // A pid is swept only when no live process owns it — a
       // concurrent run's tables survive (the r10 race fix stands).
+      // ASSUMPTION (r12 ADVICE, documented not hidden): liveness via
+      // ProcessHandle sees only THIS host's pid namespace, so the
+      // sweep is sound only while the warehouse dir is single-host /
+      // single-namespace — true here (local ./spark-warehouse). A
+      // shared-warehouse deployment would gate on a host+start-time
+      // heartbeat file instead; a recycled pid merely keeps a dead
+      // JVM's tables alive (benign leak), never deletes a live one.
       val whRoot = new org.apache.hadoop.fs.Path(
         java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")))
       val whFs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -43,6 +43,104 @@ import graft.tables.Tables
   */
 object StatsR12 {
 
+  /** The HNSW layer assignment expression (md5 bucket of the id →
+    * geometric level 2/1/0) — shared verbatim by the batch hierarchy
+    * and the streaming insert's stream-side projection, so an
+    * arriving vector lands on exactly the level the batch build would
+    * give it. */
+  private[graft] def levelCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 10000
+    when(b < 100, 2).when(b < 1000, 1).otherwise(0)
+  }
+
+  /** Session-memoized layered corpus (vec_id ≠ 0 with its md5-
+    * geometric `lvl`) — the StatsR11.corpusCellGraph posture: the
+    * hierarchy is a write-once index artifact shared by q_ann_hnsw
+    * and s_stream_hnsw_insert. */
+  private val lvMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), DataFrame]()
+
+  private[graft] def layeredCorpus(s: SparkSession, d: String): DataFrame = {
+    val it = lvMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    lvMemo.computeIfAbsent((s.sparkContext, d), _ =>
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("lvl", levelCol(col("vec_id")))
+        .localCheckpoint(true)) // layer subsets + entry selection
+  }
+
+  /** Session-memoized per-layer cell-local top-8 graph; seeds = first
+    * k members by vec_id (k from the LAYER's count — upper layers get
+    * small k, operators/Cells). */
+  private val layerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String, Int), DataFrame]()
+
+  private[graft] def layerGraph(s: SparkSession, d: String, l: Int): DataFrame = {
+    val it = layerMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    layerMemo.computeIfAbsent((s.sparkContext, d, l), _ => {
+      graft.expr.Registry.ensure(s)
+      val lv = layeredCorpus(s, d)
+      val sub = lv.filter(col("lvl") >= l).select("vec_id", "embedding")
+      val k = Cells.k(sub.count()) // one-row count, bounded by design
+      // bounded grain: the seed window ranks the k-row limit output
+      val seeds = sub.orderBy("vec_id").limit(k)
+        .withColumn("cell",
+          row_number().over(Window.orderBy("vec_id")).cast("int"))
+        .select(col("cell"), col("embedding").as("c_emb"))
+      val packed = seeds
+        .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
+          .as("cents"))
+      StatsR11.cellGraphFromPacked(sub, packed, k, m = 8)
+    })
+  }
+
+  /** DuckDB twin of [[layeredCorpus]]: the held-out corpus `e` and
+    * the layered view `lv` (declared above `oracle` — init order). */
+  private[graft] val eLvCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id <> 0),
+       |lv AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN b < 100 THEN 2 WHEN b < 1000 THEN 1 ELSE 0 END
+       |      AS lvl
+       |  FROM (SELECT vec_id, embedding,
+       |      CAST(CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+       |        1, 4) AS INT) % 10000 AS INT) AS b
+       |    FROM e) z)""".stripMargin
+
+  /** DuckDB twin of [[layerGraph]]: per-layer seed/assign/top-8 CTEs
+    * over `lv` (sd$l / a$l / nb$l) — shared by the q_ann_hnsw oracle
+    * and s_stream_hnsw_insert's batch twin. */
+  private[graft] def layerCtes(l: Int): String = {
+    val k = Cells.kSql(s"lv WHERE lvl >= $l")
+    val cosTS = LlmOps.duckCos("t.embedding", "sd.c_emb")
+    val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
+    s"""sd$l AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+       |      AS cell, embedding AS c_emb
+       |  FROM lv WHERE lvl >= $l
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $k),
+       |a$l AS MATERIALIZED (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT t.vec_id, sd.cell, t.embedding,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ROUND($cosTS, 6) DESC, sd.cell) AS rn
+       |    FROM (SELECT vec_id, embedding FROM lv WHERE lvl >= $l) t
+       |    CROSS JOIN sd$l sd) z
+       |  WHERE rn = 1),
+       |nb$l AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ROUND($cosAB, 6) DESC, b.vec_id) AS rnk
+       |    FROM a$l a JOIN a$l b
+       |      ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+       |  WHERE rnk <= 8)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
 
@@ -53,32 +151,10 @@ object StatsR12 {
       val gsteps = 2
       val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
-      // deterministic geometric layer assignment: md5 bucket of the id
-      val lv = e
-        .withColumn("b",
-          conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
-            .cast("int") % 10000)
-        .withColumn("lvl",
-          when(col("b") < 100, 2).when(col("b") < 1000, 1).otherwise(0))
-        .drop("b")
-        .localCheckpoint(true) // layer subsets + entry selection
-      // per-layer cell-local top-8 graph; seeds = first k members by
-      // vec_id (k from the LAYER's count — upper layers get small k)
-      def layerGraph(l: Int): DataFrame = {
-        val sub = lv.filter(col("lvl") >= l).select("vec_id", "embedding")
-        val k = Cells.k(sub.count()) // one-row count, bounded by design
-        // bounded grain: the seed window ranks the k-row limit output
-        val seeds = sub.orderBy("vec_id").limit(k)
-          .withColumn("cell",
-            row_number().over(Window.orderBy("vec_id")).cast("int"))
-          .select(col("cell"), col("embedding").as("c_emb"))
-        val packed = seeds
-          .agg(array_sort(collect_list(struct(col("cell"), col("c_emb"))))
-            .as("cents"))
-        StatsR11.cellGraphFromPacked(sub, packed, k, m = 8)
-      }
-      val g2 = layerGraph(2)
-      val g1 = layerGraph(1)
+      // deterministic geometric layer assignment (session-memoized)
+      val lv = layeredCorpus(s, d)
+      val g2 = layerGraph(s, d, 2)
+      val g1 = layerGraph(s, d, 1)
       // layer 0 = the session-memoized corpus graph q_ann_nsw shares
       val g0 = StatsR11.corpusCellGraph(s, d, heldOut = true)
       val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -176,35 +252,7 @@ object StatsR12 {
     // graphs + 2 greedy steps per upper layer + the 3-hop beam
     "q_ann_hnsw" -> {
       val cosEQ = LlmOps.duckCos("e.embedding", "q.q_emb")
-      // per-layer graph CTEs over lv (lvl >= l): seeds = first k
-      // members by vec_id, assignment by (cos DESC, cell) rn = 1,
-      // within-cell top-8 edges — k from the layer's own count
-      def layerCtes(l: Int): String = {
-        val k = Cells.kSql(s"lv WHERE lvl >= $l")
-        val cosTS = LlmOps.duckCos("t.embedding", "sd.c_emb")
-        val cosAB = LlmOps.duckCos("a.embedding", "b.embedding")
-        s"""sd$l AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
-           |      AS cell, embedding AS c_emb
-           |  FROM lv WHERE lvl >= $l
-           |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $k),
-           |a$l AS MATERIALIZED (
-           |  SELECT vec_id, cell, embedding FROM (
-           |    SELECT t.vec_id, sd.cell, t.embedding,
-           |      row_number() OVER (PARTITION BY t.vec_id
-           |        ORDER BY ROUND($cosTS, 6) DESC, sd.cell) AS rn
-           |    FROM (SELECT vec_id, embedding FROM lv WHERE lvl >= $l) t
-           |    CROSS JOIN sd$l sd) z
-           |  WHERE rn = 1),
-           |nb$l AS MATERIALIZED (
-           |  SELECT a_id, b_id FROM (
-           |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           |      row_number() OVER (PARTITION BY a.vec_id
-           |        ORDER BY ROUND($cosAB, 6) DESC, b.vec_id) AS rnk
-           |    FROM a$l a JOIN a$l b
-           |      ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
-           |  WHERE rnk <= 8)""".stripMargin
-      }
+      // per-layer graph CTEs (sd/a/nb): the shared layerCtes above
       // one greedy step: cur ∪ out-edges(cur), top-1 by (cq, vec_id)
       def step(i: Int, nb: String): String =
         s"""d$i AS MATERIALIZED (
@@ -229,21 +277,12 @@ object StatsR12 {
            |  SELECT * FROM $pv UNION ALL SELECT * FROM f$h)""".stripMargin
       }
       val cosAB0 = LlmOps.duckCos("a.embedding", "b.embedding")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id <> 0),
+      s"""WITH $eLvCtes,
          |q AS (SELECT embedding AS q_emb FROM embeddings
          |  WHERE vec_id = 0),
          |sc AS MATERIALIZED (
          |  SELECT e.vec_id, ROUND($cosEQ, 6) AS cq
          |  FROM e CROSS JOIN q),
-         |lv AS MATERIALIZED (
-         |  SELECT vec_id, embedding,
-         |    CASE WHEN b < 100 THEN 2 WHEN b < 1000 THEN 1 ELSE 0 END
-         |      AS lvl
-         |  FROM (SELECT vec_id, embedding,
-         |      CAST(CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
-         |        1, 4) AS INT) % 10000 AS INT) AS b
-         |    FROM e) z),
          |${layerCtes(2)},
          |${layerCtes(1)},
          |c0 AS (SELECT vec_id AS cid, embedding AS c FROM e

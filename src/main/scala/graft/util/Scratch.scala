@@ -34,4 +34,34 @@ object Scratch {
     * from different scale factors never collide. */
   def dirFor(name: String, inputPath: String): String =
     dir(name + "_" + java.lang.Integer.toHexString(inputPath.hashCode))
+
+  /** A PER-PROCESS scratch dir (name carries the JVM pid) for
+    * fixtures whose write protocol REJECTS concurrent writers — the
+    * staged sink's optimistic commit (r12 ADVICE): two harness JVMs
+    * sharing the plain dirFor path would make one of them abort
+    * loudly on the CAS, so each process gets its own table. Stale
+    * siblings left by DEAD pids are swept on first use; liveness is
+    * ProcessHandle-based, which shares the q_join_bucketed sweep's
+    * documented assumption — single host, single pid namespace
+    * (java.io.tmpdir is process-local to this machine by
+    * construction, so a cross-host peer can never appear here). */
+  def pidDirFor(name: String, inputPath: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val pat = ("^" + java.util.regex.Pattern.quote(name) + "_p(\\d+)_.*$").r
+    Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case pat(p) if p.toLong != pid &&
+            !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          deleteRecursively(f)
+        case _ => ()
+      }
+    }
+    dir(s"${name}_p${pid}_" +
+      java.lang.Integer.toHexString(inputPath.hashCode))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -199,4 +199,100 @@ class DSv2SinkSpec extends AnyFunSuite with SparkFixture {
     assert(dirs.length === 1, dirs.mkString(","))
     assert(StagedCommitSink.generations(spark, path).size === 1)
   }
+
+  // ---- optimistic concurrency + commit-log authority (r12 task 3) ----
+
+  private def newBatchWrite(path: String) = {
+    import scala.jdk.CollectionConverters._
+    val sch = schema
+    val table = new StagedCommitSink()
+      .getTable(sch, Array.empty, Map("path" -> path).asJava)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("path" -> path).asJava)
+      override def queryId() = java.util.UUID.randomUUID().toString
+      override def schema() = sch
+    }
+    table.newWriteBuilder(info).build().toBatch
+  }
+
+  private def writeOneRow(bw: org.apache.spark.sql.connector.write.BatchWrite,
+                          id: Long, tag: String) = {
+    val w = bw.createBatchWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions() = 1
+      }).createWriter(0, id)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      id, 1.5, org.apache.spark.unsafe.types.UTF8String.fromString(tag)))
+    w.commit()
+  }
+
+  test("two interleaved commits: one wins the CAS, the loser aborts loudly, table equals the winner") {
+    import spark.implicits._
+    val path = freshPath("cas")
+    writeDf(Seq((0L, 0.0, "seed")).toDF("id", "v", "s"), path)
+    // both writes are PLANNED against the same base version — the
+    // real interleaving a concurrent-writer race produces
+    val bw1 = newBatchWrite(path)
+    val bw2 = newBatchWrite(path)
+    val m1 = writeOneRow(bw1, 1L, "winner")
+    val m2 = writeOneRow(bw2, 2L, "loser")
+    bw1.commit(Array(m1))
+    val ex = intercept[graft.sinks.ConcurrentWriteException] {
+      bw2.commit(Array(m2))
+    }
+    assert(ex.getMessage.contains("concurrent commit conflict"), ex.getMessage)
+    bw2.abort(Array(m2)) // what Spark's write exec does after the throw
+    val rows = StagedCommitSink.read(spark, path, schema).collect()
+    assert(rows.length === 1 && rows.head.getString(2) === "winner")
+    // no staging residue, no orphan generation from the loser, and
+    // the on-disk generations are exactly the log's
+    val entries = new java.io.File(path).listFiles().map(_.getName)
+    assert(!entries.exists(_.startsWith(".staging-")), entries.mkString(","))
+    val gens = StagedCommitSink.generations(spark, path)
+    assert(gens.size === 1)
+    assert(entries.filter(_.startsWith("gen-")).toSet === gens.toSet,
+      entries.mkString(","))
+  }
+
+  test("read paths derive from the commit log; a stale _current pointer is ignored") {
+    import spark.implicits._
+    val path = freshPath("authority")
+    writeDf(Seq((1L, 1.0, "old")).toDF("id", "v", "s"), path)
+    writeDf(Seq((2L, 2.0, "live")).toDF("id", "v", "s"), path)
+    // simulate a crash between the CAS and the pointer write: the
+    // pointer still names a superseded (deleted) generation
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_current"), "gen-bogus")
+    assert(StagedCommitSink.read(spark, path, schema)
+      .collect().head.getString(2) === "live")
+    assert(!StagedCommitSink.currentDir(spark, path).endsWith("gen-bogus"))
+  }
+
+  test("a legacy _log table is readable and migrates to versioned commits on the next write") {
+    import spark.implicits._
+    val path = freshPath("legacy")
+    // hand-build the r12 layout: one generation + _log + _current
+    val gdir = new java.io.File(path, "gen-legacy1")
+    assert(gdir.mkdirs())
+    java.nio.file.Files.writeString(
+      gdir.toPath.resolve("part-00000-0.csv"), "1,1.0,\"old\"\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_log"), "gen-legacy1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_current"), "gen-legacy1")
+    // readable BEFORE migration via the _log fallback
+    assert(StagedCommitSink.read(spark, path, schema)
+      .collect().head.getString(2) === "old")
+    writeRetained(Seq((2L, 2.0, "new")).toDF("id", "v", "s"), path, retain = 2)
+    // migrated: versioned commits carry legacy v0 + new v1, _log gone
+    val gens = StagedCommitSink.generations(spark, path)
+    assert(gens === Seq("gen-legacy1", gens.last))
+    assert(StagedCommitSink.readAt(spark, path, schema, stepsBack = 1)
+      .collect().head.getString(2) === "old")
+    assert(StagedCommitSink.read(spark, path, schema)
+      .collect().head.getString(2) === "new")
+    assert(!new java.io.File(path, "_log").exists())
+  }
 }
