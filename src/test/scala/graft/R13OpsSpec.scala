@@ -96,6 +96,36 @@ class R13OpsSpec extends AnyFunSuite with SparkFixture {
     assert(visited.size > 1, "repaired graph disconnected at the entry")
   }
 
+  test("tombstone conservation: live edges + retractions - double-counted = full graph") {
+    // the two r13 deletion faces must account for every edge exactly
+    // once: q_ann_tombstone keeps edges with BOTH endpoints alive;
+    // s_stream_graph_delete's feed emits one out-row per edge whose
+    // source died and one in-row per edge whose target died (an edge
+    // with both endpoints dead appears in both) — so
+    // live + out + in − both == all edges of the full graph
+    graft.expr.Registry.ensure(spark)
+    val dead = graft.tables.Tables.embeddings(spark, sf)
+      .select(col("vec_id"))
+      .filter((conv(substring(md5(col("vec_id").cast("string")), 1, 4),
+        16, 10).cast("int") % 100) < 5)
+      .collect().map(_.getLong(0)).toSet
+    val edges = queries.StatsR11.corpusCellGraph(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val live = edges.count { case (a, b) => !dead(a) && !dead(b) }
+    val out = edges.count { case (a, _) => dead(a) }
+    val in = edges.count { case (_, b) => dead(b) }
+    val both = edges.count { case (a, b) => dead(a) && dead(b) }
+    assert(live + out + in - both === edges.length)
+    // and the shipped keys see exactly these masses
+    val liveKey = SparkEntry.queries("q_ann_tombstone")(spark, sf)
+      .agg(sum("n_nb")).head.getLong(0)
+    assert(liveKey === live.toLong)
+    val del = SparkEntry.queries("s_stream_graph_delete")(spark, sf)
+      .agg(sum("n_out"), sum("n_in")).head
+    assert((del.getLong(0), del.getLong(1)) === ((out.toLong, in.toLong)))
+  }
+
   test("q_compaction_rewrite lands exactly one file per (source, bin)") {
     val res = SparkEntry.queries("q_compaction_rewrite")(spark, sf)
     val bins = res.collect().map(r => (r.getString(0), r.getLong(1)))
