@@ -709,4 +709,28 @@ class PlanAssertionsSpec extends AnyFunSuite with SparkFixture {
           + p.take(2000))
     }
   }
+
+  test("q_cdc_merge shuffles once per side on the merge key, window partitioned") {
+    // the 100 TB upsert shape: ops ranked by a PARTITIONED window
+    // (per-key grain), base ⟗ latest as a key-partitioned join —
+    // never a broadcast (both sides are fact-sized at scale) and
+    // never an un-partitioned window
+    val p = plan("q_cdc_merge")
+    // under GraftExtensions the rn=1 window rewrites to the custom
+    // TopKPerGroup exec (same key partitioning, no full sort) — either
+    // spelling is the partitioned per-key rank; what must NOT appear
+    // is a single-partition stage
+    assert(p.contains("Window") || p.contains("TopKPerGroup"), p.take(1500))
+    assert(!p.contains("SinglePartition"),
+      "q_cdc_merge grew a single-partition stage\n" + p.take(2000))
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p.take(1500))
+  }
+
+  test("q_ann_tombstone repairs the graph with broadcast anti-joins") {
+    // the tombstone set is ~5% of ids (tiny) — a shuffled anti-join
+    // here would re-partition the whole edge list at scale
+    val p = plan("q_ann_tombstone")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(2000))
+  }
 }
