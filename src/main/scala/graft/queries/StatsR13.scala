@@ -89,6 +89,61 @@ object StatsR13 {
         .orderBy("vec_id")
     }),
 
+    // TIME-TRAVEL SNAPSHOT DIFF: the audit query a retained commit
+    // log exists to answer — what changed between generation N−1 and
+    // N? Two deterministic snapshots of lineitem land as retained
+    // sink generations (the r13 CAS-committed StagedCommitSink,
+    // retain=2): the evolution DELETES line 7, UPDATES quantity (+5
+    // where orderkey%3=0), INSERTS a line-8 row for orderkey%5=0.
+    // Both generations are read back via readAt and diffed with ONE
+    // full outer join on the (orderkey, linenumber) PK — insert /
+    // delete / update / same classes with exact quantity-delta mass.
+    // The oracle derives both snapshots directly from the ORIGINAL
+    // table, so equality proves the retained generations byte-intact
+    // AND the diff classification right — q_snapshot_diff's shape
+    // over REAL table-format snapshots instead of derived views. At
+    // 100 TB both sides are key-partitioned; file stats would prune
+    // unchanged regions before the join.
+    "q_tt_snapshot_diff" -> ((s, d) => {
+      val path = graft.util.Scratch.pidDirFor("staged_ttd", d)
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      def save(df: DataFrame): Unit =
+        df.write.format("graft.sinks.StagedCommitSink")
+          .option("path", path).option("retain", "2")
+          .mode("overwrite").save()
+      save(li)
+      val evolved = li.filter(col("l_linenumber") =!= 7)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 3 === 0, col("l_quantity") + 5)
+            .otherwise(col("l_quantity")))
+        .unionByName(li.filter(col("l_linenumber") === 1
+            && col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), lit(8).as("l_linenumber"),
+            lit(1.0).as("l_quantity")))
+      save(evolved)
+      val prev = graft.sinks.StagedCommitSink.readAt(s, path, li.schema, 1)
+        .select(col("l_orderkey").as("k1"), col("l_linenumber").as("l1"),
+          col("l_quantity").as("q1"))
+      val cur = graft.sinks.StagedCommitSink.readAt(s, path, li.schema, 0)
+        .select(col("l_orderkey").as("k2"), col("l_linenumber").as("l2"),
+          col("l_quantity").as("q2"))
+      prev.join(cur, col("k1") === col("k2") && col("l1") === col("l2"),
+          "full_outer")
+        .select(
+          when(col("k1").isNull, "insert")
+            .when(col("k2").isNull, "delete")
+            .when(col("q1") =!= col("q2"), "update")
+            .otherwise("same").as("change"),
+          coalesce(col("q2"), lit(0.0)).as("qc"),
+          coalesce(col("q1"), lit(0.0)).as("qp"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"),
+          sum(round((col("qc") - col("qp")) * 1e6, 0).cast("long"))
+            .as("delta_qty_micro"))
+        .orderBy("change")
+    }),
+
     // COMPACTION EXECUTE (r12 VERDICT task 6): run q_compaction_plan's
     // bin assignment through an ACTUAL rewrite — every document rides
     // to its (source, bin) via the plan join, the table is rewritten
@@ -155,6 +210,32 @@ object StatsR13 {
         |    AS sum_cents,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both snapshots derived from the ORIGINAL table: equality proves
+    // the retained sink generations byte-intact + the diff classes
+    "q_tt_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS l, l_quantity AS q
+        |  FROM lineitem),
+        |evolved AS (
+        |  SELECT k, l,
+        |    CASE WHEN k % 3 = 0 THEN q + 5 ELSE q END AS q
+        |  FROM base WHERE l <> 7
+        |  UNION ALL
+        |  SELECT k, 8 AS l, 1.0 AS q FROM base
+        |  WHERE l = 1 AND k % 5 = 0),
+        |diff AS (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'insert'
+        |      WHEN e.k IS NULL THEN 'delete'
+        |      WHEN b.q <> e.q THEN 'update'
+        |      ELSE 'same' END AS change,
+        |    COALESCE(e.q, 0) AS qc, COALESCE(b.q, 0) AS qp
+        |  FROM base b FULL OUTER JOIN evolved e
+        |    ON b.k = e.k AND b.l = e.l)
+        |SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND((qc - qp) * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |    AS delta_qty_micro
+        |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // batch-twin full-corpus cell graph (the s_stream_graph_insert
     // CTEs) + the identical md5 tombstone filter on both endpoints
