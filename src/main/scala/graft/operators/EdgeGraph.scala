@@ -127,6 +127,49 @@ object EdgeGraph {
   private val sigCache =
     new ConcurrentHashMap[(SparkContext, String, String, Double), DataFrame]()
 
+  /** Memoized banded LSH index over [[minhashSigs]] — (doc_id, lang,
+    * bsig) with bsig = xxhash64(4-lane slice, band) for 8 bands × 4
+    * rows. q_dedup_lsh_resolve (batch) and s_stream_lsh_dedup (the
+    * stream-static probe) both derived this identical explode +
+    * localCheckpoint per call; a production dedup service materializes
+    * the banded index ONCE per corpus snapshot and every probe — batch
+    * or streaming — hits the same table. Semantics untouched: the
+    * memoized frame is the same expression both keys inlined. */
+  def lshBands(s: SparkSession, d: String): DataFrame = {
+    val it = bandCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    bandCache.computeIfAbsent((s.sparkContext, d), _ => {
+      minhashSigs(s, d, 32)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))"))
+            .as("bsig"))
+        .localCheckpoint(eager = true)
+    })
+  }
+
+  private val bandCache = new ConcurrentHashMap[(SparkContext, String), DataFrame]()
+
+  /** Memoized token-hash verify table (doc_id, lang, hs) — the sorted
+    * per-doc token-hash arrays that exact-verify LSH candidates
+    * (sorted_intersect_count). Shared by q_dedup_lsh_resolve,
+    * s_stream_lsh_dedup's static side and q_contamination; each used
+    * to re-tokenize + re-hash the whole corpus per call. Same
+    * materialize-once posture as [[minhashSigs]]. */
+  def tokenHashes(s: SparkSession, d: String): DataFrame = {
+    val it = thCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.isStopped) it.remove()
+    thCache.computeIfAbsent((s.sparkContext, d), _ => {
+      graft.expr.Registry.ensure(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("token_hashes(split(text, ' '))").as("hs"))
+        .localCheckpoint(eager = true)
+    })
+  }
+
+  private val thCache = new ConcurrentHashMap[(SparkContext, String), DataFrame]()
+
   /** Memoized per-(doc, term) term-frequency table (doc_id, lang,
     * dlen, term, tf_raw, tf) — the explode+aggregate subtree was
     * q_tfidf_top's dominant cost and re-ran (and re-persisted, leaking

@@ -23,7 +23,7 @@ object Analytics {
   private val simsCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.SparkContext, String), DataFrame]()
 
-  private[queries] def custBrand(s: SparkSession, d: String): DataFrame = {
+  private[graft] def custBrand(s: SparkSession, d: String): DataFrame = {
     val it = cbCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     cbCache.computeIfAbsent((s.sparkContext, d), _ =>
@@ -37,7 +37,7 @@ object Analytics {
   }
 
   /** Directed (b, b2, cos) brand similarity — both orientations. */
-  private[queries] def brandSims(s: SparkSession, d: String): DataFrame = {
+  private[graft] def brandSims(s: SparkSession, d: String): DataFrame = {
     val it = simsCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     simsCache.computeIfAbsent((s.sparkContext, d), _ => {
@@ -1153,20 +1153,29 @@ object Analytics {
       val ranked = graft.operators.PrefixSum.rank(
           Tables.part(s, d).select("p_partkey", "p_name"),
           Seq(col("p_name"), col("p_partkey")), "rn")
-        .localCheckpoint(eager = true) // reused by the 2 successor joins
-      def succ(i: Int) = ranked.select((col("rn") - i).as("rn"),
-        col("p_partkey").as(s"b${i}_id"), col("p_name").as(s"b${i}_name"))
+      // r13 opt (guide §2.4): the w=2 successors used to be TWO rn+i
+      // equi-joins (+ explode + same-block filter) — three scans of the
+      // checkpointed rank table and two corpus-grain shuffles. Because
+      // er_resolve drops window slides that straddle a W-block boundary
+      // ANYWAY (the diameter cap that keeps CC rounds bounded), the
+      // successors are exactly lead(1)/lead(2) over a window PARTITIONED
+      // by the block id: rn is globally dense, so ranks inside one block
+      // are contiguous and lead(i) is null iff rn+i falls outside the
+      // block — bit-identical to the join+filter it replaces, one
+      // bounded-grain (≤ W rows) shuffle instead of two joins.
+      val wBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(expr(s"(rn - 1) div $W")).orderBy("rn")
       val pairs = ranked
-        .join(succ(1), Seq("rn"), "left")
-        .join(succ(2), Seq("rn"), "left")
-        .select(col("p_partkey").as("a_id"), col("p_name"), col("rn"),
+        .withColumn("b1_id", lead("p_partkey", 1).over(wBlk))
+        .withColumn("b1_name", lead("p_name", 1).over(wBlk))
+        .withColumn("b2_id", lead("p_partkey", 2).over(wBlk))
+        .withColumn("b2_name", lead("p_name", 2).over(wBlk))
+        .select(col("p_partkey").as("a_id"), col("p_name"),
           explode(array(
-            struct(lit(1).as("i"), col("b1_id").as("b_id"),
-              col("b1_name").as("b_name")),
-            struct(lit(2).as("i"), col("b2_id").as("b_id"),
-              col("b2_name").as("b_name")))).as("c"))
+            struct(col("b1_id").as("b_id"), col("b1_name").as("b_name")),
+            struct(col("b2_id").as("b_id"), col("b2_name").as("b_name"))))
+            .as("c"))
         .filter(col("c.b_id").isNotNull)
-        .filter(expr(s"(rn - 1) div $W") === expr(s"(rn + c.i - 1) div $W"))
         .withColumn("jw", round(expr("jaro_winkler(p_name, c.b_name)"), 6))
         .filter(col("jw") >= 0.92)
         .select(col("a_id"), col("c.b_id").as("b_id"))

@@ -55,7 +55,7 @@ object LlmOps {
     * apply the identical predicate via EvalSample.sqlPred. At 100 TB
     * the corpus side additionally routes through the IVF cells
     * (q_sim_ivf); the scoring tail here is unchanged. */
-  private[queries] def rankedTop10(s: SparkSession, d: String): DataFrame = {
+  private[graft] def rankedTop10(s: SparkSession, d: String): DataFrame = {
     val it = topkCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     topkCache.computeIfAbsent((s.sparkContext, d), _ => {

@@ -399,12 +399,26 @@ object Relational {
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(loc, true)
       }
-      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ordersT)
-      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(lineitemT)
+      // r13 opt (guide §2.6): the two bucketed writes are independent
+      // jobs — submit them from two driver threads so the second
+      // write's tasks back-fill executors left idle by the first's
+      // straggler tail (each write is only 8 bucket tasks wide)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fo = Future {
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable(ordersT)
+        }
+        val fl = Future {
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable(lineitemT)
+        }
+        Await.result(fo, Duration.Inf); Await.result(fl, Duration.Inf)
+      }
       val agg = s.table(lineitemT)
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))

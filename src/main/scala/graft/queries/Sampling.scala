@@ -96,10 +96,10 @@ object Sampling {
     // same deterministic hash split as q_train_test_split.
     "q_contamination" -> ((s, d) => {
       graft.expr.Registry.ensure(s)
-      val hs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          expr("token_hashes(split(text, ' '))").as("hs"),
-          bucket(col("doc_id")).as("b"))
+      // token-hash table from the session memo (r13 opt) — shared with
+      // the LSH keys; the hash split rides on top as a projection
+      val hs = graft.operators.EdgeGraph.tokenHashes(s, d)
+        .withColumn("b", bucket(col("doc_id")))
       val heldOut = hs.filter(col("b") >= 8000).drop("b")
       val train = hs.filter(col("b") < 8000).drop("b")
       graft.operators.SetSimJoin.autoBetween(s, heldOut, train, tau = 0.8)

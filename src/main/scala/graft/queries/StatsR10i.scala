@@ -57,10 +57,11 @@ object StatsR10i {
 
   /** All-corpus market day returns (the q_beta_market series). */
   private def marketRet(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
-        count(lit(1)).as("cnt"))
+    // r13 opt: exact rollup of the session-memoized dailyMean grid
+    // (floor is per event — partial sums regroup losslessly)
+    StatsR9.dailyMean(s, d)
+      .groupBy("d")
+      .agg(sum("s_m").as("s_m"), sum("cnt").as("cnt"))
       .withColumn("my", expr("s_m div cnt"))
       // bounded grain: one row per day
       .withColumn("pmy", lag("my", 1).over(Window.orderBy("d")))

@@ -117,19 +117,28 @@ object StatsR10k {
     // sum of (N − rank). The LLM-eval panel-aggregation shape with
     // exact integer scoring; top 20.
     "q_borda_count" -> ((s, d) => {
-      val wc = Tables.documents(s, d)
+      // r13 opt (guide §2.3/§2.4): the judge inputs are all PER-DOC
+      // token stats — the old explode + groupBy(doc_id, w) shuffled
+      // every distinct (doc, word) pair across the cluster only to
+      // re-aggregate back to doc grain. All four stats compute
+      // map-side: n_tok = size(l), n_dis = size(array_distinct(l)),
+      // and the top-token count is a single aggregate() pass over the
+      // sorted array (max run length) — byte-identical to
+      // max(groupBy-count), zero corpus-grain shuffles.
+      // Doc-grain competition ranks stay PrefixSum.competitionRank
+      // (r10 VERDICT task 4 — no corpus-grain single-task window); the
+      // frame feeds 3 rank joins + the count, so materialize once.
+      val m = Tables.documents(s, d)
         .withColumn("l", split(col("text"), " "))
-        .select(col("doc_id"), col("n_chars"),
-          explode(col("l")).as("w"))
-        .groupBy("doc_id", "w")
-        .agg(count(lit(1)).as("cw"), max("n_chars").as("nc"))
-      // doc-grain competition ranks → per-distinct-value block ranks
-      // from the range-partitioned prefix sum, joined back (r10
-      // VERDICT task 4 — no corpus-grain single-task window); the
-      // frame feeds 3 rank joins + the count, so materialize once
-      val m = wc.groupBy("doc_id")
-        .agg(max("nc").as("nc"), sum("cw").as("n_tok"),
-          count(lit(1)).as("n_dis"), max("cw").as("mx_tok"))
+        .select(col("doc_id"), col("n_chars").as("nc"),
+          size(col("l")).cast("long").as("n_tok"),
+          size(array_distinct(col("l"))).cast("long").as("n_dis"),
+          expr("""aggregate(sort_array(l),
+              struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS mx),
+              (acc, x) -> struct(x,
+                IF(x = acc.prev, acc.run + 1L, 1L),
+                greatest(acc.mx, IF(x = acc.prev, acc.run + 1L, 1L))),
+              acc -> acc.mx)""").as("mx_tok"))
         .withColumn("k2", col("n_dis").cast("double") / col("n_tok"))
         .withColumn("k3", col("mx_tok").cast("double") / col("n_tok"))
         .localCheckpoint(eager = true)

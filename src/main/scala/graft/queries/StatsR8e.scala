@@ -20,15 +20,20 @@ object StatsR8e {
     * deterministic last-row rule q_ohlc_resample uses), volume =
     * event count. One partial agg over the corpus; output is
     * |types|·|days| rows. */
-  private[queries] def dailyOhlc(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(col("event_type"), to_date(col("ts")).as("d"),
-        round(col("value") * 100).cast("long").as("v_c"),
-        col("ts"), col("event_id"))
-      .groupBy("event_type", "d")
-      .agg(max("v_c").as("h"), min("v_c").as("l"),
-        max_by(col("v_c"), struct(col("ts"), col("event_id"))).as("c"),
-        count(lit(1)).as("vol"))
+  // session-memoized (r13 opt): 22 call sites re-ran this events scan
+  // + partial agg per key; deterministic (max_by tie-broken by the
+  // total (ts, event_id) struct), so the memo is byte-identical
+  private[graft] def dailyOhlc(s: SparkSession, d: String): DataFrame =
+    graft.util.SessionMemo.of(s, s"dailyOhlc:$d") {
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          round(col("value") * 100).cast("long").as("v_c"),
+          col("ts"), col("event_id"))
+        .groupBy("event_type", "d")
+        .agg(max("v_c").as("h"), min("v_c").as("l"),
+          max_by(col("v_c"), struct(col("ts"), col("event_id"))).as("c"),
+          count(lit(1)).as("vol"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](

@@ -23,12 +23,16 @@ object StatsR8f {
       .agg(sum(round(col("value") * 100).cast("long")).as(alias))
 
   /** Daily centi total per type with a 1-based day index. */
+  // session-memoized (r13 opt): the centi-sum day grid re-ran the
+  // events scan per consumer; deterministic exact longs either way
   private def dailyIdx(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-      .withColumn("i", row_number().over(
-        Window.partitionBy("event_type").orderBy("d")).cast("long"))
+    graft.util.SessionMemo.of(s, s"dailyIdxCenti:$d") {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("event_type").orderBy("d")).cast("long"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](

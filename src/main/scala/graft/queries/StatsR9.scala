@@ -24,13 +24,18 @@ object StatsR9 {
 
   private def wo = Window.partitionBy("event_type").orderBy("d")
 
-  /** Day-indexed daily milli means per type (the hodges/ses grain). */
-  private[queries] def dailyMean(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
-        count(lit(1)).as("cnt"))
-      .withColumn("y", expr("s_m div cnt"))
+  /** Day-indexed daily milli means per type (the hodges/ses grain).
+    * Session-memoized (r13 opt): 83 call sites re-ran this events scan
+    * + partial agg per key; the |types|·|days| result materializes
+    * once (SessionMemo — exact longs, byte-identical either way). */
+  private[graft] def dailyMean(s: SparkSession, d: String): DataFrame =
+    graft.util.SessionMemo.of(s, s"dailyMean:$d") {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
+          count(lit(1)).as("cnt"))
+        .withColumn("y", expr("s_m div cnt"))
+    }
 
   /** µ-snapped daily log returns of the milli-mean series per type
     * (the q_volatility grain): r_u = round(ln(y_i/y_{i-1})·1e6). */

@@ -21,12 +21,11 @@ object StatsR9b {
 
   /** Day-indexed daily milli means per type (the hodges/ses grain):
     * y = exact milli mean, t = 1-based day index. */
+  // rides the session-memoized dailyMean grid (r13 opt) — the events
+  // scan + agg no longer re-runs per consumer; the index window runs
+  // over the bounded day grid
   private def dailyIdx(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
-        count(lit(1)).as("cnt"))
-      .withColumn("y", expr("s_m div cnt"))
+    StatsR9.dailyMean(s, d)
       .withColumn("t", row_number().over(wo).cast("long"))
       .select(col("event_type"), col("d"), col("y"), col("t"))
 

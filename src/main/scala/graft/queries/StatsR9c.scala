@@ -18,12 +18,10 @@ object StatsR9c {
   private def wo = Window.partitionBy("event_type").orderBy("d")
 
   /** Day-indexed daily milli means per type. */
+  // rides the session-memoized dailyMean grid (r13 opt) — the events
+  // scan + agg no longer re-runs per consumer
   private def dailyIdx(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
-        count(lit(1)).as("cnt"))
-      .withColumn("y", expr("s_m div cnt"))
+    StatsR9.dailyMean(s, d)
       .withColumn("i", row_number().over(wo).cast("long"))
       .select(col("event_type"), col("d"), col("y"), col("i"))
 

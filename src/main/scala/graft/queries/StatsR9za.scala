@@ -32,15 +32,18 @@ object StatsR9za {
     * way and the whole handoff-graph family silently diverged at
     * sf0.1; (l_linenumber, l_suppkey, l_partkey) is unique per order.
     */
-  private[queries] def handoff(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .filter(expr("l_orderkey % 10 = 0"))
-      .select(col("l_suppkey").as("src"),
-        lead("l_suppkey", 1).over(Window.partitionBy("l_orderkey")
-          .orderBy("l_linenumber", "l_suppkey", "l_partkey")).as("dst"))
-      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
-      .distinct()
-      .localCheckpoint(eager = true)
+  // session-memoized (r13 opt): 11 graph keys re-derived this edge
+  // list (lineitem scan + per-order window + distinct) per call
+  private[graft] def handoff(s: SparkSession, d: String): DataFrame =
+    graft.util.SessionMemo.of(s, s"handoff:$d") {
+      Tables.lineitem(s, d)
+        .filter(expr("l_orderkey % 10 = 0"))
+        .select(col("l_suppkey").as("src"),
+          lead("l_suppkey", 1).over(Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber", "l_suppkey", "l_partkey")).as("dst"))
+        .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+        .distinct()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](

@@ -29,11 +29,16 @@ object StatsR9zd {
     * all-event grain, the q_volatility return convention).
     */
   private[queries] def marketRet(s: SparkSession, d: String): DataFrame = {
-    val day = Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
-        count(lit(1)).as("cnt"))
+    // r13 opt: the all-types day totals are an exact rollup of the
+    // session-memoized dailyMean grid (Σ per-type s_m / Σ cnt — floor
+    // is per event, so the partial sums regroup losslessly); the
+    // events scan no longer re-runs per consumer
+    val day = StatsR9.dailyMean(s, d)
+      .groupBy("d")
+      .agg(sum("s_m").as("s_m"), sum("cnt").as("cnt"))
       .withColumn("y", expr("s_m div cnt"))
+    // bounded grain: one row per day — the lag window never sees
+    // corpus-sized input
     day.withColumn("py", lag("y", 1).over(Window.orderBy("d")))
       .filter(col("py").isNotNull)
       .select(col("d"),

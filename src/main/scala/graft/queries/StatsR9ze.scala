@@ -21,13 +21,17 @@ import graft.tables.Tables
 object StatsR9ze {
 
   /** Per-customer revenue cents (x > 0 stated, true of the data). */
-  private[queries] def custRev(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("c"))
-      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
-      .filter(col("x") > 0)
+  // session-memoized (r13 opt): 12 inequality/concentration keys
+  // re-ran this lineitem ⋈ orders + customer rollup per call
+  private[graft] def custRev(s: SparkSession, d: String): DataFrame =
+    graft.util.SessionMemo.of(s, s"custRev:$d") {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
+        .filter(col("x") > 0)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](

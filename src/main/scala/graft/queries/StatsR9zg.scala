@@ -24,15 +24,13 @@ import graft.tables.Tables
 object StatsR9zg {
 
   /** (g, d, y): g=1 click, g=2 view, y = daily milli-mean. */
+  // rides the session-memoized dailyMean grid (r13 opt): same exact
+  // milli-mean rollup, filtered + relabeled at the bounded day grain
   private def ser(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    StatsR9.dailyMean(s, d)
       .filter(col("event_type").isin("click", "view"))
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(sum(floor(col("value") * 1e3).cast("long")).as("s_m"),
-        count(lit(1)).as("cnt"))
       .select(when(col("event_type") === "click", 1L).otherwise(2L)
-          .as("g"), col("d"), expr("s_m div cnt").as("y"))
-      .localCheckpoint(eager = true)
+          .as("g"), col("d"), col("y"))
 
   private val serCte: String =
     """ser AS (

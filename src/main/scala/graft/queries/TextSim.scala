@@ -397,15 +397,13 @@ object TextSim {
     "q_dedup_lsh_resolve" -> ((s, d) => {
       Registry.ensure(s)
       val docs = Tables.documents(s, d)
-      // signatures from the shared memoized table (r5) — computed once
-      // per session across both LSH keys
-      val sig = graft.operators.EdgeGraph.minhashSigs(s, d, 32)
-      // band key = xxhash64 over the 4 lanes + band index: one 64-bit
-      // join key per (doc, band), never array equality
-      val bands = sig.select(col("doc_id"), col("lang"),
-        explode(expr(
-          "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))")).as("bsig"))
-        .localCheckpoint(true)
+      // banded index from the shared memoized table (r13 opt: the
+      // explode + checkpoint used to run per call here AND in
+      // s_stream_lsh_dedup — the corpus index is now materialized once
+      // per session, the posture both keys' comments already claimed).
+      // Band key = xxhash64 over the 4 lanes + band index: one 64-bit
+      // join key per (doc, band), never array equality.
+      val bands = graft.operators.EdgeGraph.lshBands(s, d)
       // candidate pairs packed into ONE long before the distinct (the
       // SetSimJoin trick — doc ids fit 32 bits by the same invariant):
       // the dedup shuffle carries 8-byte keys instead of two columns.
@@ -421,11 +419,11 @@ object TextSim {
         .distinct()
         .select(shiftright(col("pk"), 32).as("a_id"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
-      val hsT = docs.select(col("doc_id"),
-        expr("token_hashes(split(text, ' '))").as("hs"))
-        // both verify-join legs scan this — hash once (localCheckpoint:
-        // no CacheManager pin across reruns, r6 ADVICE)
-        .localCheckpoint(true)
+      // verify table from the session memo (r13 opt): tokenize+hash of
+      // the whole corpus ran per call here, in the stream twin and in
+      // q_contamination — one materialization serves all three
+      val hsT = graft.operators.EdgeGraph.tokenHashes(s, d)
+        .select("doc_id", "hs")
       val verified = cand
         .join(hsT.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
         .join(hsT.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
@@ -674,8 +672,9 @@ object TextSim {
     // threshold is a filter over the same scored pair list, never a
     // re-derivation.
     "q_dedup_threshold_sweep" -> ((s, d) => {
+      // r13 opt: the memo is already eagerly checkpointed — the extra
+      // localCheckpoint here re-copied every block per call
       val pairs = graft.operators.EdgeGraph.pairs(s, d, "token", 0.7)
-        .localCheckpoint(eager = true) // three consumers below
       val taus = Seq(0.7, 0.8, 0.9)
       taus.map { tau =>
         val p = pairs.filter(col("jaccard") >= tau)

@@ -36,7 +36,7 @@ object Training {
     * per-round argmax is a bounded 1-ROW driver scalar (CC
     * convergence-counter precedent), tie-broken (freq desc, pair asc)
     * so the merge sequence is deterministic. */
-  private def learnedMerges(s: SparkSession, d: String): Array[(Int, String, String, Long)] = {
+  private[graft] def learnedMerges(s: SparkSession, d: String): Array[(Int, String, String, Long)] = {
     val it = bpeCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     bpeCache.computeIfAbsent((s.sparkContext, d), _ => {
@@ -690,19 +690,30 @@ object Training {
     // keys) — the q_contamination_ngram posture.
     "q_ngram_novelty" -> ((s, d) => {
       val w = 8
-      val grams = Tables.documents(s, d)
+      // r13 opt (guide §2.3/§2.4): gram duplicates only exist WITHIN a
+      // doc, so array_distinct before the explode replaces the
+      // dropDuplicates(doc_id, g) SHUFFLE with map-side work, and the
+      // per-doc distinct-gram count is size(gs) — computed before the
+      // explode, no doc-grain re-aggregation of the big gram table.
+      val docGrams = Tables.documents(s, d)
         .withColumn("l", split(col("text"), " "))
         .filter(size(col("l")) >= w)
         .select(col("doc_id"),
-          explode(expr(s"transform(sequence(1, size(l) - ${w - 1}), " +
-            s"i -> concat_ws(' ', slice(l, i, $w)))")).as("g"))
-        .dropDuplicates("doc_id", "g")
-      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-      grams.join(first, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-            .as("n_novel"))
+          array_distinct(expr(s"transform(sequence(1, size(l) - ${w - 1}), " +
+            s"i -> concat_ws(' ', slice(l, i, $w)))")).as("gs"))
+      val nGrams = docGrams.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      // novel grams per doc: a doc's gram is novel iff the doc is the
+      // corpus-wide min doc_id for that gram — so count the FIRST table
+      // by first_doc instead of joining it back onto the corpus-grain
+      // gram table on the STRING key (the old plan's widest shuffle;
+      // the re-attached rows were only ever re-aggregated to doc grain)
+      val novel = docGrams.select(col("doc_id"), explode(col("gs")).as("g"))
+        .groupBy("g").agg(min("doc_id").as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      nGrams.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty",
           round(col("n_novel") / col("n_grams").cast("double"), 4))
         .orderBy("doc_id")

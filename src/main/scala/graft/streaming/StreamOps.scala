@@ -416,16 +416,15 @@ object StreamOps {
       graft.expr.Registry.ensure(s)
       val in = docsDir(d, "lshstream_in")
       val out = tmp("lshstream_out")
-      val refBands = graft.operators.EdgeGraph.minhashSigs(s, d, 32)
+      // the static corpus index comes from the SESSION memos (r13 opt):
+      // banded signatures + token-hash verify table are materialized
+      // once per session and shared with q_dedup_lsh_resolve — this key
+      // used to re-derive + re-checkpoint both per call
+      val refBands = graft.operators.EdgeGraph.lshBands(s, d)
         .select(col("doc_id").as("ref_id"), col("lang").as("ref_lang"),
-          explode(expr(
-            "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4), b))"))
-            .as("ref_bsig"))
-        .localCheckpoint(true)
-      val refHs = Tables.documents(s, d)
-        .select(col("doc_id").as("hs_id"),
-          expr("token_hashes(split(text, ' '))").as("ref_hs"))
-        .localCheckpoint(true)
+          col("bsig").as("ref_bsig"))
+      val refHs = graft.operators.EdgeGraph.tokenHashes(s, d)
+        .select(col("doc_id").as("hs_id"), col("hs").as("ref_hs"))
       val docSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),

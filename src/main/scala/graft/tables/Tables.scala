@@ -11,11 +11,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.explain`: `PushedFilters`/`ReadSchema`).
   */
 object Tables {
+  /** Footer-inferred schema per table path, resolved once per process.
+    *
+    * `spark.read.parquet(path)` with no explicit schema runs a small
+    * schema-inference JOB on every call (~75 ms at local[*]); a session
+    * that executes hundreds of queries pays it per table reference.
+    * This is the local analogue of why production tables keep a CATALOG
+    * schema instead of re-unioning footers per query (the
+    * q_io_schema_evolution note). The memoized schema is byte-identical
+    * to what inference yields — the first reference per path still
+    * infers, every later reference pins it via `.schema(...)` and skips
+    * the job. Keyed by absolute path only: testdata is read-only for a
+    * process lifetime (TESTDATA.md), and `events` keeps its
+    * footer-branch semantics because the branch runs on the memoized
+    * schema (inferred under the same nanosAsLong conf).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def rd(s: SparkSession, dir: String, name: String): DataFrame = {
     // Write TimestampType as annotated µs int64, not legacy INT96 —
     // INT96 reads back as ns and defeats µs-exact oracle comparison.
     s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    s.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = rd(s, d, "region")
