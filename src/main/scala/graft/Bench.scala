@@ -136,7 +136,11 @@ object Bench {
       warm("interactions") {
         graft.queries.Analytics.custBrand(spark, sfDir).count()
         graft.queries.Analytics.brandSims(spark, sfDir).count()
+        graft.queries.Analytics.recsTop3(spark, sfDir).count()
         graft.queries.TpchPartSupp.partsupp(spark, sfDir).count()
+      }
+      warm("er-candidates") {
+        graft.queries.Analytics.sortedNeighborhoodPairs(spark, sfDir).count()
       }
       warm("eval-topk") {
         graft.queries.LlmOps.rankedTop10(spark, sfDir).count()
@@ -151,8 +155,17 @@ object Bench {
       warm("daily-grids") {
         graft.queries.StatsR9.dailyMean(spark, sfDir).count()
         graft.queries.StatsR8e.dailyOhlc(spark, sfDir).count()
+        graft.queries.StatsR8f.dailyIdx(spark, sfDir).count()
         graft.queries.StatsR9za.handoff(spark, sfDir).count()
         graft.queries.StatsR9ze.custRev(spark, sfDir).count()
+      }
+      warm("baskets") {
+        // transitively builds consecOrders + orderBrands too
+        graft.queries.StatsR9zp.curBrands(spark, sfDir).count()
+      }
+      warm("holdout") {
+        val (tr, te) = graft.queries.StatsR9zb.trainTest(spark, sfDir)
+        tr.count(); te.count()
       }
     }
     // Sorted, not Map (hash) order: hash order reshuffles every time a

@@ -56,6 +56,59 @@ object Analytics {
     })
   }
 
+  /** Sorted-neighborhood candidate pairs (a_id, b_id, jw) over the
+    * part-name rank — w=2 successors via rn+i equi-joins (the r10
+    * distributed lag; a window here would need a single-task global
+    * sort). Session-memoized (r13 opt): q_sorted_neighborhood AND
+    * q_blocking_quality each re-ran the rank + both successor joins +
+    * the JW verify per call. Deterministic (dense rank over a unique
+    * key, 6dp-grid JW cut), so the memoized frame is byte-identical
+    * to a fresh derivation; consumers order on read. */
+  private[graft] def sortedNeighborhoodPairs(s: SparkSession, d: String): DataFrame =
+    graft.util.SessionMemo.of(s, s"snPairs:$d") {
+      graft.expr.Registry.ensure(s)
+      val ranked = graft.operators.PrefixSum.rank(
+          Tables.part(s, d).select("p_partkey", "p_name"),
+          Seq(col("p_name"), col("p_partkey")), "rn")
+        .localCheckpoint(eager = true) // reused by the 2 successor joins
+      def succ(i: Int) = ranked.select((col("rn") - i).as("rn"),
+        col("p_partkey").as(s"b${i}_id"), col("p_name").as(s"b${i}_name"))
+      ranked
+        .join(succ(1), Seq("rn"), "left")
+        .join(succ(2), Seq("rn"), "left")
+        .select(col("p_partkey").as("a_id"), col("p_name"),
+          explode(array(
+            struct(col("b1_id").as("b_id"), col("b1_name").as("b_name")),
+            struct(col("b2_id").as("b_id"), col("b2_name").as("b_name"))))
+            .as("c"))
+        .filter(col("c.b_id").isNotNull)
+        .withColumn("jw",
+          round(expr("jaro_winkler(p_name, c.b_name)"), 6))
+        .filter(col("jw") >= 0.92)
+        .select(col("a_id"), col("c.b_id").as("b_id"), col("jw"))
+    }
+
+  /** Top-3 brand recs per customer (cust, rk, rec, score) — the full
+    * q_recs_topn derivation without its output ordering.
+    * Session-memoized (r13 opt): q_recs_novelty re-ran the whole
+    * customer-grain pipeline inside itself. Deterministic: the window
+    * orders by (score desc, rec), both exact on the 6dp grid. */
+  private[graft] def recsTop3(s: SparkSession, d: String): DataFrame =
+    graft.util.SessionMemo.of(s, s"recsTop3:$d") {
+      val cb = custBrand(s, d)
+      val sims = brandSims(s, d)
+      val cand = cb.join(broadcast(sims), "b")
+        .groupBy(col("cust"), col("b2").as("rec"))
+        .agg(round(sum(col("c") * col("cos")), 6).as("score"))
+      val owned = cb.select(col("cust"), col("b").as("rec"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("cust").orderBy(col("score").desc, col("rec"))
+      cand.join(owned, Seq("cust", "rec"), "left_anti")
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("cust"), col("rk"), col("rec"), col("score"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic string aggregation (sorted before joining, so no
     // engine-specific aggregation-order dependence).
@@ -730,29 +783,8 @@ object Analytics {
     // on rn+1/rn+2, bit-identical to the lead() window they replace.
     // Candidates verified by the codegen'd Jaro-Winkler ≥ 0.92, cut
     // on the 6dp-rounded grid (the fuzzy_jw rule).
-    "q_sorted_neighborhood" -> ((s, d) => {
-      graft.expr.Registry.ensure(s)
-      val ranked = graft.operators.PrefixSum.rank(
-          Tables.part(s, d).select("p_partkey", "p_name"),
-          Seq(col("p_name"), col("p_partkey")), "rn")
-        .localCheckpoint(eager = true) // reused by the 2 successor joins
-      def succ(i: Int) = ranked.select((col("rn") - i).as("rn"),
-        col("p_partkey").as(s"b${i}_id"), col("p_name").as(s"b${i}_name"))
-      ranked
-        .join(succ(1), Seq("rn"), "left")
-        .join(succ(2), Seq("rn"), "left")
-        .select(col("p_partkey").as("a_id"), col("p_name"),
-          explode(array(
-            struct(col("b1_id").as("b_id"), col("b1_name").as("b_name")),
-            struct(col("b2_id").as("b_id"), col("b2_name").as("b_name"))))
-            .as("c"))
-        .filter(col("c.b_id").isNotNull)
-        .withColumn("jw",
-          round(expr("jaro_winkler(p_name, c.b_name)"), 6))
-        .filter(col("jw") >= 0.92)
-        .select(col("a_id"), col("c.b_id").as("b_id"), col("jw"))
-        .orderBy("a_id", "b_id")
-    }),
+    "q_sorted_neighborhood" -> ((s, d) =>
+      sortedNeighborhoodPairs(s, d).orderBy("a_id", "b_id")),
 
     // OpenRefine-style fingerprint clustering (entity-resolution
     // lite): normalize → tokenize → sort → rejoin collapses word
@@ -904,21 +936,7 @@ object Analytics {
     // in similar brands (score = Σ own-count · cos), already-owned
     // candidates anti-join away, top-3 per customer via a per-group
     // window. Every stage is bounded-basket × bounded-brand work.
-    "q_recs_topn" -> ((s, d) => {
-      val cb = custBrand(s, d)
-      val sims = brandSims(s, d)
-      val cand = cb.join(broadcast(sims), "b")
-        .groupBy(col("cust"), col("b2").as("rec"))
-        .agg(round(sum(col("c") * col("cos")), 6).as("score"))
-      val owned = cb.select(col("cust"), col("b").as("rec"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy("cust").orderBy(col("score").desc, col("rec"))
-      cand.join(owned, Seq("cust", "rec"), "left_anti")
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 3)
-        .select(col("cust"), col("rk"), col("rec"), col("score"))
-        .orderBy("cust", "rk")
-    }),
+    "q_recs_topn" -> ((s, d) => recsTop3(s, d).orderBy("cust", "rk")),
 
     // Beyond-accuracy recsys metrics (novelty + catalog coverage —
     // the Castells/Vargas diversity lens): per recommendation rank,
@@ -928,7 +946,10 @@ object Analytics {
     // session-memoized interaction matrix; the popularity and catalog
     // sides are bounded broadcasts.
     "q_recs_novelty" -> ((s, d) => {
-      val recs = queries("q_recs_topn")(s, d)
+      // session memo (r13 opt): the recs table derives once for
+      // q_recs_topn and this key instead of twice; order is irrelevant
+      // under the groupBy(rk)
+      val recs = recsTop3(s, d)
       val cb = custBrand(s, d)
       val nCust = cb.agg(countDistinct("cust").cast("double").as("nc"))
       val pop = cb.groupBy(col("b").as("rec"))

@@ -25,7 +25,7 @@ object StatsR8f {
   /** Daily centi total per type with a 1-based day index. */
   // session-memoized (r13 opt): the centi-sum day grid re-ran the
   // events scan per consumer; deterministic exact longs either way
-  private def dailyIdx(s: SparkSession, d: String): DataFrame =
+  private[graft] def dailyIdx(s: SparkSession, d: String): DataFrame =
     graft.util.SessionMemo.of(s, s"dailyIdxCenti:$d") {
       Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("d"))

@@ -42,10 +42,13 @@ object StatsR9o {
         .filter(round(expr("jaro_winkler(a_name, b_name)"), 6) >= 0.92)
         .select(least(col("a_id"), col("b_id")).as("x"),
           greatest(col("a_id"), col("b_id")).as("y"))
-      val cand = Analytics.queries("q_sorted_neighborhood")(s, d)
+      // session memo (r13 opt): the candidate derivation (rank + two
+      // successor joins + JW verify) runs once for q_sorted_neighborhood
+      // and this key; the memo is already materialized, so the extra
+      // localCheckpoint copy is gone too (x/y normalize + distinct stay)
+      val cand = Analytics.sortedNeighborhoodPairs(s, d)
         .select(least(col("a_id"), col("b_id")).as("x"),
           greatest(col("a_id"), col("b_id")).as("y")).distinct()
-        .localCheckpoint(eager = true) // 2 legs
       val universe = parts.groupBy("blk").agg(count(lit(1)).as("nb"))
         .agg(sum(col("nb") * (col("nb") - 1) / 2).cast("long")
           .as("n_universe"))

@@ -29,8 +29,13 @@ object StatsR9zb {
     * Both are user×brand aggregates — at 100 TB this is the bounded
     * rollup grain, never the raw lineitem grain.
     */
-  private[queries] def trainTest(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val li = Tables.lineitem(s, d)
+  private[graft] def trainTest(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // session-memoized (r13 opt): five keys (q_mrr, q_hit_rate,
+    // q_catalog_coverage, q_cold_start, ...) each re-ran the 3-way
+    // join + both rollups per call; exact-integer aggregates + a
+    // deterministic date split, so the memoized halves are
+    // byte-identical to a fresh derivation
+    def li = Tables.lineitem(s, d)
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
@@ -38,10 +43,14 @@ object StatsR9zb {
       .select(col("o_custkey").as("c"), col("p_brand").as("brand"),
         col("o_orderdate"))
     val cut = lit("1998-01-01").cast("timestamp_ntz")
-    val train = li.filter(col("o_orderdate") < cut)
-      .groupBy("c", "brand").agg(count(lit(1)).as("cnt"))
-    val test = li.filter(col("o_orderdate") >= cut)
-      .select("c", "brand").distinct()
+    val train = graft.util.SessionMemo.of(s, s"ttTrain:$d") {
+      li.filter(col("o_orderdate") < cut)
+        .groupBy("c", "brand").agg(count(lit(1)).as("cnt"))
+    }
+    val test = graft.util.SessionMemo.of(s, s"ttTest:$d") {
+      li.filter(col("o_orderdate") >= cut)
+        .select("c", "brand").distinct()
+    }
     (train, test)
   }
 

@@ -54,9 +54,9 @@ object StatsR9zl {
     // Cold-start audit of the same holdout: test pairs whose user /
     // brand never appears in train.
     "q_cold_start" -> ((s, d) => {
-      val (train, test) = StatsR9zb.trainTest(s, d)
-      val tr = train.localCheckpoint(eager = true)
-      val te = test.localCheckpoint(eager = true)
+      // session memos — already materialized; the per-call checkpoint
+      // copies are gone with them (r13 opt)
+      val (tr, te) = StatsR9zb.trainTest(s, d)
       val coldU = te.join(tr.select("c").distinct(), Seq("c"),
         "left_anti").agg(count(lit(1)).as("cold_user_pairs"))
       val coldB = te.join(tr.select("brand").distinct(), Seq("brand"),

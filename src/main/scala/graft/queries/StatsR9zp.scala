@@ -58,6 +58,19 @@ object StatsR9zp {
         .distinct()
     }
 
+  /** Earlier-order brand attachments (ok1, ok2, brand): consecOrders
+    * joined to the earlier order's brands — session-memoized (r13
+    * opt): q_seq_pairs consumed this twice (pair + base legs) and
+    * q_brand_loyalty twice more (cur rollup + repeat probe), each from
+    * its own per-call join + checkpoint. Deterministic equi-join of
+    * two deterministic memos. */
+  private[graft] def curBrands(s: SparkSession, d: String): DataFrame =
+    graft.util.SessionMemo.of(s, s"curBrands:$d") {
+      consecOrders(s, d)
+        .join(orderBrands(s, d).select(col("ok").as("ok1"), col("brand")),
+          Seq("ok1"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
 
@@ -66,17 +79,14 @@ object StatsR9zp {
     // confidence = support / #order-pairs with b1 in the earlier.
     // Top 10 by (support, b1, b2).
     "q_seq_pairs" -> ((s, d) => {
-      val co = consecOrders(s, d) // session memo — already materialized
+      val cur = curBrands(s, d) // session memo — already materialized
+        .withColumnRenamed("brand", "b1")
       val ob = orderBrands(s, d) // session memo — already materialized
-      val pairs = co
-        .join(ob.select(col("ok").as("ok1"), col("brand").as("b1")),
-          Seq("ok1"))
+      val pairs = cur
         .join(ob.select(col("ok").as("ok2"), col("brand").as("b2")),
           Seq("ok2"))
         .groupBy("b1", "b2").agg(count(lit(1)).as("support"))
-      val base = co
-        .join(ob.select(col("ok").as("ok1"), col("brand").as("b1")),
-          Seq("ok1"))
+      val base = cur
         .groupBy("b1").agg(count(lit(1)).as("n_b1"))
       pairs.join(base, "b1")
         .select(col("b1"), col("b2"), col("support"),
@@ -90,11 +100,10 @@ object StatsR9zp {
     // min support 20 earlier-order occurrences (stated); top 10 by
     // (loyalty, brand).
     "q_brand_loyalty" -> ((s, d) => {
-      val co = consecOrders(s, d) // session memo — already materialized
       val ob = orderBrands(s, d) // session memo — already materialized
-      val cur = co
-        .join(ob.select(col("ok").as("ok1"), col("brand")), Seq("ok1"))
-        .localCheckpoint(eager = true)
+      // session memo — already materialized; the per-call checkpoint
+      // copy is gone with it
+      val cur = curBrands(s, d)
       val rep = cur
         .join(ob.select(col("ok").as("ok2"), col("brand")),
           Seq("ok2", "brand"))
