@@ -95,11 +95,20 @@ object Bench {
     // stop diffing across rounds. Each warm is the same derivation the
     // first consumer would have paid; the wall-clock lands in this
     // process but OUTSIDE every per-key timer.
+    // r13 ADVICE: the warm phase pre-materializes every shared
+    // derivation OUTSIDE the per-key timers — record its wall-clock per
+    // tag in the bench JSON so the total cost stays attributable and a
+    // cross-round comparison against an unwarmed baseline can add it
+    // back.
+    val warmSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (only.isEmpty) { // targeted SPARK_GRAFT_ONLY runs skip the warm
-      def warm(tag: String)(body: => Unit): Unit =
+      def warm(tag: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
         try body catch { case e: Throwable =>
           System.err.println(s"[bench] memo pre-warm $tag failed: ${e.getMessage}")
         }
+        warmSecs(tag) = (System.nanoTime() - t0) / 1e9
+      }
       warm("edge-pairs") {
         for ((kind, tau) <- Seq(("bigram", 0.3), ("token", 0.7),
             ("token", 0.8), ("token", 0.95)))
@@ -204,8 +213,11 @@ object Bench {
     if (skewed)
       System.err.println(s"[bench] WARNING: loadavg_start=$loadStart > 3 — " +
         "timings are load-skewed and not comparable to idle captures (BASELINE.md)")
+    val warmTotal = warmSecs.values.sum
+    val warmQs = warmSecs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val meta = s""""started":"$startedAt","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","skewed":$skewed"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",$meta,"queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$meta,"warm_total_sec":$warmTotal,"warm_sec":$warmQs,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
     // The driver captures only the TAIL of the log (~3 KB): a full
@@ -221,6 +233,6 @@ object Bench {
     val big = results.toSeq.filter(_._2 >= 0.25).sortBy(-_._2).take(40)
     val bigQs = big.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},$meta,"queries":$bigQs,"queries_full":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${results.size},$meta,"warm_total_sec":${r2(warmTotal)},"queries":$bigQs,"queries_full":"$outFile","sf":"$sfDir"}""")
   }
 }

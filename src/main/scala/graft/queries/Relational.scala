@@ -417,7 +417,12 @@ object Relational {
             .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
             .mode("overwrite").saveAsTable(lineitemT)
         }
-        Await.result(fo, Duration.Inf); Await.result(fl, Duration.Inf)
+        // Future.sequence, not two sequential Awaits: if the first
+        // write failed, awaiting it alone would propagate while the
+        // second job kept running detached (its own failure never
+        // observed). The combined future surfaces either leg's error
+        // after both legs have settled.
+        Await.result(Future.sequence(Seq(fo, fl)), Duration.Inf)
       }
       val agg = s.table(lineitemT)
         .groupBy("l_orderkey")

@@ -128,7 +128,9 @@ object StatsR10k {
       // Doc-grain competition ranks stay PrefixSum.competitionRank
       // (r10 VERDICT task 4 — no corpus-grain single-task window); the
       // frame feeds 3 rank joins + the count, so materialize once.
-      val m = Tables.documents(s, d)
+      // r14 opt: fan out the single-file scan (util.Par) — the per-doc
+      // aggregate(sort_array(l)) pass otherwise runs on one core
+      val m = graft.util.Par.fanOut(Tables.documents(s, d))
         .withColumn("l", split(col("text"), " "))
         .select(col("doc_id"), col("n_chars").as("nc"),
           size(col("l")).cast("long").as("n_tok"),

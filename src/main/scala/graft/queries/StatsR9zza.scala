@@ -107,8 +107,11 @@ object StatsR9zza {
       import scala.concurrent.duration.Duration
       val fBefore = Future(ccStats(nodes, edges))
       val fAfter = Future(ccStats(nodesA, edgesA))
-      val before = Await.result(fBefore, Duration.Inf)
-      val after = Await.result(fAfter, Duration.Inf)
+      // Future.sequence so either leg's failure is surfaced after both
+      // settle — awaiting the first alone would leave the second job
+      // running detached (and its failure unobserved) on error
+      val Seq(before, after) =
+        Await.result(Future.sequence(Seq(fBefore, fAfter)), Duration.Inf)
       val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
       nTot.crossJoin(before
           .select(col("n_cc").as("n_cc_before"),

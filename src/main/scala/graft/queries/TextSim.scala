@@ -781,7 +781,10 @@ object TextSim {
     // containment value divides.
     "q_contain_join" -> ((s, d) => {
       Registry.ensure(s)
-      val docs = Tables.documents(s, d)
+      // r14 opt: fan out the single-file scan (util.Par) — shingle
+      // hashing, the prefix window and the verify probe all inherit
+      // the scan's one partition otherwise
+      val docs = graft.util.Par.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), expr("bigram_hashes(split(text, ' '))").as("hs"))
         .withColumn("sz", size(col("hs")))
         .filter(col("sz") >= 1)

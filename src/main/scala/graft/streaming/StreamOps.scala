@@ -429,7 +429,15 @@ object StreamOps {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
+      // r14 opt (guide §2.5): the staged input is ONE parquet file, so
+      // each micro-batch arrives as one partition and the 32-perm
+      // signature + token-hash projections run on one core. This is a
+      // STATELESS stream-static probe, so a round-robin repartition is
+      // legal and the pair set is unchanged; width = the session's
+      // default parallelism, the same batch-side knob
+      // withBoundedStatePartitions documents for state stores.
       val verified = s.readStream.schema(docSchema).parquet(in)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"),
           expr("minhash_sig(array_distinct(split(text, ' ')), 32)").as("sig"),
           expr("token_hashes(split(text, ' '))").as("hs"))

@@ -25,6 +25,16 @@ object Tables {
     * process lifetime (TESTDATA.md), and `events` keeps its
     * footer-branch semantics because the branch runs on the memoized
     * schema (inferred under the same nanosAsLong conf).
+    *
+    * INVARIANT (r13 ADVICE): entries are never invalidated, so a path
+    * must not be rewritten within one JVM, and the first caller's
+    * parquet confs must match every later caller's. Both hold by
+    * construction here: all reads go through [[rd]], the only
+    * inference-relevant conf is `nanosAsLong`, and `events` — the one
+    * table it affects — sets it unconditionally before every read. A
+    * test or tool that regenerates files at a cached path in-process
+    * would be served the stale schema; none does (testdata is
+    * driver-generated before the JVM starts, TESTDATA.md).
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()

@@ -32,7 +32,21 @@ object SessionMemo {
     // are gone and the frames would throw on use
     val it = cache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.isStopped) it.remove()
-    cache.computeIfAbsent((s.sparkContext, key),
-      _ => build.localCheckpoint(eager = true))
+    // get-then-putIfAbsent, NOT computeIfAbsent: build thunks nest
+    // (curBrands builds consecOrders/orderBrands, marketRet/ser/dailyIdx
+    // ride dailyMean) and ConcurrentHashMap forbids updating other
+    // mappings from inside a computeIfAbsent mapping function — when a
+    // nested key hashes to the in-flight outer key's bin it throws
+    // IllegalStateException("Recursive update"). Building outside the
+    // map's lock is safe: a concurrent duplicate build is deterministic
+    // and the loser's frame is simply dropped (putIfAbsent keeps one).
+    val k = (s.sparkContext, key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val built = build.localCheckpoint(eager = true)
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 }

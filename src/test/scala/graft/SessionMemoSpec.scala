@@ -46,16 +46,50 @@ class SessionMemoSpec extends AnyFunSuite with SparkFixture {
       s"expected a checkpoint scan, got:\n$plan")
   }
 
-  test("recsTop3 memo backs q_recs_topn and q_recs_novelty identically") {
-    val topn = SparkEntry.queries("q_recs_topn")(spark, sf)
+  // r13 ADVICE: these two pins were tautological when they compared the
+  // memo to a key that is DEFINED as the memo plus orderBy — compare to
+  // an inline fresh re-statement of the original derivation instead, so
+  // a future edit to the memoized build cannot silently change what the
+  // consumers compute.
+  test("recsTop3 memo equals a fresh inline derivation") {
     val memo = queries.Analytics.recsTop3(spark, sf)
-    assert(rows(topn) === rows(memo), // same rows, ordering aside
-      "q_recs_topn must stay the ordered view of the memoized recs")
+    val cb = queries.Analytics.custBrand(spark, sf)
+    val sims = queries.Analytics.brandSims(spark, sf)
+    val cand = cb.join(broadcast(sims), "b")
+      .groupBy(col("cust"), col("b2").as("rec"))
+      .agg(round(sum(col("c") * col("cos")), 6).as("score"))
+    val owned = cb.select(col("cust"), col("b").as("rec"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("cust").orderBy(col("score").desc, col("rec"))
+    val fresh = cand.join(owned, Seq("cust", "rec"), "left_anti")
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("cust"), col("rk"), col("rec"), col("score"))
+    assert(rows(memo) === rows(fresh))
   }
 
-  test("sortedNeighborhood memo backs the declared key unchanged") {
-    val key = SparkEntry.queries("q_sorted_neighborhood")(spark, sf)
+  test("sortedNeighborhood memo equals a fresh inline derivation") {
+    graft.expr.Registry.ensure(spark)
     val memo = queries.Analytics.sortedNeighborhoodPairs(spark, sf)
-    assert(rows(key) === rows(memo))
+    val ranked = operators.PrefixSum.rank(
+        tables.Tables.part(spark, sf).select("p_partkey", "p_name"),
+        Seq(col("p_name"), col("p_partkey")), "rn")
+      .localCheckpoint(eager = true)
+    def succ(i: Int) = ranked.select((col("rn") - i).as("rn"),
+      col("p_partkey").as(s"b${i}_id"), col("p_name").as(s"b${i}_name"))
+    val fresh = ranked
+      .join(succ(1), Seq("rn"), "left")
+      .join(succ(2), Seq("rn"), "left")
+      .select(col("p_partkey").as("a_id"), col("p_name"),
+        explode(array(
+          struct(col("b1_id").as("b_id"), col("b1_name").as("b_name")),
+          struct(col("b2_id").as("b_id"), col("b2_name").as("b_name"))))
+          .as("c"))
+      .filter(col("c.b_id").isNotNull)
+      .withColumn("jw",
+        round(org.apache.spark.sql.functions.expr("jaro_winkler(p_name, c.b_name)"), 6))
+      .filter(col("jw") >= 0.92)
+      .select(col("a_id"), col("c.b_id").as("b_id"), col("jw"))
+    assert(rows(memo) === rows(fresh))
   }
 }
