@@ -31,6 +31,7 @@ object Registry {
     "bigram_hashes" -> ((es: Seq[Expression]) => BigramHashes(es(0))),
     "token_hashes" -> ((es: Seq[Expression]) => TokenHashes(es(0))),
     "sorted_intersect_count" -> ((es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    "sorted_dot" -> ((es: Seq[Expression]) => SortedDot(es(0), es(1))),
     "ngrams" -> ((es: Seq[Expression]) => NGrams(es(0), intLit(es(1), "n"))),
     "jaro_winkler" -> ((es: Seq[Expression]) => JaroWinklerSim(es(0), es(1))),
     "zorder2" -> ((es: Seq[Expression]) => ZOrderKey.withCasts(es(0), es(1))),

@@ -288,6 +288,30 @@ object ShingleOps {
     }
     c
   }
+
+  /** Merge-walk dot product over two key-sorted (key: string,
+    * weight: long) struct arrays: Σ wa·wb over matching keys, exact
+    * long arithmetic. The weighted sibling of
+    * [[sortedIntersectCount]] — replaces an exploded
+    * pair×term join + re-aggregation (r14, q_tfidf_rerank). Key order
+    * must be the binary UTF8 order `array_sort` produces for the
+    * struct's first field. */
+  def sortedDot(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < na && j < nb) {
+      val x = a.getStruct(i, 2)
+      val y = b.getStruct(j, 2)
+      val c = x.getUTF8String(0).compareTo(y.getUTF8String(0))
+      if (c == 0) { s += x.getLong(1) * y.getLong(1); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
 }
 
 /** Sorted distinct 64-bit hashes of a token array (unigram sibling of
@@ -322,6 +346,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.expr.ShingleOps.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sorted_dot(a, b) over two key-sorted array<struct<string, long>>
+  * columns: exact long Σ wa·wb over matching keys
+  * ([[ShingleOps.sortedDot]]). */
+case class SortedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.sortedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.ShingleOps.sortedDot($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

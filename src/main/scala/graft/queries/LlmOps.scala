@@ -136,24 +136,37 @@ object LlmOps {
       val pairDocs = pairs
         .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
-      val w = tf.join(pairDocs, Seq("doc_id"), "left_semi")
+      // r14 opt (guide §2.3 "shuffle keys and metadata instead of
+      // payloads", §3.3 "explode before a join multiplies the
+      // shuffle"; measured via tools/ProfileTfidf): the old shape
+      // joined pairs (759 k) to per-term weight rows on a_id — a
+      // ~15 M-row pair×term intermediate — then shuffled THAT on
+      // (b_id, term) and re-aggregated back to pair grain (~4 s of the
+      // ~4.7 s key). Instead pack each candidate doc's (term, w_m)
+      // rows ONCE into a term-sorted array + its exact norm, join
+      // pairs to two packed payloads (pair-grain rows only, no
+      // explosion, one fewer exchange and no re-agg), and compute the
+      // dot with the codegen'd sorted_dot merge walk — exact long
+      // arithmetic, so the result is bit-identical to the
+      // groupBy-sum it replaces (every τ=0.8 pair shares ≥1 token, so
+      // both shapes emit every pair; zero-weight terms contribute 0
+      // either way). Oracle unchanged and green.
+      graft.expr.Registry.ensure(s)
+      val wp = tf.join(pairDocs, Seq("doc_id"), "left_semi")
         .join(dfT, "term").crossJoin(broadcast(nd))
         .withColumn("w_m",
           round(col("tf_raw") * log(col("nd") / col("df")) * 1e3).cast("long"))
-        .select("doc_id", "term", "w_m")
-        .localCheckpoint(eager = true) // referenced 3× (norms + both sides)
-      val norms = w.groupBy("doc_id")
-        .agg(sum(col("w_m") * col("w_m")).as("n2"))
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("term"), col("w_m")))).as("tw"),
+          sum(col("w_m") * col("w_m")).as("n2"))
+        .localCheckpoint(eager = true) // both pair-side joins read it
       pairs
-        .join(w.select(col("doc_id").as("a_id"), col("term"),
-          col("w_m").as("wa")), "a_id")
-        .join(w.select(col("doc_id").as("b_id"), col("term"),
-          col("w_m").as("wb")), Seq("b_id", "term"))
-        .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
-        .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na")), "a_id")
-        .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb")), "b_id")
+        .join(wp.select(col("doc_id").as("a_id"), col("tw").as("a_tw"),
+          col("n2").as("na")), "a_id")
+        .join(wp.select(col("doc_id").as("b_id"), col("tw").as("b_tw"),
+          col("n2").as("nb")), "b_id")
         .select(col("a_id"), col("b_id"),
-          round(col("dot") / (sqrt(col("na").cast("double"))
+          round(expr("sorted_dot(a_tw, b_tw)") / (sqrt(col("na").cast("double"))
             * sqrt(col("nb").cast("double"))), 6).as("cos_tfidf"))
         .orderBy(col("cos_tfidf").desc, col("a_id"), col("b_id"))
         .limit(50)

@@ -120,7 +120,11 @@ object StreamOps {
   private[streaming] def withBoundedStatePartitions[A](s: SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    // cap override: measurement hook for tools/AbStateParts (r14) —
+    // the production default stays 8
+    val cap = sys.props.get("graft.stream.maxStateParts")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8)
+    s.conf.set(key, math.min(prev.toInt, cap).toString)
     try f finally s.conf.set(key, prev)
   }
 

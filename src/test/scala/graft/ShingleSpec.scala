@@ -57,6 +57,43 @@ class ShingleSpec extends AnyFunSuite with SparkFixture {
     assert(bad === 0L)
   }
 
+  test("sorted_dot equals the exploded-join weighted sum (r14 tfidf shape)") {
+    // per-doc term weights exactly as q_tfidf_rerank derives them,
+    // dot computed both ways for every doc pair with any shared term
+    val w = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("w_m"))
+    val packed = w.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("w_m")))).as("tw"))
+    val viaExpr = packed.select(col("doc_id").as("a_id"), col("tw").as("a_tw"))
+      .join(packed.select(col("doc_id").as("b_id"), col("tw").as("b_tw")),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("sorted_dot(a_tw, b_tw)").as("dot"))
+      .filter(col("dot") =!= 0L)
+    val viaJoin = w.select(col("doc_id").as("a_id"), col("term"), col("w_m").as("wa"))
+      .join(w.select(col("doc_id").as("b_id"), col("term"), col("w_m").as("wb")),
+        "term")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
+      .filter(col("dot") =!= 0L)
+    assert(viaExpr.exceptAll(viaJoin).count() === 0L)
+    assert(viaJoin.exceptAll(viaExpr).count() === 0L)
+  }
+
+  test("sorted_dot null/empty semantics") {
+    val r = spark.sql(
+      "SELECT sorted_dot(array(named_struct('k', 'a', 'v', 2L), named_struct('k', 'b', 'v', 3L)), " +
+      "                  array(named_struct('k', 'b', 'v', 5L), named_struct('k', 'c', 'v', 7L))) AS d, " +
+      "       sorted_dot(cast(array() as array<struct<k: string, v: bigint>>), " +
+      "                  array(named_struct('k', 'a', 'v', 1L))) AS e, " +
+      "       sorted_dot(cast(null as array<struct<k: string, v: bigint>>), " +
+      "                  array(named_struct('k', 'a', 'v', 1L))) AS n").head()
+    assert(r.getLong(0) === 15L) // only 'b' matches: 3*5
+    assert(r.getLong(1) === 0L)
+    assert(r.isNullAt(2))
+  }
+
   test("prefix-strategy pairs == brute-force token Jaccard at tau=0.8") {
     val got = SetSimJoin.pairs(spark,
       docs.select(col("doc_id"), col("lang"),
