@@ -91,6 +91,21 @@ object ConnectedComponents {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    // The per-round sum rides the CHECKPOINT job via observe()
+    // (CollectMetrics fires when the eager checkpoint materializes the
+    // plan — verified in this Spark build), so each round runs ONE job
+    // instead of checkpoint + a separate convergence agg. Falls back
+    // to the explicit agg if the observation does not surface.
+    def observedSum(obs: org.apache.spark.sql.Observation,
+                    df: DataFrame): java.math.BigDecimal =
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val v = Await.result(Future(obs.get), Duration(60, "s"))("s")
+        if (v == null) java.math.BigDecimal.ZERO
+        else v.asInstanceOf[java.math.BigDecimal]
+      } catch { case _: Throwable => labelSum(df) }
     var prevSum = labelSum(labels)
     var changed = true
     var i = 0
@@ -104,8 +119,8 @@ object ConnectedComponents {
       // (and the jump self-join), so without truncation the logical
       // plan DOUBLES per round and analysis goes exponential in the
       // round count — invisible on 2-3-round near-dup graphs, a hang
-      // on a 15-round chain. The convergence agg then reads the
-      // materialized blocks (cheap second job).
+      // on a 15-round chain.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = (if (!jump) nbr else {
         // pointer jumping: label(v) <- label(label(v)). Labels are
         // vertex ids with label(v) <= v, so the lookup side is the
@@ -116,8 +131,11 @@ object ConnectedComponents {
         p.join(look, p("label") === look("j_id"), "left")
           .select(p("doc_id"),
             least(p("label"), coalesce(col("j_lab"), p("label"))).as("label"))
-      }).localCheckpoint(true)
-      val s2 = labelSum(next)
+      }).observe(obs,
+          coalesce(sum(col("label").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("s"))
+        .localCheckpoint(true)
+      val s2 = observedSum(obs, next)
       changed = s2.compareTo(prevSum) != 0
       prevSum = s2
       // previous rounds' checkpoint blocks become unreachable here and
